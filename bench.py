@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall-clock seconds.
+
+Queries chosen to cover every operator family at its heaviest:
+scan+agg (TPC-H Q1 shape), star join, window, as-of join, CDC apply,
+dedup (exact/minhash/ngram), similarity top-k, text analysis,
+sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from proof_of_concept___cdc_w_iceberg_spark import registry
+from proof_of_concept___cdc_w_iceberg_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "q_agg_groupby",
+    "q_join_multiway",
+    "q_join_broadcast",
+    "q_join_asof",
+    "q_win_running",
+    "q_cdc_apply",
+    "q_stream_session",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_text_fingerprint",
+    "q_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("poc_cdc_bench")
+    qs = registry.queries()
+
+    # Warm the session (JVM/codegen) on a trivial action.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

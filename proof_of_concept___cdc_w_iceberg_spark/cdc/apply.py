@@ -1,0 +1,90 @@
+"""CDC apply: latest-wins compaction + MERGE-fallback upsert.
+
+Reference semantics being reproduced (SURVEY.md §2.10):
+- upsert by id-columns into the lake table
+  (`connect-iceberg-sink.json:30-33`),
+- per-key ordering the reference gets from a single sink task +
+  Debezium LSN order (`connect-iceberg-sink.json:5`) — here made
+  explicit with a (ts_ms, off) window compaction, which is what makes
+  the apply safe to parallelize across many executors,
+- delete handling (op='d' removes the row).
+
+Scale notes: compaction is one shuffle on the merge keys; the apply
+join shuffles target+compacted-batch on the same keys. On a real
+cluster the target table would be bucketed by key so the per-batch
+merge co-locates; change batches are tiny relative to the mirror, so
+AQE turns the batch side into a broadcast. No Python in the path —
+everything is Catalyst-planned DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def compact_latest(changes: DataFrame, keys: list[str],
+                   order_cols: list[str] = ("ts_ms", "off")) -> DataFrame:
+    """Latest change per key: row_number over (ts desc, offset desc) = 1.
+
+    The core CDC compaction primitive (SURVEY.md §2.5 q_win_rownumber):
+    within any batch, only the newest event per key may be applied.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE fallback as a pure DataFrame rewrite (no Iceberg runtime):
+    full-outer join on keys; matched rows take the source image,
+    unmatched keep their side. Source NULLs are honored (presence flag,
+    not per-column coalesce)."""
+    data_cols = [c for c in target.columns if c not in keys]
+    s = source.withColumn("__present", F.lit(True)).alias("s")
+    t = target.alias("t")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+    )
+    joined = t.join(s, cond, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
+    ] + [
+        F.when(F.col("s.__present"), F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in data_cols
+    ]
+    return joined.select(*out_cols)
+
+
+def apply_changes(target: DataFrame, changes: DataFrame, keys: list[str],
+                  op_col: str = "op",
+                  order_cols: list[str] = ("ts_ms", "off")) -> DataFrame:
+    """Full CDC apply: compact to latest-per-key, then
+    upsert/insert/delete into the target in one pass.
+
+    Equivalent to Iceberg ``MERGE INTO .. WHEN MATCHED AND op='d' THEN
+    DELETE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT``
+    (the sink's upsert mode, `connect-iceberg-sink.json:30-33`).
+    Implemented as: drop every touched key from the target (anti join),
+    then append the surviving latest images.
+    """
+    latest = compact_latest(changes, keys, order_cols)
+    touched = latest.select(*keys)
+    survivors = target.join(touched, on=list(keys), how="left_anti")
+    upserts = latest.filter(F.col(op_col) != "d").select(*target.columns)
+    return survivors.unionByName(upserts)
+
+
+def mirror_diff(mirror: DataFrame, expected: DataFrame) -> DataFrame:
+    """Two-sided multiset diff — empty iff mirror == expected.
+
+    The reference verifies its mirror by manual re-query
+    (`test_cdc.py:75-92`); this is the assertive version.
+    """
+    return mirror.exceptAll(expected).unionByName(expected.exceptAll(mirror))

@@ -1,0 +1,103 @@
+"""Debezium change-event envelope: schema, encode, decode.
+
+The reference transports JSON-with-schema Debezium envelopes
+(`kafka/config/connect-standalone.properties:2-5`; envelope produced
+by the connector at `connect-sqlserver-source.json:4`):
+``{before, after, source{db,schema,table,lsn,ts_ms,snapshot}, op, ts_ms}``.
+The sink's DebeziumTransform flattens them and adds a ``_cdc`` struct
+with routing target ``cdc.{schema}_{table}``
+(`connect-iceberg-sink.json:10-13`).
+
+Spark-first mapping: the envelope is a nested ``StructType``; decode is
+``from_json`` + ``select("after.*", ...)`` — all JVM-side, codegen'd,
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def row_schema(fields: list[tuple[str, T.DataType]]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+def envelope_schema(row: T.StructType) -> T.StructType:
+    """Envelope for a given row schema (before/after images + source)."""
+    source = T.StructType(
+        [
+            T.StructField("db", T.StringType(), True),
+            T.StructField("schema", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField("snapshot", T.StringType(), True),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("before", row, True),
+            T.StructField("after", row, True),
+            T.StructField("source", source, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+
+
+# Envelope for the canonical changelog fixture row (k, name, bal).
+ROW_SCHEMA = row_schema(
+    [("k", T.LongType()), ("name", T.StringType()), ("bal", T.DoubleType())]
+)
+ENVELOPE_SCHEMA = envelope_schema(ROW_SCHEMA)
+
+
+def encode_envelope(df: DataFrame, schema_name: str = "commerce",
+                    table: str = "account") -> DataFrame:
+    """Wrap a flat changelog (k,name,bal,op,ts_ms,off) into JSON envelopes
+    — the shape the reference's source connector emits to Kafka."""
+    after = F.when(
+        F.col("op") != "d",
+        F.struct(F.col("k"), F.col("name"), F.col("bal")),
+    )
+    before = F.when(
+        F.col("op").isin("u", "d"),
+        F.struct(F.col("k"), F.lit(None).cast("string").alias("name"),
+                 F.lit(None).cast("double").alias("bal")),
+    )
+    source = F.struct(
+        F.lit("commerce_db").alias("db"),
+        F.lit(schema_name).alias("schema"),
+        F.lit(table).alias("table"),
+        F.col("off").alias("lsn"),
+        F.col("ts_ms").alias("ts_ms"),
+        F.when(F.col("op") == "r", F.lit("true")).otherwise(F.lit("false")).alias("snapshot"),
+    )
+    env = F.struct(before.alias("before"), after.alias("after"),
+                   source.alias("source"), F.col("op"), F.col("ts_ms"))
+    return df.select(F.col("k").alias("key"), F.to_json(env).alias("value"))
+
+
+def decode_envelope(df: DataFrame, schema: T.StructType = ENVELOPE_SCHEMA,
+                    value_col: str = "value") -> DataFrame:
+    """``from_json`` decode + flatten: after-image columns, op, ordering
+    keys — the Spark equivalent of the sink's DebeziumTransform
+    (`connect-iceberg-sink.json:10-12`)."""
+    env = F.from_json(F.col(value_col), schema)
+    return df.select(
+        env.getField("after").alias("after"),
+        env.getField("before").alias("before"),
+        env.getField("op").alias("op"),
+        env.getField("ts_ms").alias("ts_ms"),
+        env.getField("source").getField("lsn").alias("off"),
+        cdc_target(env.getField("source")).alias("_cdc_target"),
+    )
+
+
+def cdc_target(source: Column) -> Column:
+    """Routing target ``cdc.{schema}_{table}`` (`connect-iceberg-sink.json:12`)."""
+    return F.concat(
+        F.lit("cdc."), source.getField("schema"), F.lit("_"), source.getField("table")
+    )

@@ -1,0 +1,170 @@
+"""CDC composite queries (SURVEY.md §2.10 + envelope/upsert from §2.1).
+
+These reproduce the reference's raison d'être: Debezium envelope in,
+upserted mirror table out (`connect-iceberg-sink.json:10-16,30-33`),
+with the mirror verified assertively (vs the manual re-query of
+`test_cdc.py:75-92`).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.cdc_fixtures import CHANGELOG_SQL, MIRROR_SQL, changelog
+from ..sources.tables import load
+from .apply import apply_changes, compact_latest, merge_upsert, mirror_diff
+from .envelope import decode_envelope, encode_envelope
+
+
+@query("q_source_changelog", oracle=CHANGELOG_SQL)
+def q_source_changelog(spark, sf_dir):
+    """Change-event stream scan, batch form (topic per table,
+    `connect-sqlserver-source.json:10-12`). The streaming twin reads
+    the same rows through a file-stream source (streaming/pipeline.py)."""
+    return changelog(spark, sf_dir)
+
+
+@query(
+    "q_envelope_decode",
+    oracle=f"""
+        WITH changes AS ({CHANGELOG_SQL})
+        SELECT k, name, op, ts_ms, off,
+               'cdc.commerce_account' AS _cdc_target
+        FROM changes
+    """,
+)
+def q_envelope_decode(spark, sf_dir):
+    """Encode the changelog into Debezium JSON envelopes, then decode
+    with ``from_json`` and flatten (`connect-standalone.properties:2-5`
+    + DebeziumTransform `connect-iceberg-sink.json:10-12`). The oracle
+    checks the round-trip is lossless."""
+    enveloped = encode_envelope(changelog(spark, sf_dir))
+    decoded = decode_envelope(enveloped)
+    return decoded.select(
+        F.coalesce(F.col("after.k"), F.col("before.k")).alias("k"),
+        F.col("after.name").alias("name"),
+        "op",
+        "ts_ms",
+        "off",
+        "_cdc_target",
+    )
+
+
+@query(
+    "q_sink_upsert",
+    oracle="""
+        WITH src AS (
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+                   c_acctbal + 100.0 AS c_acctbal
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 10000000, 'new_' || c_name, c_acctbal
+            FROM customer WHERE c_custkey % 13 = 0
+        )
+        SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+               COALESCE(s.c_name, t.c_name) AS c_name,
+               COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal
+        FROM customer t FULL JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def q_sink_upsert(spark, sf_dir):
+    """Upsert by id-columns (`connect-iceberg-sink.json:30-33`) via the
+    MERGE fallback (full-outer-join rewrite, cdc/apply.py). With an
+    Iceberg catalog this is a real ``MERGE INTO``."""
+    target = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_name", "c_acctbal"
+    )
+    c = load(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).cast("long").alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        "c_acctbal",
+    )
+    return merge_upsert(target, updates.unionByName(inserts), ["c_custkey"])
+
+
+@query("q_cdc_apply", oracle=MIRROR_SQL)
+def q_cdc_apply(spark, sf_dir):
+    """Full CDC apply — the flagship: changelog → latest-per-key
+    compaction → upsert/delete merge into a parquet mirror, read back.
+    Writes through a real parquet sink round-trip, as the reference
+    writes Iceberg data files per commit."""
+    ch = changelog(spark, sf_dir)
+    snapshot = ch.filter(F.col("op") == "r").select("k", "name", "bal")
+    stream = ch.filter(F.col("op") != "r")
+    path = tempfile.mkdtemp(prefix="cdc_mirror_")
+    snapshot.write.mode("overwrite").parquet(path)
+    mirror = apply_changes(spark.read.parquet(path), stream, keys=["k"])
+    out = tempfile.mkdtemp(prefix="cdc_mirror_out_")
+    mirror.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query("q_cdc_snapshot_then_stream", oracle=MIRROR_SQL)
+def q_cdc_snapshot_then_stream(spark, sf_dir):
+    """Snapshot (op='r') unified with incremental changes through the
+    *same* apply path (`snapshot.mode=initial`,
+    `connect-sqlserver-source.json:14`): apply everything onto an empty
+    mirror — snapshot rows are just the oldest upserts."""
+    ch = changelog(spark, sf_dir)
+    empty = ch.select("k", "name", "bal").limit(0)
+    return apply_changes(empty, ch, keys=["k"])
+
+
+@query(
+    "q_cdc_mirror_verify",
+    oracle=f"""
+        WITH mirror AS ({MIRROR_SQL}), expected AS ({MIRROR_SQL})
+        SELECT * FROM (
+            SELECT * FROM mirror EXCEPT ALL SELECT * FROM expected
+            UNION ALL
+            SELECT * FROM expected EXCEPT ALL SELECT * FROM mirror
+        )
+    """,
+)
+def q_cdc_mirror_verify(spark, sf_dir):
+    """Mirror validation with real assertions (vs the eyeball check of
+    `test_cdc.py:75-92`): two-sided exceptAll of applied mirror vs the
+    independently-computed expected post-image — must be empty."""
+    ch = changelog(spark, sf_dir)
+    empty = ch.select("k", "name", "bal").limit(0)
+    mirror = apply_changes(empty, ch, keys=["k"])
+    latest = compact_latest(ch, ["k"])
+    expected = latest.filter(F.col("op") != "d").select("k", "name", "bal")
+    return mirror_diff(mirror, expected)
+
+
+@query(
+    "q_cdc_soft_delete_log",
+    oracle=f"""
+        WITH changes AS ({CHANGELOG_SQL})
+        SELECT k, name, bal, op, ts_ms, off,
+               'cdc.commerce_account' AS _cdc_target,
+               'commerce.account' AS _cdc_source,
+               CASE WHEN op = 'd' THEN TRUE ELSE FALSE END AS _cdc_deleted
+        FROM changes
+    """,
+)
+def q_cdc_soft_delete_log(spark, sf_dir):
+    """Append-only audit log: every change event with its ``_cdc``
+    metadata (op/ts/offset/source/target), deletes retained as
+    soft-delete markers (`connect-iceberg-sink.json:11-13`)."""
+    return changelog(spark, sf_dir).select(
+        "k",
+        "name",
+        "bal",
+        "op",
+        "ts_ms",
+        "off",
+        F.lit("cdc.commerce_account").alias("_cdc_target"),
+        F.lit("commerce.account").alias("_cdc_source"),
+        (F.col("op") == "d").alias("_cdc_deleted"),
+    )

@@ -1,0 +1,309 @@
+"""EXT — deduplication family for training-data pipelines.
+
+Exact (hash group-by), n-gram Jaccard (shingle blocking), MinHash+LSH
+(banded signatures), SimHash (bit fingerprints), embedding-cosine
+near-dup (label-blocked). Each is a full pipeline with a DuckDB oracle
+that replicates the *entire* algorithm (md5-based hashing is
+bit-identical across engines), so candidate generation and
+verification are both hash-checked.
+
+Scale design (100 TB):
+- blocking everywhere — no O(n²) pass: exact dedup shuffles on a text
+  hash; ngram/minhash shuffle on shingle/bucket keys; embedding dedup
+  blocks on the label (IVF-style coarse partition);
+- stop-shingle cap bounds the worst bucket (a shingle shared by >100
+  docs is dropped from candidate generation — standard near-dup
+  practice, keeps the self-join linear);
+- MinHash signatures are 16 hashes / 8 bands × 2 rows: band buckets
+  are the shuffle key; verification (exact Jaccard) touches only
+  candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+from .shingles import DOC_SHINGLES_SQL, doc_shingles
+
+# --- shared candidate-cap (stop-shingle) settings ---
+MAX_DOCS_PER_SHINGLE = 100
+JACCARD_T = 0.6
+
+N_HASHES = 16
+N_BANDS = 8  # x2 rows per band
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+        WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT md5(text) AS fp,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM all_docs GROUP BY text
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash-group-by (replayed copies planted so
+    the collapse is observable). One shuffle on the text hash; keeps
+    min doc_id per group (deterministic, unlike dropDuplicates)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return (
+        d.unionByName(copies)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select(F.md5("text").alias("fp"), "keep_id", "n_copies")
+    )
+
+
+NGRAM_PAIRS_SQL = f"""
+    WITH sh AS ({DOC_SHINGLES_SQL}),
+    capped AS (
+        SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+        WHERE df <= {MAX_DOCS_PER_SHINGLE}
+    ),
+    sh_c AS (SELECT doc_id, sh.sh FROM sh WHERE sh IN (SELECT sh FROM capped)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh_c GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM sh_c a JOIN sh_c b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_T}
+"""
+
+
+@query("q_dedup_ngram", oracle=NGRAM_PAIRS_SQL)
+def q_dedup_ngram(spark, sf_dir):
+    """N-gram Jaccard near-dup: shingle-blocked candidate pairs, exact
+    Jaccard verification. Guaranteed-recall blocking (any pair with
+    J>0 shares a shingle), stop-shingle cap bounds bucket size."""
+    sh = doc_shingles(load(spark, sf_dir, "documents"))
+    df_cap = (
+        sh.groupBy("sh").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_DOCS_PER_SHINGLE)
+        .select("sh")
+    )
+    sh_c = sh.join(df_cap, "sh")
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh_c.alias("a")
+    b = sh_c.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= JACCARD_T)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+MINHASH_PAIRS_SQL = f"""
+    WITH sh AS ({DOC_SHINGLES_SQL}),
+    seeds AS (SELECT unnest(range(0, {N_HASHES})) AS seed),
+    sig AS (
+        SELECT doc_id, seed, MIN(md5(seed || '|' || sh)) AS mh
+        FROM sh, seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    )
+    SELECT v.id_a, v.id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.id_a
+    JOIN sizes sb ON sb.doc_id = v.id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_T}
+"""
+
+
+@query("q_dedup_minhash", oracle=MINHASH_PAIRS_SQL)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash + LSH near-dup: 16 md5 minhashes per doc, 8 bands × 2
+    rows; band-bucket join yields candidates; exact Jaccard verifies.
+    For J≈0.99 planted dups, miss probability per pair is ~(1-J²)⁸ ≈
+    6e-14 — the oracle replicates the identical md5 pipeline, so even
+    the banding decisions hash-match."""
+    sh = doc_shingles(load(spark, sf_dir, "documents"))
+    seeds = spark.range(0, N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))).alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band", (F.col("seed") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.array_join(F.array_sort(F.collect_list(F.struct("seed", "mh"))).mh, ",")).alias("bucket"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.alias("sha")
+    shb = sh.alias("shb")
+    verified = (
+        cand.join(sha, F.col("sha.doc_id") == F.col("id_a"))
+        .join(shb, (F.col("shb.doc_id") == F.col("id_b")) & (F.col("shb.sh") == F.col("sha.sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        verified.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= JACCARD_T)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# 16-bit simhash: token hash = first 4 md5 hex chars -> int via fold;
+# per-bit weighted vote over tokens; sign -> fingerprint bit.
+HEX_TO_INT_SQL = """
+    list_reduce(
+        list_transform(string_split(substring(md5({expr}), 1, 4), ''),
+                       c -> strpos('0123456789abcdef', c) - 1),
+        (a, b) -> a * 16 + b
+    )
+"""
+
+SIMHASH_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+        FROM documents
+    ),
+    th AS (SELECT doc_id, {HEX_TO_INT_SQL.format(expr='tok')} AS h FROM toks),
+    bits AS (SELECT doc_id, unnest(range(0, 16)) AS bit, h FROM th),
+    votes AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+"""
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+        WITH fp AS ({SIMHASH_SQL})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            AND ((a.simhash >> 8) = (b.simhash >> 8) OR (a.simhash & 255) = (b.simhash & 255))
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 16-bit fingerprints from md5 token hashes,
+    2-band blocking (high byte / low byte): candidates agree on at
+    least one byte, then popcount(xor) <= 3 verifies. Cross-byte bit
+    diffs are missed by design (recall/cost tradeoff); the oracle
+    replicates the identical blocking, so results still hash-match.
+    Implemented as two equi-joins + distinct (an OR join condition
+    would force a quadratic nested-loop join)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("tok"),
+    )
+    hexes = F.split(F.substring(F.md5("tok"), 1, 4), "")
+    # drop the trailing empty element Spark's split('') appends
+    hex4 = F.slice(hexes, 1, 4)
+    h = F.aggregate(
+        F.transform(hex4, lambda c: F.instr(F.lit("0123456789abcdef"), c) - 1),
+        F.lit(0),
+        lambda a, b: a * 16 + b,
+    )
+    th = toks.select("doc_id", h.alias("h"))
+    bits = th.crossJoin(
+        F.broadcast(spark.range(0, 16).select(F.col("id").cast("int").alias("bit")))
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("v")
+    )
+    fp = votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)")).otherwise(0))
+        .cast("long")
+        .alias("simhash")
+    )
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.shiftright("simhash", 8).alias("hi"),
+        F.col("simhash").bitwiseAND(255).alias("lo"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+
+    def band_join(col: str):
+        return (
+            a.join(b, (F.col(f"a.{col}") == F.col(f"b.{col}"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+        )
+
+    cand = band_join("hi").unionByName(band_join("lo")).distinct()
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(ham <= 3).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )

@@ -1,0 +1,110 @@
+"""EXT — multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with typed metadata;
+decode / feature-extract run as Arrow-batched ``mapInPandas`` UDFs.
+The actual codec step is STUBBED deterministically (this container has
+no image/audio libs — see ``fake_decode``); everything Spark-side is
+real and tested: schema, binary encoding, batch iteration, partition
+behavior, UDF signatures.
+
+Scale notes: mapInPandas streams Arrow batches — constant memory per
+task regardless of partition size; decode parallelism = partition
+count, so repartition by doc_id before heavy decode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources.tables import load
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic decode STUB. A real deployment would call
+    PIL/ffmpeg here (NotImplementedError territory in this container);
+    the fake derives metadata arithmetically from the byte length so
+    the pipeline stays verifiable end-to-end."""
+    n = len(payload)
+    return n, n % 640, (n * 7) % 480, n % 30 + 1
+
+
+def decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batch in, metadata batch out."""
+    for pdf in it:
+        meta = [fake_decode(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": [m[0] for m in meta],
+                "fake_width": [m[1] for m in meta],
+                "fake_height": [m[2] for m in meta],
+                "n_frames": [m[3] for m in meta],
+            }
+        )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Text bytes stand in for an image/audio blob — a real pipeline
+    reads the blob column straight from parquet."""
+    return docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+
+@query(
+    "q_multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(strlen(text) AS INT) AS n_bytes,
+               CAST(strlen(text) % 640 AS INT) AS fake_width,
+               CAST((strlen(text) * 7) % 480 AS INT) AS fake_height,
+               CAST(strlen(text) % 30 + 1 AS INT) AS n_frames
+        FROM documents
+    """,
+)
+def q_multimodal_decode(spark, sf_dir):
+    """Binary decode pipeline: text→binary payload → mapInPandas decode
+    stub → typed metadata. Oracle recomputes the deterministic stub
+    arithmetically from the byte length."""
+    payloads = with_binary_payload(load(spark, sf_dir, "documents"))
+    return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+@query(
+    "q_multimodal_cols",
+    oracle="""
+        SELECT d.doc_id, d.lang, d.n_chars, e.label,
+               len(e.embedding) AS dim,
+               CAST(e.embedding[1] AS DOUBLE) AS first_val
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+)
+def q_multimodal_cols(spark, sf_dir):
+    """Mixed-modality table: text metadata ⋈ vector column in one
+    relation (doc_id ↔ vec_id), array<float> first-class."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+    )

@@ -1,0 +1,248 @@
+"""EXT — vector similarity search over the embedding column.
+
+Cosine math uses *sequential left folds* (Spark ``aggregate`` over
+``zip_with`` products / DuckDB ``list_reduce``) — bit-identical
+IEEE754 addition chains on both engines, so scores (and therefore
+top-k selections, with an id tiebreaker) hash-match exactly without
+tolerance hacks.
+
+Scale design (100 TB):
+- brute-force top-k broadcasts the (small) query set and streams the
+  corpus once — one pass, no shuffle of the corpus, per-partition
+  top-k via window on the query id;
+- pairwise/near-dup queries block (sampled subset / label partition)
+  so candidate pairs stay ~linear — never an unblocked self cross
+  join;
+- the IVF variant is the real ANN scale path: coarse-quantize by
+  centroid, probe nprobe cells — corpus shuffles once at build time,
+  queries touch only probed cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+PAIRWISE_T = 0.35
+DEDUP_EMBED_T = 0.45
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sqnorm(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+# DuckDB twins of the fold-based vector math.
+DOT_SQL = """
+    list_reduce(
+        list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE),
+        (x, y) -> x + y
+    )
+"""
+SQNORM_SQL = "list_reduce(list_transform({a}, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)"
+
+
+@query(
+    "q_sim_topk",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding, {SQNORM_SQL.format(a='embedding')} AS sq
+            FROM embeddings
+        ),
+        q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   {DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                       / sqrt(q.sq * c.sq) AS cosine
+            FROM q JOIN e c ON q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, cand_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+            FROM scored
+        )
+        SELECT query_id, cand_id, ROUND(cosine, 6) AS cosine
+        FROM ranked WHERE rn <= 5
+    """,
+)
+def q_sim_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the query set (vec_id%100=0),
+    stream the corpus once, per-query top-5 via window."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sq").alias("q_sq"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / F.sqrt(F.col("q_sq") * F.col("sq"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@query(
+    "q_sim_pairwise",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding, {SQNORM_SQL.format(a='embedding')} AS sq
+            FROM embeddings WHERE vec_id % 20 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                     / sqrt(a.sq * b.sq), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {DOT_SQL.format(a='a.embedding', b='b.embedding')}
+              / sqrt(a.sq * b.sq) >= {PAIRWISE_T}
+    """,
+)
+def q_sim_pairwise(spark, sf_dir):
+    """All-pairs similarity above a threshold on a sampled block
+    (vec_id%20=0). The unsampled scale path is the LSH/IVF bucketing
+    below — an unblocked self-join is never the answer at 100 TB."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 20 == 0)
+        .select("vec_id", "embedding", _sqnorm(F.col("embedding")).alias("sq"))
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / F.sqrt(
+        F.col("a.sq") * F.col("b.sq")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= PAIRWISE_T)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@query(
+    "q_dedup_embed",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding, {SQNORM_SQL.format(a='embedding')} AS sq
+            FROM embeddings
+        )
+        SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+               ROUND({DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                     / sqrt(a.sq * b.sq), 6) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {DOT_SQL.format(a='a.embedding', b='b.embedding')}
+              / sqrt(a.sq * b.sq) >= {DEDUP_EMBED_T}
+    """,
+)
+def q_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-dup detection, label-blocked (IVF-style
+    coarse partition): pairs only form inside a label cell, so
+    candidate count stays ~n²/cells instead of n²."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / F.sqrt(
+        F.col("a.sq") * F.col("b.sq")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("dup_id"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= DEDUP_EMBED_T)
+        .select("keep_id", "dup_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@query("q_sim_ivf")
+def q_sim_ivf(spark, sf_dir):
+    """IVF-style approximate nearest neighbor (the ANN scale path):
+    coarse cells = label partitions with mean-vector centroids; each
+    query probes its nprobe=3 nearest centroids and searches only
+    those cells. No oracle (approximate by design — DuckDB float mean
+    ordering differs); recall vs brute force is asserted in
+    tests/test_ext.py. Rows-only driver check."""
+    e = load(spark, sf_dir, "embeddings")
+    # Build: centroid per cell (posexplode -> per-dimension mean).
+    dims = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_agg(F.struct("pos", "cv")).alias("pcs"))
+        .select("label", F.array_sort("pcs").cv.alias("centroid"))
+    )
+    cent = cent.select(
+        "label", "centroid", _sqnorm(F.col("centroid")).alias("c_sq")
+    )
+    q = e.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _sqnorm(F.col("embedding")).alias("q_sq"),
+    )
+    # Probe: top-3 centroids per query.
+    qc = q.join(F.broadcast(cent))
+    sim_c = qc.select(
+        "query_id", "q_emb", "q_sq", "label",
+        (_dot(F.col("q_emb"), F.col("centroid"))
+         / F.sqrt(F.col("q_sq") * F.col("c_sq"))).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("label"))
+    probed = sim_c.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= 3)
+    # Search only probed cells.
+    corpus = e.select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    cand = probed.select("query_id", "q_emb", "q_sq", "label").join(corpus, "label")
+    scored = cand.filter(F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (_dot(F.col("q_emb"), F.col("embedding"))
+         / F.sqrt(F.col("q_sq") * F.col("sq"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,272 @@
+"""EXT — text analysis for training-data pipelines.
+
+Language ID (marker-word heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), n-gram frequency, content fingerprinting
+(md5 of canonicalized token multiset). Every pipeline is expressed
+with identical arithmetic on both engines (substring-count via
+replace-length deltas, regexp_extract_all, md5), so the full outputs
+hash-match.
+
+All JVM-side built-ins — no Python in these hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+
+def _count_marker(text: Column, marker: str) -> Column:
+    """Occurrences of ``marker`` in text via replace-length delta —
+    identical semantics in Spark and DuckDB."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / len(marker)
+    ).cast("int")
+
+
+def _count_marker_sql(marker: str) -> str:
+    return (
+        f"CAST((length(padded) - length(replace(padded, '{marker}', '')))"
+        f" / {len(marker)} AS INT)"
+    )
+
+
+# language -> marker words (scored on ' word ' with padded text)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "et", "les"],
+    "de": ["der", "und", "die"],
+}
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+        SELECT doc_id, lang,
+               length(text) AS n_chars_calc,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+               ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len
+        FROM documents
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        parts = " + ".join(_count_marker_sql(f" {m} ") for m in markers)
+        score_exprs.append(f"({parts}) AS s_{lang}")
+    cases = []
+    langs = list(LANG_MARKERS)
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1:])
+        cond = f"s_{lang} > 0" + (f" AND {conds}" if conds else "")
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+        WITH padded_docs AS (
+            SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, lang, {', '.join(score_exprs)} FROM padded_docs
+        )
+        SELECT doc_id, lang AS labeled_lang, {case_sql} AS predicted_lang,
+               s_en, s_es, s_fr, s_de
+        FROM scored
+    """
+
+
+@query("q_text_langid", oracle=_langid_oracle())
+def q_text_langid(spark, sf_dir):
+    """N-gram/marker-word language ID heuristic: count per-language
+    marker words, argmax with a fixed priority order (en,es,fr,de),
+    'unknown' when no marker hits."""
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("labeled_lang"), padded.alias("padded")
+    )
+    for lang, markers in LANG_MARKERS.items():
+        score = None
+        for m in markers:
+            c = _count_marker(F.col("padded"), f" {m} ")
+            score = c if score is None else score + c
+        df = df.withColumn(f"s_{lang}", score)
+    langs = list(LANG_MARKERS)
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = F.col(f"s_{lang}") > 0
+        for other in langs[i + 1:]:
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        branch = F.when(cond, lang)
+        pred = branch if pred is None else pred.when(cond, lang)
+    pred = pred.otherwise("unknown")
+    return df.select(
+        "doc_id", "labeled_lang", pred.alias("predicted_lang"),
+        "s_en", "s_es", "s_fr", "s_de",
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   length(text) AS n,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tok,
+                   CAST((length(' ' || lower(text) || ' ')
+                         - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS INT)
+                       AS n_stop,
+                   length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                       AS n_punct
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(LEAST(1.0, n / 400.0) * 0.5
+                     + LEAST(1.0, CAST(n_stop AS DOUBLE) / n_tok * 10.0) * 0.3
+                     + (1.0 - CAST(n_punct AS DOUBLE) / n) * 0.2, 6) AS quality,
+               n, n_tok, n_stop, n_punct
+        FROM m
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Quality score: length saturation + stopword-rate + punctuation
+    penalty (the classic cheap pre-filter for LLM corpora)."""
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    n = F.length(text)
+    n_tok = F.size(F.split(F.trim(text), r"\s+"))
+    n_stop = (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))) / 5
+    ).cast("int")
+    n_punct = n - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9\s]", ""))
+    # round at 6 decimals: the score's terminating components end at
+    # <=5 decimals, so no cross-engine tie-breaking at this precision
+    quality = F.round(
+        F.least(F.lit(1.0), n / F.lit(400.0)) * 0.5
+        + F.least(F.lit(1.0), n_stop.cast("double") / n_tok * 10.0) * 0.3
+        + (F.lit(1.0) - n_punct.cast("double") / n) * 0.2,
+        6,
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality.alias("quality"),
+        n.alias("n"),
+        n_tok.alias("n_tok"),
+        n_stop.alias("n_stop"),
+        n_punct.alias("n_punct"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                    AS INT) AS bpe_ish_tokens,
+               CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INT)
+                    AS distinct_tokens
+        FROM documents
+    """,
+)
+def q_text_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex lexer
+    (letter runs | digit runs | single punctuation) + distinct count."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        ).alias("bpe_ish_tokens"),
+        F.size(F.array_distinct(toks)).alias("distinct_tokens"),
+    )
+
+
+@query(
+    "q_text_ngram",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ),
+        grams AS (
+            SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+                AS bigram
+            FROM toks WHERE len(t) >= 2
+        ),
+        counted AS (
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS freq FROM grams GROUP BY bigram
+        )
+        SELECT bigram, freq FROM counted ORDER BY freq DESC, bigram LIMIT 20
+    """,
+)
+def q_text_ngram(spark, sf_dir):
+    """Corpus bigram frequency, top-20 (freq desc, bigram asc tiebreak)."""
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    grams = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(t) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1)
+                    ),
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_sort(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))),
+                   ' ')) AS fingerprint,
+               md5(text) AS exact_fp
+        FROM documents
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: exact md5 + canonical fingerprint over
+    the sorted distinct token set (OpenRefine-style fuzzy key — robust
+    to token order / repetition)."""
+    canon = F.array_join(
+        F.sort_array(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))),
+        " ",
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.md5("text").alias("exact_fp"),
+    )

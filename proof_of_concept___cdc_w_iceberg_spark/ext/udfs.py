@@ -1,0 +1,121 @@
+"""§2.11 — UDF / UDAF / UDTF surface.
+
+Demonstrates the full custom-code ladder, worst to best for scale:
+row-at-a-time Python UDF (kept off hot paths), Arrow-vectorized
+pandas UDF, grouped applyInPandas UDAF, and explode-style UDTF.
+Numeric kernels use integer-cent arithmetic so results are exact and
+hash-match the decimal-based oracles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources.tables import load
+
+
+@query(
+    "q_udf_python",
+    oracle="""
+        SELECT c_custkey, lower(replace(c_name, '#', '_')) AS handle
+        FROM customer
+    """,
+)
+def q_udf_python(spark, sf_dir):
+    """Scalar Python UDF (row-at-a-time — the slow path, shown for API
+    parity; everything hot uses built-ins or pandas UDFs)."""
+
+    @F.udf(T.StringType())
+    def make_handle(name: str) -> str:
+        return name.replace("#", "_").lower()
+
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", make_handle("c_name").alias("handle")
+    )
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+        SELECT c_custkey,
+               ROUND((c_acctbal - 1000.0) / 7.0, 4) AS scaled
+        FROM customer
+    """,
+)
+def q_udf_pandas(spark, sf_dir):
+    """Vectorized pandas UDF — Arrow batches, ~10-100x the row UDF."""
+
+    @F.pandas_udf(T.DoubleType())
+    def scale(bal: pd.Series) -> pd.Series:
+        return (bal - 1000.0) / 7.0
+
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(scale("c_acctbal"), 4).alias("scaled")
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 4) AS mean_bal
+        FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_udaf_grouped(spark, sf_dir):
+    """Grouped custom aggregate via applyInPandas. Sums in integer
+    cents (exact, order-independent) so the result matches the
+    decimal-sum oracle bit-for-bit."""
+    out_schema = T.StructType(
+        [
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("mean_bal", T.DoubleType()),
+        ]
+    )
+
+    def mean_bal(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["c_acctbal"] * 100).round().astype("int64").sum()
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "c_nationkey": [pdf["c_nationkey"].iloc[0]],
+                "n": [n],
+                # raw mean; HALF_UP rounding happens SQL-side below so
+                # both engines round identically (Python round() is
+                # banker's rounding — deliberately not used)
+                "mean_bal": [cents / 100.0 / n],
+            }
+        )
+
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInPandas(mean_bal, schema=out_schema)
+        .select("c_nationkey", "n", F.round("mean_bal", 4).alias("mean_bal"))
+    )
+
+
+@query(
+    "q_udtf_explode",
+    oracle="""
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def q_udtf_explode(spark, sf_dir):
+    """Table function: 1 row → N rows (explode). The built-in explode
+    is the codegen'd fast path; a Python UDTF (Spark 3.5+) would hit
+    serde for no gain here."""
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    )

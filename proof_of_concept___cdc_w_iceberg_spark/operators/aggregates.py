@@ -1,0 +1,210 @@
+"""§2.4 — aggregation.
+
+General SQL surface (SURVEY.md §2.4). Spark plans every groupBy as
+partial (map-side) + final aggregation automatically — at 100 TB the
+shuffle carries only per-partition partial states, not rows.
+
+Double sums are routed through DECIMAL casts so results are
+order-independent and bit-equal to the DuckDB oracle (see _util.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+from ._util import dec_avg, dec_sum
+
+
+@query(
+    "q_agg_count",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(l_orderkey) AS BIGINT) AS n_keys
+        FROM lineitem
+    """,
+)
+def q_agg_count(spark, sf_dir):
+    """COUNT(*) / COUNT(col) (cf. existence count `init_for_test.py:84`)."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"), F.count("l_orderkey").alias("n_keys")
+    )
+
+
+@query(
+    "q_agg_groupby",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(l_quantity), 4) AS avg_qty,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark, sf_dir):
+    """Hash group-by with sum/avg/min/max (TPC-H Q1 shape) — the
+    headline pricing-summary aggregation."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_price"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               1 AS approx_within_5pct
+        FROM lineitem
+    """,
+)
+def q_agg_approx_distinct(spark, sf_dir):
+    """HLL++ approximate count-distinct (EXT scale mandate). Engines'
+    sketches differ, so the hash-checked output is the *contract*:
+    exact count + a flag that the approximation landed within 5%."""
+    df = load(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+    return df.select(
+        "exact_parts",
+        F.when(
+            (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+             / F.col("exact_parts")) < 0.05,
+            1,
+        )
+        .otherwise(0)
+        .alias("approx_within_5pct"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+        HAVING COUNT(*) >= 12
+    """,
+)
+def q_agg_having(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dec_sum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(dec_sum("o_totalprice").alias("sum_price"), F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+        SELECT l_returnflag,
+               array_to_string(list_sort(list_distinct(list(l_linestatus))), ',')
+                   AS statuses,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_collect(spark, sf_dir):
+    """collect_set canonicalized (sorted + joined) so the multiset hash
+    is order-insensitive across engines."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+                "statuses"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )

@@ -1,0 +1,247 @@
+"""§2.3 — joins.
+
+General SQL surface (`init_for_test.py:66-79` executes arbitrary joins
+via Trino); the anti/full variants are also the MERGE-fallback
+primitives for CDC upsert (`connect-iceberg-sink.json:30-33`).
+
+Scale notes: dimension sides (region/nation/part/supplier) are
+explicitly ``broadcast()`` — at 100 TB the fact side never shuffles
+for those. Fact-fact joins (orders⋈lineitem) shuffle on the join key;
+with bucketed tables they'd co-locate. AQE handles skew splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+from ._util import dec_sum
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+        SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_inner(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+        SELECT p.p_brand, CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    """Broadcast hash join: part is a small dim — ship it to every
+    executor, zero shuffle on the 100 TB fact side."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(dec_sum("l_quantity").alias("sum_qty"), F.count("*").alias("n_items"))
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+)
+def q_join_left(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey
+        FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_right(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+            FROM orders GROUP BY o_custkey
+        ),
+        big AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000)
+        SELECT COALESCE(s.o_custkey, b.c_custkey) AS custkey,
+               s.total_spend, b.c_acctbal
+        FROM spend s FULL JOIN big b ON s.o_custkey = b.c_custkey
+    """,
+)
+def q_join_full(spark, sf_dir):
+    """Full outer join — also the MERGE-fallback primitive
+    (cdc/apply.py merge_upsert)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(dec_sum("o_totalprice").alias("total_spend"))
+    big = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_acctbal")
+    return spend.join(big, spend.o_custkey == big.c_custkey, "full").select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        "total_spend",
+        "c_acctbal",
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    """NOT EXISTS — the new-key detection primitive in CDC apply."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def q_join_cross(spark, sf_dir):
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+        SELECT a.n_name AS n1, b.n_name AS n2
+        FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """,
+)
+def q_join_theta(spark, sf_dir):
+    """Non-equi (theta) join — broadcast nested loop on a bounded side."""
+    a = load(spark, sf_dir, "nation").alias("a")
+    b = load(spark, sf_dir, "nation").alias("b")
+    return a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey")).select(
+        F.col("a.n_name").alias("n1"), F.col("b.n_name").alias("n2")
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+        SELECT r.r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY r.r_name
+    """,
+)
+def q_join_multiway(spark, sf_dir):
+    """3-table star join; both dims broadcast, fact side never shuffles
+    until the final (tiny) aggregation."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), dec_sum("c_acctbal").alias("sum_bal"))
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+        WITH ranked AS (
+            SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                   ) AS rn
+            FROM events e
+            JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: each event enriched with the most recent order of the
+    same user at event time — CDC mirror tables are exactly 'latest
+    state as of now' (`connect-iceberg-sink.json:30-33`).
+
+    Implemented as range join + per-event row_number. At 100 TB the
+    scale path buckets both sides by user and sorts within buckets
+    (a sort-merge interval join); for small dimension sides, broadcast
+    + window is enough.
+    """
+    e = load(spark, sf_dir, "events").alias("e")
+    o = load(spark, sf_dir, "orders").alias("o")
+    joined = e.join(
+        o,
+        (F.col("o.o_custkey") == F.col("e.user_id"))
+        & (F.col("o.o_orderdate") <= F.col("e.ts")),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+    )

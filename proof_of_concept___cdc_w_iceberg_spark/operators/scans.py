@@ -1,0 +1,167 @@
+"""§2.1 — scans, sources, sinks, DDL, catalog.
+
+Reference grounding: full-table scans `test_cdc.py:80,82,90,92`;
+parquet lake format `init_for_test.py:93-94`; append/auto-create
+`connect-iceberg-sink.json:15`; dynamic routing
+`connect-iceberg-sink.json:12-14`; DDL `sqlserver/init.sql:7-17`,
+`init_for_test.py:90-94`; catalog listing `init_for_test.py:81-84`.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..cdc.evolve import evolve_and_union
+from ..registry import query
+from ..sources.tables import load, register_views
+
+
+@query(
+    "q_scan_full",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q_scan_full(spark, sf_dir):
+    """SELECT * full scan (cf. `test_cdc.py:80`)."""
+    return load(spark, sf_dir, "region")
+
+
+@query(
+    "q_scan_parquet",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01'
+    """,
+)
+def q_scan_parquet(spark, sf_dir):
+    """Columnar scan with projection + predicate — both must reach the
+    parquet reader (PushedFilters / ReadSchema in the plan)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query(
+    "q_source_jdbc_snapshot",
+    oracle="SELECT CAST(c_custkey AS BIGINT) AS user_id, c_name AS payload, 'r' AS op FROM customer",
+)
+def q_source_jdbc_snapshot(spark, sf_dir):
+    """Initial snapshot (snapshot.mode=initial,
+    `connect-sqlserver-source.json:14`): bulk-read the source table,
+    tag rows op='r'. On a live deployment the frame would come from
+    ``spark.read.format("jdbc")`` with partitionColumn bounds; the
+    seed parquet stands in for the JDBC source here."""
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("user_id"),
+        F.col("c_name").alias("payload"),
+        F.lit("r").alias("op"),
+    )
+
+
+@query(
+    "q_sink_append",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def q_sink_append(spark, sf_dir):
+    """Append sink with auto-create (`connect-iceberg-sink.json:15`):
+    first write creates the table, second appends; read-back must be
+    the union."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    path = tempfile.mkdtemp(prefix="sink_append_")
+    c.filter(F.col("c_custkey") % 2 == 0).write.mode("overwrite").parquet(path)
+    c.filter(F.col("c_custkey") % 2 == 1).write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+@query(
+    "q_sink_route",
+    oracle="""
+        SELECT 'cdc.app_' || event_type AS target, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    """,
+)
+def q_sink_route(spark, sf_dir):
+    """Dynamic table routing: one stream fans out to N tables by a
+    computed ``_cdc.target`` (`connect-iceberg-sink.json:12-14`). At
+    scale this is a single ``partitionBy(target)`` write, not N
+    filtered passes."""
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("target", F.concat(F.lit("cdc.app_"), F.col("event_type")))
+        .groupBy("target")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "q_schema_evolve",
+    oracle="""
+        SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+               CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment END AS segment
+        FROM customer
+    """,
+)
+def q_schema_evolve(spark, sf_dir):
+    """Schema evolution (`connect-iceberg-sink.json:16`): a batch
+    arrives with a new ``segment`` column; old rows surface it as NULL
+    after evolution."""
+    c = load(spark, sf_dir, "customer")
+    table = c.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").cast("long").alias("k"), F.col("c_name").alias("name")
+    )
+    batch = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return evolve_and_union(table, batch)
+
+
+@query(
+    "q_insert_values",
+    oracle="""
+        SELECT r_regionkey, r_name FROM region
+        UNION ALL SELECT 99, 'NEWREGION'
+        UNION ALL SELECT 100, 'OTHERREGION'
+    """,
+)
+def q_insert_values(spark, sf_dir):
+    """Row INSERT ... VALUES (cf. `test_cdc.py:59-67`,
+    `init_for_test.py:56-63`)."""
+    rows = spark.createDataFrame(
+        [(99, "NEWREGION"), (100, "OTHERREGION")],
+        schema=load(spark, sf_dir, "region").schema,
+    )
+    return load(spark, sf_dir, "region").unionByName(rows)
+
+
+@query("q_ddl_create")
+def q_ddl_create(spark, sf_dir):
+    """CREATE TABLE with declared types + INSERT + read back
+    (cf. `init_for_test.py:90-94`, `sqlserver/init.sql:7-17`).
+    No oracle: catalog DDL side effects (rows-only check)."""
+    spark.sql("DROP TABLE IF EXISTS poc_ddl_account")
+    path = tempfile.mkdtemp(prefix="ddl_create_")
+    spark.sql(
+        f"""CREATE TABLE poc_ddl_account (user_id BIGINT, email STRING)
+            USING parquet LOCATION '{path}'"""
+    )
+    spark.sql(
+        """INSERT INTO poc_ddl_account VALUES
+           (1, 'initial_user@example.com'), (2, 'second_user@example.com')"""
+    )
+    return spark.sql("SELECT user_id, email FROM poc_ddl_account")
+
+
+@query("q_catalog_list")
+def q_catalog_list(spark, sf_dir):
+    """SHOW TABLES LIKE existence check (`init_for_test.py:81-84`).
+    No oracle: catalog metadata, not lake data (rows-only check)."""
+    register_views(spark, sf_dir, ["region", "nation", "customer"])
+    return spark.sql("SHOW TABLES LIKE 'region|nation|customer'").select(
+        "tableName", "isTemporary"
+    )

@@ -1,0 +1,166 @@
+"""§2.5 — window functions.
+
+``q_win_rownumber`` is the core CDC compaction primitive (latest change
+wins per key, `connect-iceberg-sink.json:30-33` + Debezium LSN order);
+the rest are the general SQL window surface.
+
+Every ORDER BY inside a window carries a unique tiebreaker so results
+are deterministic across engines. Running sums go through DECIMAL so
+the fold order doesn't matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+
+@query(
+    "q_win_rownumber",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey AS latest_orderkey
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_win_rownumber(spark, sf_dir):
+    """Latest row per key — the CDC latest-wins pattern."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"))
+    )
+
+
+@query(
+    "q_win_rank",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   rank() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC) AS rnk,
+                   dense_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC) AS drnk
+            FROM orders
+        )
+        SELECT o_orderpriority, o_orderkey, rnk, drnk
+        FROM ranked WHERE rnk <= 5
+    """,
+)
+def q_win_rank(spark, sf_dir):
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("o_orderpriority", "o_orderkey", "rnk", "drnk")
+    )
+
+
+@query(
+    "q_win_lag_lead",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_orderkey) OVER w AS next_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_win_lag_lead(spark, sf_dir):
+    """lag/lead — the row-level before/after images the Debezium
+    envelope carries (`before`/`after`, SURVEY.md §1.2)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "q_win_running",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_quantity, l_extendedprice,
+                            l_partkey, l_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_qty
+        FROM lineitem
+    """,
+)
+def q_win_running(spark, sf_dir):
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures — the
+    # ROWS frame needs a total order or accumulation is ambiguous
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity", "l_extendedprice", "l_partkey", "l_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+@query(
+    "q_win_range_frame",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS near_total
+        FROM orders
+    """,
+)
+def q_win_range_frame(spark, sf_dir):
+    """Value-based RANGE frame — set-defined, so deterministic even
+    with ties in the ordering column."""
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double")
+        .alias("near_total"),
+    )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+        SELECT o_orderkey,
+               ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    """,
+)
+def q_win_ntile(spark, sf_dir):
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )

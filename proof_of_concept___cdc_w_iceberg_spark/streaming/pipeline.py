@@ -1,0 +1,114 @@
+"""Structured Streaming CDC pipeline (SURVEY.md §3.2 made Spark-native).
+
+Reference dataflow: Debezium envelopes on Kafka → Iceberg sink task
+with a 10 s commit cadence and offset tracking
+(`connect-iceberg-sink.json:17-18`, `connect-standalone.properties:13-14`).
+
+Spark mapping:
+- transport: ``readStream`` file source over envelope JSON (hermetic in
+  CI; swap ``format("kafka")`` + ``subscribePattern`` for the real
+  broker — the downstream plan is identical),
+- decode: ``from_json`` envelope schema (cdc/envelope.py),
+- apply: ``foreachBatch`` → latest-wins compaction + MERGE fallback
+  (cdc/apply.py), i.e. streaming upsert with exactly-once table state
+  (checkpoint dir ↔ the reference's offsets file),
+- cadence: ``trigger(processingTime="10 seconds")`` ↔ commit.interval-ms.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cdc.apply import apply_changes
+from ..cdc.envelope import ENVELOPE_SCHEMA, decode_envelope
+
+
+class StreamingCdcPipeline:
+    """File-source streaming CDC apply with a parquet mirror table."""
+
+    def __init__(self, spark: SparkSession, workdir: str | None = None,
+                 trigger_seconds: int = 10):
+        self.spark = spark
+        self.workdir = workdir or tempfile.mkdtemp(prefix="stream_cdc_")
+        self.input_dir = os.path.join(self.workdir, "input")
+        self.mirror_path = os.path.join(self.workdir, "mirror")
+        self.checkpoint = os.path.join(self.workdir, "checkpoint")
+        self.trigger_seconds = trigger_seconds
+        os.makedirs(self.input_dir, exist_ok=True)
+        self.batches_applied = 0
+
+    def feed(self, enveloped: DataFrame, name: str) -> None:
+        """Drop a file of envelope JSON into the stream input (stands in
+        for a Kafka topic produce)."""
+        rows = [r.asDict() for r in enveloped.collect()]
+        path = os.path.join(self.input_dir, f"{name}.json")
+        with open(path + ".tmp", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(path + ".tmp", path)
+
+    def init_mirror(self, snapshot: DataFrame) -> None:
+        snapshot.write.mode("overwrite").parquet(self.mirror_path)
+
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch: decode → dedup replays → compact → merge.
+
+        Idempotent apply (`q_stream_dedup`): duplicate (key, offset)
+        deliveries collapse before compaction, mirroring the
+        reference's offset tracking (`connect-standalone.properties:13`).
+        """
+        changes = decode_envelope(batch_df).select(
+            F.coalesce(F.col("after.k"), F.col("before.k")).alias("k"),
+            F.col("after.name").alias("name"),
+            F.col("after.bal").alias("bal"),
+            "op",
+            "ts_ms",
+            "off",
+        ).dropDuplicates(["k", "off"])
+        if changes.isEmpty():
+            return
+        target = self.spark.read.parquet(self.mirror_path)
+        merged = apply_changes(target, changes, keys=["k"])
+        # Local-parquet commit: stage then swap (an Iceberg catalog
+        # would make this a single atomic snapshot commit instead).
+        staged = self.mirror_path + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        final = self.spark.read.parquet(staged)
+        final.write.mode("overwrite").parquet(self.mirror_path)
+        self.batches_applied += 1
+
+    def start(self, trigger_once: bool = True):
+        stream = (
+            self.spark.readStream.schema("key LONG, value STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(self.input_dir)
+        )
+        writer = stream.writeStream.foreachBatch(self._apply_batch).option(
+            "checkpointLocation", self.checkpoint
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
+        return writer.start()
+
+    def mirror(self) -> DataFrame:
+        return self.spark.read.parquet(self.mirror_path)
+
+
+def run_changelog_through_stream(spark: SparkSession, enveloped_batches:
+                                 list[DataFrame], snapshot: DataFrame) -> DataFrame:
+    """Feed envelope batches through a real streaming query (availableNow)
+    and return the final mirror."""
+    pipe = StreamingCdcPipeline(spark)
+    pipe.init_mirror(snapshot)
+    for i, b in enumerate(enveloped_batches):
+        pipe.feed(b, f"batch_{i:03d}")
+    q = pipe.start(trigger_once=True)
+    q.awaitTermination(timeout=300)
+    return pipe.mirror()

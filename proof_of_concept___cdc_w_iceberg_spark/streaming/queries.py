@@ -1,0 +1,222 @@
+"""§2.9 — streaming operator queries.
+
+Each streaming semantic has (a) a real Structured Streaming
+implementation exercised in tests/test_streaming.py (file-source →
+foreachBatch / windowed state), and (b) a deterministic batch twin
+registered here so the driver can hash-check the *semantics* against
+DuckDB. Streaming-only mechanics (trigger cadence, watermark state
+eviction, heartbeats) are no-oracle by nature; their twins model the
+observable result.
+
+Session timezone is UTC (both our factory and the driver), so
+epoch-aligned window bucketing agrees with the tz-naive oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..cdc.apply import apply_changes
+from ..registry import query
+from ..sources.cdc_fixtures import CHANGELOG_SQL, MIRROR_SQL, changelog
+from ..sources.tables import load
+
+
+@query(
+    "q_stream_microbatch",
+    oracle=f"""
+        WITH changes AS ({CHANGELOG_SQL})
+        SELECT off // 1000000 AS batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MIN(off) AS BIGINT) AS min_off,
+               CAST(MAX(off) AS BIGINT) AS max_off
+        FROM changes GROUP BY 1
+    """,
+)
+def q_stream_microbatch(spark, sf_dir):
+    """Micro-batch slicing by offset range — the batch view of the 10 s
+    commit cadence (`connect-iceberg-sink.json:17`). The live trigger
+    is exercised in tests/test_streaming.py."""
+    return (
+        changelog(spark, sf_dir)
+        .groupBy((F.col("off") / 1_000_000).cast("long").alias("batch_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("off").alias("min_off"),
+            F.max("off").alias("max_off"),
+        )
+    )
+
+
+@query("q_stream_upsert", oracle=MIRROR_SQL)
+def q_stream_upsert(spark, sf_dir):
+    """Stateful streaming upsert: the changelog applied as a *sequence
+    of micro-batches* (split by ts_ms) through the same foreachBatch
+    merge path — final mirror must equal the one-shot apply."""
+    ch = changelog(spark, sf_dir)
+    mirror = ch.select("k", "name", "bal").limit(0)
+    for lo, hi in [(0, 2000), (2001, 3000), (3001, 10_000)]:
+        batch = ch.filter(F.col("ts_ms").between(lo, hi))
+        mirror = apply_changes(mirror, batch, keys=["k"])
+    return mirror
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS win_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling event-time window. Uses the streaming ``window()``
+    grouping — identical code runs under readStream with a watermark
+    (tests/test_streaming.py)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+        WITH buckets AS (
+            SELECT epoch_ms((epoch_ms(ts) // 1800000) * 1800000) AS win_start, value
+            FROM events
+            UNION ALL
+            SELECT epoch_ms((epoch_ms(ts) // 1800000) * 1800000)
+                       - INTERVAL 30 MINUTE AS win_start, value
+            FROM events
+        )
+        SELECT win_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM buckets GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding window (1 h width, 30 min slide): every event belongs to
+    exactly two windows; the oracle materializes both assignments."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark, sf_dir):
+    """Session window (30 min gap) per user via ``session_window`` —
+    state-backed in streaming; oracle is the classic gaps-and-islands
+    rewrite."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_stream_watermark",
+    oracle="""
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 24 HOUR AS cutoff FROM events)
+        SELECT date_trunc('hour', ts) AS win_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events, wm WHERE ts > cutoff
+        GROUP BY 1
+    """,
+)
+def q_stream_watermark(spark, sf_dir):
+    """Watermark + late-data drop, batch twin: events older than
+    max(event time) − 24 h are late and excluded. The streaming form
+    (``withWatermark('ts','24 hours')``) runs in tests/test_streaming.py."""
+    e = load(spark, sf_dir, "events")
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 24 HOUR")).alias("cutoff"))
+    return (
+        e.join(F.broadcast(cutoff))
+        .filter(F.col("ts") > F.col("cutoff"))
+        .groupBy(F.date_trunc("hour", "ts").alias("win_start"))
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "q_stream_heartbeat",
+    oracle="""
+        SELECT date_trunc('day', ts) AS beat_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS last_seen
+        FROM events GROUP BY 1
+    """,
+)
+def q_stream_heartbeat(spark, sf_dir):
+    """Liveness/progress signal (1 s heartbeat,
+    `connect-sqlserver-source.json:13`): batch twin reports per-period
+    liveness; the streaming listener lives in tests/test_streaming.py."""
+    return (
+        load(spark, sf_dir, "events")
+        # cast to date: DuckDB's date_trunc('day', ts) yields DATE
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("beat_day"))
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_seen"))
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+        SELECT DISTINCT event_id, user_id, event_type
+        FROM (
+            SELECT event_id, user_id, event_type FROM events
+            UNION ALL
+            SELECT event_id, user_id, event_type FROM events WHERE event_id % 3 = 0
+        )
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Idempotent apply: replayed deliveries (simulated re-delivery of
+    every third event) collapse by identity — the reference gets this
+    from offset tracking + errors.tolerance=none
+    (`connect-standalone.properties:6,13`)."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    replayed = e.filter(F.col("event_id") % 3 == 0)
+    return e.unionByName(replayed).dropDuplicates(["event_id"])

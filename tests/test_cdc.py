@@ -1,0 +1,104 @@
+"""Unit tests for the CDC core: compaction ordering, merge semantics
+(incl. NULL images and deletes), schema evolution, mirror verify.
+Modeled on the reference's insert-then-reverify flow
+(`test_cdc.py:75-92`) but with real assertions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proof_of_concept___cdc_w_iceberg_spark.cdc.apply import (
+    apply_changes,
+    compact_latest,
+    merge_upsert,
+    mirror_diff,
+)
+from proof_of_concept___cdc_w_iceberg_spark.cdc.envelope import (
+    decode_envelope,
+    encode_envelope,
+)
+from proof_of_concept___cdc_w_iceberg_spark.cdc.evolve import (
+    evolve_and_union,
+    schema_diff,
+)
+from proof_of_concept___cdc_w_iceberg_spark.sources.cdc_fixtures import changelog
+
+COLS = "k long, name string, bal double, op string, ts_ms long, off long"
+
+
+def test_compact_latest_orders_by_ts_then_offset(spark):
+    rows = [
+        (1, "a", 1.0, "c", 100, 1),
+        (1, "b", 2.0, "u", 200, 2),  # newer ts wins
+        (1, "c", 3.0, "u", 200, 3),  # same ts, higher offset wins
+        (2, "x", 9.0, "c", 100, 4),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    got = {r["k"]: r["name"] for r in compact_latest(df, ["k"]).collect()}
+    assert got == {1: "c", 2: "x"}
+
+
+def test_merge_upsert_honors_source_nulls(spark):
+    target = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "k long, name string, bal double")
+    source = spark.createDataFrame([(2, None, 5.0), (3, "c", 3.0)], "k long, name string, bal double")
+    out = {r["k"]: (r["name"], r["bal"]) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: ("a", 1.0), 2: (None, 5.0), 3: ("c", 3.0)}
+
+
+def test_apply_changes_insert_update_delete(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, name string, bal double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 20.0, "u", 100, 1),
+            (3, None, None, "d", 100, 2),
+            (4, "d", 4.0, "c", 100, 3),
+            (4, "d2", 40.0, "u", 200, 4),  # later update same batch
+        ],
+        COLS,
+    )
+    out = {r["k"]: (r["name"], r["bal"]) for r in apply_changes(target, changes, ["k"]).collect()}
+    assert out == {1: ("a", 1.0), 2: ("b2", 20.0), 4: ("d2", 40.0)}
+
+
+def test_delete_then_reinsert_wins(spark):
+    target = spark.createDataFrame([(1, "a", 1.0)], "k long, name string, bal double")
+    changes = spark.createDataFrame(
+        [(1, None, None, "d", 100, 1), (1, "re", 9.0, "c", 200, 2)], COLS
+    )
+    out = apply_changes(target, changes, ["k"]).collect()
+    assert len(out) == 1 and out[0]["name"] == "re"
+
+
+def test_envelope_roundtrip(spark, sf_dir):
+    ch = changelog(spark, sf_dir)
+    decoded = decode_envelope(encode_envelope(ch))
+    back = decoded.select(
+        F.coalesce(F.col("after.k"), F.col("before.k")).alias("k"),
+        F.col("after.name").alias("name"),
+        F.col("after.bal").alias("bal"),
+        "op",
+        "ts_ms",
+        "off",
+    )
+    assert mirror_diff(back, ch).count() == 0
+
+
+def test_schema_evolution_adds_columns(spark):
+    table = spark.createDataFrame([(1, "a")], "k long, name string")
+    batch = spark.createDataFrame([(2, "b", "X")], "k long, name string, status string")
+    added = schema_diff(table.schema, batch.schema)
+    assert [f.name for f in added] == ["status"]
+    out = evolve_and_union(table, batch)
+    assert out.columns == ["k", "name", "status"]
+    rows = {r["k"]: r["status"] for r in out.collect()}
+    assert rows == {1: None, 2: "X"}
+
+
+def test_mirror_verify_catches_drift(spark):
+    a = spark.createDataFrame([(1, "a")], "k long, name string")
+    b = spark.createDataFrame([(1, "b")], "k long, name string")
+    assert mirror_diff(a, a).count() == 0
+    assert mirror_diff(a, b).count() == 2

@@ -1,0 +1,100 @@
+"""Replicates the driver's correctness gate locally: run every
+registered query on Spark AND its DuckDB oracle, compare row count,
+schema category, and order-insensitive values.
+
+Comparison is *exact* (no float tolerance): the engine's queries are
+written so double results are bit-identical across engines (decimal
+sums, sequential folds, deterministic rounding) — see registry.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from proof_of_concept___cdc_w_iceberg_spark import registry
+
+ALL = registry.queries()
+ORACLES = registry.oracles()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = pd.to_datetime(s)
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+        elif s.dtype == object:
+            # decimals from duckdb -> float; bytes -> str
+            if s.map(lambda x: hasattr(x, "as_tuple"), na_action="ignore").any():
+                df[c] = s.astype("float64")
+            else:
+                df[c] = s.astype("string")
+        else:
+            df[c] = s.astype("string")
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def _values_equal(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return a == b
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    spark_pdf = ALL[name](spark, sf_dir).toPandas()
+    duck_pdf = duck.sql(ORACLES[name]).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"
+    )
+    assert sorted(c.lower() for c in spark_pdf.columns) == sorted(
+        c.lower() for c in duck_pdf.columns
+    ), f"{name}: columns differ: {spark_pdf.columns} vs {duck_pdf.columns}"
+    a = _canon(spark_pdf)
+    b = _canon(duck_pdf)
+    if len(a) == 0:
+        return
+    mism = []
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not _values_equal(x, y)
+        ]
+        if bad:
+            mism.append((col, bad[:5]))
+    assert not mism, f"{name}: value mismatches {mism}"
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLES)))
+def test_no_oracle_query_runs(name, spark, sf_dir):
+    df = ALL[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__spark_entry__")
+    out = mod.entry(spark)
+    assert out.count() > 0

@@ -1,0 +1,70 @@
+"""EXT operator semantics beyond the oracle comparisons: planted
+near-dups are actually found, IVF recall vs brute force, multimodal
+decode plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proof_of_concept___cdc_w_iceberg_spark import registry
+from proof_of_concept___cdc_w_iceberg_spark.ext.multimodal import (
+    fake_decode,
+    with_binary_payload,
+)
+from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+QS = registry.queries()
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    """The fixtures contain J≈0.99 near-dup pairs; MinHash+LSH must
+    surface the same pair set as guaranteed-recall shingle blocking."""
+    ngram = {(r["id_a"], r["id_b"]) for r in QS["q_dedup_ngram"](spark, sf_dir).collect()}
+    minhash = {(r["id_a"], r["id_b"]) for r in QS["q_dedup_minhash"](spark, sf_dir).collect()}
+    assert ngram, "expected planted near-dup pairs in fixtures"
+    assert minhash == ngram
+
+
+def test_exact_dedup_collapses_planted_copies(spark, sf_dir):
+    out = QS["q_dedup_exact"](spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").count()
+    dups = out.filter(F.col("n_copies") > 1)
+    assert dups.count() >= n_docs // 10  # every planted copy collapsed
+    assert dups.filter(F.col("keep_id") >= 10_000_000).count() == 0  # keeps originals
+
+
+def test_ivf_structure_and_recall(spark, sf_dir):
+    """IVF returns exactly top-5 per query from the probed cells. The
+    fixture embeddings are random (labels uncorrelated with geometry),
+    so nprobe=3/10 gives ~30% expected recall — assert the mechanism
+    works (nonempty, correct arity, all results are real corpus hits),
+    not a clustering win the data can't provide."""
+    ivf = QS["q_sim_ivf"](spark, sf_dir).collect()
+    assert ivf
+    per_query: dict[int, int] = {}
+    for r in ivf:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+        assert -1.0 <= r["cosine"] <= 1.0
+    assert all(v == 5 for v in per_query.values())
+    brute = QS["q_sim_topk"](spark, sf_dir)
+    b = {
+        (r["query_id"], r["cand_id"])
+        for r in brute.filter(F.col("query_id") % 500 == 0).collect()
+    }
+    a = {(r["query_id"], r["cand_id"]) for r in ivf}
+    if len(per_query) >= 10:
+        recall = len(a & b) / len(b)
+        assert recall >= 0.05, f"IVF recall collapsed: {recall}"
+
+
+def test_multimodal_decode_stub_is_deterministic():
+    n, w, h, f = fake_decode(b"x" * 1000)
+    assert (n, w, h, f) == (1000, 360, 280, 11)
+
+
+def test_binary_payload_schema(spark, sf_dir):
+    df = with_binary_payload(load(spark, sf_dir, "documents"))
+    assert dict(df.dtypes)["payload"] == "binary"
+    row = df.first()
+    assert isinstance(row["payload"], bytearray | bytes)

@@ -1,0 +1,53 @@
+"""Physical-plan quality gates — the 100 TB design checks.
+
+A query that passes correctness but plans badly (no pushdown, missed
+broadcast, full sort instead of top-k) fails here.
+"""
+
+from __future__ import annotations
+
+from proof_of_concept___cdc_w_iceberg_spark import registry
+from proof_of_concept___cdc_w_iceberg_spark.plans import explain_str, plan_report
+
+QS = registry.queries()
+
+
+def test_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    df = QS["q_scan_parquet"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "PushedFilters: [" in plan and "IsNotNull(l_shipdate)" in plan
+    # projection pruning: only the 4 referenced columns reach the scan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in read_schema and "l_quantity" not in read_schema
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    for name in ["q_join_broadcast", "q_join_multiway"]:
+        rep = plan_report(QS[name](spark, sf_dir))
+        assert rep["has_broadcast_join"], f"{name} lost its broadcast"
+        assert not rep["has_sort_merge_join"], f"{name} shuffles a dim join"
+
+
+def test_topk_is_take_ordered_not_full_sort(spark, sf_dir):
+    rep = plan_report(QS["q_topk"](spark, sf_dir))
+    assert rep["has_take_ordered"]
+
+
+def test_agg_has_mapside_partial_aggregation(spark, sf_dir):
+    """The shuffle must carry partial states, not rows (AQE wraps the
+    plan pre-execution, so check partial_* functions rather than the
+    WholeStageCodegen annotation)."""
+    from proof_of_concept___cdc_w_iceberg_spark.plans.explain import count_exchanges
+
+    plan = explain_str(QS["q_agg_groupby"](spark, sf_dir))
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert count_exchanges(plan) == 1
+
+
+def test_cdc_compaction_single_shuffle(spark, sf_dir):
+    """Latest-wins compaction = exactly one exchange on the key."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.apply import compact_latest
+    from proof_of_concept___cdc_w_iceberg_spark.sources.cdc_fixtures import changelog
+
+    df = compact_latest(changelog(spark, sf_dir), ["k"])
+    assert plan_report(df)["n_exchanges"] <= 2  # hashpartition + AQE read

@@ -1,0 +1,134 @@
+"""Real Structured Streaming tests: the file-source CDC pipeline with
+foreachBatch merge (trigger semantics of `connect-iceberg-sink.json:17`),
+streaming windowed aggregation with watermark, and the progress
+listener (heartbeat parity, `connect-sqlserver-source.json:13`).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from proof_of_concept___cdc_w_iceberg_spark.cdc.apply import compact_latest, mirror_diff
+from proof_of_concept___cdc_w_iceberg_spark.cdc.envelope import encode_envelope
+from proof_of_concept___cdc_w_iceberg_spark.sources.cdc_fixtures import changelog
+from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+from proof_of_concept___cdc_w_iceberg_spark.streaming.pipeline import (
+    StreamingCdcPipeline,
+)
+
+
+def test_streaming_cdc_apply_matches_batch(spark, sf_dir):
+    """Changelog fed as 3 envelope files through a real streaming query
+    == one-shot batch apply."""
+    ch = changelog(spark, sf_dir)
+    snapshot = ch.filter(F.col("op") == "r").select("k", "name", "bal")
+    pipe = StreamingCdcPipeline(spark)
+    pipe.init_mirror(snapshot)
+    stream_part = ch.filter(F.col("op") != "r")
+    for i, (lo, hi) in enumerate([(2000, 2500), (2501, 3000), (3001, 10_000)]):
+        batch = stream_part.filter(F.col("ts_ms").between(lo, hi))
+        pipe.feed(encode_envelope(batch), f"b{i}")
+    q = pipe.start(trigger_once=True)
+    q.awaitTermination(300)
+
+    expected = (
+        compact_latest(ch, ["k"]).filter(F.col("op") != "d").select("k", "name", "bal")
+    )
+    assert mirror_diff(pipe.mirror(), expected).count() == 0
+    assert pipe.batches_applied >= 1
+
+
+def test_streaming_dedup_idempotent_replay(spark, sf_dir):
+    """Replaying the same envelope file must not change the mirror
+    (offset-dedup inside the batch + latest-wins across batches)."""
+    ch = changelog(spark, sf_dir)
+    snapshot = ch.filter(F.col("op") == "r").select("k", "name", "bal")
+    stream_part = ch.filter(F.col("op") != "r")
+    pipe = StreamingCdcPipeline(spark)
+    pipe.init_mirror(snapshot)
+    pipe.feed(encode_envelope(stream_part), "b0")
+    pipe.feed(encode_envelope(stream_part), "b0_replay")  # duplicate delivery
+    q = pipe.start(trigger_once=True)
+    q.awaitTermination(300)
+    expected = (
+        compact_latest(ch, ["k"]).filter(F.col("op") != "d").select("k", "name", "bal")
+    )
+    assert mirror_diff(pipe.mirror(), expected).count() == 0
+
+
+def test_streaming_tumbling_window_with_watermark(spark, sf_dir):
+    """The q_stream_tumbling aggregation under a real readStream with
+    withWatermark — results equal the batch twin."""
+    events = load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_events_")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "24 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM tumbling_test")
+    expected = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_progress_listener_heartbeat(spark, sf_dir):
+    """StreamingQueryListener receives progress events — the liveness
+    signal parity (1 s heartbeat in the reference)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    beats: list[str] = []
+
+    class Beat(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            beats.append("started")
+
+        def onQueryProgress(self, event):
+            beats.append("progress")
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            beats.append("terminated")
+
+    spark.streams.addListener(Beat())
+    events = load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_hb_")
+    events.limit(100).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("hb_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # listener events are delivered asynchronously
+    for _ in range(50):
+        if "started" in beats and "terminated" in beats:
+            break
+        time.sleep(0.2)
+    assert "started" in beats
+    assert "terminated" in beats
