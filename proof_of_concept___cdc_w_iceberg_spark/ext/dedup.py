@@ -92,13 +92,17 @@ def q_dedup_ngram(spark, sf_dir):
     """N-gram Jaccard near-dup: shingle-blocked candidate pairs, exact
     Jaccard verification. Guaranteed-recall blocking (any pair with
     J>0 shares a shingle), stop-shingle cap bounds bucket size."""
-    sh = doc_shingles(load(spark, sf_dir, "documents"))
+    # Persist the shingle relation: it feeds the DF-cap agg, both join
+    # sides, and the size agg — without it Spark re-tokenizes the corpus
+    # per consumer. At cluster scale this is the step you'd materialize
+    # to a bucketed intermediate table instead.
+    sh = doc_shingles(load(spark, sf_dir, "documents")).persist()
     df_cap = (
         sh.groupBy("sh").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= MAX_DOCS_PER_SHINGLE)
         .select("sh")
     )
-    sh_c = sh.join(df_cap, "sh")
+    sh_c = sh.join(df_cap, "sh").persist()
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh_c.alias("a")
     b = sh_c.alias("b")
@@ -161,17 +165,22 @@ def q_dedup_minhash(spark, sf_dir):
     For J≈0.99 planted dups, miss probability per pair is ~(1-J²)⁸ ≈
     6e-14 — the oracle replicates the identical md5 pipeline, so even
     the banding decisions hash-match."""
-    sh = doc_shingles(load(spark, sf_dir, "documents"))
+    # Persisted: consumed by the signature agg, the size agg, and both
+    # verification join sides (see q_dedup_ngram note).
+    sh = doc_shingles(load(spark, sf_dir, "documents")).persist()
     seeds = spark.range(0, N_HASHES).select(F.col("id").cast("int").alias("seed"))
     sig = (
         sh.crossJoin(F.broadcast(seeds))
         .groupBy("doc_id", "seed")
         .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))).alias("mh"))
     )
+    # Persisted: the LSH self-join would otherwise evaluate the whole
+    # signature pipeline once per join side.
     bands = (
         sig.withColumn("band", (F.col("seed") / 2).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.md5(F.array_join(F.array_sort(F.collect_list(F.struct("seed", "mh"))).mh, ",")).alias("bucket"))
+        .persist()
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -184,6 +193,7 @@ def q_dedup_minhash(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+        .persist()  # tiny; anchors verification instead of re-deriving LSH
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.alias("sha")

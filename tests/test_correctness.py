@@ -9,6 +9,7 @@ sums, sequential folds, deterministic rounding) — see registry.py.
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import pandas as pd
@@ -38,8 +39,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_bool_dtype(s):
             df[c] = s.astype("boolean")
         elif s.dtype == object:
+            # Spark DATE -> python date objects; duckdb .df() widens DATE
+            # to datetime64 — normalize both to midnight timestamps.
+            if s.map(
+                lambda x: isinstance(x, datetime.date)
+                and not isinstance(x, datetime.datetime),
+                na_action="ignore",
+            ).any():
+                df[c] = pd.to_datetime(s).astype("datetime64[us]")
             # decimals from duckdb -> float; bytes -> str
-            if s.map(lambda x: hasattr(x, "as_tuple"), na_action="ignore").any():
+            elif s.map(lambda x: hasattr(x, "as_tuple"), na_action="ignore").any():
                 df[c] = s.astype("float64")
             else:
                 df[c] = s.astype("string")
