@@ -168,18 +168,34 @@ def q_dedup_minhash(spark, sf_dir):
     # Persisted: consumed by the signature agg, the size agg, and both
     # verification join sides (see q_dedup_ngram note).
     sh = doc_shingles(load(spark, sf_dir, "documents")).persist()
-    seeds = spark.range(0, N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("sh")))).alias("mh"))
+    # All 16 minhashes in ONE groupBy(doc_id) with 16 min() buffers:
+    # map-side partial aggregation shuffles |docs| rows instead of the
+    # |shingles| x 16 rows a seed-crossJoin formulation would (the
+    # shuffle that dominates at cluster scale).
+    mh_cols = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))
+        ).alias(f"mh{s}")
+        for s in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mh_cols)
+    # Band buckets straight off the signature row (band b = seeds 2b,
+    # 2b+1, comma-joined in seed order — byte-identical to the oracle's
+    # string_agg ORDER BY seed). Persisted for the LSH self-join.
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                ).alias("bucket"),
+            )
+            for b in range(N_BANDS)
+        ]
     )
-    # Persisted: the LSH self-join would otherwise evaluate the whole
-    # signature pipeline once per join side.
     bands = (
-        sig.withColumn("band", (F.col("seed") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.array_join(F.array_sort(F.collect_list(F.struct("seed", "mh"))).mh, ",")).alias("bucket"))
+        sig.select("doc_id", F.explode(band_cols).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bucket")
         .persist()
     )
     a = bands.alias("a")
@@ -215,6 +231,14 @@ def q_dedup_minhash(spark, sf_dir):
         .filter(jac >= JACCARD_T)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query("q_dedup_near", oracle=MINHASH_PAIRS_SQL)
+def q_dedup_near(spark, sf_dir):
+    """SURVEY §2.11 umbrella ID for near-duplicate text detection; the
+    MinHash+LSH pipeline is its canonical instance (ngram/simhash/embed
+    variants are registered under their own q_dedup_* names)."""
+    return q_dedup_minhash(spark, sf_dir)
 
 
 # 16-bit simhash: token hash = first 4 md5 hex chars -> int via fold;
