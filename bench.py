@@ -22,7 +22,10 @@ from proof_of_concept___cdc_w_iceberg_spark import registry
 from proof_of_concept___cdc_w_iceberg_spark.session import get_spark
 
 BENCH_QUERIES = [
+    "q_scan_parquet",
+    "q_str_funcs",
     "q_agg_groupby",
+    "q_cdc_apply_scale",
     "q_join_multiway",
     "q_join_broadcast",
     "q_join_asof",

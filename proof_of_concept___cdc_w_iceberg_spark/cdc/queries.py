@@ -108,6 +108,84 @@ def q_cdc_apply(spark, sf_dir):
     return spark.read.parquet(out)
 
 
+APPLY_SCALE_CHANGES_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity + 5.0 AS l_quantity, l_extendedprice,
+           'u' AS op, CAST(2000 AS BIGINT) AS ts_ms,
+           l_orderkey * 10 + l_linenumber AS off
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, NULL, NULL,
+           'd', 3000, 1000000000 + l_orderkey * 10 + l_linenumber
+    FROM lineitem WHERE l_orderkey % 15 = 0
+    UNION ALL
+    SELECT l_orderkey + 100000000, l_linenumber, l_quantity, l_extendedprice,
+           'c', 2500, 2000000000 + l_orderkey * 10 + l_linenumber
+    FROM lineitem WHERE l_orderkey % 12 = 0
+"""
+
+
+@query(
+    "q_cdc_apply_scale",
+    oracle=f"""
+        WITH mirror AS (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+        ),
+        changes AS ({APPLY_SCALE_CHANGES_SQL}),
+        latest AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_orderkey, l_linenumber
+                ORDER BY ts_ms DESC, off DESC) AS rn
+            FROM changes
+        ),
+        fc AS (SELECT * FROM latest WHERE rn = 1)
+        SELECT m.l_orderkey, m.l_linenumber, m.l_quantity, m.l_extendedprice
+        FROM mirror m ANTI JOIN fc USING (l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM fc WHERE op <> 'd'
+    """,
+)
+def q_cdc_apply_scale(spark, sf_dir):
+    """CDC apply at the BASELINE.md gate shape: ~120 k change events
+    (updates on %10 orderkeys, deletes on %15 — overlapping keys
+    exercise latest-wins compaction — inserts of new keys on %12)
+    merged into the full lineitem mirror (~600 k rows at sf0.1) on the
+    composite key (l_orderkey, l_linenumber), written through a real
+    parquet sink. One shuffle to compact, one to merge; the change
+    side is AQE-broadcastable relative to a big mirror."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+    def ev(pred_mod, op, ts_ms, off_base, key_shift=0, qty=None):
+        df = li.filter(F.col("l_orderkey") % pred_mod == 0)
+        return df.select(
+            (F.col("l_orderkey") + F.lit(key_shift)).cast("long").alias("l_orderkey"),
+            "l_linenumber",
+            (qty if qty is not None else F.col("l_quantity")).cast("double").alias("l_quantity"),
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+            F.lit(op).alias("op"),
+            F.lit(ts_ms).cast("long").alias("ts_ms"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber") + F.lit(off_base))
+            .cast("long").alias("off"),
+        )
+
+    changes = (
+        ev(10, "u", 2000, 0, qty=F.col("l_quantity") + F.lit(5.0))
+        .unionByName(
+            ev(15, "d", 3000, 1_000_000_000).withColumn("l_quantity", F.lit(None).cast("double"))
+            .withColumn("l_extendedprice", F.lit(None).cast("double"))
+        )
+        .unionByName(ev(12, "c", 2500, 2_000_000_000, key_shift=100_000_000))
+    )
+    mirror = apply_changes(li, changes, keys=["l_orderkey", "l_linenumber"])
+    out = tempfile.mkdtemp(prefix="cdc_scale_mirror_")
+    mirror.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 @query("q_cdc_snapshot_then_stream", oracle=MIRROR_SQL)
 def q_cdc_snapshot_then_stream(spark, sf_dir):
     """Snapshot (op='r') unified with incremental changes through the
