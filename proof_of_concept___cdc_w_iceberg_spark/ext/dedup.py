@@ -315,12 +315,14 @@ def q_dedup_simhash(spark, sf_dir):
         .cast("long")
         .alias("simhash")
     )
+    # Persisted: referenced by both band joins x both join sides — four
+    # evaluations of the token-hash pipeline without it.
     banded = fp.select(
         "doc_id",
         "simhash",
         F.shiftright("simhash", 8).alias("hi"),
         F.col("simhash").bitwiseAND(255).alias("lo"),
-    )
+    ).persist()
     a = banded.alias("a")
     b = banded.alias("b")
 
