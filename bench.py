@@ -24,6 +24,11 @@ from proof_of_concept___cdc_w_iceberg_spark.session import get_spark
 BENCH_QUERIES = [
     "q_scan_parquet",
     "q_str_funcs",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q18",
+    "q_sql_text",
+    "q_join_salted",
     "q_agg_groupby",
     "q_cdc_apply_scale",
     "q_join_multiway",

@@ -1,0 +1,196 @@
+"""Classic TPC-H-shaped queries — the "arbitrary relational SQL over
+the lake" capability the reference delegates to Trino
+(`init_for_test.py:66-79` executes any SQL text; capability parity
+means our engine answers the standard analytic shapes, not just the
+operator micro-queries).
+
+Determinism: double sums go through DECIMAL casts (order-independent
+addition), averages round — see registry.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load, register_views
+from ._util import dec_avg, dec_sum
+from .skew import salted_join
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary: the canonical scan→filter→wide-agg
+    shape. One shuffle, map-side partials, filter pushed to parquet."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", 20, 4).alias("sum_qty"),
+            dec_sum("l_extendedprice", 20, 4).alias("sum_base_price"),
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 20, 4
+            ).alias("sum_disc_price"),
+            dec_avg("l_quantity", 20, 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority: selective dim filter → join →
+    agg → top-10 (TakeOrdered). Customer side broadcasts."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 20, 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) > 300
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: HAVING-derived semi-join
+    filter feeding a 3-way join + re-aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(20,4)")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum("l_quantity", 20, 4).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+@query(
+    "q_sql_text",
+    oracle="""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o_orderdate < TIMESTAMP '1995-01-01'
+        GROUP BY n_name
+    """,
+)
+def q_sql_text(spark, sf_dir):
+    """The reference's core capability — *arbitrary SQL text* against
+    the lake (`init_for_test.py:66-79`) — as a TPC-H Q5 regional
+    revenue query through ``spark.sql`` over registered views. Catalyst
+    reorders the 6-way join and broadcasts the small dims."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o_orderdate < TIMESTAMP '1995-01-01'
+        GROUP BY n_name
+    """)
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Skew-safe salted join (operators/skew.py): result must be
+    row-identical to the plain equi-join — the oracle IS the plain
+    join. At scale this is the tool for a single hot key AQE's skew
+    splitting can't fix."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, on=["l_orderkey"], salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(dec_sum("l_quantity", 20, 4).alias("sum_qty"), F.count("*").alias("n"))
+    )

@@ -95,7 +95,7 @@ def _load() -> None:
     if _loaded:
         return
     _loaded = True
-    from .operators import aggregates, filters, joins, scans, setops, sorts, windows  # noqa: F401
+    from .operators import aggregates, filters, joins, scans, setops, sorts, tpch, windows  # noqa: F401
     from .functions import scalar  # noqa: F401
     from .cdc import queries as _cdc  # noqa: F401
     from .streaming import queries as _streaming  # noqa: F401
