@@ -86,6 +86,65 @@ def q_multimodal_decode(spark, sf_dir):
     return payloads.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("frame_crc", T.LongType()),
+    ]
+)
+
+FRAME_STRIDE = 4  # sample every 4th fake frame
+
+
+def sample_frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: video-style frame sampling over the opaque
+    payload. The codec is STUBBED (frames = fixed 64-byte windows; a
+    real pipeline calls ffmpeg here) but the Spark plumbing — strided
+    expansion of one blob row into N frame rows inside an Arrow batch —
+    is the real shape."""
+    for pdf in it:
+        out: dict[str, list] = {"doc_id": [], "frame_no": [], "frame_bytes": [], "frame_crc": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = max(1, len(payload) // 64)
+            for fno in range(0, n_frames, FRAME_STRIDE):
+                chunk = payload[fno * 64 : (fno + 1) * 64]
+                out["doc_id"].append(int(doc_id))
+                out["frame_no"].append(fno)
+                out["frame_bytes"].append(len(chunk))
+                out["frame_crc"].append(sum(chunk))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q_multimodal_framesample",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   unnest(range(0, greatest(1, strlen(text) // 64), 4)) AS frame_no
+            FROM documents
+        )
+        SELECT f.doc_id, CAST(f.frame_no AS INT) AS frame_no,
+               CAST(strlen(substring(d.text, 1 + f.frame_no * 64, 64)) AS INT) AS frame_bytes,
+               CAST((
+                   SELECT COALESCE(SUM(ord(x)), 0) FROM unnest(string_split_regex(
+                       substring(d.text, 1 + f.frame_no * 64, 64), '')) AS t(x)
+                   WHERE x <> ''
+               ) AS BIGINT) AS frame_crc
+        FROM f JOIN documents d USING (doc_id)
+    """,
+)
+def q_multimodal_framesample(spark, sf_dir):
+    """Strided frame sampling from a binary column via mapInPandas —
+    1 blob row → N frame rows, Arrow-batched, constant memory per task.
+    The oracle recomputes the deterministic stub (64-byte windows,
+    stride 4, bytewise checksum) from the text payload; documents are
+    ASCII so char ordinals == byte values."""
+    payloads = with_binary_payload(load(spark, sf_dir, "documents"))
+    return payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+
+
 @query(
     "q_multimodal_cols",
     oracle="""

@@ -104,6 +104,44 @@ def q_udaf_grouped(spark, sf_dir):
 
 
 @query(
+    "q_udtf_python",
+    oracle="""
+        WITH parts AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ',')) AS s,
+                   generate_subscripts(string_split(text, ','), 1) AS idx
+            FROM documents WHERE doc_id % 50 = 0
+        )
+        SELECT doc_id, CAST(idx - 1 AS INT) AS clause_no,
+               trim(s) AS clause,
+               CAST(len(string_split_regex(trim(s), '\\s+')) AS INT) AS n_tokens
+        FROM parts WHERE trim(s) <> ''
+    """,
+)
+def q_udtf_python(spark, sf_dir):
+    """Real Python UDTF (Spark 3.5+ ``@udtf``): one document row →
+    N clause rows with positions — the arbitrary-arity table-function
+    surface (the built-in explode fast path is q_udtf_explode)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, clause_no: int, clause: string, n_tokens: int")
+    class ClauseSplit:
+        def eval(self, doc_id, text):
+            for i, raw in enumerate(text.split(",")):
+                clause = raw.strip()
+                if clause:
+                    yield doc_id, i, clause, len(clause.split())
+
+    spark.udtf.register("clause_split", ClauseSplit)
+    load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0) \
+        .createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.clause_no, t.clause, t.n_tokens "
+        "FROM udtf_docs, LATERAL clause_split(doc_id, text) t"
+    )
+
+
+@query(
     "q_udtf_explode",
     oracle="""
         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token

@@ -90,6 +90,37 @@ def test_streaming_tumbling_window_with_watermark(spark, sf_dir):
     assert expected.exceptAll(got).count() == 0
 
 
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """session_window under a real readStream with watermark — final
+    sessions equal the batch computation (stateful window merging)."""
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = tempfile.mkdtemp(prefix="stream_sess_")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "24 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM session_test")
+    expected = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
 def test_progress_listener_heartbeat(spark, sf_dir):
     """StreamingQueryListener receives progress events — the liveness
     signal parity (1 s heartbeat in the reference)."""
