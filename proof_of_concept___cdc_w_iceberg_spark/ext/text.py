@@ -222,18 +222,23 @@ def q_text_tokens(spark, sf_dir):
     """,
 )
 def q_text_ngram(spark, sf_dir):
-    """Corpus bigram frequency, top-20 (freq desc, bigram asc tiebreak)."""
-    t = F.split(F.trim(F.col("text")), r"\s+")
+    """Corpus bigram frequency, top-20 (freq desc, bigram asc tiebreak).
+
+    Tokens are materialized to a column before the transform — inlining
+    the split expression re-runs the regex once per accessed element
+    (see ext/shingles.py)."""
+    docs = load(spark, sf_dir, "documents")
+    spread = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < spread:
+        docs = docs.repartition(spread, "doc_id")
+    toked = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
     grams = (
-        load(spark, sf_dir, "documents")
-        .filter(F.size(t) >= 2)
+        toked.filter(F.size("toks") >= 2)
         .select(
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(t, i), F.element_at(t, i + 1)
-                    ),
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.array_join(F.slice("toks", i, 2), " "),
                 )
             ).alias("bigram")
         )
