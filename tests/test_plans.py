@@ -44,6 +44,21 @@ def test_agg_has_mapside_partial_aggregation(spark, sf_dir):
     assert count_exchanges(plan) == 1
 
 
+def test_tpch_plans_broadcast_and_push(spark, sf_dir):
+    """TPC-H shapes: every join broadcasts the dim side, every scan has
+    pushed filters, Q3's top-10 is TakeOrdered, all aggs are partial."""
+    import re
+
+    for name, n_joins in [("q_tpch_q3", 2), ("q_tpch_q18", 3), ("q_sql_text", 5)]:
+        plan = explain_str(QS[name](spark, sf_dir))
+        joins = re.findall(r"^\(\d+\) (\w*Join\w*)", plan, flags=re.M)
+        assert len(joins) == n_joins and set(joins) == {"BroadcastHashJoin"}, (
+            f"{name}: {joins}"
+        )
+        assert "partial_" in plan, f"{name} lost map-side partial agg"
+    assert "TakeOrderedAndProject" in explain_str(QS["q_tpch_q3"](spark, sf_dir))
+
+
 def test_cdc_compaction_single_shuffle(spark, sf_dir):
     """Latest-wins compaction = exactly one exchange on the key."""
     from proof_of_concept___cdc_w_iceberg_spark.cdc.apply import compact_latest
