@@ -98,6 +98,41 @@ def q_sink_route(spark, sf_dir):
 
 
 @query(
+    "q_sink_orc",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey % 3 = 0
+    """,
+)
+def q_sink_orc(spark, sf_dir):
+    """Columnar ORC round-trip — the reference stages ORC alongside
+    Parquet and Avro as lake file formats (`pom.xml:115-126`); Spark's
+    ORC reader is vectorized like the parquet one. Avro is the same
+    one-liner when the spark-avro module is on the classpath (absent
+    in this environment — see ``available_formats``)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0) \
+        .select("c_custkey", "c_name", "c_acctbal")
+    path = tempfile.mkdtemp(prefix="sink_orc_")
+    c.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+def available_formats(spark) -> dict[str, bool]:
+    """Which of the reference's three lake file formats this Spark can
+    write (`pom.xml:110-126`): parquet/ORC built-in; Avro requires the
+    external spark-avro module."""
+    out = {"parquet": True, "orc": True}
+    try:
+        spark.read.format("avro").schema("x INT").load(
+            tempfile.mkdtemp(prefix="avro_probe_")
+        )
+        out["avro"] = True
+    except Exception as ex:
+        out["avro"] = "Failed to find data source" not in str(ex)
+    return out
+
+
+@query(
     "q_schema_evolve",
     oracle="""
         SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
