@@ -101,3 +101,78 @@ def cdc_target(source: Column) -> Column:
     return F.concat(
         F.lit("cdc."), source.getField("schema"), F.lit("_"), source.getField("table")
     )
+
+
+# --- JSON-with-schema transport (connect-standalone.properties:2-5) ---
+#
+# With schemas.enable=true every Kafka record is
+# ``{"schema": <connect type>, "payload": <envelope>}`` — a dynamic,
+# self-describing schema PER RECORD. The schema half is what feeds the
+# sink's evolve-schema behavior.
+
+_CONNECT_TYPES = {
+    "long": "int64",
+    "bigint": "int64",
+    "int": "int32",
+    "integer": "int32",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def connect_schema_json(row: T.StructType, name: str = "Value") -> str:
+    """Kafka Connect schema JSON for a flat row struct (the ``schema``
+    half of a JSON-with-schema record)."""
+    import json
+
+    fields = [
+        {
+            "type": _CONNECT_TYPES.get(f.dataType.simpleString(), "string"),
+            "optional": f.nullable,
+            "field": f.name,
+        }
+        for f in row.fields
+    ]
+    return json.dumps(
+        {"type": "struct", "fields": fields, "optional": False, "name": name},
+        separators=(",", ":"),
+    )
+
+
+def encode_envelope_with_schema(df: DataFrame, row: T.StructType = ROW_SCHEMA,
+                                schema_name: str = "commerce",
+                                table: str = "account") -> DataFrame:
+    """Full-fidelity transport encoding: each record carries its own
+    schema alongside the payload, exactly as the reference's JSON
+    converters emit."""
+    enveloped = encode_envelope(df, schema_name=schema_name, table=table)
+    schema_lit = connect_schema_json(row, name=f"{schema_name}.{table}.Value")
+    return enveloped.select(
+        "key",
+        F.concat(
+            F.lit('{"schema":'), F.lit(schema_lit),
+            F.lit(',"payload":'), F.col("value"), F.lit("}"),
+        ).alias("value"),
+    )
+
+
+def decode_envelope_with_schema(df: DataFrame,
+                                schema: T.StructType = ENVELOPE_SCHEMA,
+                                value_col: str = "value") -> DataFrame:
+    """Decode JSON-with-schema records: payload through the typed
+    ``from_json`` path, the per-record schema string surfaced as
+    ``_record_schema`` (input to schema-drift detection — compare
+    against the table schema to trigger cdc/evolve.py)."""
+    env = F.from_json(F.get_json_object(F.col(value_col), "$.payload"), schema)
+    return df.select(
+        env.getField("after").alias("after"),
+        env.getField("before").alias("before"),
+        env.getField("op").alias("op"),
+        env.getField("ts_ms").alias("ts_ms"),
+        env.getField("source").getField("lsn").alias("off"),
+        cdc_target(env.getField("source")).alias("_cdc_target"),
+        F.get_json_object(F.col(value_col), "$.schema").alias("_record_schema"),
+    )

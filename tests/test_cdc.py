@@ -6,6 +6,8 @@ Modeled on the reference's insert-then-reverify flow
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import functions as F
 
 from proof_of_concept___cdc_w_iceberg_spark.cdc.apply import (
@@ -102,3 +104,33 @@ def test_mirror_verify_catches_drift(spark):
     b = spark.createDataFrame([(1, "b")], "k long, name string")
     assert mirror_diff(a, a).count() == 0
     assert mirror_diff(a, b).count() == 2
+
+
+def test_envelope_with_inline_schema_roundtrip(spark, sf_dir):
+    """JSON-with-schema transport (connect-standalone.properties:2-5):
+    every record carries a valid Connect schema; decode recovers the
+    payload AND surfaces the per-record schema for drift detection."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.envelope import (
+        decode_envelope_with_schema,
+        encode_envelope_with_schema,
+    )
+
+    ch = changelog(spark, sf_dir)
+    wired = encode_envelope_with_schema(ch)
+    decoded = decode_envelope_with_schema(wired)
+    back = decoded.select(
+        F.coalesce(F.col("after.k"), F.col("before.k")).alias("k"),
+        F.col("after.name").alias("name"),
+        F.col("after.bal").alias("bal"),
+        "op",
+        "ts_ms",
+        "off",
+    )
+    assert mirror_diff(back, ch).count() == 0
+    schemas = {r["_record_schema"] for r in decoded.select("_record_schema").distinct().collect()}
+    assert len(schemas) == 1
+    parsed = json.loads(schemas.pop())
+    assert parsed["type"] == "struct"
+    assert [f["field"] for f in parsed["fields"]] == ["k", "name", "bal"]
+    assert {f["type"] for f in parsed["fields"]} == {"int64", "string", "float64"}
+    assert decoded.select("_cdc_target").distinct().collect()[0][0] == "cdc.commerce_account"
