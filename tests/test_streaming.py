@@ -163,3 +163,59 @@ def test_progress_listener_heartbeat(spark, sf_dir):
         time.sleep(0.2)
     assert "started" in beats
     assert "terminated" in beats
+
+
+def test_evolving_apply_widens_mirror_schema(spark):
+    """The reference sink's auto-evolve loop: a batch arriving with a
+    NEW column (per-record schema) widens the mirror without restart;
+    old rows surface NULL, changed rows carry the value."""
+    import json as _json
+    import tempfile as _tf
+
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.evolving import (
+        apply_evolving,
+    )
+
+    mirror = _tf.mkdtemp(prefix="evolve_mirror_")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    ).write.mode("overwrite").parquet(mirror)
+
+    def wire(fields, after, op, ts, lsn):
+        schema = {"type": "struct", "optional": False, "name": "commerce.account.Value",
+                  "fields": fields}
+        payload = {"before": None, "after": after,
+                   "source": {"db": "d", "schema": "commerce", "table": "account",
+                              "lsn": lsn, "ts_ms": ts, "snapshot": "false"},
+                   "op": op, "ts_ms": ts}
+        return _json.dumps({"schema": schema, "payload": payload})
+
+    v1 = [{"type": "int64", "optional": True, "field": "k"},
+          {"type": "string", "optional": True, "field": "name"},
+          {"type": "float64", "optional": True, "field": "bal"}]
+    v2 = v1 + [{"type": "string", "optional": True, "field": "status"}]
+
+    b1 = spark.createDataFrame(
+        [(wire(v1, {"k": 1, "name": "a2", "bal": 11.0}, "u", 2000, 1),)], "value string"
+    )
+    apply_evolving(spark, mirror, b1, keys=["k"])
+
+    b2 = spark.createDataFrame(
+        [
+            (wire(v2, {"k": 10, "name": "j", "bal": 99.0, "status": "new"}, "c", 3000, 2),),
+            (wire(v2, {"k": 2, "name": "b2", "bal": 21.0, "status": "upd"}, "u", 3000, 3),),
+            (wire(v2, {"k": 3, "name": None, "bal": None, "status": None}, "d", 3000, 4),),
+        ],
+        "value string",
+    )
+    apply_evolving(spark, mirror, b2, keys=["k"])
+
+    final = spark.read.parquet(mirror)
+    assert set(final.columns) == {"k", "name", "bal", "status"}
+    rows = {r["k"]: (r["name"], r["bal"], r["status"]) for r in final.collect()}
+    assert rows == {
+        1: ("a2", 11.0, None),     # updated pre-evolution, NULL backfill
+        2: ("b2", 21.0, "upd"),    # updated with the new column
+        10: ("j", 99.0, "new"),    # inserted with the new column
+    }                               # 3 deleted
