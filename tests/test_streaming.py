@@ -219,3 +219,42 @@ def test_evolving_apply_widens_mirror_schema(spark):
         2: ("b2", 21.0, "upd"),    # updated with the new column
         10: ("j", 99.0, "new"),    # inserted with the new column
     }                               # 3 deleted
+
+
+def test_routed_pipeline_fans_out_to_two_mirrors(spark, sf_dir):
+    """The reference's full topology: one stream of mixed account +
+    product envelopes, routed by _cdc.target to two auto-created
+    mirrors, each upserted independently."""
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.routing import (
+        RoutedStreamingCdcPipeline,
+    )
+
+    ch = changelog(spark, sf_dir)
+    account = encode_envelope(ch, schema_name="commerce", table="account")
+    # product stream: same change shapes, shifted keys, other table
+    product = encode_envelope(
+        ch.withColumn("k", F.col("k") + 500_000), schema_name="commerce",
+        table="product",
+    )
+    pipe = RoutedStreamingCdcPipeline(
+        spark,
+        keys_by_target={
+            "cdc.commerce_account": ["k"],
+            "cdc.commerce_product": ["k"],
+        },
+    )
+    pipe.feed(account.unionByName(product), "mixed")
+    q = pipe.start()
+    q.awaitTermination(300)
+
+    expected = (
+        compact_latest(ch, ["k"]).filter(F.col("op") != "d").select("k", "name", "bal")
+    )
+    acc = pipe.mirror("cdc.commerce_account")
+    prod = pipe.mirror("cdc.commerce_product")
+    assert mirror_diff(acc, expected).count() == 0
+    assert mirror_diff(
+        prod, expected.withColumn("k", F.col("k") + 500_000)
+    ).count() == 0
+    # routing isolation: no key bleed between tables
+    assert acc.join(prod, "k", "inner").count() == 0
