@@ -100,3 +100,34 @@ def test_cdc_apply_matches_reference_semantics(spark, events):
     got = {(int(r["k"]), float(r["bal"])) for r in applied.collect()}
     want = pandas_apply(target_pdf, events)
     assert got == want
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir):
+    """Date-partitioned lake layout: a day-filtered query must read
+    only that day's partition (PartitionFilters in the scan, not a
+    full-table filter) — the layout that makes time-range queries at
+    100 TB touch 1/Nth of the data."""
+    import tempfile
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = tempfile.mkdtemp(prefix="part_events_")
+    events.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    some_day = events.select("day").first()["day"]
+    q = spark.read.parquet(path).filter(F.col("day") == F.lit(some_day))
+    plan = explain_str(q)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "day" in pf[0], plan
+    # correctness: partition-pruned read == in-memory filter
+    assert q.count() == events.filter(F.col("day") == F.lit(some_day)).count()
+
+    # dynamic partition overwrite: rewriting ONE day leaves others intact
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    one_day = events.filter(F.col("day") == F.lit(some_day)).limit(5)
+    one_day.write.mode("overwrite").partitionBy("day").parquet(path)
+    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    total = spark.read.parquet(path).count()
+    others = events.filter(F.col("day") != F.lit(some_day)).count()
+    assert total == others + 5
