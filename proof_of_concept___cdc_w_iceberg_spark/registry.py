@@ -47,6 +47,14 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if id(sc) in _shipped_contexts:
         return
+    # Session prep beyond shipping code: pin UTC so wall-clock date
+    # results agree with the tz-naive DuckDB oracle even when the
+    # consuming session was built without our factory (runtime-settable
+    # conf, unlike most session options).
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     if _pkg_zip is None:
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
         pkg_name = os.path.basename(pkg_dir)
