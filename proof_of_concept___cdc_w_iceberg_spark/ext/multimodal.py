@@ -145,6 +145,104 @@ def q_multimodal_framesample(spark, sf_dir):
     return payloads.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
 
 
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("max_byte", T.IntegerType()),
+        T.StructField("n_distinct_bytes", T.IntegerType()),
+    ]
+)
+
+
+def extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: feature extraction over the opaque payload
+    (a real pipeline computes CLIP/CNN features here; the stub's byte
+    statistics keep the contract verifiable)."""
+    for pdf in it:
+        out = {"doc_id": [], "mean_byte": [], "max_byte": [], "n_distinct_bytes": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            out["doc_id"].append(int(doc_id))
+            # raw mean — HALF_UP rounding happens SQL-side so both
+            # engines round identically (python round() is banker's)
+            out["mean_byte"].append(sum(b) / len(b) if b else 0.0)
+            out["max_byte"].append(max(b) if b else 0)
+            out["n_distinct_bytes"].append(len(set(b)))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+            FROM documents
+        ),
+        by_doc AS (
+            SELECT doc_id,
+                   ROUND(SUM(ord(c)) / COUNT(*), 4) AS mean_byte,
+                   CAST(MAX(ord(c)) AS INT) AS max_byte,
+                   CAST(COUNT(DISTINCT c) AS INT) AS n_distinct_bytes
+            FROM chars WHERE c <> '' GROUP BY doc_id
+        )
+        SELECT * FROM by_doc
+    """,
+)
+def q_multimodal_features(spark, sf_dir):
+    """Feature extraction over binary payloads via mapInPandas (byte
+    statistics stand in for a real embedding model; ASCII fixture text
+    makes char ordinals == byte values for the oracle)."""
+    payloads = with_binary_payload(load(spark, sf_dir, "documents"))
+    feats = payloads.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+    return feats.withColumn("mean_byte", F.round("mean_byte", 4))
+
+
+RESIZE_TO = 256
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def resize_payloads(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: normalize every payload to RESIZE_TO bytes
+    (truncate or zero-pad) — the resize step of an image pipeline,
+    stubbed on the raw bytes."""
+    for pdf in it:
+        out = {"doc_id": [], "n_bytes": [], "checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)[:RESIZE_TO].ljust(RESIZE_TO, b"\0")
+            out["doc_id"].append(int(doc_id))
+            out["n_bytes"].append(len(b))
+            out["checksum"].append(sum(b))
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+        SELECT doc_id, {RESIZE_TO} AS n_bytes,
+               CAST((
+                   SELECT COALESCE(SUM(ord(x)), 0)
+                   FROM unnest(string_split_regex(
+                       substring(text, 1, {RESIZE_TO}), '')) AS t(x)
+                   WHERE x <> ''
+               ) AS BIGINT) AS checksum
+        FROM documents
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Resize/normalize step: every payload truncated or zero-padded to
+    {256} bytes inside an Arrow batch (zero-pad adds 0 to the checksum,
+    so the oracle is the truncated prefix's byte sum)."""
+    payloads = with_binary_payload(load(spark, sf_dir, "documents"))
+    return payloads.mapInPandas(resize_payloads, schema=RESIZE_SCHEMA)
+
+
 @query(
     "q_multimodal_cols",
     oracle="""
