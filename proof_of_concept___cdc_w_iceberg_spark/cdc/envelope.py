@@ -80,12 +80,30 @@ def encode_envelope(df: DataFrame, schema_name: str = "commerce",
     return df.select(F.col("k").alias("key"), F.to_json(env).alias("value"))
 
 
+class MalformedEnvelopeError(ValueError):
+    """Raised by strict decode when a record fails to parse — the
+    reference's ``errors.tolerance: none`` fail-fast contract
+    (`connect-sqlserver-source.json:19`, `connect-iceberg-sink.json:7`)."""
+
+
 def decode_envelope(df: DataFrame, schema: T.StructType = ENVELOPE_SCHEMA,
-                    value_col: str = "value") -> DataFrame:
+                    value_col: str = "value", strict: bool = False) -> DataFrame:
     """``from_json`` decode + flatten: after-image columns, op, ordering
     keys — the Spark equivalent of the sink's DebeziumTransform
-    (`connect-iceberg-sink.json:10-12`)."""
+    (`connect-iceberg-sink.json:10-12`).
+
+    ``strict=True`` reproduces ``errors.tolerance: none``: any record
+    that doesn't parse (op comes back NULL) aborts the batch instead of
+    flowing through as nulls. One extra pass over the batch — use
+    inside foreachBatch where the batch is already small/cached."""
     env = F.from_json(F.col(value_col), schema)
+    if strict:
+        bad = df.filter(env.getField("op").isNull()).limit(1).collect()
+        if bad:
+            raise MalformedEnvelopeError(
+                f"unparseable change event (errors.tolerance=none): "
+                f"{bad[0][value_col][:200]!r}"
+            )
     return df.select(
         env.getField("after").alias("after"),
         env.getField("before").alias("before"),

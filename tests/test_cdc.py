@@ -134,3 +134,24 @@ def test_envelope_with_inline_schema_roundtrip(spark, sf_dir):
     assert [f["field"] for f in parsed["fields"]] == ["k", "name", "bal"]
     assert {f["type"] for f in parsed["fields"]} == {"int64", "string", "float64"}
     assert decoded.select("_cdc_target").distinct().collect()[0][0] == "cdc.commerce_account"
+
+
+def test_strict_decode_fails_fast_on_malformed(spark, sf_dir):
+    """errors.tolerance=none parity: a malformed record aborts the
+    decode instead of flowing through as nulls."""
+    import pytest
+
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.envelope import (
+        MalformedEnvelopeError,
+    )
+
+    good = encode_envelope(changelog(spark, sf_dir).limit(10))
+    bad = spark.createDataFrame([(99, "{not json at all")], "key long, value string")
+    mixed = good.unionByName(bad)
+    # lenient default: nulls flow through
+    assert decode_envelope(mixed).count() == 11
+    # strict: abort, naming the offending record
+    with pytest.raises(MalformedEnvelopeError, match="not json"):
+        decode_envelope(mixed, strict=True).count()
+    # strict on clean input: no-op
+    assert decode_envelope(good, strict=True).count() == 10
