@@ -155,3 +155,36 @@ def test_strict_decode_fails_fast_on_malformed(spark, sf_dir):
         decode_envelope(mixed, strict=True).count()
     # strict on clean input: no-op
     assert decode_envelope(good, strict=True).count() == 10
+
+
+def test_compaction_and_staging_cleanup(spark, sf_dir):
+    """Table maintenance: many tiny files -> one size-targeted file
+    with identical contents; stale staged swap dirs removed."""
+    import os
+    import tempfile
+
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.maintenance import (
+        cleanup_staging,
+        compact_small_files,
+        dir_stats,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    work = tempfile.mkdtemp(prefix="maint_")
+    mirror = os.path.join(work, "mirror")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    c.repartition(20).write.mode("overwrite").parquet(mirror)  # 20 tiny files
+    before = spark.read.parquet(mirror).collect()
+    _, n_before = dir_stats(mirror)
+    assert n_before == 20
+
+    n_after = compact_small_files(spark, mirror)
+    assert n_after == 1  # tiny table -> single target-size file
+    after = spark.read.parquet(mirror).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+    # staged swap dirs from pipeline batches get expired
+    for d in ("mirror_b0", "mirror_b1", "mirror_staged"):
+        os.makedirs(os.path.join(work, d), exist_ok=True)
+    assert cleanup_staging(mirror) == 3
+    assert os.path.isdir(mirror)
