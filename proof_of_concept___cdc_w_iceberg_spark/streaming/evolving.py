@@ -121,3 +121,6 @@ def apply_evolving(spark: SparkSession, mirror_path: str, batch: DataFrame,
     staged = mirror_path + "_staged"
     merged.write.mode("overwrite").parquet(staged)
     spark.read.parquet(staged).write.mode("overwrite").parquet(mirror_path)
+    from ..cdc.maintenance import cleanup_staging
+
+    cleanup_staging(mirror_path)

@@ -81,6 +81,10 @@ class StreamingCdcPipeline:
         final = self.spark.read.parquet(staged)
         final.write.mode("overwrite").parquet(self.mirror_path)
         self.batches_applied += 1
+        # expire the staged swap dir (snapshot-expiration analogue)
+        from ..cdc.maintenance import cleanup_staging
+
+        cleanup_staging(self.mirror_path)
 
     def start(self, trigger_once: bool = True):
         stream = (

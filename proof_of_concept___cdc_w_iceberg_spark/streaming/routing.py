@@ -85,6 +85,9 @@ class RoutedStreamingCdcPipeline:
                 staged = f"{path}_b{batch_id}"
                 merged.write.mode("overwrite").parquet(staged)
                 self.spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+                from ..cdc.maintenance import cleanup_staging
+
+                cleanup_staging(path)
         finally:
             decoded.unpersist()
 
