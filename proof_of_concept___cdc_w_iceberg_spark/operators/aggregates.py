@@ -208,3 +208,68 @@ def q_agg_collect(spark, sf_dir):
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@query(
+    "q_agg_approx_quantile",
+    oracle="""
+        SELECT CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS exact_p50,
+               CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE) AS exact_p95,
+               1 AS approx_within_2pct
+        FROM lineitem
+    """,
+)
+def q_agg_approx_quantile(spark, sf_dir):
+    """Approximate percentiles (the distribution sketch a training
+    pipeline runs over doc lengths / scores at 100 TB). Sketches differ
+    across engines, so the hash-checked contract is: exact quantiles +
+    a flag that the approximation landed within 2% relative error
+    (accuracy parameter 10000 => eps 1e-4, generous margin)."""
+    li = load(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("a95"),
+    )
+    ok = (
+        (F.abs(F.col("a50") - F.col("exact_p50")) / F.col("exact_p50") < 0.02)
+        & (F.abs(F.col("a95") - F.col("exact_p95")) / F.col("exact_p95") < 0.02)
+    )
+    return exact.select(
+        "exact_p50", "exact_p95",
+        F.when(ok, 1).otherwise(0).alias("approx_within_2pct"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+        WITH strata AS (
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM orders GROUP BY 1
+        )
+        SELECT o_orderpriority, n_total, 1 AS sample_ok
+        FROM strata
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified sampling (seeded sampleBy) — the class-balanced
+    subset draw of a training pipeline. The RNG is engine-specific, so
+    the contract is per-stratum: population count (exact) + a flag that
+    the seeded 10% sample landed within +/-50% of expectation (wide
+    bound: small strata at sf0.001 have high variance; determinism of
+    the seed itself is covered by the driver running the query twice)."""
+    o = load(spark, sf_dir, "orders")
+    fracs = {r[0]: 0.1 for r in o.select("o_orderpriority").distinct().collect()}
+    sample = o.sampleBy("o_orderpriority", fractions=fracs, seed=42)
+    got = sample.groupBy("o_orderpriority").agg(F.count("*").alias("n_sampled"))
+    totals = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_total"))
+    joined = totals.join(got, "o_orderpriority", "left").fillna(0, ["n_sampled"])
+    ok = (
+        (F.col("n_sampled") >= F.col("n_total") * 0.05)
+        & (F.col("n_sampled") <= F.col("n_total") * 0.15)
+    )
+    return joined.select(
+        "o_orderpriority", "n_total", F.when(ok, 1).otherwise(0).alias("sample_ok")
+    )
