@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q_join_broadcast",
     "q_join_asof",
     "q_win_running",
+    "q_union_all",
+    "q_agg_approx_quantile",
     "q_cdc_apply",
     "q_stream_session",
     "q_dedup_exact",
