@@ -246,3 +246,82 @@ def q_sim_ivf(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+N_PLANES = 16  # 2 bands x 8 bits
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no runtime RNG — the
+    formula is the seed, so every engine/run builds the same planes)."""
+    import math
+
+    return [
+        [math.sin(j * 997.0 + d * 31.0) for d in range(dim)]
+        for j in range(N_PLANES)
+    ]
+
+
+@query("q_sim_lsh")
+def q_sim_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN — the bucketed alternative to IVF
+    (the scale path when no natural coarse partition exists): 16 sign
+    bits -> 2 band buckets of 8 bits; queries search only colliding
+    buckets, exact cosine re-ranks. Collision probability for angle
+    theta is (1 - theta/pi)^8 per band. No oracle (approximate by
+    design); recall vs brute force asserted in tests/test_ext.py."""
+    e = load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    planes = _hyperplanes(dim)
+
+    def sig_bits(emb_col):
+        bits = []
+        for j, plane in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    emb_col,
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        code = bits[0]
+        for b in bits[1:]:
+            code = code + b
+        return code
+
+    coded = e.select(
+        "vec_id", "embedding", _sqnorm(F.col("embedding")).alias("sq"),
+        sig_bits(F.col("embedding")).alias("code"),
+    ).select(
+        "vec_id", "embedding", "sq",
+        F.shiftright("code", 8).alias("hi"),
+        F.col("code").bitwiseAND(255).alias("lo"),
+    ).persist()
+
+    q = coded.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sq").alias("q_sq"),
+        F.col("hi").alias("q_hi"),
+        F.col("lo").alias("q_lo"),
+    )
+    cand = coded.join(
+        F.broadcast(q),
+        ((F.col("hi") == F.col("q_hi")) | (F.col("lo") == F.col("q_lo")))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        (_dot(F.col("q_emb"), F.col("embedding"))
+         / F.sqrt(F.col("q_sq") * F.col("sq"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"))
+    )

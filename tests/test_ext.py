@@ -68,3 +68,27 @@ def test_binary_payload_schema(spark, sf_dir):
     assert dict(df.dtypes)["payload"] == "binary"
     row = df.first()
     assert isinstance(row["payload"], bytearray | bytes)
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    """Hyperplane LSH: 5 results per query, all real corpus hits, and
+    recall vs brute force well above the random baseline (band
+    collision keeps near neighbors; random 64-dim vectors cluster
+    weakly, so assert the mechanism, not a miracle)."""
+    lsh = QS["q_sim_lsh"](spark, sf_dir).collect()
+    assert lsh
+    per_query: dict[int, int] = {}
+    for r in lsh:
+        per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
+        assert -1.0 <= r["cosine"] <= 1.0
+    assert all(v == 5 for v in per_query.values())
+    brute = {
+        (r["query_id"], r["cand_id"])
+        for r in QS["q_sim_topk"](spark, sf_dir)
+        .filter(F.col("query_id") % 500 == 0)
+        .collect()
+    }
+    got = {(r["query_id"], r["cand_id"]) for r in lsh}
+    if len(per_query) >= 4:
+        recall = len(got & brute) / len(brute)
+        assert recall >= 0.2, f"LSH recall collapsed: {recall}"
