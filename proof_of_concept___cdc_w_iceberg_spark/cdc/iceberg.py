@@ -26,7 +26,11 @@ def iceberg_available(spark: SparkSession) -> bool:
     """True iff the Iceberg Spark extensions can plan a MERGE (the
     runtime jar + a configured catalog)."""
     try:
-        spark._jvm.org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions  # noqa: B018
+        # force real classloading — bare py4j attribute access returns a
+        # lazy JavaPackage even for classes that don't exist
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        )
     except Exception:
         return False
     ext = spark.conf.get("spark.sql.extensions", "") or ""

@@ -28,6 +28,9 @@ def get_spark(app_name: str = "poc_cdc_iceberg_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd: ~30% smaller files than snappy at comparable scan speed —
+        # at the 100 TB design point that's storage AND scan-I/O savings
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -105,6 +105,42 @@ class StreamingCdcPipeline:
         return self.spark.read.parquet(self.mirror_path)
 
 
+def kafka_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector is on the classpath."""
+    try:
+        # py4j attribute access is lazy (returns a JavaPackage even for
+        # missing classes) — force real classloading
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def kafka_changelog_stream(spark: SparkSession, brokers: str,
+                           pattern: str = "cdc.commerce.*"):
+    """The real-transport twin of the file-source stream: subscribe to
+    every topic matching the reference's regex
+    (`connect-iceberg-sink.json:9`) — downstream decode/apply is
+    identical. Gated: this container ships no Kafka connector, so the
+    hermetic file source is the tested path."""
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on classpath; use "
+            "StreamingCdcPipeline's file source or add the "
+            "spark-sql-kafka-0-10 package"
+        )
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribePattern", pattern)
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+    )
+
+
 def run_changelog_through_stream(spark: SparkSession, enveloped_batches:
                                  list[DataFrame], snapshot: DataFrame) -> DataFrame:
     """Feed envelope batches through a real streaming query (availableNow)

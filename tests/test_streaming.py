@@ -258,3 +258,18 @@ def test_routed_pipeline_fans_out_to_two_mirrors(spark, sf_dir):
     ).count() == 0
     # routing isolation: no key bleed between tables
     assert acc.join(prod, "k", "inner").count() == 0
+
+
+def test_kafka_gate_reports_cleanly(spark):
+    """No Kafka connector in this container: the gate must say so with
+    an actionable error, not a Py4J stack."""
+    import pytest
+
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.pipeline import (
+        kafka_available,
+        kafka_changelog_stream,
+    )
+
+    assert kafka_available(spark) is False
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_changelog_stream(spark, "localhost:9092")
