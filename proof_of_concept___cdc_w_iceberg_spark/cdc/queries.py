@@ -246,3 +246,57 @@ def q_cdc_soft_delete_log(spark, sf_dir):
         F.lit("commerce.account").alias("_cdc_source"),
         (F.col("op") == "d").alias("_cdc_deleted"),
     )
+
+
+@query(
+    "q_cdc_diff",
+    oracle="""
+        WITH old_t AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name, c_acctbal AS bal
+            FROM customer
+        ),
+        new_t AS (
+            SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+                   CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 50.0
+                        ELSE c_acctbal END AS bal
+            FROM customer WHERE c_custkey % 7 <> 0
+            UNION ALL
+            SELECT c_custkey + 20000000, 'ins_' || c_name, c_acctbal
+            FROM customer WHERE c_custkey % 11 = 0
+        )
+        SELECT COALESCE(n.k, o.k) AS k, n.name AS name, n.bal AS bal,
+               CASE WHEN o.k IS NULL THEN 'c'
+                    WHEN n.k IS NULL THEN 'd'
+                    ELSE 'u' END AS op
+        FROM old_t o FULL JOIN new_t n ON o.k = n.k
+        WHERE o.k IS NULL OR n.k IS NULL
+           OR o.name IS DISTINCT FROM n.name OR o.bal IS DISTINCT FROM n.bal
+    """,
+)
+def q_cdc_diff(spark, sf_dir):
+    """Incremental read / changelog scan: diff two versions of the
+    customer mirror into c/u/d events (the Iceberg changelog-scan
+    semantic, inverse of q_cdc_apply; round-trip law in tests)."""
+    from .diff import table_changes
+
+    c = load(spark, sf_dir, "customer")
+    old = c.select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    new = (
+        old.filter(F.col("k") % 7 != 0)
+        .withColumn(
+            "bal",
+            F.when(F.col("k") % 10 == 0, F.col("bal") + 50.0).otherwise(F.col("bal")),
+        )
+        .unionByName(
+            old.filter(F.col("k") % 11 == 0).select(
+                (F.col("k") + 20_000_000).alias("k"),
+                F.concat(F.lit("ins_"), F.col("name")).alias("name"),
+                "bal",
+            )
+        )
+    )
+    return table_changes(old, new, keys=["k"]).select("k", "name", "bal", "op")

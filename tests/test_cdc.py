@@ -188,3 +188,30 @@ def test_compaction_and_staging_cleanup(spark, sf_dir):
         os.makedirs(os.path.join(work, d), exist_ok=True)
     assert cleanup_staging(mirror) == 3
     assert os.path.isdir(mirror)
+
+
+def test_diff_apply_round_trip(spark, sf_dir):
+    """Round-trip law: apply(diff(old, new), old) == new."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.diff import table_changes
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    c = load(spark, sf_dir, "customer")
+    old = c.select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    new = (
+        old.filter(F.col("k") % 5 != 0)
+        .withColumn("bal", F.col("bal") + 1.0)
+        .unionByName(
+            old.filter(F.col("k") % 9 == 0).select(
+                (F.col("k") + 30_000_000).alias("k"), "name", "bal"
+            )
+        )
+    )
+    changes = table_changes(old, new, keys=["k"])
+    rebuilt = apply_changes(old, changes, keys=["k"])
+    assert mirror_diff(rebuilt, new).count() == 0
+    # empty diff for identical tables
+    assert table_changes(old, old, keys=["k"]).count() == 0
