@@ -194,3 +194,71 @@ def q_join_salted(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(dec_sum("l_quantity", 20, 4).alias("sum_qty"), F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1993-07-01'
+          AND o_orderdate < TIMESTAMP '1993-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): EXISTS as a left-semi
+    join — here against lineitems shipped >60 days after order date
+    (the fixture lineitem has no commit/receipt dates)."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1993-10-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(li, o.o_orderkey == li.l_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    ).select("o_orderkey").distinct()
+    return (
+        o.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+        GROUP BY l_linestatus
+    """,
+)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping priority split): selective fact
+    filter, FK join, conditional (CASE) aggregation — grouped by
+    l_linestatus (the fixture has no l_shipmode)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
