@@ -96,6 +96,143 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 _loaded = False
 
+# Driver-verification ordering. The external driver hash-checks only the
+# first 50 entries of ``queries()`` per round, so ordering is coverage
+# policy: queries that have never received a driver CORRECTNESS row go
+# first. Round-1 checked exactly the 50 names listed at the BACK of this
+# list (they stay regression-guarded locally by tests/test_correctness.py,
+# which runs the identical oracle gate over ALL queries).
+#
+# Rotation protocol for future rounds: once CORRECTNESS_r{N} lands, move
+# newly-green names to the back and pull never-checked names to the front
+# until every query has accumulated at least one green driver row.
+_CHECK_PRIORITY = [
+    # -- never driver-checked (r01 window was [:50]) -- front 50, all oracle-backed
+    # CDC composites (the engine's raison d'être)
+    "q_cdc_apply",
+    "q_cdc_apply_scale",
+    "q_cdc_diff",
+    "q_cdc_snapshot_then_stream",
+    "q_cdc_mirror_verify",
+    "q_cdc_soft_delete_log",
+    "q_source_changelog",
+    "q_envelope_decode",
+    "q_sink_upsert",
+    # window functions
+    "q_win_rownumber",
+    "q_win_rank",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_range_frame",
+    "q_win_ntile",
+    # scalar function families
+    "q_str_funcs",
+    "q_str_regex",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cast",
+    "q_case_when",
+    "q_json_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    # streaming (deterministic batch twins)
+    "q_stream_microbatch",
+    "q_stream_upsert",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_watermark",
+    "q_stream_heartbeat",
+    "q_stream_dedup",
+    # EXT: dedup family
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_embed",
+    # EXT: similarity (oracle-backed members)
+    "q_sim_topk",
+    "q_sim_pairwise",
+    # EXT: text analysis
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_ngram",
+    "q_text_fingerprint",
+    # EXT: multimodal
+    "q_multimodal_cols",
+    "q_multimodal_decode",
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    # -- never driver-checked, positions 51-63: rotate to front next round
+    "q_multimodal_framesample",
+    "q_udf_python",
+    "q_udf_pandas",
+    "q_udaf_grouped",
+    "q_udtf_explode",
+    "q_udtf_python",
+    "q_tpch_q4",
+    "q_tpch_q12",
+    "q_tpch_q18",
+    "q_sql_text",
+    "q_join_salted",
+    "q_sim_ivf",   # no-oracle (approximate) — rows-only check
+    "q_sim_lsh",   # no-oracle (approximate) — rows-only check
+    # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
+    "q_agg_count",
+    "q_agg_groupby",
+    "q_agg_distinct",
+    "q_agg_approx_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_collect",
+    "q_agg_approx_quantile",
+    "q_sample_stratified",
+    "q_project",
+    "q_project_computed",
+    "q_filter_eq",
+    "q_filter_range",
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_null",
+    "q_filter_compound",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta",
+    "q_join_multiway",
+    "q_join_asof",
+    "q_scan_full",
+    "q_scan_parquet",
+    "q_source_jdbc_snapshot",
+    "q_sink_append",
+    "q_sink_route",
+    "q_sink_orc",
+    "q_schema_evolve",
+    "q_insert_values",
+    "q_ddl_create",
+    "q_catalog_list",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_sort",
+    "q_sort_multi",
+    "q_limit",
+    "q_topk",
+    "q_tpch_q1",
+    "q_tpch_q3",
+]
+
 
 def _load() -> None:
     """Import every module that registers queries (idempotent)."""
@@ -112,7 +249,14 @@ def _load() -> None:
 
 def queries() -> dict[str, QueryFn]:
     _load()
-    return dict(_QUERIES)
+    ordered: dict[str, QueryFn] = {}
+    for name in _CHECK_PRIORITY:
+        if name in _QUERIES:
+            ordered[name] = _QUERIES[name]
+    for name, fn in _QUERIES.items():  # new queries not yet in the list
+        if name not in ordered:
+            ordered[name] = fn
+    return ordered
 
 
 def oracles() -> dict[str, str]:
