@@ -75,8 +75,15 @@ def apply_changes(target: DataFrame, changes: DataFrame, keys: list[str],
     then append the surviving latest images.
     """
     latest = compact_latest(changes, keys, order_cols)
-    touched = latest.select(*keys)
-    survivors = target.join(touched, on=list(keys), how="left_anti")
+    touched = latest.select(*[F.col(k).alias(f"__t_{k}") for k in keys])
+    # Null-safe anti join (still a hash equi-join): a plain-equality
+    # anti join can never drop a NULL-keyed row, which would break the
+    # diff/apply round-trip law for NULL keys.
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(k).eqNullSafe(F.col(f"__t_{k}")) for k in keys],
+    )
+    survivors = target.join(touched, cond, "left_anti")
     upserts = latest.filter(F.col(op_col) != "d").select(*target.columns)
     return survivors.unionByName(upserts)
 

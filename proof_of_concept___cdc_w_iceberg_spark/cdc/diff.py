@@ -32,19 +32,19 @@ def table_changes(old: DataFrame, new: DataFrame, keys: list[str],
     NULL data columns (Debezium delete shape). ``off`` is a
     deterministic per-key sequence usable as the merge order key."""
     data_cols = [c for c in old.columns if c not in keys]
-    o = old.alias("o")
-    n = new.alias("n")
+    # Presence must come from literal flags, not key nullability: the
+    # join is null-safe, so a row whose key is NULL on both sides is a
+    # MATCH — key-isNotNull would misclassify it as op='c' even when
+    # unchanged.
+    o = old.withColumn("__in_old", F.lit(True)).alias("o")
+    n = new.withColumn("__in_new", F.lit(True)).alias("n")
     cond = reduce(
         lambda a, b: a & b,
         [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
     )
     joined = o.join(n, cond, "full_outer")
-    in_old = reduce(
-        lambda a, b: a | b, [F.col(f"o.{k}").isNotNull() for k in keys]
-    )
-    in_new = reduce(
-        lambda a, b: a | b, [F.col(f"n.{k}").isNotNull() for k in keys]
-    )
+    in_old = F.col("o.__in_old").isNotNull()
+    in_new = F.col("n.__in_new").isNotNull()
     changed = ~F.struct(*[F.col(f"o.{c}") for c in data_cols]).eqNullSafe(
         F.struct(*[F.col(f"n.{c}") for c in data_cols])
     )

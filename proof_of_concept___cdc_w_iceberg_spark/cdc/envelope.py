@@ -100,9 +100,10 @@ def decode_envelope(df: DataFrame, schema: T.StructType = ENVELOPE_SCHEMA,
     if strict:
         bad = df.filter(env.getField("op").isNull()).limit(1).collect()
         if bad:
+            raw = bad[0][value_col]  # may be NULL (op parses NULL too)
             raise MalformedEnvelopeError(
                 f"unparseable change event (errors.tolerance=none): "
-                f"{bad[0][value_col][:200]!r}"
+                f"{raw[:200] if raw is not None else None!r}"
             )
     return df.select(
         env.getField("after").alias("after"),

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .apply import apply_changes
+from .apply import apply_changes, compact_latest
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -37,6 +37,29 @@ def iceberg_available(spark: SparkSession) -> bool:
     return "IcebergSparkSessionExtensions" in ext
 
 
+def merge_sql(target_table: str, source_cols: list[str], keys: list[str],
+              op_col: str = "op",
+              order_cols: list[str] = ("ts_ms", "off"),
+              source_view: str = "__cdc_merge_src") -> str:
+    """Render the CDC MERGE statement (factored out so the Iceberg SQL
+    path stays unit-testable in environments without the runtime jar)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    data_cols = [c for c in source_cols
+                 if c not in (*keys, op_col, *order_cols)]
+    set_clause = ", ".join(f"t.{c} = s.{c}" for c in data_cols)
+    insert_cols = ", ".join([*keys, *data_cols])
+    insert_vals = ", ".join(f"s.{c}" for c in [*keys, *data_cols])
+    return f"""
+        MERGE INTO {target_table} t
+        USING (SELECT * FROM {source_view}) s
+        ON {on}
+        WHEN MATCHED AND s.{op_col} = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET {set_clause}
+        WHEN NOT MATCHED AND s.{op_col} <> 'd'
+            THEN INSERT ({insert_cols}) VALUES ({insert_vals})
+    """
+
+
 def merge_into(spark: SparkSession, target_table: str, source: DataFrame,
                keys: list[str], op_col: str = "op",
                order_cols: list[str] = ("ts_ms", "off")) -> None:
@@ -47,22 +70,15 @@ def merge_into(spark: SparkSession, target_table: str, source: DataFrame,
     overwrite of the same catalog table.
     """
     if iceberg_available(spark):
-        source.createOrReplaceTempView("__cdc_merge_src")
-        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-        data_cols = [c for c in source.columns
-                     if c not in (*keys, op_col, *order_cols)]
-        set_clause = ", ".join(f"t.{c} = s.{c}" for c in data_cols)
-        insert_cols = ", ".join([*keys, *data_cols])
-        insert_vals = ", ".join(f"s.{c}" for c in [*keys, *data_cols])
-        spark.sql(f"""
-            MERGE INTO {target_table} t
-            USING (SELECT * FROM __cdc_merge_src) s
-            ON {on}
-            WHEN MATCHED AND s.{op_col} = 'd' THEN DELETE
-            WHEN MATCHED THEN UPDATE SET {set_clause}
-            WHEN NOT MATCHED AND s.{op_col} <> 'd'
-                THEN INSERT ({insert_cols}) VALUES ({insert_vals})
-        """)
+        # MERGE requires at most one source row per target row: a batch
+        # carrying several events for one key would make the ON clause
+        # multi-match and Iceberg/Spark reject the merge at runtime.
+        # The fallback path compacts inside apply_changes; compact here
+        # too so both gated paths share latest-wins semantics.
+        compact_latest(source, keys, list(order_cols)) \
+            .createOrReplaceTempView("__cdc_merge_src")
+        spark.sql(merge_sql(target_table, source.columns, keys,
+                            op_col=op_col, order_cols=order_cols))
         return
     target = spark.table(target_table)
     merged = apply_changes(target, source, keys, op_col=op_col,

@@ -20,23 +20,38 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..cdc.apply import apply_changes
-from ..cdc.envelope import ENVELOPE_SCHEMA, decode_envelope
+from ..cdc.envelope import ROW_SCHEMA, decode_envelope, envelope_schema
 
 
 class RoutedStreamingCdcPipeline:
     """File-source stream of mixed-table envelopes → N parquet mirrors.
 
     ``keys_by_target`` declares the id-columns per routed table (the
-    sink's ``iceberg.tables.*.id-columns``); unseen targets are
-    auto-created from their first batch (auto-create-enabled parity).
+    sink's ``iceberg.tables.*.id-columns``); ``row_schema_by_target``
+    the per-table row shape (the sink's per-table declared schemas,
+    `connect-iceberg-sink.json:30-33`), defaulting to the canonical
+    fixture row. Unseen targets are auto-created from their first
+    batch (auto-create-enabled parity). Each target's declared keys
+    must be columns of its row schema — asserted at construction.
     """
 
     def __init__(self, spark: SparkSession, keys_by_target: dict[str, list[str]],
-                 workdir: str | None = None):
+                 workdir: str | None = None,
+                 row_schema_by_target: dict[str, T.StructType] | None = None):
         self.spark = spark
         self.keys_by_target = keys_by_target
+        self.row_schema_by_target = row_schema_by_target or {}
+        for target, keys in keys_by_target.items():
+            row = self.row_schema_by_target.get(target, ROW_SCHEMA)
+            missing = set(keys) - {f.name for f in row.fields}
+            if missing:
+                raise ValueError(
+                    f"target {target!r}: declared id-columns {sorted(missing)} "
+                    f"not in its row schema {[f.name for f in row.fields]}"
+                )
         self.workdir = workdir or tempfile.mkdtemp(prefix="routed_cdc_")
         self.input_dir = os.path.join(self.workdir, "input")
         self.checkpoint = os.path.join(self.workdir, "checkpoint")
@@ -55,20 +70,37 @@ class RoutedStreamingCdcPipeline:
         os.rename(path + ".tmp", path)
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        decoded = decode_envelope(batch_df, schema=ENVELOPE_SCHEMA).persist()
+        # Route on the raw JSON (schema-independent), THEN decode each
+        # target's slice with its own typed envelope schema — targets
+        # may have entirely different row shapes.
+        target_col = F.concat(
+            F.lit("cdc."),
+            F.get_json_object(F.col("value"), "$.source.schema"),
+            F.lit("_"),
+            F.get_json_object(F.col("value"), "$.source.table"),
+        )
+        tagged = batch_df.withColumn("__target", target_col).persist()
         try:
             targets = [r[0] for r in
-                       decoded.select("_cdc_target").distinct().collect()]
+                       tagged.select("__target").distinct().collect()]
             for target in targets:
                 keys = self.keys_by_target.get(target)
                 if keys is None:
                     continue  # unrouted topic: reference would fail-fast
+                row = self.row_schema_by_target.get(target, ROW_SCHEMA)
+                data_cols = [f.name for f in row.fields if f.name not in keys]
+                decoded = decode_envelope(
+                    tagged.filter(F.col("__target") == target),
+                    schema=envelope_schema(row),
+                )
                 changes = (
-                    decoded.filter(F.col("_cdc_target") == target)
-                    .select(
-                        F.coalesce(F.col("after.k"), F.col("before.k")).alias("k"),
-                        F.col("after.name").alias("name"),
-                        F.col("after.bal").alias("bal"),
+                    decoded.select(
+                        *[
+                            F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}"))
+                            .alias(k)
+                            for k in keys
+                        ],
+                        *[F.col(f"after.{c}").alias(c) for c in data_cols],
                         "op", "ts_ms", "off",
                     )
                     .dropDuplicates([*keys, "off"])
@@ -77,7 +109,7 @@ class RoutedStreamingCdcPipeline:
                 if target not in self.mirrors:
                     # auto-create: first batch's upserts become the table
                     self.mirrors[target] = path
-                    empty = changes.select(*keys, "name", "bal").limit(0)
+                    empty = changes.select(*keys, *data_cols).limit(0)
                     empty.write.mode("overwrite").parquet(path)
                 merged = apply_changes(
                     self.spark.read.parquet(path), changes, keys=keys
@@ -89,7 +121,7 @@ class RoutedStreamingCdcPipeline:
 
                 cleanup_staging(path)
         finally:
-            decoded.unpersist()
+            tagged.unpersist()
 
     def start(self):
         stream = (
