@@ -8,6 +8,7 @@ with the mirror verified assertively (vs the manual re-query of
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -125,9 +126,7 @@ APPLY_SCALE_CHANGES_SQL = """
 """
 
 
-@query(
-    "q_cdc_apply_scale",
-    oracle=f"""
+APPLY_SCALE_MIRROR_SQL = f"""
         WITH mirror AS (
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
             FROM lineitem
@@ -145,16 +144,12 @@ APPLY_SCALE_CHANGES_SQL = """
         UNION ALL
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         FROM fc WHERE op <> 'd'
-    """,
-)
-def q_cdc_apply_scale(spark, sf_dir):
-    """CDC apply at the BASELINE.md gate shape: ~120 k change events
-    (updates on %10 orderkeys, deletes on %15 — overlapping keys
-    exercise latest-wins compaction — inserts of new keys on %12)
-    merged into the full lineitem mirror (~600 k rows at sf0.1) on the
-    composite key (l_orderkey, l_linenumber), written through a real
-    parquet sink. One shuffle to compact, one to merge; the change
-    side is AQE-broadcastable relative to a big mirror."""
+"""
+
+
+def _scale_mirror_and_changes(spark, sf_dir):
+    """The BASELINE.md apply-gate fixture: full lineitem as the mirror,
+    ~120 k mixed c/u/d events on (l_orderkey, l_linenumber)."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
@@ -180,10 +175,45 @@ def q_cdc_apply_scale(spark, sf_dir):
         )
         .unionByName(ev(12, "c", 2500, 2_000_000_000, key_shift=100_000_000))
     )
+    return li, changes
+
+
+@query("q_cdc_apply_scale", oracle=APPLY_SCALE_MIRROR_SQL)
+def q_cdc_apply_scale(spark, sf_dir):
+    """CDC apply at the BASELINE.md gate shape: ~120 k change events
+    (updates on %10 orderkeys, deletes on %15 — overlapping keys
+    exercise latest-wins compaction — inserts of new keys on %12)
+    merged into the full lineitem mirror (~600 k rows at sf0.1) on the
+    composite key (l_orderkey, l_linenumber), written through a real
+    parquet sink. One shuffle to compact, one to merge; the change
+    side is AQE-broadcastable relative to a big mirror."""
+    li, changes = _scale_mirror_and_changes(spark, sf_dir)
     mirror = apply_changes(li, changes, keys=["l_orderkey", "l_linenumber"])
     out = tempfile.mkdtemp(prefix="cdc_scale_mirror_")
     mirror.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@query("q_cdc_apply_bucketed", oracle=APPLY_SCALE_MIRROR_SQL)
+def q_cdc_apply_bucketed(spark, sf_dir):
+    """The SAME apply-gate semantics through the partition-scoped
+    merge (cdc/bucketed.py): mirror laid out as a key-hash-bucketed
+    parquet table, the batch rewriting only touched bucket partitions
+    via dynamic partition overwrite — the no-Iceberg analogue of the
+    sink's equality-delete snapshot commit
+    (`connect-iceberg-sink.json:30-33`). Hash-checked against the
+    identical oracle as q_cdc_apply_scale, so the driver verifies the
+    partition-scoped path is semantically indistinguishable from the
+    full rewrite."""
+    from .bucketed import BucketedMirror
+
+    li, changes = _scale_mirror_and_changes(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="cdc_bucketed_"), "mirror")
+    m = BucketedMirror(spark, path, keys=["l_orderkey", "l_linenumber"],
+                       n_buckets=16)
+    m.init(li)
+    m.apply(changes)
+    return m.read()
 
 
 @query("q_cdc_snapshot_then_stream", oracle=MIRROR_SQL)

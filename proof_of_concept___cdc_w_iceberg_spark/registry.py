@@ -111,6 +111,7 @@ _CHECK_PRIORITY = [
     # CDC composites (the engine's raison d'être)
     "q_cdc_apply",
     "q_cdc_apply_scale",
+    "q_cdc_apply_bucketed",  # r02: partition-scoped merge, same oracle
     "q_cdc_diff",
     "q_cdc_snapshot_then_stream",
     "q_cdc_mirror_verify",

@@ -24,15 +24,23 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cdc.apply import apply_changes
+from ..cdc.bucketed import BucketedMirror
 from ..cdc.envelope import ENVELOPE_SCHEMA, decode_envelope
 
 
 class StreamingCdcPipeline:
-    """File-source streaming CDC apply with a parquet mirror table."""
+    """File-source streaming CDC apply with a bucket-partitioned
+    parquet mirror table.
+
+    The mirror is a ``BucketedMirror`` (cdc/bucketed.py): each
+    micro-batch rewrites only the key-hash bucket partitions it
+    touches (dynamic partition overwrite), not the whole table —
+    per-batch cost stays O(touched buckets), which is what makes a
+    10 s trigger viable against a 100 TB mirror without Iceberg.
+    """
 
     def __init__(self, spark: SparkSession, workdir: str | None = None,
-                 trigger_seconds: int = 10):
+                 trigger_seconds: int = 10, n_buckets: int = 16):
         self.spark = spark
         self.workdir = workdir or tempfile.mkdtemp(prefix="stream_cdc_")
         self.input_dir = os.path.join(self.workdir, "input")
@@ -41,6 +49,8 @@ class StreamingCdcPipeline:
         self.trigger_seconds = trigger_seconds
         os.makedirs(self.input_dir, exist_ok=True)
         self.batches_applied = 0
+        self._mirror = BucketedMirror(spark, self.mirror_path, keys=["k"],
+                                      n_buckets=n_buckets)
 
     def feed(self, enveloped: DataFrame, name: str) -> None:
         """Drop a file of envelope JSON into the stream input (stands in
@@ -53,10 +63,11 @@ class StreamingCdcPipeline:
         os.rename(path + ".tmp", path)
 
     def init_mirror(self, snapshot: DataFrame) -> None:
-        snapshot.write.mode("overwrite").parquet(self.mirror_path)
+        self._mirror.init(snapshot)
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch: decode → dedup replays → compact → merge.
+        """foreachBatch: decode → dedup replays → compact →
+        partition-scoped merge (only touched buckets rewritten).
 
         Idempotent apply (`q_stream_dedup`): duplicate (key, offset)
         deliveries collapse before compaction, mirroring the
@@ -72,19 +83,8 @@ class StreamingCdcPipeline:
         ).dropDuplicates(["k", "off"])
         if changes.isEmpty():
             return
-        target = self.spark.read.parquet(self.mirror_path)
-        merged = apply_changes(target, changes, keys=["k"])
-        # Local-parquet commit: stage then swap (an Iceberg catalog
-        # would make this a single atomic snapshot commit instead).
-        staged = self.mirror_path + f"_b{batch_id}"
-        merged.write.mode("overwrite").parquet(staged)
-        final = self.spark.read.parquet(staged)
-        final.write.mode("overwrite").parquet(self.mirror_path)
+        self._mirror.apply(changes, tag=f"b{batch_id}")
         self.batches_applied += 1
-        # expire the staged swap dir (snapshot-expiration analogue)
-        from ..cdc.maintenance import cleanup_staging
-
-        cleanup_staging(self.mirror_path)
 
     def start(self, trigger_once: bool = True):
         stream = (
@@ -102,7 +102,7 @@ class StreamingCdcPipeline:
         return writer.start()
 
     def mirror(self) -> DataFrame:
-        return self.spark.read.parquet(self.mirror_path)
+        return self._mirror.read()
 
 
 def kafka_available(spark: SparkSession) -> bool:

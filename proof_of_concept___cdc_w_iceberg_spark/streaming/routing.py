@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..cdc.apply import apply_changes
+from ..cdc.bucketed import BucketedMirror
 from ..cdc.envelope import ROW_SCHEMA, decode_envelope, envelope_schema
 
 
@@ -40,9 +40,11 @@ class RoutedStreamingCdcPipeline:
 
     def __init__(self, spark: SparkSession, keys_by_target: dict[str, list[str]],
                  workdir: str | None = None,
-                 row_schema_by_target: dict[str, T.StructType] | None = None):
+                 row_schema_by_target: dict[str, T.StructType] | None = None,
+                 n_buckets: int = 8):
         self.spark = spark
         self.keys_by_target = keys_by_target
+        self.n_buckets = n_buckets
         self.row_schema_by_target = row_schema_by_target or {}
         for target, keys in keys_by_target.items():
             row = self.row_schema_by_target.get(target, ROW_SCHEMA)
@@ -56,7 +58,7 @@ class RoutedStreamingCdcPipeline:
         self.input_dir = os.path.join(self.workdir, "input")
         self.checkpoint = os.path.join(self.workdir, "checkpoint")
         os.makedirs(self.input_dir, exist_ok=True)
-        self.mirrors: dict[str, str] = {}
+        self.mirrors: dict[str, BucketedMirror] = {}
 
     def mirror_path(self, target: str) -> str:
         return os.path.join(self.workdir, target.replace(".", "_"))
@@ -105,21 +107,13 @@ class RoutedStreamingCdcPipeline:
                     )
                     .dropDuplicates([*keys, "off"])
                 )
-                path = self.mirror_path(target)
                 if target not in self.mirrors:
                     # auto-create: first batch's upserts become the table
-                    self.mirrors[target] = path
-                    empty = changes.select(*keys, *data_cols).limit(0)
-                    empty.write.mode("overwrite").parquet(path)
-                merged = apply_changes(
-                    self.spark.read.parquet(path), changes, keys=keys
-                )
-                staged = f"{path}_b{batch_id}"
-                merged.write.mode("overwrite").parquet(staged)
-                self.spark.read.parquet(staged).write.mode("overwrite").parquet(path)
-                from ..cdc.maintenance import cleanup_staging
-
-                cleanup_staging(path)
+                    m = BucketedMirror(self.spark, self.mirror_path(target),
+                                       keys=keys, n_buckets=self.n_buckets)
+                    m.init(changes.select(*keys, *data_cols).limit(0))
+                    self.mirrors[target] = m
+                self.mirrors[target].apply(changes, tag=f"b{batch_id}")
         finally:
             tagged.unpersist()
 
@@ -137,4 +131,8 @@ class RoutedStreamingCdcPipeline:
         )
 
     def mirror(self, target: str) -> DataFrame:
-        return self.spark.read.parquet(self.mirror_path(target))
+        if target in self.mirrors:
+            return self.mirrors[target].read()
+        keys = self.keys_by_target.get(target, ["k"])
+        return BucketedMirror(self.spark, self.mirror_path(target),
+                              keys=keys, n_buckets=self.n_buckets).read()

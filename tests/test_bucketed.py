@@ -1,0 +1,135 @@
+"""Partition-scoped CDC merge (cdc/bucketed.py): a change batch must
+physically rewrite ONLY the key-hash bucket partitions it touches —
+the property that makes the no-Iceberg fallback viable per-trigger at
+100 TB (the reference gets it from Iceberg equality-delete commits,
+`connect-iceberg-sink.json:30-33`).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from proof_of_concept___cdc_w_iceberg_spark.cdc.apply import apply_changes, mirror_diff
+from proof_of_concept___cdc_w_iceberg_spark.cdc.bucketed import (
+    BUCKET_COL,
+    BucketedMirror,
+    bucket_expr,
+)
+
+N_BUCKETS = 8
+
+
+def _snapshot(spark):
+    return spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("bal"),
+    )
+
+
+def _buckets_of(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    rows = df.select("k", bucket_expr(["k"], N_BUCKETS).alias("b")).collect()
+    return {r["k"]: r["b"] for r in rows}
+
+
+def _changes(spark, rows):
+    """rows: list of (k, name, bal, op, ts_ms, off)"""
+    return spark.createDataFrame(
+        rows, "k long, name string, bal double, op string, ts_ms long, off long"
+    )
+
+
+def test_apply_rewrites_only_touched_buckets(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="bucketed_"), "mirror")
+    m = BucketedMirror(spark, path, keys=["k"], n_buckets=N_BUCKETS)
+    snap = _snapshot(spark)
+    m.init(snap)
+    before = m.partition_files()
+    assert len(before) == N_BUCKETS  # 100 keys cover all 8 buckets
+
+    # one update + one delete, both keys from the SAME bucket
+    by_bucket = {}
+    for k, b in _buckets_of(spark, range(100)).items():
+        by_bucket.setdefault(b, []).append(k)
+    target_bucket, keys = next(iter(sorted(by_bucket.items())))
+    k_upd, k_del = keys[0], keys[1]
+    touched = m.apply(_changes(spark, [
+        (k_upd, "updated", 0.0, "u", 10, 1),
+        (k_del, None, None, "d", 10, 2),
+    ]))
+    assert touched == [target_bucket]
+
+    after = m.partition_files()
+    for b in range(N_BUCKETS):
+        if b == target_bucket:
+            assert after[b] != before[b], "touched bucket must be rewritten"
+        else:
+            assert after[b] == before[b], f"bucket {b} must be untouched"
+
+    # semantics identical to the plain full apply
+    expected = apply_changes(
+        snap,
+        _changes(spark, [(k_upd, "updated", 0.0, "u", 10, 1),
+                         (k_del, None, None, "d", 10, 2)]),
+        keys=["k"],
+    )
+    assert mirror_diff(m.read(), expected).count() == 0
+
+
+def test_apply_clears_fully_deleted_bucket(spark):
+    """Dynamic partition overwrite writes nothing for an emptied
+    bucket — the module must clear it explicitly or deletes resurrect."""
+    path = os.path.join(tempfile.mkdtemp(prefix="bucketed_"), "mirror")
+    m = BucketedMirror(spark, path, keys=["k"], n_buckets=N_BUCKETS)
+    m.init(_snapshot(spark))
+
+    by_bucket = {}
+    for k, b in _buckets_of(spark, range(100)).items():
+        by_bucket.setdefault(b, []).append(k)
+    target_bucket, keys = next(iter(sorted(by_bucket.items())))
+    m.apply(_changes(spark, [
+        (k, None, None, "d", 10, i) for i, k in enumerate(keys)
+    ]))
+    assert target_bucket not in m.partition_files()
+    got = m.read()
+    assert got.filter(F.col("k").isin(keys)).count() == 0
+    assert got.count() == 100 - len(keys)
+
+
+def test_auto_create_from_empty_mirror(spark):
+    """Routing auto-create path: init with a 0-row frame, then apply —
+    the schema sidecar carries the row shape."""
+    path = os.path.join(tempfile.mkdtemp(prefix="bucketed_"), "mirror")
+    m = BucketedMirror(spark, path, keys=["k"], n_buckets=N_BUCKETS)
+    snap = _snapshot(spark)
+    m.init(snap.limit(0))
+    assert m.read().count() == 0
+    assert m.read().schema == snap.schema
+
+    m.apply(_changes(spark, [
+        (1, "a", 1.0, "c", 10, 1),
+        (2, "b", 2.0, "c", 10, 2),
+        (1, "a2", 1.5, "u", 20, 3),   # latest-wins within the batch
+    ]))
+    rows = {r["k"]: (r["name"], r["bal"]) for r in m.read().collect()}
+    assert rows == {1: ("a2", 1.5), 2: ("b", 2.0)}
+
+
+def test_apply_batches_accumulate_and_idempotent_replay(spark):
+    path = os.path.join(tempfile.mkdtemp(prefix="bucketed_"), "mirror")
+    m = BucketedMirror(spark, path, keys=["k"], n_buckets=N_BUCKETS)
+    snap = _snapshot(spark)
+    m.init(snap)
+    batch = _changes(spark, [
+        (3, "x", 9.9, "u", 100, 1),
+        (200, "new", 1.0, "c", 100, 2),
+        (7, None, None, "d", 100, 3),
+    ])
+    m.apply(batch, tag="b0")
+    m.apply(batch, tag="b0_replay")  # replay: latest-wins makes it a no-op
+    expected = apply_changes(snap, batch, keys=["k"])
+    assert mirror_diff(m.read(), expected).count() == 0
