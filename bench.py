@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "q_join_salted",
     "q_agg_groupby",
     "q_cdc_apply_scale",
+    "q_cdc_apply_bucketed",
     "q_join_multiway",
     "q_join_broadcast",
     "q_join_asof",
@@ -42,7 +43,11 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_embed",
     "q_sim_topk",
+    "q_sim_lsh",
+    "q_sim_ivf",
     "q_text_stats",
     "q_text_fingerprint",
     "q_topk",
