@@ -181,6 +181,7 @@ _CHECK_PRIORITY = [
     "q_join_salted",
     "q_sim_ivf",   # no-oracle (approximate) — rows-only check
     "q_sim_lsh",   # no-oracle (approximate) — rows-only check
+    "q_sink_avro",  # r02: format-gated round-trip
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",
