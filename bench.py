@@ -26,6 +26,8 @@ BENCH_QUERIES = [
     "q_str_funcs",
     "q_tpch_q1",
     "q_tpch_q3",
+    "q_tpch_q6",
+    "q_tpch_q10",
     "q_tpch_q18",
     "q_sql_text",
     "q_join_salted",

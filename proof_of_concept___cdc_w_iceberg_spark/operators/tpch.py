@@ -143,8 +143,8 @@ def q_tpch_q18(spark, sf_dir):
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1994-01-01'
-          AND o_orderdate < TIMESTAMP '1995-01-01'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
     """,
 )
@@ -164,8 +164,8 @@ def q_sql_text(spark, sf_dir):
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1994-01-01'
-          AND o_orderdate < TIMESTAMP '1995-01-01'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
     """)
 
@@ -201,8 +201,8 @@ def q_join_salted(spark, sf_dir):
     oracle="""
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
         FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1993-07-01'
-          AND o_orderdate < TIMESTAMP '1993-10-01'
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o_orderdate < TIMESTAMP '1995-10-01'
           AND EXISTS (
               SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey
@@ -216,8 +216,8 @@ def q_tpch_q4(spark, sf_dir):
     join — here against lineitems shipped >60 days after order date
     (the fixture lineitem has no commit/receipt dates)."""
     o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1993-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1993-10-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     late = o.join(li, o.o_orderkey == li.l_orderkey).filter(
@@ -239,8 +239,8 @@ def q_tpch_q4(spark, sf_dir):
                CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-          AND l_shipdate < TIMESTAMP '1995-01-01'
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
         GROUP BY l_linestatus
     """,
 )
@@ -249,8 +249,8 @@ def q_tpch_q12(spark, sf_dir):
     filter, FK join, conditional (CASE) aggregation — grouped by
     l_linestatus (the fixture has no l_shipmode)."""
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -260,5 +260,153 @@ def q_tpch_q12(spark, sf_dir):
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting revenue change: the pure predicate-pushdown
+    benchmark — every filter must reach the parquet scan; a single
+    global agg with map-side partials, no groupBy shuffle at all."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 20, 4)
+             .alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: fact-side filters cut both
+    big tables before the join; nation broadcasts; top-20 is
+    TakeOrderedAndProject, never a full sort. (Fixture customer has no
+    address/phone/comment — output trimmed; quarter window shifted into
+    the fixture's 1995-2001 orderdate range.)"""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 20, 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+        SELECT ROUND(
+            100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                       AS DECIMAL(20,4))) AS DOUBLE)
+                  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(20,4))) AS DOUBLE), 4) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion effect: month-sliced fact join to a
+    broadcast dim, conditional ratio aggregate. Both sums are exact
+    decimals, so the one double division is cross-engine stable
+    (rounded to 4 for belt-and-braces)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * dec_sum(promo, 20, 4) / dec_sum(disc, 20, 4), 4
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 11)
+           OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#2'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 discounted revenue: the disjunctive-predicate join.
+    The equi-key (l_partkey = p_partkey) carries the join; the OR-of-
+    conjuncts stays a residual filter on a broadcast hash join — NOT a
+    nested-loop join (the trap q_sim_lsh's fix guards against).
+    (Fixture has no l_shipmode/l_shipinstruct — disjuncts use
+    brand/size/quantity only.)"""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, sz, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((b == "Brand#4") & sz.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#19") & sz.between(10, 30) & q.between(10, 20))
+        | ((b == "Brand#2") & sz.between(20, 50) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 20, 4
+            ).alias("revenue")
         )
     )

@@ -182,6 +182,10 @@ _CHECK_PRIORITY = [
     "q_sim_ivf",   # no-oracle (approximate) — rows-only check
     "q_sim_lsh",   # no-oracle (approximate) — rows-only check
     "q_sink_avro",  # r02: format-gated round-trip
+    "q_tpch_q6",    # r02 SQL-surface widening
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q19",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",
