@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "q_dedup_ngram",
     "q_dedup_simhash",
     "q_dedup_embed",
+    "q_dedup_cluster",
+    "q_embed_centroid",
     "q_sim_topk",
     "q_sim_lsh",
     "q_sim_ivf",

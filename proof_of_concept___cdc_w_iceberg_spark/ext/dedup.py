@@ -347,3 +347,81 @@ def q_dedup_simhash(spark, sf_dir):
     return cand.filter(ham <= 3).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     )
+
+
+DEDUP_CLUSTER_SQL = f"""
+    WITH RECURSIVE pairs AS ({NGRAM_PAIRS_SQL}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT) AS component,
+           CAST(CASE WHEN LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) = d.doc_id
+                THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+"""
+
+
+@query("q_dedup_cluster", oracle=DEDUP_CLUSTER_SQL)
+def q_dedup_cluster(spark, sf_dir):
+    """Transitive dedup clustering: connected components over the
+    near-dup pair graph (doc A ~ B ~ C collapse to ONE group even when
+    A ~ C was never emitted as a pair). The piece every real dedup
+    pipeline needs between "pairs found" and "rows dropped": keep one
+    canonical doc per component.
+
+    Spark-first design: iterative min-label propagation — each round is
+    one distributed join + min-agg, looped to convergence on the
+    driver (the standard Spark shape for iterative graph algorithms;
+    at 100 TB you'd switch the inner step to the large-star/small-star
+    form, which converges in O(log n) rounds, but the outer driver
+    loop is identical). Dedup components are tiny in practice (dup
+    groups of 2-5 docs), so rounds ≈ max component diameter ≈ 2-3.
+    Oracle: DuckDB recursive-CTE transitive closure + min-reachable.
+    """
+    pairs = q_dedup_ngram(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .persist()
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("comp")
+    ).persist()
+    for _ in range(20):  # convergence cap >> any real dup-group diameter
+        prop = edges.join(
+            labels, edges.a == labels.node
+        ).select(F.col("b").alias("node"), F.col("comp"))
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        F.when(F.col("comp") == F.col("node"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("is_canonical"),
+    )

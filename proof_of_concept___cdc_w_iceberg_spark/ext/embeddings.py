@@ -1,0 +1,80 @@
+"""EXT — embedding-column transformations for training-data pipelines.
+
+Per-label centroids (the build step of IVF/coarse k-means, and the
+class-prototype computation used in data curation) and L2
+normalization (the preprocessing step every cosine-similarity pipeline
+runs). Both emit LONG format (id/label, dim, value) rather than float
+arrays: element-at-a-time rows hash cross-engine exactly, and at scale
+long format is also what you want — per-(label, dim) partial sums
+map-combine to a tiny shuffle (|labels| x |dims| groups), instead of
+shipping whole vectors to a per-label reducer.
+
+Determinism: element sums go through DECIMAL(20,10) (exact,
+order-independent addition); the float32 -> double element conversion
+is exact; single divisions on identical inputs are IEEE754-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+from .similarity import SQNORM_SQL, _sqnorm
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+        SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+               ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS centroid
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY label, i
+    """,
+)
+def q_embed_centroid(spark, sf_dir):
+    """Per-label mean embedding (IVF build step / class prototypes).
+    posexplode -> groupBy(label, dim): partial aggregation collapses
+    each map task to |labels| x |dims| rows before the shuffle, so the
+    exchange is tiny no matter how many vectors feed it."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        exploded.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double").cast("decimal(20,10)"))
+                .cast("double") / F.count("*"),
+                6,
+            ).alias("centroid")
+        )
+    )
+
+
+@query(
+    "q_embed_normalize",
+    oracle=f"""
+        SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+               ROUND(CAST(embedding[i] AS DOUBLE)
+                     / sqrt({SQNORM_SQL.format(a='embedding')}), 6) AS val
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        WHERE vec_id % 50 = 0
+    """,
+)
+def q_embed_normalize(spark, sf_dir):
+    """L2 normalization of the embedding column (sampled slice so the
+    long-format output stays bounded). The squared norm is the same
+    sequential fold as the cosine pipeline, so scores downstream of
+    either path agree bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 50 == 0)
+    exploded = e.select(
+        "vec_id",
+        _sqnorm(F.col("embedding")).alias("sq"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    return exploded.select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("x").cast("double") / F.sqrt("sq"), 6).alias("val"),
+    )

@@ -275,3 +275,89 @@ def q_text_fingerprint(spark, sf_dir):
         F.md5(canon).alias("fingerprint"),
         F.md5("text").alias("exact_fp"),
     )
+
+
+@query(
+    "q_text_vocab",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        )
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY token
+        ORDER BY df DESC, token LIMIT 50
+    """,
+)
+def q_text_vocab(spark, sf_dir):
+    """Vocabulary building: per-token document frequency + term
+    frequency, top-50. The tokenizer-training / vocab-pruning primitive
+    of an LLM data pipeline. One explode, one groupBy — df via exact
+    countDistinct (at trillion-token scale you'd swap in
+    approx_count_distinct; exact keeps the oracle byte-identical)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("tf"),
+        )
+        .orderBy(F.col("df").desc(), "token")
+        .limit(50)
+    )
+
+
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_PHONE = "\\+?[0-9][0-9-]{7,}[0-9]"
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle=f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id ||
+                   '@example.com or +1-555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+            FROM documents
+        ),
+        counted AS (
+            SELECT doc_id, t,
+                   CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones
+            FROM injected
+        )
+        SELECT doc_id, n_emails, n_phones,
+               md5(regexp_replace(regexp_replace(t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{PII_PHONE}', '[PHONE]', 'g')) AS scrub_fp
+        FROM counted
+    """,
+)
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction: regex-scrub emails and phone numbers, count
+    redactions, fingerprint the scrubbed text. The fixture corpus is
+    synthetic word-salad with no real PII, so a deterministic
+    email+phone per doc is INJECTED first and then scrubbed — the
+    round-trip proves the scrubber against known-planted PII. All
+    JVM-side regexp (codegen), no Python in the pipeline."""
+    d = load(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(injected, PII_EMAIL, "[EMAIL]"),
+        PII_PHONE, "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(injected, F.lit(PII_EMAIL), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(injected, F.lit(PII_PHONE), 0))
+        .cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_fp"),
+    )

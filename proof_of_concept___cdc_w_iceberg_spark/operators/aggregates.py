@@ -10,6 +10,7 @@ order-independent and bit-equal to the DuckDB oracle (see _util.py).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -272,4 +273,95 @@ def q_sample_stratified(spark, sf_dir):
     )
     return joined.select(
         "o_orderpriority", "n_total", F.when(ok, 1).otherwise(0).alias("sample_ok")
+    )
+
+
+@query(
+    "q_agg_median",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(CAST(median(l_extendedprice) AS DOUBLE), 4) AS median_price,
+               ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_median(spark, sf_dir):
+    """Exact median + continuous p90 per group. Sort-based exact
+    percentiles — deterministic on both engines (interpolated at even
+    counts), unlike the sketch path q_agg_approx_quantile covers."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+            .alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+            .alias("p90_price"),
+        )
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "q_pivot",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """PIVOT: long-to-wide reshaping (status x priority counts). The
+    value list is explicit — Spark then pivots in ONE aggregation pass
+    without the extra distinct-values job, and the output schema is
+    stable for the oracle. Missing combos coalesce to 0 (Spark pivots
+    them to NULL, DuckDB's FILTER counts 0)."""
+    piv = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p) for p in _PRIORITIES],
+    )
+
+
+@query(
+    "q_sample_reservoir",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source FROM ranked WHERE rn <= 2
+    """,
+)
+def q_sample_reservoir(spark, sf_dir):
+    """Deterministic per-group 'reservoir' sample: k=2 docs per source,
+    selected by md5(doc_id) order — a seedable, engine-independent
+    stand-in for random sampling that is reproducible across reruns
+    and engines (the property a curation pipeline needs for audits).
+    One hash + one per-group top-k window; at scale the window's
+    per-partition top-k avoids a global sort."""
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("doc_id", "source")
     )

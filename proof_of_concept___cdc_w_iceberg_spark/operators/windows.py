@@ -164,3 +164,26 @@ def q_win_ntile(spark, sf_dir):
     return load(spark, sf_dir, "orders").select(
         "o_orderkey", F.ntile(4).over(w).alias("quartile")
     )
+
+
+@query(
+    "q_win_percentile",
+    oracle="""
+        SELECT c_custkey,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_win_percentile(spark, sf_dir):
+    """percent_rank + cume_dist per segment — the distributional
+    window pair (used for per-group score normalization in curation
+    pipelines). Total order (acctbal, custkey) makes both functions
+    tie-free and cross-engine exact."""
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -186,6 +186,16 @@ _CHECK_PRIORITY = [
     "q_tpch_q10",
     "q_tpch_q14",
     "q_tpch_q19",
+    # r02 operator widening (rotate into the front window in r03)
+    "q_dedup_cluster",
+    "q_embed_centroid",
+    "q_embed_normalize",
+    "q_text_vocab",
+    "q_text_pii_scrub",
+    "q_agg_median",
+    "q_pivot",
+    "q_sample_reservoir",
+    "q_win_percentile",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",
@@ -250,7 +260,7 @@ def _load() -> None:
     from .functions import scalar  # noqa: F401
     from .cdc import queries as _cdc  # noqa: F401
     from .streaming import queries as _streaming  # noqa: F401
-    from .ext import dedup, multimodal, similarity, text, udfs  # noqa: F401
+    from .ext import dedup, embeddings, multimodal, similarity, text, udfs  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
