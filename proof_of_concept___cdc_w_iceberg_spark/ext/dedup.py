@@ -370,34 +370,23 @@ DEDUP_CLUSTER_SQL = f"""
 """
 
 
-@query("q_dedup_cluster", oracle=DEDUP_CLUSTER_SQL)
-def q_dedup_cluster(spark, sf_dir):
-    """Transitive dedup clustering: connected components over the
-    near-dup pair graph (doc A ~ B ~ C collapse to ONE group even when
-    A ~ C was never emitted as a pair). The piece every real dedup
-    pipeline needs between "pairs found" and "rows dropped": keep one
-    canonical doc per component.
+def connected_components(nodes, pairs, max_rounds: int = 20):
+    """Min-label propagation: (node) x (id_a, id_b) -> (node, comp)
+    where comp = min node id of the connected component.
 
-    Spark-first design: iterative min-label propagation — each round is
-    one distributed join + min-agg, looped to convergence on the
-    driver (the standard Spark shape for iterative graph algorithms;
-    at 100 TB you'd switch the inner step to the large-star/small-star
-    form, which converges in O(log n) rounds, but the outer driver
-    loop is identical). Dedup components are tiny in practice (dup
-    groups of 2-5 docs), so rounds ≈ max component diameter ≈ 2-3.
-    Oracle: DuckDB recursive-CTE transitive closure + min-reachable.
-    """
-    pairs = q_dedup_ngram(spark, sf_dir).select("id_a", "id_b")
+    Each round is one distributed join + min-agg, looped to convergence
+    on the driver — the standard Spark shape for iterative graph
+    algorithms. At 100 TB you'd switch the inner step to the
+    large-star/small-star form (O(log n) rounds); dedup components are
+    tiny in practice (dup groups of 2-5 docs), so rounds ≈ component
+    diameter ≈ 2-3 and the simple form wins on constant factors."""
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .persist()
     )
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("comp")
-    ).persist()
-    for _ in range(20):  # convergence cap >> any real dup-group diameter
+    labels = nodes.select(F.col("node"), F.col("node").alias("comp")).persist()
+    for _ in range(max_rounds):
         prop = edges.join(
             labels, edges.a == labels.node
         ).select(F.col("b").alias("node"), F.col("comp"))
@@ -419,6 +408,23 @@ def q_dedup_cluster(spark, sf_dir):
         if changed == 0:
             break
     edges.unpersist()
+    return labels
+
+
+@query("q_dedup_cluster", oracle=DEDUP_CLUSTER_SQL)
+def q_dedup_cluster(spark, sf_dir):
+    """Transitive dedup clustering: connected components over the
+    near-dup pair graph (doc A ~ B ~ C collapse to ONE group even when
+    A ~ C was never emitted as a pair). The piece every real dedup
+    pipeline needs between "pairs found" and "rows dropped": keep one
+    canonical doc per component.
+    Oracle: DuckDB recursive-CTE transitive closure + min-reachable.
+    """
+    pairs = q_dedup_ngram(spark, sf_dir).select("id_a", "id_b")
+    nodes = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    labels = connected_components(nodes, pairs)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("component"),

@@ -92,3 +92,62 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     if len(per_query) >= 4:
         recall = len(got & brute) / len(brute)
         assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_connected_components_chain_transitivity(spark):
+    """A chain 1-2, 2-3, 3-4 plus isolated 9 must collapse to one
+    component labeled 1 (transitive), with 9 its own singleton —
+    and converge within the round cap (diameter 3)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 9]], ["node"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_dedup_cluster_components_contain_pair_endpoints(spark, sf_dir):
+    """Every near-dup pair's two docs must land in the same component,
+    and each component's canonical doc must be its min doc_id."""
+    comp = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in QS["q_dedup_cluster"](spark, sf_dir).collect()
+    }
+    pairs = QS["q_dedup_ngram"](spark, sf_dir).collect()
+    assert pairs, "fixture should contain planted near-dups"
+    for p in pairs:
+        assert comp[p["id_a"]][0] == comp[p["id_b"]][0]
+    by_comp: dict[int, list[int]] = {}
+    for doc, (c, _canon) in comp.items():
+        by_comp.setdefault(c, []).append(doc)
+    for c, members in by_comp.items():
+        assert c == min(members)
+        assert comp[c][1] == 1
+
+
+def test_embed_centroid_matches_numpy(spark, sf_dir):
+    """Per-label centroid agrees with a local numpy mean."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings").collect()
+    want: dict[int, np.ndarray] = {}
+    for lab in {r["label"] for r in e}:
+        vecs = np.array([r["embedding"] for r in e if r["label"] == lab],
+                        dtype=np.float64)
+        want[lab] = vecs.mean(axis=0)
+    got = QS["q_embed_centroid"](spark, sf_dir).collect()
+    assert len(got) == len(want) * 64
+    for r in got:
+        assert abs(r["centroid"] - want[r["label"]][r["dim"]]) < 1e-5
+
+
+def test_pii_scrub_removes_all_planted_pii(spark, sf_dir):
+    """Every doc had exactly one email and one phone injected; both
+    counts must be 1 (regexes catch all planted PII)."""
+    rows = QS["q_text_pii_scrub"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] == 1, r
+        assert r["n_phones"] == 1, r

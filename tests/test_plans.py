@@ -79,3 +79,42 @@ def test_lsh_bucketing_is_equi_join_not_nested_loop(spark, sf_dir):
             f"{name} degenerated to a nested-loop join"
         )
         assert "BroadcastHashJoin" in plan, f"{name} lost its hash join"
+
+
+def test_q19_disjunctive_join_stays_hash_join(spark, sf_dir):
+    """Q19's OR-of-conjuncts must ride the p_partkey equi-key as a
+    residual filter on a BroadcastHashJoin — not degrade to a
+    nested-loop join."""
+    plan = explain_str(QS["q_tpch_q19"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_embed_centroid_partial_aggregates(spark, sf_dir):
+    """The posexplode -> groupBy(label, dim) shape must map-combine to
+    |labels| x |dims| partial states before its single shuffle."""
+    from proof_of_concept___cdc_w_iceberg_spark.plans.explain import count_exchanges
+
+    plan = explain_str(QS["q_embed_centroid"](spark, sf_dir))
+    assert "partial_sum" in plan and "partial_count" in plan
+    assert count_exchanges(plan) == 1
+
+
+def test_pivot_plans_without_distinct_values_job(spark, sf_dir):
+    """Explicit pivot values => no distinct-values collect job; Spark
+    plans count-then-pivotfirst (2 exchanges, both map-combined — the
+    first agg collapses to |status| x |priority| rows, so the second
+    shuffle is trivial at any scale)."""
+    from proof_of_concept___cdc_w_iceberg_spark.plans.explain import count_exchanges
+
+    plan = explain_str(QS["q_pivot"](spark, sf_dir))
+    assert "partial_pivotfirst" in plan and "partial_count" in plan
+    assert count_exchanges(plan) <= 2
+
+
+def test_reservoir_sample_no_global_sort(spark, sf_dir):
+    """Per-group top-k via window: one hash-partition exchange on the
+    group key, a per-partition sort — never a global range sort."""
+    plan = explain_str(QS["q_sample_reservoir"](spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower().replace(" ", "")
