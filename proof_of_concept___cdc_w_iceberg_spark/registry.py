@@ -196,6 +196,8 @@ _CHECK_PRIORITY = [
     "q_pivot",
     "q_sample_reservoir",
     "q_win_percentile",
+    "q_cdc_time_travel",
+    "q_cdc_incremental_read",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",
