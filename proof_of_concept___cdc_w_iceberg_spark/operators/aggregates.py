@@ -365,3 +365,61 @@ def q_sample_reservoir(spark, sf_dir):
         .filter(F.col("rn") <= 2)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,8)))
+                        AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,8)))
+                        AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,8)))
+                        AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               ROUND((sxy - sx * sy / n) / (n - 1), 4) AS covar_qty_price,
+               ROUND((sxy - sx * sy / n)
+                     / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+                   AS corr_qty_price,
+               ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty
+        FROM s
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    """Statistical aggregates (covariance / correlation / stddev) per
+    group. Built from decimal-EXACT co-moment sums (Σx, Σy, Σxy, Σx²,
+    Σy²) + closed-form arithmetic — order-independent and so
+    cross-engine hash-stable, unlike the engines' native covar/corr
+    accumulators whose float summation order differs. Same single
+    shuffle + map-side partials as any groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    qd = F.col("l_quantity")
+    pd_ = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(qd.cast("decimal(24,6)")).cast("double").alias("sx"),
+        F.sum(pd_.cast("decimal(24,6)")).cast("double").alias("sy"),
+        F.sum((qd * qd).cast("decimal(30,8)")).cast("double").alias("sxx"),
+        F.sum((pd_ * pd_).cast("decimal(30,8)")).cast("double").alias("syy"),
+        F.sum((qd * pd_).cast("decimal(30,8)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        F.round((sxy - sx * sy / n) / (n - F.lit(1.0)), 4)
+        .alias("covar_qty_price"),
+        F.round(
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6
+        ).alias("corr_qty_price"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))), 6)
+        .alias("stddev_qty"),
+    )

@@ -198,6 +198,8 @@ _CHECK_PRIORITY = [
     "q_win_percentile",
     "q_cdc_time_travel",
     "q_cdc_incremental_read",
+    "q_agg_stats",
+    "q_stream_join",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",

@@ -220,3 +220,32 @@ def q_stream_dedup(spark, sf_dir):
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     replayed = e.filter(F.col("event_id") % 3 == 0)
     return e.unionByName(replayed).dropDuplicates(["event_id"])
+
+
+@query(
+    "q_stream_join",
+    oracle="""
+        SELECT c_mktsegment, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        FROM events JOIN customer ON c_custkey = user_id + 1
+        GROUP BY c_mktsegment, event_type
+    """,
+)
+def q_stream_join(spark, sf_dir):
+    """Stream-static enrichment join: the event stream joined to the
+    customer dimension (user_id -> c_custkey), aggregated per segment.
+    Structured Streaming supports this natively — the static side is
+    re-broadcast per micro-batch, no state store involved; the live
+    readStream twin is exercised in tests/test_streaming.py."""
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(c), ev.user_id + 1 == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -273,3 +273,35 @@ def test_kafka_gate_reports_cleanly(spark):
     assert kafka_available(spark) is False
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_changelog_stream(spark, "localhost:9092")
+
+
+def test_streaming_static_join_matches_batch(spark, sf_dir):
+    """q_stream_join's semantics under a real readStream: the static
+    dim side joins against each micro-batch — final aggregate equals
+    the batch twin."""
+    events = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    src = tempfile.mkdtemp(prefix="stream_join_")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = (
+        stream.join(F.broadcast(dim), stream.user_id + 1 == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_join_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM stream_join_test")
+    expected = (
+        events.join(F.broadcast(dim), events.user_id + 1 == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
