@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "q_sim_ivf",
     "q_text_stats",
     "q_text_fingerprint",
+    "q_pipeline_curate",
     "q_topk",
 ]
 

@@ -234,3 +234,36 @@ def q_catalog_list(spark, sf_dir):
     return spark.sql("SHOW TABLES LIKE 'region|nation|customer'").select(
         "tableName", "isTemporary"
     )
+
+
+@query(
+    "q_sink_json",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_sink_json(spark, sf_dir):
+    """JSON-lines sink round-trip — the reference's transport format
+    (JSON-with-schema over Kafka, `connect-standalone.properties:2-5`)
+    as an at-rest format. Read back with an explicit schema: schema
+    inference over a lake-scale JSON dataset is a full extra pass."""
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    path = tempfile.mkdtemp(prefix="sink_json_")
+    n.write.mode("overwrite").json(path)
+    return spark.read.schema(n.schema).json(path)
+
+
+@query(
+    "q_sink_csv",
+    oracle="""
+        SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    """,
+)
+def q_sink_csv(spark, sf_dir):
+    """CSV sink round-trip with header + explicit read schema (the
+    interchange format every ingest edge still speaks)."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    path = tempfile.mkdtemp(prefix="sink_csv_")
+    s.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(s.schema).option("header", "true").csv(path)

@@ -200,6 +200,9 @@ _CHECK_PRIORITY = [
     "q_cdc_incremental_read",
     "q_agg_stats",
     "q_stream_join",
+    "q_pipeline_curate",
+    "q_sink_json",
+    "q_sink_csv",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",
@@ -264,7 +267,7 @@ def _load() -> None:
     from .functions import scalar  # noqa: F401
     from .cdc import queries as _cdc  # noqa: F401
     from .streaming import queries as _streaming  # noqa: F401
-    from .ext import dedup, embeddings, multimodal, similarity, text, udfs  # noqa: F401
+    from .ext import dedup, embeddings, multimodal, pipeline, similarity, text, udfs  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
