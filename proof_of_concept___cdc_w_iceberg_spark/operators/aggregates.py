@@ -335,6 +335,44 @@ def q_pivot(spark, sf_dir):
 
 
 @query(
+    "q_unpivot",
+    oracle="""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS value FROM wide
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: wide-to-long reshaping, the inverse of q_pivot.
+    Spark's native ``unpivot`` emits all measures per input row in one
+    pass — no self-union of N scans (the oracle's UNION ALL form reads
+    the 6-row aggregate thrice; at lake scale the single-pass shape is
+    the one that matters)."""
+    wide = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_price"),
+            dec_sum("l_discount").alias("sum_disc"),
+        )
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
+        "measure", "value",
+    )
+
+
+@query(
     "q_sample_reservoir",
     oracle="""
         WITH ranked AS (

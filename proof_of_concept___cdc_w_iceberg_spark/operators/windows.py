@@ -187,3 +187,38 @@ def q_win_percentile(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q_win_first_last",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               first_value(o_orderkey) OVER w AS first_ok,
+               last_value(o_orderkey) OVER w AS last_ok,
+               nth_value(o_orderkey, 2) OVER w AS second_ok
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+)
+def q_win_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value over the FULL frame —
+    note last_value needs the explicit unbounded-following frame (the
+    default frame ends at CURRENT ROW, a classic silent-wrong-answer);
+    (o_orderdate, o_orderkey) is a total order so all three are
+    deterministic. Single-customer history in one window pass — the
+    'first/last touch attribution' shape."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )

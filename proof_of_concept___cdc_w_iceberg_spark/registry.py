@@ -203,6 +203,15 @@ _CHECK_PRIORITY = [
     "q_pipeline_curate",
     "q_sink_json",
     "q_sink_csv",
+    "q_exists_subquery",
+    "q_in_subquery",
+    "q_scalar_subquery",
+    "q_lateral_join",
+    "q_sql_recursive",
+    "q_agg_filter",
+    "q_string_agg",
+    "q_unpivot",
+    "q_win_first_last",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",
@@ -263,7 +272,7 @@ def _load() -> None:
     if _loaded:
         return
     _loaded = True
-    from .operators import aggregates, filters, joins, scans, setops, sorts, tpch, windows  # noqa: F401
+    from .operators import aggregates, filters, joins, scans, setops, sorts, subqueries, tpch, windows  # noqa: F401
     from .functions import scalar  # noqa: F401
     from .cdc import queries as _cdc  # noqa: F401
     from .streaming import queries as _streaming  # noqa: F401
