@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "q_text_stats",
     "q_text_fingerprint",
     "q_pipeline_curate",
+    "q_dedup_lines",
+    "q_contamination",
+    "q_lateral_join",
     "q_topk",
 ]
 

@@ -1,0 +1,280 @@
+"""EXT — corpus-level curation ops for LLM training-data pipelines.
+
+Four operators a crawl-to-training pipeline runs corpus-wide, beyond
+the per-document text analysis in ext/text.py:
+
+- ``q_dedup_lines``   — C4/RefinedWeb-style duplicate-LINE removal:
+  lines that occur in more than one document keep only their first
+  occurrence; documents are rebuilt from their surviving lines.
+- ``q_contamination`` — benchmark decontamination report: n-gram
+  overlap of every training doc against a held-out eval set.
+- ``q_token_histogram`` — log2-bucketed token-length distribution per
+  language (the corpus-shape statistic behind length-based filtering).
+- ``q_domain_mix``    — deterministic re-balancing sample: per-source
+  quotas (the "domain mixing" step that sets the training mixture).
+
+The fixture corpus has no newlines, so a "line" here is a fixed
+5-token segment (non-overlapping); with real data the segmenter swaps
+to ``split(text, '\\n')`` and everything downstream is unchanged.
+
+All JVM built-ins, engine-portable arithmetic (md5, floor/log2,
+regexp_extract), no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+from .shingles import TOKENS_SQL, tokens
+
+SEG_W = 5          # tokens per "line" (fixture proxy for newline split)
+CONTAM_W = 3       # n-gram width for contamination (short enough to hit
+#                    overlaps in the tiny-vocab fixture; real pipelines
+#                    use 8-13-gram windows — only this constant changes)
+CONTAM_DF_CAP = 50  # drop n-grams present in > CAP train docs (boiler-
+#                    plate/noise cap; also bounds the join's hottest key)
+CONTAM_MIN_SHARED = 2
+EVAL_MOD = 97      # doc_id % 97 == 0 -> held-out "benchmark" docs
+
+
+def _lines_col(toks):
+    """Non-overlapping SEG_W-token segments of a token array, as
+    (seg, line) pairs via one transform — no explode+regroup shuffle."""
+    nseg = F.ceil(F.size(toks) / F.lit(SEG_W)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), nseg),
+        lambda i: F.array_join(F.slice(toks, (i - F.lit(1)) * SEG_W + 1, SEG_W), " "),
+    )
+
+
+_LINES_SQL = f"""
+    SELECT doc_id,
+           CAST(ceil(len({TOKENS_SQL}) / {SEG_W}) AS BIGINT) AS n_lines,
+           unnest(list_transform(
+               range(1, CAST(ceil(len({TOKENS_SQL}) / {SEG_W}) AS BIGINT) + 1),
+               i -> array_to_string(
+                   list_slice({TOKENS_SQL}, (i-1)*{SEG_W} + 1, i*{SEG_W}), ' ')
+           )) AS line,
+           generate_subscripts(list_transform(
+               range(1, CAST(ceil(len({TOKENS_SQL}) / {SEG_W}) AS BIGINT) + 1),
+               i -> i), 1) AS seg
+    FROM documents WHERE len({TOKENS_SQL}) >= 1
+"""
+
+
+@query(
+    "q_dedup_lines",
+    oracle=f"""
+        WITH lines AS ({_LINES_SQL}),
+        kept AS (
+            SELECT doc_id, n_lines, seg, line,
+                   row_number() OVER (
+                       PARTITION BY md5(line) ORDER BY doc_id, seg
+                   ) AS rn
+            FROM lines
+        ),
+        rebuilt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(line, ' ' ORDER BY seg) AS new_text
+            FROM kept WHERE rn = 1 GROUP BY doc_id
+        ),
+        totals AS (SELECT DISTINCT doc_id, n_lines FROM lines)
+        SELECT t.doc_id, t.n_lines,
+               COALESCE(r.n_kept, 0) AS n_kept,
+               COALESCE(r.new_text, '') AS new_text
+        FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def q_dedup_lines(spark, sf_dir):
+    """Cross-document duplicate-line removal (C4 §2.2 shape): a line
+    occurring in N documents survives only at its globally-first
+    (doc_id, seg) position; each document is rebuilt from its kept
+    lines. One window over md5(line) — the shuffle key is the line
+    hash, so at 100 TB hot boilerplate lines are single keys (bounded
+    by their true frequency), and everything else is near-unique."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 1)
+    lines = (
+        d.select(
+            "doc_id",
+            F.ceil(F.size("toks") / F.lit(SEG_W)).cast("long").alias("n_lines"),
+            F.posexplode(_lines_col(F.col("toks"))).alias("seg0", "line"),
+        )
+        # 1-based segment index to match the oracle's generate_subscripts
+        .select("doc_id", "n_lines", (F.col("seg0") + 1).alias("seg"), "line")
+    )
+    w = Window.partitionBy(F.md5("line")).orderBy("doc_id", "seg")
+    kept = lines.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "line"))),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    totals = lines.select("doc_id", "n_lines").distinct()
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )
+
+
+def _ngrams_col(toks, w: int):
+    idx = F.sequence(F.lit(1), F.size(toks) - (w - 1))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, w), " "))
+    )
+
+
+_CONTAM_GRAMS_SQL = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len({TOKENS_SQL}) - {CONTAM_W - 2}),
+        i -> {" || ' ' || ".join(f"{TOKENS_SQL}[i+{j}]" for j in range(CONTAM_W))}
+    ))) AS g
+    FROM documents WHERE len({TOKENS_SQL}) >= {CONTAM_W}
+"""
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+        WITH grams AS ({_CONTAM_GRAMS_SQL}),
+        tr AS (SELECT doc_id, g FROM grams WHERE doc_id % {EVAL_MOD} <> 0),
+        ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+        stop AS (SELECT g FROM tr GROUP BY g HAVING count(*) > {CONTAM_DF_CAP}),
+        tr2 AS (SELECT * FROM tr WHERE g NOT IN (SELECT g FROM stop)),
+        ev2 AS (SELECT * FROM ev WHERE g NOT IN (SELECT g FROM stop)),
+        ev_tot AS (SELECT eval_id, count(*) AS n_ev FROM ev2 GROUP BY eval_id),
+        pairs AS (
+            SELECT tr2.doc_id, ev2.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM tr2 JOIN ev2 USING (g)
+            GROUP BY tr2.doc_id, ev2.eval_id
+            HAVING count(*) >= {CONTAM_MIN_SHARED}
+        )
+        SELECT p.doc_id, p.eval_id, p.n_shared,
+               ROUND(CAST(p.n_shared AS DOUBLE) / e.n_ev, 4) AS contam_frac
+        FROM pairs p JOIN ev_tot e ON p.eval_id = e.eval_id
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination report: distinct {CONTAM_W}-gram
+    overlap of each training doc against each held-out eval doc
+    (eval = doc_id % {EVAL_MOD} == 0). Design for 100 TB: the eval
+    side is benchmark-sized (thousands of docs) and BROADCAST, so the
+    corpus is scanned once with no corpus-wide shuffle except the
+    final per-pair count; n-grams present in > {CONTAM_DF_CAP} train
+    docs are dropped first (boilerplate noise — and the join's hot-key
+    bound)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= CONTAM_W)
+    grams = d.select(
+        "doc_id", F.explode(_ngrams_col(F.col("toks"), CONTAM_W)).alias("g")
+    )
+    tr = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    ev = grams.filter(F.col("doc_id") % EVAL_MOD == 0) \
+        .withColumnRenamed("doc_id", "eval_id")
+    stop = tr.groupBy("g").count().filter(F.col("count") > CONTAM_DF_CAP).select("g")
+    tr2 = tr.join(F.broadcast(stop), "g", "left_anti")
+    ev2 = ev.join(F.broadcast(stop), "g", "left_anti")
+    ev_tot = ev2.groupBy("eval_id").agg(F.count("*").alias("n_ev"))
+    pairs = (
+        tr2.join(F.broadcast(ev2), "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+    return pairs.join(F.broadcast(ev_tot), "eval_id").select(
+        "doc_id",
+        "eval_id",
+        "n_shared",
+        F.round(F.col("n_shared").cast("double") / F.col("n_ev"), 4)
+        .alias("contam_frac"),
+    )
+
+
+@query(
+    "q_token_histogram",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang, len({TOKENS_SQL}) AS n_tokens FROM documents
+            WHERE len({TOKENS_SQL}) >= 1
+        )
+        SELECT lang,
+               CAST(power(2, floor(log2(n_tokens))) AS BIGINT) AS bucket_lo,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM t GROUP BY lang, bucket_lo
+    """,
+)
+def q_token_histogram(spark, sf_dir):
+    """Log2-bucketed token-length histogram per language — the
+    corpus-shape statistic driving length filters and packing
+    efficiency estimates. One map-side-combinable aggregate; the
+    bucket count is O(log(max_len)) so the shuffle is tiny at any
+    scale."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", F.size(tokens(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    bucket = F.pow(F.lit(2.0), F.floor(F.log2("n_tokens"))).cast("long")
+    return (
+        d.groupBy("lang", bucket.alias("bucket_lo"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+# Per-source quota rule: even-numbered sources are "high-quality"
+# domains (quota 10), odd-numbered "low" (quota 3). A rule over the
+# source NAME (not a hardcoded list) so it holds at every scale factor.
+_QUOTA_SQL = ("CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 2 = 0 "
+              "THEN 10 ELSE 3 END")
+
+
+@query(
+    "q_domain_mix",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   {_QUOTA_SQL} AS quota,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(quota AS INT) AS quota
+        FROM ranked WHERE rn <= quota
+    """,
+)
+def q_domain_mix(spark, sf_dir):
+    """Domain-mixture rebalancing: per-source quotas drawn in
+    deterministic md5(doc_id) order — the step that turns a raw crawl
+    mix into the declared training mixture, reproducible across reruns
+    (audit requirement). Per-group top-k window; quotas are a rule
+    over the source name, so no driver-side source list is needed and
+    the plan is scale-independent."""
+    quota = F.when(
+        F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 2 == 0, F.lit(10)
+    ).otherwise(F.lit(3))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", quota.alias("quota"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", "quota")
+    )

@@ -1,0 +1,121 @@
+"""Event-stream batch analytics — funnel + cohort retention.
+
+The reference's lake tables are queried with arbitrary SQL through
+Trino (`init_for_test.py:66-79`); funnels and retention cohorts are
+the canonical event-table queries a product pipeline runs over the
+CDC-mirrored `events` stream. Both are expressed as ordinary joins +
+aggregates so Catalyst plans them distributed (no per-user iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+# funnel step windows: click within 1h of first view, purchase within
+# 24h of first qualifying click
+_FUNNEL_SQL = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL '1' HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL '24' HOUR
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS step, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+"""
+
+
+@query("q_funnel", oracle=_FUNNEL_SQL)
+def q_funnel(spark, sf_dir):
+    """Conversion funnel view -> click(<=1h) -> purchase(<=24h): users
+    surviving each step-with-deadline. Each stage is a per-user min
+    aggregate + an equi-join on user_id — at 100 TB all three stages
+    co-partition on user_id, so after the first shuffle the rest are
+    local (AQE reuses the partitioning), and nothing iterates
+    per-user."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    stage = [(1, "view", v), (2, "click", c), (3, "purchase", p)]
+    out = None
+    for num, name, df in stage:
+        row = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(num).alias("stage"), F.lit(name).alias("step"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_RETENTION_SQL = """
+    WITH first_seen AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_date
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_date,
+           CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS INT)
+               AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) <= 7
+    GROUP BY 1, 2
+"""
+
+
+@query("q_retention", oracle=_RETENTION_SQL)
+def q_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen date, activity
+    counted at day offsets 0..7. One per-user min (shuffle on
+    user_id), one join back co-partitioned on user_id, one final
+    aggregate whose key space is |cohorts| x 8 — tiny at any scale.
+    Spark's datediff(end, start) == DuckDB date_diff('day', start,
+    end): argument order differs, semantics match."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_date")
+    )
+    offset = F.datediff(F.col("ts").cast("date"), F.col("cohort_date"))
+    return (
+        ev.join(first_seen, "user_id")
+        .withColumn("day_offset", offset)
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

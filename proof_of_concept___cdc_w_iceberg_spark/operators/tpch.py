@@ -410,3 +410,75 @@ def q_tpch_q19(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+        WITH c_orders AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM c_orders GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution: LEFT JOIN with a
+    filter inside the join condition (customers with zero qualifying
+    orders must appear with c_count=0), then a distribution aggregate.
+    Two shuffles: one on c_custkey, one on the tiny c_count domain."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+              SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                            / COUNT(*))
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+    """,
+)
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue: CORRELATED scalar
+    subquery (per-part average) against the fact table. Spark runs the
+    same SQL text; Catalyst decorrelates the subquery into a per-part
+    aggregate joined back — one extra shuffle on l_partkey instead of
+    |parts| subquery executions. The per-part mean goes through the
+    decimal-exact sum so the 0.2x threshold is bit-identical across
+    engines."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+              SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                            / COUNT(*))
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+    """)

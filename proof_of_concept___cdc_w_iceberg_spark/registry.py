@@ -212,6 +212,14 @@ _CHECK_PRIORITY = [
     "q_string_agg",
     "q_unpivot",
     "q_win_first_last",
+    "q_dedup_lines",
+    "q_contamination",
+    "q_token_histogram",
+    "q_domain_mix",
+    "q_funnel",
+    "q_retention",
+    "q_tpch_q13",
+    "q_tpch_q17",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",
@@ -272,11 +280,11 @@ def _load() -> None:
     if _loaded:
         return
     _loaded = True
-    from .operators import aggregates, filters, joins, scans, setops, sorts, subqueries, tpch, windows  # noqa: F401
+    from .operators import aggregates, events, filters, joins, scans, setops, sorts, subqueries, tpch, windows  # noqa: F401
     from .functions import scalar  # noqa: F401
     from .cdc import queries as _cdc  # noqa: F401
     from .streaming import queries as _streaming  # noqa: F401
-    from .ext import dedup, embeddings, multimodal, pipeline, similarity, text, udfs  # noqa: F401
+    from .ext import corpus, dedup, embeddings, multimodal, pipeline, similarity, text, udfs  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

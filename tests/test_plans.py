@@ -118,3 +118,89 @@ def test_reservoir_sample_no_global_sort(spark, sf_dir):
     group key, a per-partition sort — never a global range sort."""
     plan = explain_str(QS["q_sample_reservoir"](spark, sf_dir))
     assert "rangepartitioning" not in plan.lower().replace(" ", "")
+
+
+def test_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """Catalyst must rewrite EXISTS/IN to semi joins and the
+    LIMIT-under-LATERAL to a ranked window join — never per-row
+    re-execution or a nested-loop join."""
+    for name in ["q_exists_subquery", "q_in_subquery"]:
+        plan = explain_str(QS[name](spark, sf_dir))
+        assert "LeftSemi" in plan, f"{name} lost its semi-join rewrite"
+        assert "BroadcastNestedLoopJoin" not in plan
+    lateral = explain_str(QS["q_lateral_join"](spark, sf_dir))
+    assert "WindowGroupLimit" in lateral, "LATERAL LIMIT not decorrelated"
+    assert "BroadcastNestedLoopJoin" not in lateral
+
+
+def test_scalar_subquery_runs_once(spark, sf_dir):
+    """The uncorrelated scalar subquery must appear as a (reused)
+    subquery node feeding a filter — one aggregate execution, not a
+    join of orders against itself."""
+    plan = explain_str(QS["q_scalar_subquery"](spark, sf_dir))
+    assert "Subquery" in plan
+    assert "partial_sum" in plan  # the mean is a map-combined aggregate
+
+
+def test_agg_filter_single_pass(spark, sf_dir):
+    """FILTER-clause aggregates: all three subset aggregates in ONE
+    shuffle with map-side partials (the shape that replaces N
+    self-joined filtered aggregates)."""
+    from proof_of_concept___cdc_w_iceberg_spark.plans.explain import count_exchanges
+
+    plan = explain_str(QS["q_agg_filter"](spark, sf_dir))
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert count_exchanges(plan) == 1
+
+
+def test_unpivot_is_expand_not_self_union(spark, sf_dir):
+    """Native unpivot plans as a single Expand over one scan — not N
+    unioned re-reads of the input."""
+    import re
+
+    plan = explain_str(QS["q_unpivot"](spark, sf_dir))
+    assert "Expand" in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    """Decontamination at 100 TB: eval set is benchmark-sized, so the
+    corpus joins against BROADCAST eval/stop relations — no corpus-wide
+    shuffle join, and never a nested loop."""
+    plan = explain_str(QS["q_contamination"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_windows_hash_partition_not_range(spark, sf_dir):
+    """Line-dedup and domain-mix windows partition by hash of their
+    keys — a global range sort would serialize the corpus."""
+    for name in ["q_dedup_lines", "q_domain_mix"]:
+        plan = explain_str(QS[name](spark, sf_dir))
+        assert "rangepartitioning" not in plan.lower().replace(" ", ""), name
+
+
+def test_token_histogram_single_exchange(spark, sf_dir):
+    from proof_of_concept___cdc_w_iceberg_spark.plans.explain import count_exchanges
+
+    plan = explain_str(QS["q_token_histogram"](spark, sf_dir))
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert count_exchanges(plan) == 1
+
+
+def test_q17_correlated_subquery_decorrelates(spark, sf_dir):
+    """The per-part average must become a per-part aggregate joined
+    back (one extra shuffle), never |parts| subquery executions, and
+    the brand filter must reach the part scan."""
+    plan = explain_str(QS["q_tpch_q17"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+    assert "Brand#1" in plan  # predicate pushed to the scan side
+
+
+def test_event_analytics_push_type_filters(spark, sf_dir):
+    """Funnel stage scans must push the event_type filter into parquet
+    (each stage reads only its event slice)."""
+    plan = explain_str(QS["q_funnel"](spark, sf_dir))
+    assert "EqualTo(event_type,view)" in plan.replace('"', "")
+    assert "EqualTo(event_type,purchase)" in plan.replace('"', "")
