@@ -251,3 +251,62 @@ def q_join_asof(spark, sf_dir):
             F.col("m.o_orderdate").alias("asof_orderdate"),
         )
     )
+
+
+_BAND_MS = 300_000      # |error.ts - click.ts| <= 5 minutes
+_BUCKET_MS = 600_000    # bucket width 10 min (>= band width, so a
+#                         match's partner lies in bucket b-1, b, or b+1)
+
+
+@query(
+    "q_join_range_bucketed",
+    oracle=f"""
+        SELECT e.event_id AS eid, CAST(count(*) AS BIGINT) AS n_nearby_clicks
+        FROM events e JOIN events c
+          ON c.event_type = 'click'
+         AND abs(epoch_ms(e.ts) - epoch_ms(c.ts)) <= {_BAND_MS}
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id
+    """,
+)
+def q_join_range_bucketed(spark, sf_dir):
+    """Band (interval) join WITHOUT an equi-key — nearby-in-time click
+    count per error event — made scalable by time-bucket blocking.
+
+    A naive ``|t1 - t2| <= w`` theta join has no equi-key and plans as
+    a nested-loop join: O(|errors| x |clicks|). Blocking fixes it: with
+    bucket width >= band width, a matching partner can only live in the
+    probe row's bucket or its two neighbors, so exploding the probe
+    side to 3 candidate buckets turns the theta join into an EQUI-join
+    on the bucket (3x probe-side duplication buys a hash join), with
+    the exact band predicate left as a residual filter. Each qualifying
+    pair matches in exactly one bucket — no dedup pass needed. The
+    oracle runs the plain theta join (fine at oracle scale).
+
+    Timestamps compare in epoch MILLIS on both engines (Spark
+    ``unix_millis`` == DuckDB ``epoch_ms``) — second-truncation would
+    disagree at the band edge.
+    """
+    ev = load(spark, sf_dir, "events")
+    clk = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.unix_millis("ts").alias("c_ms"),
+            (F.unix_millis("ts") / _BUCKET_MS).cast("long").alias("bucket"),
+        )
+    )
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("eid"),
+            F.unix_millis("ts").alias("e_ms"),
+            (F.unix_millis("ts") / _BUCKET_MS).cast("long").alias("b"),
+        )
+        .withColumn("bucket", F.explode(F.expr("array(b - 1L, b, b + 1L)")))
+    )
+    return (
+        err.join(clk, "bucket")
+        .filter(F.abs(F.col("e_ms") - F.col("c_ms")) <= _BAND_MS)
+        .groupBy("eid")
+        .agg(F.count("*").alias("n_nearby_clicks"))
+    )

@@ -220,6 +220,8 @@ _CHECK_PRIORITY = [
     "q_retention",
     "q_tpch_q13",
     "q_tpch_q17",
+    "q_cdc_incremental_agg",
+    "q_join_range_bucketed",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",
@@ -282,6 +284,7 @@ def _load() -> None:
     _loaded = True
     from .operators import aggregates, events, filters, joins, scans, setops, sorts, subqueries, tpch, windows  # noqa: F401
     from .functions import scalar  # noqa: F401
+    from .cdc import incremental as _cdc_ivm  # noqa: F401
     from .cdc import queries as _cdc  # noqa: F401
     from .streaming import queries as _streaming  # noqa: F401
     from .ext import corpus, dedup, embeddings, multimodal, pipeline, similarity, text, udfs  # noqa: F401

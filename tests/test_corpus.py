@@ -101,6 +101,70 @@ def test_recursive_cte_zero_fills_gap_months(spark, sf_dir):
     assert all(r["n_big_orders"] >= 0 for r in rows)
 
 
+def test_incremental_agg_equals_recompute(spark, sf_dir):
+    """The IVM law: maintain(base_agg, batch) == recompute(apply(base,
+    batch)) — checked entirely inside Spark (the driver oracle checks
+    the same law against DuckDB)."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.apply import apply_changes
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.incremental import (
+        maintain_sum_count,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.cdc_fixtures import (
+        changelog,
+    )
+
+    ch = changelog(spark, sf_dir)
+    base = ch.filter(F.col("op") == "r").select("k", "bal")
+    batch = ch.filter(F.col("op") != "r")
+    inc = {
+        r["grp"]: (float(r["dsum"]), r["n"])
+        for r in maintain_sum_count(base, batch, ["k"], F.col("k") % 10, "bal")
+        .collect()
+    }
+    mirror = apply_changes(
+        base.withColumn("op", F.lit("r"))
+        .withColumn("ts_ms", F.lit(0))
+        .withColumn("off", F.lit(0)),
+        batch.select("k", "bal", "op", "ts_ms", "off"),
+        ["k"],
+    )
+    full = {
+        r["grp"]: (float(r["s"]), r["n"])
+        for r in mirror.groupBy((F.col("k") % 10).alias("grp"))
+        .agg(
+            F.sum(F.col("bal").cast("decimal(18,2)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert inc == full
+
+
+def test_band_join_matches_each_pair_once(spark, sf_dir):
+    """Bucket blocking must not double-count a pair that straddles
+    bucket candidates: total matched pairs == the theta-join count."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.joins import _BAND_MS
+
+    ev = load(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), F.unix_millis("ts").alias("e_ms")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.unix_millis("ts").alias("c_ms")
+    )
+    naive = (
+        err.crossJoin(clk)
+        .filter(F.abs(F.col("e_ms") - F.col("c_ms")) <= _BAND_MS)
+        .count()
+    )
+    bucketed = (
+        QS["q_join_range_bucketed"](spark, sf_dir)
+        .agg(F.sum("n_nearby_clicks"))
+        .first()[0]
+    )
+    assert bucketed == naive
+
+
 def test_lateral_join_topk_per_customer(spark, sf_dir):
     """At most 2 orders per customer, and they are that customer's
     priciest ones."""

@@ -198,6 +198,24 @@ def test_q17_correlated_subquery_decorrelates(spark, sf_dir):
     assert "Brand#1" in plan  # predicate pushed to the scan side
 
 
+def test_band_join_is_bucketed_equi_join(spark, sf_dir):
+    """The no-equi-key interval join must block on time buckets and
+    plan as a hash equi-join — the naive theta form nested-loops over
+    |errors| x |clicks|."""
+    plan = explain_str(QS["q_join_range_bucketed"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_incremental_agg_probes_not_rescans(spark, sf_dir):
+    """IVM merge: the batch probes base for old images via an
+    equi-join; the delta merge is a full-outer join of two tiny
+    aggregates — no nested loop anywhere."""
+    plan = explain_str(QS["q_cdc_incremental_agg"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+
+
 def test_event_analytics_push_type_filters(spark, sf_dir):
     """Funnel stage scans must push the event_type filter into parquet
     (each stage reads only its event slice)."""
