@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "q_tpch_q6",
     "q_tpch_q10",
     "q_tpch_q18",
+    "q_tpch_q8",
+    "q_join_range_bucketed",
     "q_sql_text",
     "q_join_salted",
     "q_agg_groupby",

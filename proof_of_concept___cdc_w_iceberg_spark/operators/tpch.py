@@ -413,6 +413,236 @@ def q_tpch_q19(spark, sf_dir):
 
 
 @query(
+    "q_tpch_q7",
+    oracle="""
+        SELECT supp_nation, cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN (SELECT n_nationkey AS s_nk, n_name AS supp_nation FROM nation) n1
+          ON s_nationkey = s_nk
+        JOIN (SELECT n_nationkey AS c_nk, n_name AS cust_nation FROM nation) n2
+          ON c_nationkey = c_nk
+        WHERE ((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+            OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping: the nation-PAIR join — the nation dim
+    joins the fact chain TWICE under different roles (supplier's vs
+    customer's nation), with a symmetric pair predicate. Both nation
+    sides broadcast; the only shuffles are the fact-fact joins. The
+    pair filter is applied after the cheap broadcast joins, before the
+    group-by."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 20, 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               ROUND(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                          AS DECIMAL(20,4))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(20,4))) AS DOUBLE), 6) AS mkt_share
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN (SELECT n_nationkey AS s_nk, n_name AS nation FROM nation) n2
+          ON s_nationkey = s_nk
+        WHERE r_name = 'EUROPE'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND p_type = 'ECONOMY'
+        GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share: 8-table join (part, supplier,
+    lineitem, orders, customer, nation x2, region) reduced to two fact
+    shuffles — every dim broadcasts, and the selective p_type filter
+    cuts lineitem via the broadcast-hash part join before the orders
+    join. The share is a conditional-over-total ratio of two exact
+    decimal sums (one stable double division, rounded)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    n1 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    nat = F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"), "inner")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(dec_sum(nat, 20, 4) / dec_sum(vol, 20, 4), 6).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(20,4))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier: the revenue "view" is computed once and
+    consumed twice (its max, and the equality filter). The 1-row max is
+    broadcast-crossed back — no driver collect, no single-partition
+    window over all suppliers. Revenue stays DECIMAL through the
+    equality comparison (exact), final-cast to double only for output."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(20,4)"
+            )
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+        SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_nationkey % 5 IN (0, 2, 3)
+          AND c_acctbal > (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*)
+              FROM customer
+              WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 2, 3)
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+        GROUP BY c_nationkey % 5
+    """,
+)
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global sales opportunity: uncorrelated scalar subquery
+    (average positive balance — one-row broadcast) + NOT EXISTS
+    (anti-join against orders) + final aggregate. The fixture customer
+    has no c_phone, so the "country code" is nationkey mod 5 (the
+    region id) — same shape: code-set filter, above-average balance,
+    never-ordered customers. Same SQL text runs on both engines;
+    Catalyst plans the NOT EXISTS as a left-anti hash join, the scalar
+    as a one-shot subquery reused across the scan."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_nationkey % 5 IN (0, 2, 3)
+          AND c_acctbal > (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*)
+              FROM customer
+              WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 2, 3)
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+        GROUP BY c_nationkey % 5
+    """)
+
+
+@query(
     "q_tpch_q13",
     oracle="""
         WITH c_orders AS (

@@ -222,6 +222,10 @@ _CHECK_PRIORITY = [
     "q_tpch_q17",
     "q_cdc_incremental_agg",
     "q_join_range_bucketed",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q15",
+    "q_tpch_q22",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",

@@ -216,6 +216,26 @@ def test_incremental_agg_probes_not_rescans(spark, sf_dir):
     assert "partial_sum" in plan
 
 
+def test_q7_q8_all_dims_broadcast(spark, sf_dir):
+    """The nation-pair (Q7) and market-share (Q8) multiway joins must
+    broadcast every dim side — no sort-merge join and no nested loop at
+    fixture scale, so only the fact-fact joins can ever shuffle."""
+    for q in ("q_tpch_q7", "q_tpch_q8"):
+        plan = explain_str(QS[q](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "BroadcastHashJoin" in plan, q
+
+
+def test_q15_max_is_broadcast_not_collected(spark, sf_dir):
+    """Q15's scalar max must reach the filter via a broadcast join —
+    a plan artifact, not a driver collect (no .collect in the query
+    function) — and the revenue view feeds it without a nested loop
+    over suppliers."""
+    plan = explain_str(QS["q_tpch_q15"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_event_analytics_push_type_filters(spark, sf_dir):
     """Funnel stage scans must push the event_type filter into parquet
     (each stage reads only its event slice)."""
