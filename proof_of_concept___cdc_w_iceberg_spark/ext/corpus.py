@@ -278,3 +278,72 @@ def q_domain_mix(spark, sf_dir):
         .filter(F.col("rn") <= F.col("quota"))
         .select("doc_id", "source", "quota")
     )
+
+
+CHUNK_W = 32       # tokens per training chunk
+CHUNK_STRIDE = 24  # chunk start stride (CHUNK_W - CHUNK_STRIDE = 8-token
+#                    overlap, the standard sliding-window chunking for
+#                    context-window packing)
+
+
+@query(
+    "q_doc_chunk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, t,
+                   unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start_pos
+            FROM toks WHERE len(t) >= 1
+        )
+        SELECT doc_id,
+               CAST(start_pos AS BIGINT) AS start_pos,
+               CAST(len(list_slice(t, start_pos,
+                        least(start_pos + {CHUNK_W} - 1, len(t)))) AS BIGINT)
+                   AS n_toks,
+               md5(array_to_string(
+                   list_slice(t, start_pos,
+                              least(start_pos + {CHUNK_W} - 1, len(t))), ' '))
+                   AS chunk_fp
+        FROM starts
+    """,
+)
+def q_doc_chunk(spark, sf_dir):
+    """Sliding-window document chunking for training-data prep: each
+    doc becomes overlapping {CHUNK_W}-token chunks starting every
+    {CHUNK_STRIDE} tokens (8-token overlap). Output is (doc_id,
+    start_pos, n_toks, md5 fingerprint of the chunk text) — the
+    fingerprint stands in for the chunk payload so the oracle compares
+    exact chunk CONTENT without hauling the text through the hash
+    compare.
+
+    Scale shape: pure per-row narrow transform — tokens materialized
+    once, starts generated with sequence(), chunks sliced array-side,
+    exploded. No shuffle at all; chunking 100 TB is embarrassingly
+    parallel and this plan keeps it that way (one WholeStageCodegen
+    span over the scan)."""
+    docs = load(spark, sf_dir, "documents")
+    spread = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < spread:
+        docs = docs.repartition(spread, "doc_id")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 1
+    )
+    chunk = lambda s: F.slice("t", s, CHUNK_W)  # noqa: E731 — capped at array end
+    return (
+        toked.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE)),
+                    lambda s: F.struct(
+                        s.cast("long").alias("start_pos"),
+                        F.size(chunk(s)).cast("long").alias("n_toks"),
+                        F.md5(F.array_join(chunk(s), " ")).alias("chunk_fp"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", "c.start_pos", "c.n_toks", "c.chunk_fp")
+    )

@@ -12,7 +12,7 @@ All JVM-side built-ins — no Python in these hot paths.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -360,4 +360,183 @@ def q_text_pii_scrub(spark, sf_dir):
         F.size(F.regexp_extract_all(injected, F.lit(PII_PHONE), 0))
         .cast("long").alias("n_phones"),
         F.md5(scrubbed).alias("scrub_fp"),
+    )
+
+
+@query(
+    "q_text_gopher",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id, text, t,
+                   CAST(len(t) AS BIGINT) AS n_words,
+                   CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE)
+                       / len(t) AS mwl
+            FROM toks WHERE len(t) >= 2
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM toks WHERE len(t) >= 2
+        ),
+        bc AS (
+            SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram
+        ),
+        top AS (
+            SELECT doc_id, bigram, cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, bigram DESC) AS rn
+            FROM bc
+        )
+        SELECT m.doc_id, n_words,
+               ROUND(mwl, 6) AS mean_word_len,
+               top.bigram AS top_bigram,
+               ROUND(CAST(cnt * length(top.bigram) AS DOUBLE)
+                     / length(m.text), 6) AS rep2_frac,
+               (n_words >= 50 AND mwl BETWEEN 3 AND 10
+                AND CAST(cnt * length(top.bigram) AS DOUBLE)
+                    <= 0.2 * length(m.text)) AS keep
+        FROM m JOIN top ON m.doc_id = top.doc_id AND rn = 1
+    """,
+)
+def q_text_gopher(spark, sf_dir):
+    """Gopher-style quality gate (Rae et al. 2021, public rules) over
+    the corpus: per-doc mean word length in [3,10], minimum word count,
+    and the repetition rule — the fraction of characters covered by the
+    single most frequent word 2-gram must stay under 20%. (The fixture
+    corpus has no newlines, so the line-based Gopher rules — bullet
+    ratio, duplicate-line fraction — are degenerate here; the word-level
+    rules are the meaningful subset. Cross-doc line dedup is
+    q_dedup_lines.)
+
+    Scale shape: doc-level metrics are one map-side pass (no shuffle);
+    the top-bigram needs one shuffle on (doc_id, bigram) with map-side
+    partials, then a per-doc max of (cnt, bigram) structs — max_by, not
+    a row_number window — and a co-partitioned join back on doc_id.
+    Tiebreak is lexicographically-last among equal counts on both
+    engines."""
+    docs = load(spark, sf_dir, "documents")
+    spread = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < spread:
+        docs = docs.repartition(spread, "doc_id")
+    toked = docs.select(
+        "doc_id", "text", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    m = toked.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size("t").cast("long").alias("n_words"),
+        (
+            F.aggregate(
+                F.transform("t", lambda w: F.length(w)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size("t")
+        ).alias("mwl"),
+    )
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.array_join(F.slice("t", i, 2), " "),
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("cnt", "bigram")).alias("tp"))
+        .select("doc_id", F.col("tp.bigram").alias("top_bigram"), F.col("tp.cnt").alias("cnt"))
+    )
+    rep_chars = (F.col("cnt") * F.length("top_bigram")).cast("double")
+    return (
+        m.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round("mwl", 6).alias("mean_word_len"),
+            "top_bigram",
+            F.round(rep_chars / F.col("n_chars"), 6).alias("rep2_frac"),
+            (
+                (F.col("n_words") >= 50)
+                & F.col("mwl").between(3, 10)
+                & (rep_chars <= 0.2 * F.col("n_chars"))
+            ).alias("keep"),
+        )
+    )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN n
+        )
+        SELECT doc_id, token, tf, df, tfidf
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, token) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+)
+def q_text_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document. TF is a (doc_id, token) count,
+    DF aggregates the TF relation (one extra small shuffle, never a
+    second corpus scan), N arrives as a 1-row broadcast cross join, and
+    DF — vocabulary-sized — broadcasts back onto TF. Ranking uses the
+    ROUNDED score (both engines round the same libm-double to 4
+    decimals before comparing) with token-asc tiebreak, so the top-3 is
+    cross-engine deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    spread = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < spread:
+        docs = docs.repartition(spread, "doc_id")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf")
     )

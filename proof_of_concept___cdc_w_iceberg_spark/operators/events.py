@@ -119,3 +119,42 @@ def q_retention(spark, sf_dir):
         .groupBy("cohort_date", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+_EWMA_ALPHA = 0.25  # exactly representable in binary — the fold is a
+#                     chain of exactly-rounded IEEE ops on both engines
+
+
+@query(
+    "q_ts_ewma",
+    oracle=f"""
+        SELECT user_id,
+               ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                     (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc), 6)
+                   AS ewma,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    """,
+)
+def q_ts_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event value —
+    the canonical inherently-SEQUENTIAL time-series operator. Expressed
+    as one shuffle on user_id + an array-side left fold:
+    sort_array(collect_list(struct)) orders each user's events by
+    (ts, event_id), then ``aggregate`` folds s = a*x + (1-a)*s, seeded
+    with the first value (DuckDB ``list_reduce`` has identical
+    first-element-seed semantics, so the IEEE op chains are
+    bit-identical — see registry.py determinism rules). Per-user state
+    is that user's event list; at 100 TB this keys on user_id
+    (millions of groups), never a global sort."""
+    ev = load(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    vals = F.transform(arr, lambda a: a["value"])
+    ewma = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(_EWMA_ALPHA) * x + F.lit(1 - _EWMA_ALPHA) * acc,
+    )
+    return ev.groupBy("user_id").agg(
+        F.round(ewma, 6).alias("ewma"), F.count("*").alias("n_events")
+    )

@@ -226,6 +226,11 @@ _CHECK_PRIORITY = [
     "q_tpch_q8",
     "q_tpch_q15",
     "q_tpch_q22",
+    "q_text_gopher",
+    "q_doc_chunk",
+    "q_text_tfidf",
+    "q_ts_ewma",
+    "q_profile",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",
