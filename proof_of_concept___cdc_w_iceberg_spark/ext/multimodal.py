@@ -265,3 +265,123 @@ def q_multimodal_cols(spark, sf_dir):
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_val"),
     )
+
+
+# --- perceptual-hash near-duplicate detection over binary payloads ---
+
+PHASH_BYTES = 256   # payload prefix fed to the hash (the "resize")
+PHASH_BLOCKS = 64   # 4-byte blocks -> 64-bit signature
+PHASH_HAM_MAX = 6   # near-dup verify threshold (bits)
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("hi", T.LongType()),
+        T.StructField("lo", T.LongType()),
+    ]
+)
+
+
+def phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: average-hash (aHash) signature over the
+    payload — a real pipeline decodes to an 8x8 grayscale and hashes
+    pixels-vs-mean; the stub hashes 4-byte block sums of the
+    zero-padded 256-byte prefix vs their mean (same structure, codec
+    stubbed). Output is the 64-bit signature as two 32-bit halves, each
+    widened to int64 for sign-safe band joins."""
+    for pdf in it:
+        out = {"doc_id": [], "hi": [], "lo": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)[:PHASH_BYTES].ljust(PHASH_BYTES, b"\0")
+            sums = [
+                sum(b[i * 4 : (i + 1) * 4]) for i in range(PHASH_BLOCKS)
+            ]
+            mean = sum(sums) / PHASH_BLOCKS
+            bits = [1 if s > mean else 0 for s in sums]
+            hi = sum(bit << (31 - i) for i, bit in enumerate(bits[:32]))
+            lo = sum(bit << (31 - i) for i, bit in enumerate(bits[32:]))
+            out["doc_id"].append(int(doc_id))
+            out["hi"].append(hi)
+            out["lo"].append(lo)
+        yield pd.DataFrame(out)
+
+
+@query(
+    "q_multimodal_phash",
+    oracle=f"""
+        WITH sigs AS (
+            SELECT doc_id,
+                   list_transform(range(0, {PHASH_BLOCKS}), i ->
+                       coalesce(list_sum(list_transform(
+                           list_filter(string_split_regex(
+                               substring(text, 1 + i * 4, 4), ''), c -> c <> ''),
+                           c -> ord(c))), 0)) AS sums
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id,
+                   list_transform(sums, s -> CASE WHEN s >
+                       CAST(list_sum(sums) AS DOUBLE) / {PHASH_BLOCKS}
+                       THEN 1 ELSE 0 END) AS bits
+            FROM sigs
+        ),
+        halves AS (
+            SELECT doc_id,
+                   list_sum(list_transform(range(0, 32),
+                       i -> CAST(bits[i + 1] AS BIGINT) * (CAST(1 AS BIGINT) << (31 - i)))) AS hi,
+                   list_sum(list_transform(range(0, 32),
+                       i -> CAST(bits[i + 33] AS BIGINT) * (CAST(1 AS BIGINT) << (31 - i)))) AS lo
+            FROM packed
+        ),
+        cands AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2
+            FROM halves a JOIN halves b ON a.hi = b.hi AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM halves a JOIN halves b ON a.lo = b.lo AND a.doc_id < b.doc_id
+        )
+        SELECT id1, id2,
+               CAST(bit_count(xor(s1.hi, s2.hi))
+                    + bit_count(xor(s1.lo, s2.lo)) AS BIGINT) AS hamming
+        FROM cands
+        JOIN halves s1 ON id1 = s1.doc_id
+        JOIN halves s2 ON id2 = s2.doc_id
+        WHERE bit_count(xor(s1.hi, s2.hi))
+              + bit_count(xor(s1.lo, s2.lo)) <= {PHASH_HAM_MAX}
+    """,
+)
+def q_multimodal_phash(spark, sf_dir):
+    """Perceptual-hash near-duplicate IMAGE detection (aHash family)
+    over binary payloads: mapInPandas computes the 64-bit signature
+    (codec stubbed, structure real), then the dedup is pure DataFrame —
+    band blocking exactly like q_dedup_simhash (ext/dedup.py): two
+    EQUI-joins (one per 32-bit half) + distinct, never an OR-join that
+    would degenerate to a nested loop, then exact hamming verify via
+    bit_count(xor) on candidates only. The signature relation is
+    persisted — it feeds both band joins and the verify."""
+    payloads = with_binary_payload(load(spark, sf_dir, "documents"))
+    sigs = payloads.mapInPandas(phash_batches, schema=PHASH_SCHEMA).persist()
+    a = sigs.select(
+        F.col("doc_id").alias("id1"), F.col("hi").alias("hi1"), F.col("lo").alias("lo1")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id2"), F.col("hi").alias("hi2"), F.col("lo").alias("lo2")
+    )
+    by_hi = a.join(b, (F.col("hi1") == F.col("hi2")) & (F.col("id1") < F.col("id2")))
+    by_lo = a.join(b, (F.col("lo1") == F.col("lo2")) & (F.col("id1") < F.col("id2")))
+    cands = (
+        by_hi.select("id1", "id2")
+        .union(by_lo.select("id1", "id2"))
+        .distinct()
+        .join(sigs.select(F.col("doc_id").alias("id1"), F.col("hi").alias("hi1"), F.col("lo").alias("lo1")), "id1")
+        .join(sigs.select(F.col("doc_id").alias("id2"), F.col("hi").alias("hi2"), F.col("lo").alias("lo2")), "id2")
+    )
+    hamming = (
+        F.bit_count(F.col("hi1").bitwiseXOR(F.col("hi2")))
+        + F.bit_count(F.col("lo1").bitwiseXOR(F.col("lo2")))
+    ).cast("long")
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .select("id1", "id2", "hamming")
+    )

@@ -231,6 +231,8 @@ _CHECK_PRIORITY = [
     "q_text_tfidf",
     "q_ts_ewma",
     "q_profile",
+    "q_multimodal_phash",
+    "q_stream_stream_join",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",

@@ -249,3 +249,44 @@ def q_stream_join(spark, sf_dir):
             .alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+        SELECT c.event_id AS click_id,
+               CAST(c.user_id AS BIGINT) AS user_id,
+               CAST(count(*) AS BIGINT) AS n_prior_views
+        FROM events c JOIN events v ON c.user_id = v.user_id
+        WHERE c.event_type = 'click' AND v.event_type = 'view'
+          AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE
+        GROUP BY c.event_id, c.user_id
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-STREAM join, batch twin: for every click, count the same
+    user's views in the preceding 10 minutes. The equi-key (user_id)
+    carries the join — hash join with the time range as residual; in
+    Structured Streaming the same condition shape (equality + event-time
+    range against both watermarks) is what lets Spark bound the join
+    state, exercised live in tests/test_streaming.py::
+    test_stream_stream_join_matches_batch."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    return (
+        clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("c_ts"))
+            & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTE")),
+        )
+        .groupBy("click_id", "user_id")
+        .agg(F.count("*").alias("n_prior_views"))
+    )

@@ -236,6 +236,15 @@ def test_q15_max_is_broadcast_not_collected(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_phash_band_join_is_equi(spark, sf_dir):
+    """The pHash candidate step must be two band equi-joins + distinct
+    (the q_dedup_simhash pattern) — an OR of band equalities would plan
+    as a nested-loop join over all signature pairs."""
+    plan = explain_str(QS["q_multimodal_phash"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_event_analytics_push_type_filters(spark, sf_dir):
     """Funnel stage scans must push the event_type filter into parquet
     (each stage reads only its event slice)."""

@@ -305,3 +305,59 @@ def test_streaming_static_join_matches_batch(spark, sf_dir):
     )
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """q_stream_stream_join's live form: two readStream sources with
+    watermarks, joined on user_id + a 10-minute event-time range (the
+    condition shape that lets Spark expire join state), append mode.
+    The joined pairs must equal the batch theta-join's pairs."""
+    events = load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="ss_join_")
+    events.write.mode("overwrite").parquet(src)
+
+    def sides(df_source):
+        clicks = (
+            df_source.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        views = df_source.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        return clicks, views
+
+    s1 = spark.readStream.schema(events.schema).parquet(src)
+    s2 = spark.readStream.schema(events.schema).parquet(src)
+    sc, sv = sides(s1.withWatermark("ts", "30 minutes"))
+    sv = sides(s2.withWatermark("ts", "30 minutes"))[1]
+    joined = sc.join(
+        sv,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTE")),
+        "inner",
+    ).select("click_id", "view_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT click_id, view_id FROM ss_join_test")
+    bc, bv = sides(events)
+    expected = bc.join(
+        bv,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTE")),
+    ).select("click_id", "view_id")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
