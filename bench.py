@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "q_tpch_q10",
     "q_tpch_q18",
     "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q21",
     "q_join_range_bucketed",
     "q_sql_text",
     "q_join_salted",

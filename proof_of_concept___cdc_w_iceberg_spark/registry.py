@@ -233,6 +233,12 @@ _CHECK_PRIORITY = [
     "q_profile",
     "q_multimodal_phash",
     "q_stream_stream_join",
+    "q_tpch_q21",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q2",
+    "q_tpch_q16",
+    "q_tpch_q20",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",

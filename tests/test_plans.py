@@ -251,3 +251,59 @@ def test_event_analytics_push_type_filters(spark, sf_dir):
     plan = explain_str(QS["q_funnel"](spark, sf_dir))
     assert "EqualTo(event_type,view)" in plan.replace('"', "")
     assert "EqualTo(event_type,purchase)" in plan.replace('"', "")
+
+
+def test_q21_decorrelated_single_fact_selfagg(spark, sf_dir):
+    """Q21 must NOT plan the textbook correlated EXISTS/NOT-EXISTS as
+    nested loops: the Spark form is one order-level aggregate joined
+    back, so the only sort-merge join is lineitem-orders; everything
+    else broadcasts."""
+    plan = explain_str(QS["q_tpch_q21"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_dims_broadcast(spark, sf_dir):
+    """Q9's 5-table join must broadcast part/supplier/nation (and let
+    AQE pick the orders side) — at most one shuffle join touches the
+    fact table."""
+    plan = explain_str(QS["q_tpch_q9"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q11_threshold_broadcast_not_collected(spark, sf_dir):
+    """Q11's group-total threshold must flow back as a 1-row broadcast
+    (BroadcastNestedLoopJoin over one row), never via driver collect;
+    the per-part relation is persisted so the total doesn't re-join."""
+    df = QS["q_tpch_q11"](spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 1
+
+
+def test_q2_decorrelated_max_no_subquery_loop(spark, sf_dir):
+    """Q2's correlated MAX must run as one aggregate over the persisted
+    shipped-pairs relation joined back on (partkey, acctbal) — never a
+    nested-loop re-execution per part."""
+    plan = explain_str(QS["q_tpch_q2"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_q16_anti_join_broadcast(spark, sf_dir):
+    """Q16's NOT IN must plan as a broadcast anti join (tiny excluded
+    set), not a shuffled one."""
+    plan = explain_str(QS["q_tpch_q16"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q20_single_slice_two_aggregates(spark, sf_dir):
+    """Q20's nested correlated HAVING must decorrelate into two
+    aggregates over ONE persisted semi-joined lineitem slice."""
+    plan = explain_str(QS["q_tpch_q20"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
