@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.cdc_fixtures import CHANGELOG_SQL, changelog
+from ..sources.cdc_fixtures import CHANGELOG_SQL, MIRROR_SQL, changelog
 from ..sources.tables import load
 from .apply import compact_latest
 
@@ -119,3 +119,44 @@ def q_cdc_incremental_agg(spark, sf_dir):
         F.col("dsum").cast("double").alias("sum_bal"),
         F.col("n").alias("n_rows"),
     )
+
+
+@query(
+    "q_cdc_incremental_join",
+    oracle=f"""
+        WITH m AS ({MIRROR_SQL})
+        SELECT o_orderkey, k, name, bal, o_totalprice
+        FROM m JOIN orders ON o_custkey = m.k
+    """,
+)
+def q_cdc_incremental_join(spark, sf_dir):
+    """Incrementally-maintained JOIN view (orders enriched with the
+    customer mirror): base = op='r' snapshot ⋈ orders, then the c/u/d
+    changelog tail is applied as the join delta —
+    V' = (V anti-join touched-keys) ∪ (orders ⋈ upserted-rows) —
+    with the batch side BROADCAST into both legs, so no shuffle of the
+    view or the fact table ever happens per batch (and with bucketed
+    storage both probes prune to touched buckets). Deletes drop the
+    customer's orders from the view; re-inserts re-enrich them. The
+    ORACLE recomputes the join from the fully-applied mirror: passing
+    proves delta maintenance ≡ recompute-from-scratch.
+
+    Reference grounding: the mirror feeding downstream views is the
+    Iceberg upsert table (`connect-iceberg-sink.json:30-33`)."""
+    ch = changelog(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = ch.filter(F.col("op") == "r").select("k", "name", "bal")
+    base_view = orders.join(base, orders.o_custkey == base.k).select(
+        "o_orderkey", "k", "name", "bal", "o_totalprice"
+    )
+    batch = ch.filter(F.col("op") != "r")
+    latest = compact_latest(batch, ["k"], ["ts_ms", "off"])
+    touched = latest.select("k")
+    upserts = latest.filter(F.col("op") != "d").select("k", "name", "bal")
+    retained = base_view.join(F.broadcast(touched), "k", "left_anti")
+    added = orders.join(
+        F.broadcast(upserts), orders.o_custkey == F.col("k")
+    ).select("o_orderkey", "k", "name", "bal", "o_totalprice")
+    return retained.unionByName(added)

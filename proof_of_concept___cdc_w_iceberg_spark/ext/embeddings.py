@@ -78,3 +78,47 @@ def q_embed_normalize(spark, sf_dir):
         F.col("dim").cast("long").alias("dim"),
         F.round(F.col("x").cast("double") / F.sqrt("sq"), 6).alias("val"),
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                       v -> abs(CAST(v AS DOUBLE)))) AS ma
+            FROM embeddings WHERE vec_id % 20 = 0
+        )
+        SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+               CAST(CASE WHEN ma = 0 THEN 0
+                    ELSE floor(CAST(embedding[i] AS DOUBLE) * 127 / ma)
+                    END AS BIGINT) AS qval,
+               ROUND(ma / 127, 8) AS scale
+        FROM e, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    """,
+)
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (the
+    storage/bandwidth step before ANN serving: 4x smaller vectors,
+    SIMD-friendly dot products). Per-vector scale = max|x| / 127;
+    elements map by FLOOR(x * 127 / max|x|) — floor, not round,
+    because IEEE floor is bit-identical across engines while
+    round-half ties are not. Zero vectors quantize to zeros (scale
+    guard). Narrow per-row transform: no shuffle at any scale; long
+    format on a sampled slice for exact cross-engine hashing."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    ma = F.array_max(
+        F.transform("embedding", lambda v: F.abs(v.cast("double")))
+    )
+    exploded = e.select(
+        "vec_id", ma.alias("ma"), F.posexplode("embedding").alias("dim", "x")
+    )
+    qval = F.when(F.col("ma") == 0, F.lit(0)).otherwise(
+        F.floor(F.col("x").cast("double") * 127 / F.col("ma"))
+    )
+    return exploded.select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        qval.cast("long").alias("qval"),
+        F.round(F.col("ma") / 127, 8).alias("scale"),
+    )

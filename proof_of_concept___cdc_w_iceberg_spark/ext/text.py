@@ -540,3 +540,81 @@ def q_text_tfidf(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tf", "df", "tfidf")
     )
+
+
+PACK_SEQ_LEN = 256  # tokens per packed training sequence
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS ok
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY ok
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM d
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST((cum - n_tokens) // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+               CAST((cum - n_tokens) % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset
+        FROM c
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM pretraining: documents are concatenated
+    in a deterministic shuffled order (md5 of doc_id) and split into
+    fixed {PACK_SEQ_LEN}-token training sequences; each doc reports the
+    sequence containing its first token and its offset inside it.
+
+    The naive formulation is a GLOBAL running token sum — a
+    Window.orderBy() with no partition, which Spark executes in ONE
+    task (the classic scale trap). Instead this runs the textbook
+    parallel prefix-sum: the md5 ordering key's first hex char splits
+    the corpus into 16 ordered buckets; within-bucket running sums are
+    a partitioned window (parallel), the 16 bucket totals cumsum on the
+    driver-sized side and broadcast back. Because the bucket char is a
+    PREFIX of the ordering key, (bucket, ok) order == global ok order,
+    so the result is identical to the single-task plan — the DuckDB
+    oracle computes exactly that global cumsum."""
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            toks.cast("long").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("ok"),
+        )
+        .withColumn("bucket", F.substring("ok", 1, 1))
+    )
+    local_w = (
+        Window.partitionBy("bucket")
+        .orderBy("ok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("local_cum", F.sum("n_tokens").over(local_w))
+    bucket_w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = (
+        d.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btok"))
+        .withColumn(
+            "boffset", F.coalesce(F.sum("btok").over(bucket_w), F.lit(0))
+        )
+        .select("bucket", "boffset")
+    )
+    start = F.col("boffset") + F.col("local_cum") - F.col("n_tokens")
+    return d.join(F.broadcast(boff), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / PACK_SEQ_LEN).cast("long").alias("seq_id"),
+        (start % PACK_SEQ_LEN).cast("long").alias("seq_offset"),
+    )

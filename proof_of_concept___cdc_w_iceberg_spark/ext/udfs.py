@@ -157,3 +157,88 @@ def q_udtf_explode(spark, sf_dir):
         .filter(F.col("doc_id") % 25 == 0)
         .select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
     )
+
+
+ASOF_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("purchase_id", T.LongType()),
+        T.StructField("last_click_value", T.DoubleType()),
+    ]
+)
+
+
+def asof_cogroup_kernel(clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+    """Cogrouped-map kernel: per-user as-of alignment — for every
+    purchase, the value of the latest click at-or-before it. Ties on
+    click ts resolve to the max event_id (clicks sorted by (ts,
+    event_id); merge_asof backward keeps the last row <= ts), matching
+    the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1."""
+    if len(purchases) == 0:
+        return pd.DataFrame(
+            {"user_id": [], "purchase_id": [], "last_click_value": []}
+        ).astype({"user_id": "int64", "purchase_id": "int64",
+                  "last_click_value": "float64"})
+    p = purchases.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if len(clicks) == 0:
+        return pd.DataFrame(
+            {
+                "user_id": p["user_id"],
+                "purchase_id": p["event_id"],
+                "last_click_value": [None] * len(p),
+            }
+        )
+    c = (
+        clicks.sort_values(["ts", "event_id"])
+        .rename(columns={"value": "last_click_value"})
+        .reset_index(drop=True)
+    )
+    merged = pd.merge_asof(
+        p,
+        c[["ts", "last_click_value"]],
+        on="ts",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    return pd.DataFrame(
+        {
+            "user_id": merged["user_id"],
+            "purchase_id": merged["event_id"],
+            "last_click_value": merged["last_click_value"],
+        }
+    )
+
+
+@query(
+    "q_udf_cogrouped",
+    oracle="""
+        SELECT p.user_id, p.event_id AS purchase_id,
+               (SELECT c.value FROM events c
+                WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                  AND c.ts <= p.ts
+                ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+                   AS last_click_value
+        FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_udf_cogrouped(spark, sf_dir):
+    """Cogrouped applyInPandas (the two-input grouped-map rung of the
+    UDF ladder): clicks and purchases shuffle ONCE each on user_id,
+    then pandas merge_asof aligns them per user in a single Arrow
+    batch — the custom-logic escape hatch for per-key algorithms no
+    built-in join expresses. The oracle is the same as-of semantics as
+    a correlated LIMIT 1 subquery. At scale this is two co-partitioned
+    exchanges and |users| independent kernels — no driver collection,
+    no cross join."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(asof_cogroup_kernel, schema=ASOF_OUT_SCHEMA)
+    )

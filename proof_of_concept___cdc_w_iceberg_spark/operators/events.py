@@ -9,6 +9,7 @@ aggregates so Catalyst plans them distributed (no per-user iteration).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -157,4 +158,77 @@ def q_ts_ewma(spark, sf_dir):
     )
     return ev.groupBy("user_id").agg(
         F.round(ewma, 6).alias("ewma"), F.count("*").alias("n_events")
+    )
+
+
+@query(
+    "q_ts_resample",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, value,
+                   row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ),
+        daily AS (SELECT user_id, day, value FROM ranked WHERE rn = 1),
+        spine AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(min(day), max(day),
+                                               INTERVAL 1 DAY)) AS DATE) AS day
+            FROM daily GROUP BY user_id
+        )
+        SELECT s.user_id, s.day,
+               last_value(d.value IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_filled,
+               CAST(d.value IS NOT NULL AS BIGINT) AS is_observed
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_ts_resample(spark, sf_dir):
+    """Time-series resampling to a daily grid with LOCF gap-fill (the
+    feature-engineering step before any fixed-frequency model): per
+    (user, day) the LAST observation wins (max_by over the (ts,
+    event_id) total order — no row_number window pass), each user's
+    date spine is generated with sequence()+explode (no cross join
+    against a global calendar), and gaps forward-fill with
+    last(ignorenulls) over the per-user day order. Everything
+    partitions on user_id — the spine explode is a narrow transform of
+    the per-user (min, max) row, so no stage touches more than
+    |users| x |days| rows and no global sort exists."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("obs"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("obs", ignorenulls=True).over(w).alias("value_filled"),
+            F.col("obs").isNotNull().cast("long").alias("is_observed"),
+        )
     )

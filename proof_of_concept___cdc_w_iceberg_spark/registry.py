@@ -239,6 +239,11 @@ _CHECK_PRIORITY = [
     "q_tpch_q2",
     "q_tpch_q16",
     "q_tpch_q20",
+    "q_cdc_incremental_join",
+    "q_pack_sequences",
+    "q_embed_quantize",
+    "q_ts_resample",
+    "q_udf_cogrouped",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",

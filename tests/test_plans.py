@@ -307,3 +307,23 @@ def test_q20_single_slice_two_aggregates(spark, sf_dir):
     plan = explain_str(QS["q_tpch_q20"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_incremental_join_delta_is_broadcast(spark, sf_dir):
+    """The join-IVM delta legs must broadcast the batch side: the
+    retraction is a broadcast ANTI join on the view, the addition a
+    broadcast hash join into the fact table — no shuffle of either
+    per batch."""
+    plan = explain_str(QS["q_cdc_incremental_join"](spark, sf_dir))
+    assert "LeftAnti, BuildRight" in plan.replace("  ", " ") or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    """The corpus-wide running token sum must run as a bucket-partitioned
+    window (parallel prefix-sum), not a global orderBy window in one
+    task; only the 16-row bucket-totals cumsum may be single-partition."""
+    plan = explain_str(QS["q_pack_sequences"](spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan
