@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "q_pipeline_curate",
     "q_dedup_lines",
     "q_contamination",
+    "q_bm25",
+    "q_graph_pagerank",
+    "q_sessionize",
     "q_lateral_join",
     "q_topk",
 ]

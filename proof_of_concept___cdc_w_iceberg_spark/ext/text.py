@@ -618,3 +618,98 @@ def q_pack_sequences(spark, sf_dir):
         F.floor(start / PACK_SEQ_LEN).cast("long").alias("seq_id"),
         (start % PACK_SEQ_LEN).cast("long").alias("seq_offset"),
     )
+
+
+BM25_TERMS = ("vector", "merge", "stream")  # the fixed search query
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+            FROM toks WHERE token IN {BM25_TERMS!r}
+            GROUP BY doc_id, token
+        ),
+        df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+        scored AS (
+            SELECT tf.doc_id,
+                   SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * tf * ({BM25_K1} + 1)
+                       / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / avgdl)))
+                       AS s
+            FROM tf
+            JOIN df USING (token)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, ROUND(s, 4) AS bm25
+        FROM scored ORDER BY ROUND(s, 4) DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """BM25 ranking (k1={BM25_K1}, b={BM25_B}) of the corpus against a
+    fixed 3-term query — the retrieval scorer of a RAG/data-curation
+    stack. One tokenize pass feeds BOTH the doc-length relation and the
+    (query-filtered) TF relation; DF aggregates TF (3 rows), corpus
+    stats arrive as a 1-row broadcast, so the only shuffles are the two
+    tiny aggregates and the dl join back (co-partitioned on doc_id).
+    Per-term sums are at most |terms| addends, ordered identically in
+    both engines via commutative addition over identical doubles;
+    ranking uses the ROUNDED score with doc_id tiebreak, so the top-20
+    is cross-engine deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    spread = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < spread:
+        docs = docs.repartition(spread, "doc_id")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    ).persist()
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term_score = (
+        idf
+        * F.col("tf") * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("s"))
+    )
+    return (
+        scored.select("doc_id", F.round("s", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

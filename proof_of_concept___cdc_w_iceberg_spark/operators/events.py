@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.tables import load
+from ..sources.tables import load, register_views
 
 # funnel step windows: click within 1h of first view, purchase within
 # 24h of first qualifying click
@@ -232,3 +232,149 @@ def q_ts_resample(spark, sf_dir):
             F.col("obs").isNotNull().cast("long").alias("is_observed"),
         )
     )
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_id,
+                   SUM(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS session_seq
+            FROM gaps
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (the batch twin of session windows,
+    and the form analytics warehouses actually run): a session breaks
+    after 30 minutes of inactivity. lag() marks boundaries, a running
+    sum numbers sessions, one aggregate summarizes them — all three
+    windows partition on user_id, so the whole operator is a single
+    shuffle and scales with the number of users, never a global sort.
+    Deterministic tie-break: (ts, event_id) total order."""
+    gap = F.expr("INTERVAL 30 MINUTES")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = load(spark, sf_dir, "events")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + gap),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_seq", F.sum("new_session").over(run))
+    return marked.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "q_anomaly",
+    oracle="""
+        WITH stats AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE)
+                       AS sxx
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.value,
+               ROUND((e.value - sx / n)
+                     / sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS z
+        FROM events e JOIN stats s ON e.user_id = s.user_id
+        WHERE n >= 5 AND (sxx - sx * sx / n) / (n - 1) > 0
+          AND abs((e.value - sx / n)
+                  / sqrt((sxx - sx * sx / n) / (n - 1))) > 2
+    """,
+)
+def q_anomaly(spark, sf_dir):
+    """Per-user z-score outlier detection (data-quality gate for
+    training pipelines): per-user mean/std from decimal-exact
+    co-moments (the q_agg_stats discipline — order-independent, so
+    cross-engine identical), joined back co-partitioned on user_id,
+    flagging |z| > 2. Two shuffles total (aggregate + join), both on
+    user_id; the stats side is |users| rows, broadcastable when the
+    user count allows."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(v.cast("decimal(24,6)")).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(30,8)")).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - F.lit(1.0))
+    z = (v - sx / n) / F.sqrt(var)
+    return (
+        ev.join(stats, "user_id")
+        .filter((n >= 5) & (var > 0) & (F.abs(z) > 2))
+        .select("event_id", "user_id", "value", F.round(z, 4).alias("z"))
+    )
+
+
+@query(
+    "q_time_bucket",
+    oracle="""
+        WITH b AS (
+            SELECT value,
+                   (epoch_ms(ts) // 1000 // 3600) * 3600 AS b1h,
+                   (epoch_ms(ts) // 1000 // 21600) * 21600 AS b6h,
+                   (epoch_ms(ts) // 1000 // 86400) * 86400 AS b1d
+            FROM events
+        )
+        SELECT CASE WHEN grouping(b1h) = 0 THEN '1h'
+                    WHEN grouping(b6h) = 0 THEN '6h'
+                    ELSE '1d' END AS gran,
+               CAST(coalesce(b1h, b6h, b1d) AS BIGINT) AS bucket_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        FROM b
+        GROUP BY GROUPING SETS ((b1h), (b6h), (b1d))
+    """,
+)
+def q_time_bucket(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: the event stream
+    bucketed at 1h / 6h / 1d granularities in ONE scan — GROUPING SETS
+    compiles to a single Expand (3 rows per input) + one map-combined
+    aggregate, instead of three scans or a union of three groupBys.
+    Buckets are epoch-second arithmetic ((unix // g) * g), identical
+    integer math in both engines — no timestamp-truncation/timezone
+    semantics in the hash. The aggregate keyspace is
+    |hours|+|6h|+|days|, tiny at any scale."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH b AS (
+            SELECT value,
+                   (unix_timestamp(ts) div 3600) * 3600 AS b1h,
+                   (unix_timestamp(ts) div 21600) * 21600 AS b6h,
+                   (unix_timestamp(ts) div 86400) * 86400 AS b1d
+            FROM events
+        )
+        SELECT CASE WHEN grouping(b1h) = 0 THEN '1h'
+                    WHEN grouping(b6h) = 0 THEN '6h'
+                    ELSE '1d' END AS gran,
+               CAST(coalesce(b1h, b6h, b1d) AS BIGINT) AS bucket_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        FROM b
+        GROUP BY GROUPING SETS ((b1h), (b6h), (b1d))
+    """)

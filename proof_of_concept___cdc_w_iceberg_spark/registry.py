@@ -244,6 +244,11 @@ _CHECK_PRIORITY = [
     "q_embed_quantize",
     "q_ts_resample",
     "q_udf_cogrouped",
+    "q_sessionize",
+    "q_anomaly",
+    "q_bm25",
+    "q_time_bucket",
+    "q_graph_pagerank",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",
@@ -309,7 +314,7 @@ def _load() -> None:
     from .cdc import incremental as _cdc_ivm  # noqa: F401
     from .cdc import queries as _cdc  # noqa: F401
     from .streaming import queries as _streaming  # noqa: F401
-    from .ext import corpus, dedup, embeddings, multimodal, pipeline, similarity, text, udfs  # noqa: F401
+    from .ext import corpus, dedup, embeddings, graph, multimodal, pipeline, similarity, text, udfs  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

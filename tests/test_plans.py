@@ -327,3 +327,13 @@ def test_pack_sequences_window_is_partitioned(spark, sf_dir):
     task; only the 16-row bucket-totals cumsum may be single-partition."""
     plan = explain_str(QS["q_pack_sequences"](spark, sf_dir))
     assert "hashpartitioning(bucket" in plan
+
+
+def test_pagerank_edges_persisted_rank_broadcast(spark, sf_dir):
+    """Each PageRank iteration must reuse the persisted transition
+    relation (InMemoryTableScan per iteration) and broadcast the rank
+    vector — no per-iteration re-derivation of the edge pipeline and no
+    shuffle of the edges."""
+    plan = explain_str(QS["q_graph_pagerank"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
