@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load
-from .shingles import DOC_SHINGLES_SQL, doc_shingles
+from .shingles import DOC_SHINGLES_SQL, SHINGLES_SQL, TOKENS_SQL, doc_shingles
 
 # --- shared candidate-cap (stop-shingle) settings ---
 MAX_DOCS_PER_SHINGLE = 100
@@ -346,6 +346,139 @@ def q_dedup_simhash(spark, sf_dir):
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.filter(ham <= 3).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
+    )
+
+
+_BATCH_OFF = 20_000_000
+
+DEDUP_INCR_SQL = f"""
+    WITH batch AS (
+        SELECT doc_id + {_BATCH_OFF} AS doc_id, text
+        FROM documents WHERE doc_id % 13 = 5
+    ),
+    shc AS ({DOC_SHINGLES_SQL}),
+    shb AS (
+        SELECT doc_id, unnest({SHINGLES_SQL}) AS sh
+        FROM batch WHERE len({TOKENS_SQL}) >= 5
+    ),
+    seeds AS (SELECT unnest(range(0, {N_HASHES})) AS seed),
+    sigc AS (
+        SELECT doc_id, seed, MIN(md5(seed || '|' || sh)) AS mh
+        FROM shc, seeds GROUP BY doc_id, seed
+    ),
+    sigb AS (
+        SELECT doc_id, seed, MIN(md5(seed || '|' || sh)) AS mh
+        FROM shb, seeds GROUP BY doc_id, seed
+    ),
+    bandc AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS bucket
+        FROM sigc GROUP BY doc_id, seed // 2
+    ),
+    bandb AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS bucket
+        FROM sigb GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS match_id
+        FROM bandb b JOIN bandc c ON b.band = c.band AND b.bucket = c.bucket
+    ),
+    sizesc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shc GROUP BY doc_id),
+    sizesb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shb GROUP BY doc_id),
+    verified AS (
+        SELECT cand.new_id, cand.match_id, CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM cand
+        JOIN shb ON shb.doc_id = cand.new_id
+        JOIN shc ON shc.doc_id = cand.match_id AND shc.sh = shb.sh
+        GROUP BY 1, 2
+    )
+    SELECT v.new_id, v.match_id,
+           ROUND(CAST(n_inter AS DOUBLE) / (sb.n_sh + sc.n_sh - n_inter), 4) AS jaccard
+    FROM verified v
+    JOIN sizesb sb ON sb.doc_id = v.new_id
+    JOIN sizesc sc ON sc.doc_id = v.match_id
+    WHERE CAST(n_inter AS DOUBLE) / (sb.n_sh + sc.n_sh - n_inter) >= {JACCARD_T}
+"""
+
+
+@query("q_dedup_incremental", oracle=DEDUP_INCR_SQL)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup: dedup an arriving batch AGAINST the
+    existing corpus index, never corpus-vs-corpus. Batch bands probe
+    the corpus band table (at cluster scale a precomputed, bucketed
+    index relation maintained by the CDC apply path), so per-batch
+    cost is O(|batch| + candidates) — the only shape that survives a
+    continuously-ingesting 100 TB corpus, where re-running full-corpus
+    dedup per batch (q_dedup_minhash) is quadratic over time.
+
+    Batch = every 13th doc replayed under a new id (planted exact dups,
+    J=1.0 vs their source). Probe join is band+bucket equi-join; exact
+    Jaccard verification touches only candidate pairs.
+    """
+    corpus = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = corpus.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + _BATCH_OFF).alias("doc_id"), "text"
+    )
+
+    def bands_of(docs):
+        sh = doc_shingles(docs).persist()
+        mh_cols = [
+            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh{s}")
+            for s in range(N_HASHES)
+        ]
+        sig = sh.groupBy("doc_id").agg(*mh_cols)
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(",", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                    ).alias("bucket"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        bands = sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
+            "doc_id", "bb.band", "bb.bucket"
+        )
+        return sh, bands
+
+    shc, bandc = bands_of(corpus)
+    shb, bandb = bands_of(batch)
+    cand = (
+        bandb.alias("b")
+        .join(
+            bandc.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("b.doc_id").alias("new_id"), F.col("c.doc_id").alias("match_id"))
+        .distinct()
+        .persist()
+    )
+    sizesc = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizesb = shb.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    verified = (
+        cand.join(shb.alias("shb"), F.col("shb.doc_id") == F.col("new_id"))
+        .join(
+            shc.alias("shc"),
+            (F.col("shc.doc_id") == F.col("match_id"))
+            & (F.col("shc.sh") == F.col("shb.sh")),
+        )
+        .groupBy("new_id", "match_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sb = sizesb.alias("sb")
+    sc = sizesc.alias("sc")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sb.n_sh") + F.col("sc.n_sh") - F.col("n_inter")
+    )
+    return (
+        verified.join(sb, F.col("sb.doc_id") == F.col("new_id"))
+        .join(sc, F.col("sc.doc_id") == F.col("match_id"))
+        .filter(jac >= JACCARD_T)
+        .select("new_id", "match_id", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -53,6 +53,9 @@ def _ship_package(spark: SparkSession) -> None:
     # conf, unlike most session options).
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Unannotated fixture stamps must load as TIMESTAMP, not
+        # TIMESTAMP_NTZ (epoch functions reject NTZ); runtime-settable.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     if _pkg_zip is None:
@@ -249,6 +252,9 @@ _CHECK_PRIORITY = [
     "q_bm25",
     "q_time_bucket",
     "q_graph_pagerank",
+    "q_dedup_incremental",
+    "q_layout_zorder",
+    "q_corpus_balance",
     # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
     "q_agg_count",
     "q_agg_groupby",

@@ -24,6 +24,10 @@ def get_spark(app_name: str = "poc_cdc_iceberg_spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Fixture parquet stamps are unannotated (isAdjustedToUTC=false);
+        # read them as TIMESTAMP (UTC session) not TIMESTAMP_NTZ so the
+        # epoch-math surface (unix_millis & co.) stays valid everywhere.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
