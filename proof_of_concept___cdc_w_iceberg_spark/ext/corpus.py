@@ -347,3 +347,66 @@ def q_doc_chunk(spark, sf_dir):
         )
         .select("doc_id", "c.start_pos", "c.n_toks", "c.chunk_fp")
     )
+
+
+BALANCE_FRAC = 0.4  # per-language token budget = 40% of the language's
+#                     total tokens — scale-free, so the semantics (and
+#                     the oracle) hold at every sf and at 100 TB.
+
+
+@query(
+    "q_corpus_balance",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(len({TOKENS_SQL}) AS BIGINT) AS n_toks
+            FROM documents
+        ),
+        budgeted AS (
+            SELECT doc_id, lang, n_toks,
+                   SUM(n_toks) OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum_toks,
+                   CAST(floor({BALANCE_FRAC} * SUM(n_toks) OVER (
+                       PARTITION BY lang)) AS BIGINT) AS budget
+            FROM toks
+        )
+        SELECT doc_id, lang, n_toks,
+               CAST(cum_toks AS BIGINT) AS cum_toks, budget
+        FROM budgeted WHERE cum_toks <= budget
+    """,
+)
+def q_corpus_balance(spark, sf_dir):
+    """Token-budget corpus balancing: cap every language at a fixed
+    fraction of its token mass, admitting docs in deterministic
+    md5(doc_id) order until the running total hits the budget — the
+    "data mixture" step that downsamples over-represented languages
+    before training (cf. the mixture tables in LLM data recipes).
+
+    Deterministic order makes the sample reproducible across reruns —
+    an audit requirement for training-data lineage. Scale shape: one
+    shuffle on lang (the window partition); both the running sum and
+    the per-lang total come from the SAME partitioning, so Catalyst
+    plans a single Exchange reused by both window specs. No collect,
+    no per-language driver loop — the language list is never
+    materialized."""
+    w_ord = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    w_all = Window.partitionBy("lang")
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_toks")
+    )
+    return (
+        toks.withColumn(
+            "cum_toks", F.sum("n_toks").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn(
+            "budget",
+            F.floor(F.lit(BALANCE_FRAC) * F.sum("n_toks").over(w_all)).cast("long"),
+        )
+        .filter(F.col("cum_toks") <= F.col("budget"))
+        .select("doc_id", "lang", "n_toks", "cum_toks", "budget")
+    )

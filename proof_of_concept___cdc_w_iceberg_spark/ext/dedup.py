@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load
-from .shingles import DOC_SHINGLES_SQL, SHINGLES_SQL, TOKENS_SQL, doc_shingles
+from .shingles import DOC_SHINGLES_SQL, SHINGLE_W, SHINGLES_SQL, TOKENS_SQL, doc_shingles
 
 # --- shared candidate-cap (stop-shingle) settings ---
 MAX_DOCS_PER_SHINGLE = 100
@@ -359,7 +359,7 @@ DEDUP_INCR_SQL = f"""
     shc AS ({DOC_SHINGLES_SQL}),
     shb AS (
         SELECT doc_id, unnest({SHINGLES_SQL}) AS sh
-        FROM batch WHERE len({TOKENS_SQL}) >= 5
+        FROM batch WHERE len({TOKENS_SQL}) >= {SHINGLE_W}
     ),
     seeds AS (SELECT unnest(range(0, {N_HASHES})) AS seed),
     sigc AS (
@@ -415,6 +415,13 @@ def q_dedup_incremental(spark, sf_dir):
     Batch = every 13th doc replayed under a new id (planted exact dups,
     J=1.0 vs their source). Probe join is band+bucket equi-join; exact
     Jaccard verification touches only candidate pairs.
+
+    Persist lifetime: the corpus-side shingle/band persists stand in
+    for the PRECOMPUTED index relation (recomputed here because the
+    PoC has no long-lived session to own it); they are scoped to the
+    returned plan and released by the caller's session teardown —
+    a resident service would read the bucketed index table instead and
+    unpersist after each batch's action.
     """
     corpus = load(spark, sf_dir, "documents").select("doc_id", "text")
     batch = corpus.filter(F.col("doc_id") % 13 == 5).select(

@@ -1,0 +1,122 @@
+"""Storage-layout operators: multi-dimensional clustering (Z-order).
+
+The reference's at-rest model is Iceberg tables whose maintenance
+story includes rewrite-with-sort-order compaction
+(`connect-iceberg-sink.json:19-29`; Iceberg's ``rewrite_data_files``
+with a z-order strategy). Here the operator is re-expressed
+Spark-first: quantize two join/filter dimensions, interleave their
+bits into a Morton (Z-order) key, and report per-z-bucket min/max
+envelopes — exactly the file-level statistics a lake writer would
+persist for data skipping. ``repartitionByRange(zorder_key)`` before
+the write turns these buckets into physical files; the query returns
+the envelope stats so correctness is oracle-checkable.
+
+Why it matters at 100 TB: a linear sort on one column gives perfect
+skipping on that column and none on the second; Z-order gives
+near-rectangular envelopes on BOTH, so predicates on either dimension
+prune most files. The envelope widths this query outputs are the
+direct measure of that pruning power.
+
+All arithmetic is engine-portable (floor/div/mod on exact doubles),
+shared verbatim between the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+ZBITS = 8       # 8 bits per dimension -> 16-bit Morton key, 0..65535
+ZBUCKET_DIV = 1024  # z >> 10: 64 buckets ~ 64 target files
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """Bit-interleave two ZBITS-wide non-negative ints with pure
+    integer arithmetic (floor/div/mod) so the SAME string runs in
+    Spark SQL and DuckDB — no engine-specific bit operators."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"(CAST(floor({x} / {1 << i}) AS BIGINT) % 2) * {4 ** i}")
+        terms.append(f"(CAST(floor({y} / {1 << i}) AS BIGINT) % 2) * {2 * 4 ** i}")
+    return "(" + " + ".join(terms) + ")"
+
+
+# Quantize a value into [0, 2^ZBITS) given min/max columns. The +1 on
+# the range keeps the max value inside the top bin. Exact in doubles
+# for key ranges up to 2^52 — far beyond any key space here.
+def _quant_sql(v: str, vmin: str, vmax: str) -> str:
+    return (
+        f"CAST(floor(({v} - {vmin}) * {1 << ZBITS}.0 / "
+        f"({vmax} - {vmin} + 1)) AS BIGINT)"
+    )
+
+
+_XQ = _quant_sql("l_partkey", "x_min", "x_max")
+_YQ = _quant_sql("l_suppkey", "y_min", "y_max")
+_Z = _morton_sql("xq", "yq")
+
+
+@query(
+    "q_layout_zorder",
+    oracle=f"""
+        WITH stats AS (
+            SELECT MIN(l_partkey) AS x_min, MAX(l_partkey) AS x_max,
+                   MIN(l_suppkey) AS y_min, MAX(l_suppkey) AS y_max
+            FROM lineitem
+        ),
+        quant AS (
+            SELECT {_XQ} AS xq, {_YQ} AS yq, l_partkey, l_suppkey
+            FROM lineitem, stats
+        ),
+        keyed AS (
+            SELECT CAST(floor({_Z} / {ZBUCKET_DIV}) AS BIGINT) AS zbucket,
+                   l_partkey, l_suppkey
+            FROM quant
+        )
+        SELECT zbucket,
+               COUNT(*) AS n,
+               MIN(l_partkey) AS pk_lo, MAX(l_partkey) AS pk_hi,
+               MIN(l_suppkey) AS sk_lo, MAX(l_suppkey) AS sk_hi
+        FROM keyed GROUP BY zbucket
+    """,
+)
+def q_layout_zorder(spark, sf_dir):
+    """Z-order layout planning over lineitem(l_partkey, l_suppkey):
+    per-z-bucket row counts and min/max envelopes on both dimensions —
+    the data-skipping statistics a z-ordered rewrite would persist per
+    file.
+
+    Scale shape: one tiny global min/max agg (broadcast back as a
+    1-row literal relation — no driver round-trip in the plan, the
+    crossJoin of a 1-row side is a broadcast), then a single
+    map-side-combinable groupBy on the 64 z-buckets. The quantize +
+    interleave arithmetic is all JVM whole-stage-codegen; the actual
+    physical rewrite at scale is `df.repartitionByRange(64, zkey)
+    .sortWithinPartitions(zkey).write` using this exact key."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    stats = li.agg(
+        F.min("l_partkey").alias("x_min"),
+        F.max("l_partkey").alias("x_max"),
+        F.min("l_suppkey").alias("y_min"),
+        F.max("l_suppkey").alias("y_max"),
+    )
+    quant = li.crossJoin(F.broadcast(stats)).select(
+        F.expr(_XQ).alias("xq"),
+        F.expr(_YQ).alias("yq"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    keyed = quant.select(
+        F.expr(f"CAST(floor({_Z} / {ZBUCKET_DIV}) AS BIGINT)").alias("zbucket"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return keyed.groupBy("zbucket").agg(
+        F.count("*").alias("n"),
+        F.min("l_partkey").alias("pk_lo"),
+        F.max("l_partkey").alias("pk_hi"),
+        F.min("l_suppkey").alias("sk_lo"),
+        F.max("l_suppkey").alias("sk_hi"),
+    )

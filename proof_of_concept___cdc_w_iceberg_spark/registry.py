@@ -102,75 +102,21 @@ _loaded = False
 # Driver-verification ordering. The external driver hash-checks only the
 # first 50 entries of ``queries()`` per round, so ordering is coverage
 # policy: queries that have never received a driver CORRECTNESS row go
-# first. Round-1 checked exactly the 50 names listed at the BACK of this
-# list (they stay regression-guarded locally by tests/test_correctness.py,
-# which runs the identical oracle gate over ALL queries).
+# first. Rounds 1+2 together produced green rows for 100 queries (all
+# pass); those sit at the BACK, regression-guarded locally by
+# tests/test_correctness.py, which runs the identical oracle gate over
+# ALL queries.
 #
-# Rotation protocol for future rounds: once CORRECTNESS_r{N} lands, move
-# newly-green names to the back and pull never-checked names to the front
-# until every query has accumulated at least one green driver row.
+# Rotation protocol (applied r03): once CORRECTNESS_r{N} lands, move
+# newly-green names to the back and pull never-checked names into the
+# front window until every query has accumulated at least one green
+# driver row. The two no-oracle ANN queries (q_sim_ivf / q_sim_lsh,
+# approximate by design) sit right after the oracle-backed unchecked
+# block: they can only ever earn a rows-only row, so they must not
+# displace hash-checkable queries from the window
+# (test_front_window_all_have_oracles keeps them out of the front 50).
 _CHECK_PRIORITY = [
-    # -- never driver-checked (r01 window was [:50]) -- front 50, all oracle-backed
-    # CDC composites (the engine's raison d'être)
-    "q_cdc_apply",
-    "q_cdc_apply_scale",
-    "q_cdc_apply_bucketed",  # r02: partition-scoped merge, same oracle
-    "q_cdc_diff",
-    "q_cdc_snapshot_then_stream",
-    "q_cdc_mirror_verify",
-    "q_cdc_soft_delete_log",
-    "q_source_changelog",
-    "q_envelope_decode",
-    "q_sink_upsert",
-    # window functions
-    "q_win_rownumber",
-    "q_win_rank",
-    "q_win_lag_lead",
-    "q_win_running",
-    "q_win_range_frame",
-    "q_win_ntile",
-    # scalar function families
-    "q_str_funcs",
-    "q_str_regex",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_cast",
-    "q_case_when",
-    "q_json_funcs",
-    "q_array_funcs",
-    "q_map_funcs",
-    # streaming (deterministic batch twins)
-    "q_stream_microbatch",
-    "q_stream_upsert",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_watermark",
-    "q_stream_heartbeat",
-    "q_stream_dedup",
-    # EXT: dedup family
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_minhash",
-    "q_dedup_ngram",
-    "q_dedup_simhash",
-    "q_dedup_embed",
-    # EXT: similarity (oracle-backed members)
-    "q_sim_topk",
-    "q_sim_pairwise",
-    # EXT: text analysis
-    "q_text_stats",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_tokens",
-    "q_text_ngram",
-    "q_text_fingerprint",
-    # EXT: multimodal
-    "q_multimodal_cols",
-    "q_multimodal_decode",
-    "q_multimodal_features",
     "q_multimodal_resize",
-    # -- never driver-checked, positions 51-63: rotate to front next round
     "q_multimodal_framesample",
     "q_udf_python",
     "q_udf_pandas",
@@ -182,14 +128,11 @@ _CHECK_PRIORITY = [
     "q_tpch_q18",
     "q_sql_text",
     "q_join_salted",
-    "q_sim_ivf",   # no-oracle (approximate) — rows-only check
-    "q_sim_lsh",   # no-oracle (approximate) — rows-only check
-    "q_sink_avro",  # r02: format-gated round-trip
-    "q_tpch_q6",    # r02 SQL-surface widening
+    "q_sink_avro",
+    "q_tpch_q6",
     "q_tpch_q10",
     "q_tpch_q14",
     "q_tpch_q19",
-    # r02 operator widening (rotate into the front window in r03)
     "q_dedup_cluster",
     "q_embed_centroid",
     "q_embed_normalize",
@@ -255,7 +198,58 @@ _CHECK_PRIORITY = [
     "q_dedup_incremental",
     "q_layout_zorder",
     "q_corpus_balance",
-    # -- driver-green in CORRECTNESS_r01 (hash-pass or declared no-oracle)
+    "q_sim_ivf",
+    "q_sim_lsh",
+    "q_cdc_apply",
+    "q_cdc_apply_scale",
+    "q_cdc_apply_bucketed",
+    "q_cdc_diff",
+    "q_cdc_snapshot_then_stream",
+    "q_cdc_mirror_verify",
+    "q_cdc_soft_delete_log",
+    "q_source_changelog",
+    "q_envelope_decode",
+    "q_sink_upsert",
+    "q_win_rownumber",
+    "q_win_rank",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_range_frame",
+    "q_win_ntile",
+    "q_str_funcs",
+    "q_str_regex",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cast",
+    "q_case_when",
+    "q_json_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_stream_microbatch",
+    "q_stream_upsert",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_watermark",
+    "q_stream_heartbeat",
+    "q_stream_dedup",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_embed",
+    "q_sim_topk",
+    "q_sim_pairwise",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_tokens",
+    "q_text_ngram",
+    "q_text_fingerprint",
+    "q_multimodal_cols",
+    "q_multimodal_decode",
+    "q_multimodal_features",
     "q_agg_count",
     "q_agg_groupby",
     "q_agg_distinct",
@@ -315,7 +309,7 @@ def _load() -> None:
     if _loaded:
         return
     _loaded = True
-    from .operators import aggregates, events, filters, joins, scans, setops, sorts, subqueries, tpch, windows  # noqa: F401
+    from .operators import aggregates, events, filters, joins, layout, scans, setops, sorts, subqueries, tpch, windows  # noqa: F401
     from .functions import scalar  # noqa: F401
     from .cdc import incremental as _cdc_ivm  # noqa: F401
     from .cdc import queries as _cdc  # noqa: F401
