@@ -66,6 +66,13 @@ BENCH_QUERIES = [
     "q_sessionize",
     "q_lateral_join",
     "q_topk",
+    "q_cdc_scd2",
+    "q_islands",
+    "q_histogram",
+    "q_layout_zorder",
+    "q_shuffle_shards",
+    "q_corpus_balance",
+    "q_text_entropy",
 ]
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -407,3 +408,56 @@ def q_cdc_incremental_read(spark, sf_dir):
     rescanning the table."""
     m = _snapshot_mirror(spark, sf_dir)
     return m.diff(0, 2).select("k", "name", "bal", "op")
+
+
+SCD2_SQL = f"""
+    WITH changes AS ({CHANGELOG_SQL}),
+    versioned AS (
+        SELECT k, name, bal, op, ts_ms,
+               lead(ts_ms) OVER (PARTITION BY k ORDER BY ts_ms, off)
+                   AS valid_to
+        FROM changes
+    )
+    SELECT k, name, bal,
+           CAST(ts_ms AS BIGINT) AS valid_from,
+           CAST(valid_to AS BIGINT) AS valid_to,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_current
+    FROM versioned WHERE op <> 'd'
+"""
+
+
+@query("q_cdc_scd2", oracle=SCD2_SQL)
+def q_cdc_scd2(spark, sf_dir):
+    """SCD Type 2 dimension history from the changelog: every change
+    event opens a version row valid [ts_ms, next-event ts_ms); the
+    latest open version is flagged current. Delete events emit no row
+    but CLOSE the preceding version (their ts becomes its valid_to via
+    the lead() over ALL events, deletes included) — so a re-insert
+    after a delete leaves a validity gap, which is the correct SCD2
+    rendering of delete-then-reinsert keys.
+
+    This is the reference pipeline's "keep history" sink mode
+    (cf. Debezium envelope before/after images,
+    `connect-iceberg-sink.json:30-33` upsert config) re-expressed as
+    one window pass. Scale shape: a single shuffle on k (the window
+    partition), no join at all — at 100 TB the changelog is already
+    bucketed by key for the apply path, so this window reuses that
+    layout Exchange-free."""
+    ch = changelog(spark, sf_dir)
+    w = Window.partitionBy("k").orderBy("ts_ms", "off")
+    return (
+        ch.withColumn("valid_to", F.lead("ts_ms").over(w))
+        .filter(F.col("op") != "d")
+        .select(
+            "k",
+            "name",
+            "bal",
+            F.col("ts_ms").cast("long").alias("valid_from"),
+            F.col("valid_to").cast("long"),
+            F.when(F.col("valid_to").isNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_current"),
+        )
+    )

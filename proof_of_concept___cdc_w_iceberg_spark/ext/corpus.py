@@ -410,3 +410,117 @@ def q_corpus_balance(spark, sf_dir):
         .filter(F.col("cum_toks") <= F.col("budget"))
         .select("doc_id", "lang", "n_toks", "cum_toks", "budget")
     )
+
+
+SHARDS = 64  # training-output shard count: docs are hash-routed to
+#              shards and ordered pseudo-randomly within each — the
+#              scalable rendering of "globally shuffle the corpus"
+#              (no global total order / single-partition sort).
+
+
+def _hex_u32_sql(h: str) -> str:
+    """First 8 hex chars of md5 string ``h`` as a 0..2^32-1 integer,
+    via instr on the hex alphabet — portable across Spark SQL and
+    DuckDB (both have 1-indexed instr(haystack, needle); no
+    engine-specific hex cast)."""
+    nibbles = [
+        f"(CAST(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(nibbles) + ")"
+
+
+_SHUF_HASH = _hex_u32_sql("md5(CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "q_shuffle_shards",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id, {_SHUF_HASH} AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(h % {SHARDS} AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY h % {SHARDS}
+                   ORDER BY md5('pos|' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS pos_in_shard
+        FROM hashed
+    """,
+)
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic corpus shuffle for training-order assignment:
+    route each doc to one of {SHARDS} shards by hash, order within the
+    shard by an independent hash. Reading shards in order visits the
+    corpus in reproducible pseudo-random order — the distributed
+    replacement for ORDER BY random(), which at 100 TB would need a
+    global range sort AND be unreproducible.
+
+    Scale shape: one shuffle on the shard key (matches the physical
+    write partitioning of the training shards), per-shard local sort
+    inside the window — exactly `repartition(SHARDS) +
+    sortWithinPartitions` when written out. The strpos-based hex
+    decode keeps the hash portable (bit-identical) across engines."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"{_SHUF_HASH} % {SHARDS}".replace("AS VARCHAR", "AS STRING"))
+        .cast("long")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.concat(F.lit("pos|"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos_in_shard")
+    )
+
+
+SAMPLE_TARGET_TOKS = 120.0  # acceptance scale: docs at/above this token
+#                             count are always kept; shorter docs keep
+#                             proportionally to length (token-mass-
+#                             uniform sampling).
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len({TOKENS_SQL}) AS BIGINT) AS n_toks,
+                   {_hex_u32_sql("md5('samp|' || CAST(doc_id AS VARCHAR))")}
+                       / 4294967296.0 AS u
+            FROM documents
+        )
+        SELECT doc_id, lang, n_toks, ROUND(u, 8) AS u
+        FROM scored
+        WHERE u < n_toks / {SAMPLE_TARGET_TOKS}
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic length-weighted Bernoulli sampling: doc i is kept
+    iff hash-uniform(doc_id) < n_toks/{SAMPLE_TARGET_TOKS} — i.e.
+    acceptance probability proportional to token count (token-mass-
+    uniform sampling, the standard way to downsample a corpus without
+    biasing against long documents). Hash-derived uniforms make the
+    sample a pure function of doc_id: reproducible across reruns,
+    engines, and partitionings — rand(seed) is none of those (it
+    depends on physical row order).
+
+    Scale shape: embarrassingly parallel narrow filter, no shuffle at
+    all; the u < p predicate pushes into the scan stage."""
+    u = F.expr(_hex_u32_sql("md5('samp|' || CAST(doc_id AS STRING))")) / F.lit(
+        4294967296.0
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("n_toks") / SAMPLE_TARGET_TOKS)
+        .select("doc_id", "lang", "n_toks", F.round("u", 8).alias("u"))
+    )

@@ -571,3 +571,45 @@ def q_dedup_cluster(spark, sf_dir):
         F.when(F.col("comp") == F.col("node"), F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("is_canonical"),
     )
+
+
+@query(
+    "q_dedup_normalized",
+    oracle="""
+        WITH norm AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                       ' +', ' ', 'g')) AS canon
+            FROM documents
+        )
+        SELECT md5(canon) AS fp,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM norm GROUP BY canon
+    """,
+)
+def q_dedup_normalized(spark, sf_dir):
+    """Normalized exact dedup: casefold, strip punctuation, collapse
+    whitespace, THEN hash-group — catches trivially-reformatted copies
+    (case/punctuation variants) that byte-exact dedup misses, at the
+    same single-shuffle cost. This is the standard first rung of the
+    web-scale dedup ladder (normalize -> exact -> near).
+
+    Scale shape identical to q_dedup_exact: narrow per-row normalize
+    in whole-stage codegen, one shuffle on the canonical hash,
+    deterministic min-id keeper."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", canon.alias("canon"))
+        .groupBy("canon")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select(F.md5("canon").alias("fp"), "keep_id", "n_copies")
+    )

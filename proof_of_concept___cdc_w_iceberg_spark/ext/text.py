@@ -713,3 +713,57 @@ def q_bm25(spark, sf_dir):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT source, n, SUM(n) OVER (PARTITION BY source) AS tot
+            FROM counts
+        )
+        SELECT source,
+               CAST(SUM(CAST(ROUND(
+                   -(n / CAST(tot AS DOUBLE)) * log2(n / CAST(tot AS DOUBLE)), 8)
+                   AS DECIMAL(30, 10))) AS DOUBLE) AS entropy_bits,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+        FROM totals GROUP BY source
+    """,
+)
+def q_text_entropy(spark, sf_dir):
+    """Per-source Shannon token entropy (bits): the corpus-diversity
+    statistic behind repetition / boilerplate detection — a source
+    whose entropy collapses is serving templated text. Per-token
+    terms -p*log2(p) are rounded to 8 dp (absorbing any last-ulp libm
+    difference between engines) and summed through DECIMAL so the
+    total is order-independent and bit-equal to the oracle.
+
+    Scale shape: explode -> map-side-combinable count on
+    (source, token) -> window total on source (reuses the same
+    partitioning as the final groupBy: one Exchange end-to-end after
+    the count shuffle). The token-count relation is |vocab| x
+    |sources| — tiny relative to input — so everything after the first
+    shuffle is effectively free."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+    )
+    counts = tok.groupBy("source", "token").agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("source"))
+    p = F.col("n") / tot.cast("double")
+    return (
+        counts.select("source", F.round(-p * F.log2(p), 8).alias("term"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("term").cast("decimal(30,10)")).cast("double").alias("entropy_bits"),
+            F.count("*").cast("long").alias("n_distinct_tokens"),
+        )
+    )

@@ -539,3 +539,100 @@ def q_profile(spark, sf_dir):
         f"stack({len(_PROFILE_COLS)}, {stack_args}) "
         "AS (col_name, n_null, n_distinct, min_val, max_val)"
     )
+
+
+HIST_BINS = 32
+
+# Portable fixed-width binning (no width_bucket: DuckDB and Spark
+# disagree on its edge semantics; plain arithmetic is identical in
+# both). Values at the max clamp into the top bin.
+_HIST_BUCKET = (
+    f"CAST(least(floor((l_extendedprice - lo) * {HIST_BINS} / (hi - lo + 1e-9)),"
+    f" {HIST_BINS - 1}) AS BIGINT)"
+)
+
+
+@query(
+    "q_histogram",
+    oracle=f"""
+        WITH stats AS (
+            SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+            FROM lineitem
+        )
+        SELECT {_HIST_BUCKET} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MIN(l_extendedprice), 2) AS bin_min,
+               ROUND(MAX(l_extendedprice), 2) AS bin_max
+        FROM lineitem, stats
+        GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Equi-width histogram of l_extendedprice ({HIST_BINS} bins): the
+    data-profiling primitive behind NDV/skew dashboards and bin-packed
+    length bucketing in training pipelines.
+
+    Scale shape: one tiny global min/max agg broadcast back (1-row
+    crossJoin — no driver round-trip), then a map-side-combinable
+    groupBy on at most {HIST_BINS} keys: the shuffle carries 32 partial
+    states per task regardless of input size. The per-bin min/max
+    output doubles as the correctness witness for the bin edges."""
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(F.expr(_HIST_BUCKET).alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+        )
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+        WITH counts AS (
+            SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT c_mktsegment, c_nationkey, n,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY n DESC, c_nationkey) AS rn
+            FROM counts
+        )
+        SELECT c_mktsegment, c_nationkey AS mode_nation, n AS mode_n
+        FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark, sf_dir):
+    """Per-group mode (most frequent value) with a deterministic
+    smallest-value tie-break — built-in ``mode()`` is tie-arbitrary,
+    so it is re-expressed as count + row_number for a stable,
+    oracle-checkable answer.
+
+    Scale shape: the count groupBy pre-shrinks each segment to its
+    distinct values BEFORE the window, so the row_number runs over
+    |distinct values| rows, not |input| — at 100 TB the window input
+    is ~25 nations x 5 segments, trivially small, and the heavy lift
+    stays in the map-side-combinable count."""
+    counts = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("n"), "c_nationkey")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nation"),
+            F.col("n").alias("mode_n"),
+        )
+    )

@@ -378,3 +378,53 @@ def q_time_bucket(spark, sf_dir):
         FROM b
         GROUP BY GROUPING SETS ((b1h), (b6h), (b1d))
     """)
+
+
+_ISLANDS_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_all,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_type
+        FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           MIN(ts) AS run_start, MAX(ts) AS run_end
+    FROM seq
+    GROUP BY user_id, event_type, rn_all - rn_type
+"""
+
+
+@query("q_islands", oracle=_ISLANDS_SQL)
+def q_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user (the classic rn_all - rn_type grouping). The primitive
+    behind streak analytics ("N failed payments in a row"), error-burst
+    detection, and repeated-crawl collapse.
+
+    Scale shape: both window specs partition by user_id with the same
+    ordering, so Catalyst plans ONE Exchange on user_id reused by both
+    row_numbers and the final groupBy is map-side-combinable on top of
+    the same partitioning. No join, no second shuffle; survives 100 TB
+    of events as a single pass per key."""
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count("*").cast("long").alias("run_len"),
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+        )
+        .drop("grp")
+    )

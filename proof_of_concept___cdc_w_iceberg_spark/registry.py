@@ -198,6 +198,15 @@ _CHECK_PRIORITY = [
     "q_dedup_incremental",
     "q_layout_zorder",
     "q_corpus_balance",
+    # r03 operator widening (never driver-checked; oracle-backed)
+    "q_cdc_scd2",
+    "q_islands",
+    "q_histogram",
+    "q_agg_mode",
+    "q_dedup_normalized",
+    "q_shuffle_shards",
+    "q_weighted_sample",
+    "q_text_entropy",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",

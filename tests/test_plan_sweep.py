@@ -48,6 +48,8 @@ NESTED_LOOP_OK = {
     " (scale path = q_sim_lsh/q_sim_ivf)",
     "q_sim_ivf": "query x |centroids| probe assignment — bounded by design",
     "q_stream_watermark": "1-row max-event-time cutoff broadcast",
+    "q_histogram": "1-row global min/max broadcast for bin edges",
+    "q_layout_zorder": "1-row global min/max broadcast for quantization",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))
