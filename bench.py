@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "q_shuffle_shards",
     "q_corpus_balance",
     "q_text_entropy",
+    "q_feature_pit",
+    "q_dedup_containment",
+    "q_stratified_split",
+    "q_cdc_dead_letter",
 ]
 
 

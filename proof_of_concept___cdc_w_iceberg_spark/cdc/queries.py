@@ -461,3 +461,60 @@ def q_cdc_scd2(spark, sf_dir):
             .alias("is_current"),
         )
     )
+
+
+DLQ_MOD = 37  # deterministic corruption rule: every 37th key's record
+#               arrives malformed (truncated payload)
+
+DEAD_LETTER_SQL = f"""
+    WITH changes AS ({CHANGELOG_SQL})
+    SELECT CASE WHEN k % {DLQ_MOD} = 0 THEN 'dlq'
+                ELSE 'cdc.commerce_account' END AS route,
+           CASE WHEN k % {DLQ_MOD} = 0 THEN NULL ELSE op END AS op,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM changes
+    GROUP BY 1, 2
+"""
+
+
+@query("q_cdc_dead_letter", oracle=DEAD_LETTER_SQL)
+def q_cdc_dead_letter(spark, sf_dir):
+    """Dead-letter-queue routing (Kafka Connect ``errors.tolerance:
+    all`` + ``errors.deadletterqueue.topic.name`` parity): envelopes
+    that fail JSON decode are routed to a DLQ with the raw payload
+    preserved; well-formed records proceed to their table route. The
+    corruption is planted deterministically (every {DLQ_MOD}th key's
+    value truncated mid-string) so the oracle can replicate the
+    routing decision without parsing JSON.
+
+    The decode is ``from_json`` in PERMISSIVE mode — a malformed
+    record yields an envelope whose mandatory ``op`` field is null
+    (Debezium always sets op), which IS the routing predicate: no
+    Python, no exception path, no second parse. Scale:
+    narrow per-row codec + one map-side-combinable count; the DLQ in
+    production is a partitioned append sink fed by the same
+    ``when(parsed.isNull())`` split."""
+    from .envelope import ENVELOPE_SCHEMA
+
+    enveloped = encode_envelope(changelog(spark, sf_dir))
+    # Truncate the JSON payload for planted keys -> guaranteed parse
+    # failure that still carries bytes to preserve in the DLQ.
+    corrupted = enveloped.select(
+        "key",
+        F.when(
+            F.col("key") % DLQ_MOD == 0, F.substring("value", 1, 10)
+        ).otherwise(F.col("value")).alias("value"),
+    )
+    parsed = corrupted.withColumn(
+        "env", F.from_json("value", ENVELOPE_SCHEMA)
+    )
+    return (
+        parsed.select(
+            F.when(F.col("env.op").isNull(), F.lit("dlq"))
+            .otherwise(F.lit("cdc.commerce_account"))
+            .alias("route"),
+            F.col("env.op").alias("op"),
+        )
+        .groupBy("route", "op")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

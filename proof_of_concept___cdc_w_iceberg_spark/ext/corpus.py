@@ -524,3 +524,51 @@ def q_weighted_sample(spark, sf_dir):
         .filter(F.col("u") < F.col("n_toks") / SAMPLE_TARGET_TOKS)
         .select("doc_id", "lang", "n_toks", F.round("u", 8).alias("u"))
     )
+
+
+# 90/5/5 split on a u32 hash of doc_id, independent of the shuffle and
+# sampling hashes above (different salt) — membership must not
+# correlate across uses of the corpus hash.
+_SPLIT_HASH = _hex_u32_sql("md5('split|' || CAST(doc_id AS VARCHAR))")
+_SPLIT_CASE = (
+    f"CASE WHEN {_SPLIT_HASH} < {int(0.90 * 2 ** 32)} THEN 'train' "
+    f"WHEN {_SPLIT_HASH} < {int(0.95 * 2 ** 32)} THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@query(
+    "q_stratified_split",
+    oracle=f"""
+        SELECT lang, {_SPLIT_CASE} AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM documents
+        GROUP BY 1, 2
+    """,
+)
+def q_stratified_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) by salted
+    doc_id hash, reported per language: the split is a pure function
+    of the document identity, so it is stable under re-partitioning,
+    re-runs, corpus growth (a doc never migrates between splits), and
+    across engines — none of which holds for rand()-based splitting.
+    A distinct salt ('split|') keeps membership independent of the
+    shuffle/sampling hashes that share the corpus hash helper.
+
+    Output is the per-(lang, split) audit summary; the row-level
+    assignment is the same expression as a narrow zero-shuffle
+    column. Scale: one map-side-combinable groupBy over ≤|langs|×3
+    keys."""
+    split_col = F.expr(_SPLIT_CASE.replace("AS VARCHAR", "AS STRING"))
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", split_col.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

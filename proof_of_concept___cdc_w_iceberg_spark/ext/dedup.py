@@ -613,3 +613,61 @@ def q_dedup_normalized(spark, sf_dir):
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .select(F.md5("canon").alias("fp"), "keep_id", "n_copies")
     )
+
+
+CONTAIN_T = 0.7  # asymmetric containment threshold (doc-in-doc)
+
+CONTAINMENT_SQL = f"""
+    WITH pairs_src AS ({NGRAM_PAIRS_SQL.replace("WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= " + str(JACCARD_T), "WHERE 1=1").replace("ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard", "n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b")})
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / n_a, 4) AS contain_a_in_b,
+           ROUND(CAST(n_inter AS DOUBLE) / n_b, 4) AS contain_b_in_a
+    FROM pairs_src
+    WHERE CAST(n_inter AS DOUBLE) / n_a >= {CONTAIN_T}
+       OR CAST(n_inter AS DOUBLE) / n_b >= {CONTAIN_T}
+"""
+
+
+@query("q_dedup_containment", oracle=CONTAINMENT_SQL)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment C(A,B) = |A∩B| / |A|: the
+    doc-IN-doc detector. Jaccard misses a short document wholly
+    embedded in a long one (the union term swamps the intersection);
+    containment flags it from either side — the standard complement to
+    Jaccard in web-scale dedup (quote extraction, boilerplate wrap,
+    page-in-crawl duplicates).
+
+    Same blocked candidate generation as q_dedup_ngram (shingle
+    equi-join under the stop-shingle DF cap — never all-pairs), same
+    single verification aggregate; only the final scoring differs, so
+    the scale properties are inherited unchanged."""
+    sh = doc_shingles(load(spark, sf_dir, "documents")).persist()
+    df_cap = (
+        sh.groupBy("sh").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_DOCS_PER_SHINGLE)
+        .select("sh")
+    )
+    sh_c = sh.join(df_cap, "sh").persist()
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh_c.alias("a")
+    b = sh_c.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    c_ab = F.col("n_inter").cast("double") / F.col("sa.n_sh")
+    c_ba = F.col("n_inter").cast("double") / F.col("sb.n_sh")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter((c_ab >= CONTAIN_T) | (c_ba >= CONTAIN_T))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 4).alias("contain_a_in_b"),
+            F.round(c_ba, 4).alias("contain_b_in_a"),
+        )
+    )

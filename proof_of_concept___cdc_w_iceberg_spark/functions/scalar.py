@@ -268,3 +268,57 @@ def q_map_funcs(spark, sf_dir):
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("map_keys_joined"),
         F.element_at(m, "seg").alias("seg_from_map"),
     )
+
+
+@query(
+    "q_json_roundtrip",
+    oracle="""
+        WITH enc AS (
+            SELECT o_orderkey,
+                   '{"custkey":' || CAST(o_custkey AS BIGINT)
+                   || ',"status":"' || o_orderstatus
+                   || '","prio":"' || o_orderpriority || '"}' AS payload
+            FROM orders
+        )
+        SELECT o_orderkey, payload,
+               CAST(json_extract(payload, '$.custkey') AS BIGINT) AS custkey,
+               json_extract_string(payload, '$.status') AS status,
+               json_extract_string(payload, '$.prio') AS prio
+        FROM enc WHERE o_orderkey % 100 = 0
+    """,
+)
+def q_json_roundtrip(spark, sf_dir):
+    """Structured → JSON → structured round-trip: ``to_json(struct)``
+    encode, then ``from_json`` with an explicit schema back to typed
+    columns — the full codec path an event-transport pipeline runs
+    (the get_json_object path in q_json_funcs only reads; this writes
+    AND reads). Payload fields are int/string only: JSON float
+    formatting is engine-specific, so doubles travel outside the
+    payload (the same rule the envelope codec follows).
+
+    Scale: narrow per-row codec in whole-stage codegen, zero shuffle;
+    the %100 filter pushes to the scan."""
+    enc = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.to_json(
+                F.struct(
+                    F.col("o_custkey").cast("long").alias("custkey"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("prio"),
+                )
+            ).alias("payload"),
+        )
+    )
+    parsed = F.from_json(
+        "payload", "custkey BIGINT, status STRING, prio STRING"
+    )
+    return enc.select(
+        "o_orderkey",
+        "payload",
+        parsed.getField("custkey").alias("custkey"),
+        parsed.getField("status").alias("status"),
+        parsed.getField("prio").alias("prio"),
+    )

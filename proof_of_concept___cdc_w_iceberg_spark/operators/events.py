@@ -428,3 +428,76 @@ def q_islands(spark, sf_dir):
         )
         .drop("grp")
     )
+
+
+_FEATURE_PIT_SQL = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER w AS last_view_ts,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER w AS last_click_ts,
+               CAST(coalesce(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+                   OVER w, 0) AS BIGINT) AS n_prior_views,
+               CAST(coalesce(SUM(CASE WHEN event_type = 'click' THEN 1 END)
+                   OVER w, 0) AS BIGINT) AS n_prior_clicks
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, ts AS label_ts, value AS label_value,
+           last_view_ts, last_click_ts, n_prior_views, n_prior_clicks
+    FROM seq WHERE event_type = 'purchase'
+"""
+
+
+@query("q_feature_pit", oracle=_FEATURE_PIT_SQL)
+def q_feature_pit(spark, sf_dir):
+    """Point-in-time-correct feature join (the feature-store
+    primitive): for every label event (purchase), attach the latest
+    STRICTLY-PRIOR observation from each feature stream (last view ts,
+    last click ts, prior view/click counts) — the
+    unbounded-to-1-preceding frame is what makes it leakage-free (the
+    label row's own time never feeds its features).
+
+    Expressed as ONE pass over the unioned event log instead of N
+    per-feature as-of joins: every feature column is a conditional
+    window aggregate over the same (user_id, ts) frame, so the plan is
+    a single shuffle on user_id — at 100 TB, N feature streams cost
+    the same one Exchange as one stream, vs N merge-joins for the
+    textbook formulation."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+            F.last(view_ts, ignorenulls=True).over(w).alias("last_view_ts"),
+            F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "view", 1)).over(w), F.lit(0)
+            ).cast("long").alias("n_prior_views"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "click", 1)).over(w), F.lit(0)
+            ).cast("long").alias("n_prior_clicks"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("label_ts"),
+            F.col("value").alias("label_value"),
+            "last_view_ts",
+            "last_click_ts",
+            "n_prior_views",
+            "n_prior_clicks",
+        )
+    )

@@ -207,6 +207,11 @@ _CHECK_PRIORITY = [
     "q_shuffle_shards",
     "q_weighted_sample",
     "q_text_entropy",
+    "q_feature_pit",
+    "q_dedup_containment",
+    "q_stratified_split",
+    "q_json_roundtrip",
+    "q_cdc_dead_letter",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",
