@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "q_dedup_containment",
     "q_stratified_split",
     "q_cdc_dead_letter",
+    "q_scan_dpp",
+    "q_model_score",
+    "q_embed_gram",
 ]
 
 

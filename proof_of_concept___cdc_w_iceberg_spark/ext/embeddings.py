@@ -122,3 +122,62 @@ def q_embed_quantize(spark, sf_dir):
         qval.cast("long").alias("qval"),
         F.round(F.col("ma") / 127, 8).alias("scale"),
     )
+
+
+@query(
+    "q_embed_gram",
+    oracle="""
+        WITH pairs AS (
+            SELECT i, j,
+                   ROUND(CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[j] AS DOUBLE), 9) AS term
+            FROM embeddings,
+                 UNNEST(range(1, len(embedding) + 1)) AS t(i),
+                 UNNEST(range(1, len(embedding) + 1)) AS u(j)
+            WHERE j >= i
+        )
+        SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+               CAST(SUM(CAST(term AS DECIMAL(25,12))) AS DOUBLE) AS gram,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs GROUP BY i, j
+    """,
+)
+def q_embed_gram(spark, sf_dir):
+    """Upper-triangle Gram matrix accumulation Σ x_i·x_j over the
+    corpus — the single-pass statistic behind PCA / whitening /
+    low-rank compression of an embedding table (combine with
+    q_embed_centroid's means for the covariance). Per-row products are
+    rounded to 9 dp (absorbing any cross-engine product ulp) and
+    summed through DECIMAL: order-independent, hash-exact.
+
+    Scale shape: the d(d+1)/2 index pairs are expanded ARRAY-SIDE
+    (nested transform + one flatten/explode — no self-join of the
+    exploded relation, which would shuffle |rows|·d rows), then ONE
+    map-side-combinable groupBy: every map task pre-collapses to at
+    most d(d+1)/2 partial sums, so the shuffle is O(d²) per task
+    regardless of corpus size — the DataFrame rendering of a
+    tree-aggregated outer-product accumulator."""
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+    d = F.size("embedding")
+    xi = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    pairs = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), d - 1),
+                    lambda i: F.transform(
+                        F.sequence(i, d - 1),
+                        lambda j: F.struct(
+                            i.cast("long").alias("i"),
+                            j.cast("long").alias("j"),
+                            F.round(xi(i) * xi(j), 9).alias("term"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.term")
+    return pairs.groupBy("i", "j").agg(
+        F.sum(F.col("term").cast("decimal(25,12)")).cast("double").alias("gram"),
+        F.count("*").cast("long").alias("n"),
+    )

@@ -120,3 +120,72 @@ def q_layout_zorder(spark, sf_dir):
         F.min("l_suppkey").alias("sk_lo"),
         F.max("l_suppkey").alias("sk_hi"),
     )
+
+
+@query(
+    "q_scan_dpp",
+    oracle="""
+        WITH fact AS (
+            SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+                   l_extendedprice, l_discount
+            FROM lineitem
+        ),
+        months AS (
+            SELECT DISTINCT CAST(month(o_orderdate) AS INT) AS ship_month
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND year(o_orderdate) = 1995 AND month(o_orderdate) <= 3
+        )
+        SELECT f.ship_month,
+               CAST(SUM(CAST(f.l_extendedprice * (1 - f.l_discount)
+                    AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM fact f JOIN months USING (ship_month)
+        GROUP BY f.ship_month
+    """,
+)
+def q_scan_dpp(spark, sf_dir):
+    """Dynamic partition pruning: the fact table is WRITTEN partitioned
+    by ship month (the lake layout a 100 TB fact table would use), and
+    the month list comes from a runtime-filtered dimension — so
+    Catalyst injects a dynamicpruning# subquery into the fact scan and
+    only the matching partition directories are read. The static-file
+    twin of Iceberg's partition-spec pruning; verified by a plan gate
+    in tests (``PartitionFilters: [... dynamicpruning#...]``).
+
+    At 100 TB this is THE dominant cost lever on date-partitioned
+    facts: without DPP the scan reads every partition and discards
+    rows post-join; with it a 3-month probe touches 3/12 of the data
+    regardless of cluster size. Rewriting the fixture per call keeps
+    the query hermetic; a lake deployment reads the already-partitioned
+    table."""
+    import os
+    import tempfile
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="dpp_fact_"), "lineitem_by_month")
+    li.write.mode("overwrite").partitionBy("ship_month").parquet(path)
+    fact = spark.read.parquet(path)
+    months = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1995)
+            & (F.month("o_orderdate") <= 3)
+        )
+        .select(F.month("o_orderdate").cast("int").alias("ship_month"))
+        .distinct()
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        fact.join(F.broadcast(months), "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.sum(rev.cast("decimal(20,4)")).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )

@@ -212,6 +212,9 @@ _CHECK_PRIORITY = [
     "q_stratified_split",
     "q_json_roundtrip",
     "q_cdc_dead_letter",
+    "q_scan_dpp",
+    "q_model_score",
+    "q_embed_gram",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",
@@ -328,7 +331,7 @@ def _load() -> None:
     from .cdc import incremental as _cdc_ivm  # noqa: F401
     from .cdc import queries as _cdc  # noqa: F401
     from .streaming import queries as _streaming  # noqa: F401
-    from .ext import corpus, dedup, embeddings, graph, multimodal, pipeline, similarity, text, udfs  # noqa: F401
+    from .ext import corpus, dedup, embeddings, graph, inference, multimodal, pipeline, similarity, text, udfs  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

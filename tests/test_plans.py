@@ -337,3 +337,11 @@ def test_pagerank_edges_persisted_rank_broadcast(spark, sf_dir):
     plan = explain_str(QS["q_graph_pagerank"](spark, sf_dir))
     assert plan.count("InMemoryTableScan") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """q_scan_dpp's fact scan must carry a dynamic pruning subquery on
+    the partition column — the plan property that makes a 3-month probe
+    read 3/12 of a date-partitioned 100 TB fact."""
+    plan = QS["q_scan_dpp"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, "fact scan lost dynamic partition pruning"
