@@ -48,6 +48,7 @@ class StreamingCdcPipeline:
         self.checkpoint = os.path.join(self.workdir, "checkpoint")
         self.trigger_seconds = trigger_seconds
         os.makedirs(self.input_dir, exist_ok=True)
+        self.dlq_path = os.path.join(self.workdir, "dlq")
         self.batches_applied = 0
         self._mirror = BucketedMirror(spark, self.mirror_path, keys=["k"],
                                       n_buckets=n_buckets)
@@ -66,14 +67,27 @@ class StreamingCdcPipeline:
         self._mirror.init(snapshot)
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """foreachBatch: decode → dedup replays → compact →
+        """foreachBatch: DLQ-split → decode → dedup replays → compact →
         partition-scoped merge (only touched buckets rewritten).
+
+        Malformed envelopes (mandatory ``op`` null after PERMISSIVE
+        from_json) are appended raw to the dead-letter table instead of
+        flowing into the merge as null-key rows — the streaming twin of
+        q_cdc_dead_letter (Kafka Connect ``errors.tolerance: all`` +
+        DLQ topic).
 
         Idempotent apply (`q_stream_dedup`): duplicate (key, offset)
         deliveries collapse before compaction, mirroring the
         reference's offset tracking (`connect-standalone.properties:13`).
         """
-        changes = decode_envelope(batch_df).select(
+        parse_op = F.from_json("value", ENVELOPE_SCHEMA).getField("op")
+        tagged = batch_df.withColumn("_op_probe", parse_op)
+        bad = tagged.filter(F.col("_op_probe").isNull()).drop("_op_probe")
+        if not bad.isEmpty():
+            (bad.withColumn("batch_id", F.lit(batch_id).cast("long"))
+             .write.mode("append").parquet(self.dlq_path))
+        good = tagged.filter(F.col("_op_probe").isNotNull()).drop("_op_probe")
+        changes = decode_envelope(good).select(
             F.coalesce(F.col("after.k"), F.col("before.k")).alias("k"),
             F.col("after.name").alias("name"),
             F.col("after.bal").alias("bal"),
@@ -103,6 +117,14 @@ class StreamingCdcPipeline:
 
     def mirror(self) -> DataFrame:
         return self._mirror.read()
+
+    def dead_letters(self) -> DataFrame:
+        """Raw records that failed envelope decode (empty if none)."""
+        if not os.path.isdir(self.dlq_path):
+            return self.spark.createDataFrame(
+                [], "key LONG, value STRING, batch_id LONG"
+            )
+        return self.spark.read.parquet(self.dlq_path)
 
 
 def kafka_available(spark: SparkSession) -> bool:

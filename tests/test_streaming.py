@@ -361,3 +361,43 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     ).select("click_id", "view_id")
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_streaming_dead_letter_routing(spark, sf_dir):
+    """Corrupt envelopes in the stream land raw in the DLQ; good
+    records still apply, and the mirror matches the batch apply of the
+    good subset — the streaming twin of q_cdc_dead_letter."""
+    ch = changelog(spark, sf_dir)
+    snapshot = ch.filter(F.col("op") == "r").select("k", "name", "bal")
+    stream_part = ch.filter(F.col("op") != "r")
+    enveloped = encode_envelope(stream_part)
+    # Truncate every 5th key's payload -> guaranteed parse failure.
+    corrupted = enveloped.select(
+        "key",
+        F.when(F.col("key") % 5 == 0, F.substring("value", 1, 8))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    pipe = StreamingCdcPipeline(spark)
+    pipe.init_mirror(snapshot)
+    pipe.feed(corrupted, "b0")
+    q = pipe.start(trigger_once=True)
+    q.awaitTermination(300)
+
+    n_bad = stream_part.filter(F.col("k") % 5 == 0).count()
+    dlq = pipe.dead_letters()
+    assert dlq.count() == n_bad
+    assert dlq.filter(F.length("value") > 8).count() == 0  # raw bytes kept
+
+    good_stream = stream_part.filter(F.col("k") % 5 != 0)
+    expected = (
+        compact_latest(
+            snapshot.select("k", "name", "bal", F.lit("r").alias("op"),
+                            F.lit(1000).cast("long").alias("ts_ms"),
+                            F.col("k").alias("off")).unionByName(good_stream),
+            ["k"],
+        )
+        .filter(F.col("op") != "d")
+        .select("k", "name", "bal")
+    )
+    assert mirror_diff(pipe.mirror(), expected).count() == 0
