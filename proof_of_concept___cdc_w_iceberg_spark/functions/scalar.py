@@ -322,3 +322,112 @@ def q_json_roundtrip(spark, sf_dir):
         parsed.getField("status").alias("status"),
         parsed.getField("prio").alias("prio"),
     )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+        SELECT c_custkey,
+               NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+               (NULLIF(c_mktsegment, 'BUILDING')
+                   IS NOT DISTINCT FROM NULLIF(c_mktsegment, 'BUILDING'))
+                   AS nullsafe_self_eq,
+               (NULLIF(c_mktsegment, 'BUILDING') IS DISTINCT FROM 'MACHINERY')
+                   AS distinct_from_machinery,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(redacted)')
+                   AS seg_filled
+        FROM customer
+    """,
+)
+def q_null_semantics(spark, sf_dir):
+    """Three-valued-logic surface: NULLIF null injection, null-safe
+    equality (``<=>`` / IS NOT DISTINCT FROM — true even when both
+    sides are NULL), IS DISTINCT FROM, and COALESCE backfill. These
+    are the predicates CDC merge logic lives on (mirror vs change
+    comparisons must treat NULL=NULL as a match — see
+    q_cdc_incremental_read's IS DISTINCT FROM usage); this query pins
+    the cross-engine semantics explicitly."""
+    seg_or_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        seg_or_null.alias("seg_or_null"),
+        seg_or_null.eqNullSafe(seg_or_null).alias("nullsafe_self_eq"),
+        (~seg_or_null.eqNullSafe(F.lit("MACHINERY"))).alias(
+            "distinct_from_machinery"
+        ),
+        F.coalesce(seg_or_null, F.lit("(redacted)")).alias("seg_filled"),
+    )
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               t -> t = 'zebra') AS hits
+            FROM documents
+        )
+        SELECT t.doc_id, u.h AS hit
+        FROM toks t
+        LEFT JOIN (SELECT doc_id, unnest(hits) AS h FROM toks) u
+          ON t.doc_id = u.doc_id
+    """,
+)
+def q_explode_outer(spark, sf_dir):
+    """Outer explode: documents whose filtered token array is EMPTY
+    survive as a (doc_id, NULL) row instead of vanishing — the
+    row-preserving flatten required when downstream joins must keep
+    every parent (inner explode silently drops empty-array parents,
+    a classic correctness trap in token/feature expansion)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t == "zebra"
+        ).alias("hits"),
+    )
+    return toks.select("doc_id", F.explode_outer("hits").alias("hit"))
+
+
+@query(
+    "q_struct_ops",
+    oracle="""
+        SELECT c_custkey,
+               c_name AS profile_name,
+               c_acctbal + 100.0 AS profile_bal_adjusted,
+               c_mktsegment AS profile_segment,
+               2 + 1 AS n_fields
+        FROM customer
+    """,
+)
+def q_struct_ops(spark, sf_dir):
+    """Nested-struct manipulation: build a struct column, withField
+    (add/overwrite a nested field in place), dropFields (remove one),
+    then flatten back out. The schema-evolution primitives for nested
+    lake columns — at 100 TB you restructure nested data with these
+    (single narrow projection) rather than exploding and re-grouping."""
+    c = load(spark, sf_dir, "customer")
+    profile = F.struct(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    reshaped = (
+        c.select("c_custkey", profile.alias("profile"))
+        .withColumn(
+            "profile",
+            F.col("profile").withField(
+                "bal_adjusted", F.col("profile.bal") + 100.0
+            ),
+        )
+        .withColumn("profile", F.col("profile").dropFields("bal"))
+    )
+    return reshaped.select(
+        "c_custkey",
+        F.col("profile.name").alias("profile_name"),
+        F.col("profile.bal_adjusted").alias("profile_bal_adjusted"),
+        F.col("profile.segment").alias("profile_segment"),
+        # real field count of the reshaped struct (name, segment,
+        # bal_adjusted), derived from the data not hardcoded
+        F.size(F.json_object_keys(F.to_json("profile"))).alias("n_fields"),
+    )

@@ -215,6 +215,9 @@ _CHECK_PRIORITY = [
     "q_scan_dpp",
     "q_model_score",
     "q_embed_gram",
+    "q_null_semantics",
+    "q_explode_outer",
+    "q_struct_ops",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",
