@@ -671,3 +671,81 @@ def q_dedup_containment(spark, sf_dir):
             F.round(c_ba, 4).alias("contain_b_in_a"),
         )
     )
+
+
+FUZZY_MIN_SHARED = 3   # candidate gate: >= 3 shared capped shingles
+FUZZY_SIM_T = 0.5      # keep pairs with char-level similarity >= this
+
+FUZZY_SQL = f"""
+    WITH sh AS ({DOC_SHINGLES_SQL}),
+    capped AS (
+        SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+        WHERE df <= {MAX_DOCS_PER_SHINGLE}
+    ),
+    sh_c AS (SELECT doc_id, sh.sh FROM sh WHERE sh IN (SELECT sh FROM capped)),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh_c a JOIN sh_c b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= {FUZZY_MIN_SHARED}
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           ROUND(1.0 - levenshtein(da.text, db.text)
+                 / CAST(greatest(strlen(da.text), strlen(db.text)) AS DOUBLE),
+                 4) AS sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.id_a
+    JOIN documents db ON db.doc_id = c.id_b
+    WHERE 1.0 - levenshtein(da.text, db.text)
+          / CAST(greatest(strlen(da.text), strlen(db.text)) AS DOUBLE)
+          >= {FUZZY_SIM_T}
+"""
+
+
+@query("q_dedup_fuzzy", oracle=FUZZY_SQL)
+def q_dedup_fuzzy(spark, sf_dir):
+    """Edit-distance (Levenshtein) near-dup verification — the
+    character-level metric that catches in-place edits token shingles
+    blur (substituted words, small insertions), used as the precise
+    verifier in entity-resolution pipelines.
+
+    Levenshtein is O(len²) per pair, so it NEVER runs corpus-wide:
+    candidates come from the same DF-capped shingle blocking as
+    q_dedup_ngram (>= {FUZZY_MIN_SHARED} shared shingles), and only
+    those pairs pay the quadratic kernel — at 100 TB the kernel cost
+    scales with |near-dup pairs|, not |corpus|². JVM built-in
+    ``levenshtein`` (identical DP in DuckDB) keeps it codegen'd."""
+    sh = doc_shingles(load(spark, sf_dir, "documents")).persist()
+    df_cap = (
+        sh.groupBy("sh").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_DOCS_PER_SHINGLE)
+        .select("sh")
+    )
+    sh_c = sh.join(df_cap, "sh")
+    a = sh_c.alias("a")
+    b = sh_c.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= FUZZY_MIN_SHARED)
+        .select("id_a", "id_b")
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    da = docs.alias("da")
+    db = docs.alias("db")
+    lev = F.levenshtein(F.col("da.text"), F.col("db.text"))
+    sim = F.lit(1.0) - lev / F.greatest(
+        F.length("da.text"), F.length("db.text")
+    ).cast("double")
+    return (
+        cand.join(da, F.col("da.doc_id") == F.col("id_a"))
+        .join(db, F.col("db.doc_id") == F.col("id_b"))
+        .filter(sim >= FUZZY_SIM_T)
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("long").alias("edit_dist"),
+            F.round(sim, 4).alias("sim"),
+        )
+    )

@@ -501,3 +501,98 @@ def q_feature_pit(spark, sf_dir):
             "n_prior_clicks",
         )
     )
+
+
+_INTERP_SQL = """
+    WITH ranked AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    daily AS (SELECT user_id, day, value AS obs FROM ranked WHERE rn = 1),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(min(day), max(day),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY user_id
+    ),
+    joined AS (
+        SELECT s.user_id, s.day, d.obs,
+               last_value(d.obs IGNORE NULLS) OVER wp AS prev_val,
+               last_value(CASE WHEN d.obs IS NOT NULL THEN s.day END
+                          IGNORE NULLS) OVER wp AS prev_day,
+               first_value(d.obs IGNORE NULLS) OVER wn AS next_val,
+               first_value(CASE WHEN d.obs IS NOT NULL THEN s.day END
+                           IGNORE NULLS) OVER wn AS next_day
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day
+        WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY s.user_id ORDER BY s.day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           ROUND(CASE WHEN obs IS NOT NULL THEN obs
+                      ELSE prev_val + (next_val - prev_val)
+                           * date_diff('day', prev_day, day)
+                           / date_diff('day', prev_day, next_day)
+                 END, 6) AS value_interp,
+           CAST(obs IS NOT NULL AS BIGINT) AS is_observed
+    FROM joined
+"""
+
+
+@query("q_ts_interpolate", oracle=_INTERP_SQL)
+def q_ts_interpolate(spark, sf_dir):
+    """Daily-grid resample with LINEAR interpolation across gaps (the
+    numeric complement to q_ts_resample's LOCF): a missing day gets
+    prev + (next-prev)·Δt_frac between its surrounding observations.
+    Interior gaps always have both endpoints because each user's spine
+    spans exactly their observed [min_day, max_day].
+
+    Scale shape identical to q_ts_resample: one shuffle on user_id
+    feeds the daily compaction, the spine explode, and BOTH
+    direction-opposed windows (same partitioning, opposite frames);
+    the interpolation arithmetic is identical IEEE754 in both engines
+    on identical inputs, rounded at 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), "ts",
+                  "event_id", "value")
+        .groupBy("user_id", "day")
+        .agg(F.max_by("value", F.struct("ts", "event_id")).alias("obs"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    wp = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_day = F.when(F.col("obs").isNotNull(), F.col("day"))
+    joined = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day", "obs",
+            F.last("obs", ignorenulls=True).over(wp).alias("prev_val"),
+            F.last(obs_day, ignorenulls=True).over(wp).alias("prev_day"),
+            F.first("obs", ignorenulls=True).over(wn).alias("next_val"),
+            F.first(obs_day, ignorenulls=True).over(wn).alias("next_day"),
+        )
+    )
+    frac = (
+        F.datediff(F.col("day"), F.col("prev_day")).cast("double")
+        / F.datediff(F.col("next_day"), F.col("prev_day"))
+    )
+    interp = F.when(F.col("obs").isNotNull(), F.col("obs")).otherwise(
+        F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.round(interp, 6).alias("value_interp"),
+        F.col("obs").isNotNull().cast("long").alias("is_observed"),
+    )

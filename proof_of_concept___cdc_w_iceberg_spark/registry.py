@@ -218,6 +218,8 @@ _CHECK_PRIORITY = [
     "q_null_semantics",
     "q_explode_outer",
     "q_struct_ops",
+    "q_ts_interpolate",
+    "q_dedup_fuzzy",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",
