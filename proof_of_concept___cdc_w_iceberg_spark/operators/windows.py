@@ -222,3 +222,42 @@ def q_win_first_last(spark, sf_dir):
         F.last("o_orderkey").over(w).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
     )
+
+
+@query(
+    "q_win_time_range",
+    oracle="""
+        SELECT user_id, ts, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                   AS sum_1h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch(ts)
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_time_range(spark, sf_dir):
+    """Time-based sliding frame: per user, rolling 1-hour event count
+    and value sum ending at each event (RANGE frame over event-time —
+    the rate-limiter / rolling-exposure primitive). Spark's
+    rangeBetween is numeric, so the frame runs over epoch seconds;
+    the oracle uses the identical epoch ordering, making tie handling
+    (same-second events share a frame) explicit and cross-engine
+    exact. Decimal-cast sum keeps the rolling total order-independent.
+
+    Scale shape: one shuffle on user_id, per-key local sort — the same
+    single-Exchange shape as every window in this module; RANGE frames
+    add no extra pass over ROWS frames in Spark's window operator."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_1h"),
+    )

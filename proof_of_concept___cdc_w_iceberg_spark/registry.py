@@ -220,6 +220,7 @@ _CHECK_PRIORITY = [
     "q_struct_ops",
     "q_ts_interpolate",
     "q_dedup_fuzzy",
+    "q_win_time_range",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",
