@@ -518,3 +518,46 @@ def q_cdc_dead_letter(spark, sf_dir):
         .groupBy("route", "op")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+OFFSET_GAPS_SQL = f"""
+    WITH changes AS ({CHANGELOG_SQL}),
+    seq AS (
+        SELECT op, off,
+               lag(off) OVER (PARTITION BY op ORDER BY off) AS prev_off
+        FROM changes
+    )
+    SELECT op,
+           CAST(prev_off + 1 AS BIGINT) AS gap_start,
+           CAST(off - 1 AS BIGINT) AS gap_end,
+           CAST(off - prev_off - 1 AS BIGINT) AS n_missing
+    FROM seq
+    WHERE prev_off IS NOT NULL AND off - prev_off > 1
+"""
+
+
+@query("q_cdc_offset_gaps", oracle=OFFSET_GAPS_SQL)
+def q_cdc_offset_gaps(spark, sf_dir):
+    """Offset-continuity audit: find gaps in the per-op-stream LSN
+    sequence — the check a CDC consumer runs to detect dropped change
+    events (Debezium's offset tracking,
+    `connect-standalone.properties:13-14`, makes offsets contiguous
+    per stream; a hole means data loss between source and sink). The
+    fixture's modulo-filtered branches produce natural gaps, so the
+    detector has real positives to find.
+
+    Scale shape: one window pass partitioned by the stream id — at
+    100 TB the changelog is already bucketed by stream/partition, so
+    this audit is a narrow per-partition scan with no extra shuffle
+    beyond the partitioning it inherits."""
+    ch = changelog(spark, sf_dir)
+    w = Window.partitionBy("op").orderBy("off")
+    seq = ch.select("op", "off", F.lag("off").over(w).alias("prev_off"))
+    return seq.filter(
+        F.col("prev_off").isNotNull() & (F.col("off") - F.col("prev_off") > 1)
+    ).select(
+        "op",
+        (F.col("prev_off") + 1).cast("long").alias("gap_start"),
+        (F.col("off") - 1).cast("long").alias("gap_end"),
+        (F.col("off") - F.col("prev_off") - 1).cast("long").alias("n_missing"),
+    )

@@ -636,3 +636,32 @@ def q_agg_mode(spark, sf_dir):
             F.col("n").alias("mode_n"),
         )
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               CAST(count_if(o_custkey % 2 = 0) AS BIGINT) AS n_even_cust,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_bool(spark, sf_dir):
+    """Boolean/conditional aggregates: every() / any_value-style
+    bool_and/bool_or plus count_if — the assertion aggregates data
+    quality gates are written in (\"ALL rows satisfy X\", \"at least
+    one Y\"). Map-side combinable like any other aggregate; at 100 TB
+    a quality gate over a full table shuffles |groups| booleans."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.count_if(F.col("o_custkey") % 2 == 0).cast("long").alias("n_even_cust"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )

@@ -221,6 +221,8 @@ _CHECK_PRIORITY = [
     "q_ts_interpolate",
     "q_dedup_fuzzy",
     "q_win_time_range",
+    "q_cdc_offset_gaps",
+    "q_agg_bool",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",
