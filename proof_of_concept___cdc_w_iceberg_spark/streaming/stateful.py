@@ -77,3 +77,84 @@ def latest_state_stream(changes: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas twin (Spark 4 successor API) ---------
+#
+# Same latest-image semantics through the NEW arbitrary-stateful
+# surface: a StatefulProcessor with typed ValueState instead of the
+# untyped tuple blob, explicit handle lifecycle (init/close), and —
+# on a real deployment — per-state TTL and timers. The state store
+# layout (hash-partitioned by key, RocksDB-backed at scale) is
+# unchanged, so everything in this module's scale note applies as-is.
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _HAVE_TWS_API = True
+except ImportError:  # pragma: no cover - pre-4.0 Spark
+    _HAVE_TWS_API = False
+
+# The TWS state-server protocol speaks protobuf between the JVM and the
+# Python driver worker; without google.protobuf the pre-init worker
+# crashes (observed in this container). Probe it explicitly so the gate
+# names the missing dependency instead of failing mid-query.
+try:
+    import google.protobuf.descriptor  # noqa: F401
+
+    _HAVE_PROTOBUF = True
+except ImportError:  # pragma: no cover
+    _HAVE_PROTOBUF = False
+
+TWS_AVAILABLE = _HAVE_TWS_API and _HAVE_PROTOBUF
+TWS_GATE_REASON = (
+    "ok" if TWS_AVAILABLE
+    else ("google.protobuf not importable (state-server protocol dep)"
+          if _HAVE_TWS_API else "Spark < 4.0: no transformWithStateInPandas")
+)
+
+if _HAVE_TWS_API:
+
+    class LatestImageProcessor(StatefulProcessor):
+        """Per-key latest (ts_ms, off) image with typed ValueState."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("latest", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            cur = self._state.get() if self._state.exists() else None
+            for pdf in rows:
+                for r in pdf.sort_values(["ts_ms", "off"]).itertuples(index=False):
+                    newer = cur is None or (r.ts_ms, r.off) > (cur[0], cur[1])
+                    if newer:
+                        cur = (
+                            int(r.ts_ms),
+                            int(r.off),
+                            None if r.op == "d" else r.name,
+                            None if r.op == "d" else float(r.bal),
+                            r.op == "d",
+                        )
+            if cur is not None:
+                self._state.update(cur)
+                yield pd.DataFrame(
+                    {
+                        "k": [key[0]],
+                        "name": [cur[2]],
+                        "bal": [cur[3]],
+                        "deleted": [cur[4]],
+                        "ts_ms": [cur[0]],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    def latest_state_stream_tws(changes: DataFrame) -> DataFrame:
+        """latest_state_stream through transformWithStateInPandas."""
+        return changes.groupBy("k").transformWithStateInPandas(
+            LatestImageProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+

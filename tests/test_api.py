@@ -122,3 +122,32 @@ def test_stateful_latest_state_matches_compaction(spark, sf_dir):
         compact_latest(ch, ["k"]).filter(F.col("op") != "d").select("k", "name", "bal")
     )
     assert mirror_diff(got, expected).count() == 0
+
+
+def test_stateful_tws_matches_compaction(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 successor API) over a real
+    stream == batch latest-wins compaction — same semantics as the
+    applyInPandasWithState path through typed ValueState."""
+    import pytest as _pytest
+
+    from proof_of_concept___cdc_w_iceberg_spark.streaming import stateful
+
+    if not stateful.TWS_AVAILABLE:
+        _pytest.skip(f"transformWithStateInPandas gate: {stateful.TWS_GATE_REASON}")
+
+    ch = changelog(spark, sf_dir).limit(2000).cache()
+    src = tempfile.mkdtemp(prefix="stateful_tws_src_")
+    ch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ch.schema).parquet(src)
+    out = stateful.latest_state_stream_tws(stream)
+    qname = f"stateful_tws_{int(time.time())}"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(f"SELECT k, name, bal FROM {qname} WHERE NOT deleted")
+    expected = (
+        compact_latest(ch, ["k"]).filter(F.col("op") != "d").select("k", "name", "bal")
+    )
+    assert mirror_diff(got, expected).count() == 0
