@@ -665,3 +665,40 @@ def q_agg_bool(spark, sf_dir):
             F.count("*").cast("long").alias("n"),
         )
     )
+
+
+N_SALTS = 8  # distinct-agg salt fan-out
+
+
+@query(
+    "q_distinct_salted",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_salted(spark, sf_dir):
+    """Two-stage salted exact-distinct for hot groups: stage 1
+    deduplicates (key, salt, value) partitions — the heavy shuffle is
+    spread over N_SALTS sub-keys per hot group instead of one reducer
+    — stage 2 sums the per-salt distinct counts (correct because the
+    salt is derived from the VALUE, so each distinct value lands in
+    exactly one salt partition and the counts are disjoint).
+
+    This is the scale pattern for COUNT(DISTINCT) over skewed keys
+    (3 return-flag groups over 600 k rows here; at 100 TB a handful of
+    mega-groups): Spark's single-stage distinct puts each group's
+    whole value set through one reducer, the salted form bounds every
+    task at |group|/N_SALTS. Oracle = the plain distinct count,
+    proving the rewrite is exact."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    salted = li.withColumn("salt", F.pmod(F.hash("l_partkey"), F.lit(N_SALTS)))
+    stage1 = (
+        salted.groupBy("l_returnflag", "salt")
+        .agg(F.countDistinct("l_partkey").alias("n_d"))
+    )
+    return (
+        stage1.groupBy("l_returnflag")
+        .agg(F.sum("n_d").cast("long").alias("n_parts"))
+    )

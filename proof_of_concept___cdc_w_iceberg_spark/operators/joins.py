@@ -310,3 +310,51 @@ def q_join_range_bucketed(spark, sf_dir):
         .groupBy("eid")
         .agg(F.count("*").alias("n_nearby_clicks"))
     )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+        WITH cand AS (
+            SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate, o.o_orderkey
+                   ) AS rn
+            FROM events e JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+        )
+        SELECT event_id, o_orderkey AS next_orderkey,
+               o_orderdate AS next_orderdate
+        FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join: each event matched to the EARLIEST strictly
+    subsequent order of the same user — the label-attachment direction
+    ("what happened next") used for outcome labeling in training-data
+    prep, where the backward as-of (q_join_asof) is the feature
+    direction ("state as of then"). min_by over the candidate range —
+    same single-aggregation shape as the backward variant, map-side
+    combinable, no window sort over candidates."""
+    e = load(spark, sf_dir, "events").alias("e")
+    o = load(spark, sf_dir, "orders").alias("o")
+    joined = e.join(
+        o,
+        (F.col("o.o_custkey") == F.col("e.user_id"))
+        & (F.col("o.o_orderdate") > F.col("e.ts")),
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(
+            F.min_by(
+                F.struct("o_orderkey", "o_orderdate"),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("m")
+        )
+        .select(
+            "event_id",
+            F.col("m.o_orderkey").alias("next_orderkey"),
+            F.col("m.o_orderdate").alias("next_orderdate"),
+        )
+    )

@@ -73,3 +73,41 @@ def q_except(spark, sf_dir):
     c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     return c.subtract(o)
+
+
+@query(
+    "q_union_evolve",
+    oracle="""
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+               CAST(NULL AS DOUBLE) AS c_acctbal, 'v1' AS src
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, 'v2'
+        FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def q_union_evolve(spark, sf_dir):
+    """Schema-drift union: rows written before a column existed union
+    cleanly with rows written after (``unionByName`` with
+    allowMissingColumns — missing columns null-fill, names align by
+    NAME not position). This is the reader-side half of schema
+    evolution: a lake table whose old files lack the new column reads
+    as one relation (`connect-iceberg-sink.json:15`
+    iceberg.tables.evolve-schema-enabled; the write-side half is
+    q_schema_evolve). Positional UNION would silently mis-bind here —
+    by-name alignment is the correctness property this query pins."""
+    c = load(spark, sf_dir, "customer")
+    v1 = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.lit("v1").alias("src"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        "c_acctbal",
+        F.lit("v2").alias("src"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "c_custkey", "c_name", "c_acctbal", "src"
+    )

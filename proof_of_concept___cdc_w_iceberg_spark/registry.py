@@ -223,6 +223,9 @@ _CHECK_PRIORITY = [
     "q_win_time_range",
     "q_cdc_offset_gaps",
     "q_agg_bool",
+    "q_distinct_salted",
+    "q_join_asof_forward",
+    "q_union_evolve",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",
