@@ -561,3 +561,36 @@ def q_cdc_offset_gaps(spark, sf_dir):
         (F.col("off") - 1).cast("long").alias("gap_end"),
         (F.col("off") - F.col("prev_off") - 1).cast("long").alias("n_missing"),
     )
+
+
+SNAPSHOT_LOG_SQL = f"""
+    WITH changes AS ({CHANGELOG_SQL})
+    SELECT CAST(0 AS BIGINT) AS version,
+           CAST((SELECT COUNT(*) FROM ({_asof_sql(1000)})) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 1, (SELECT COUNT(*) FROM ({_asof_sql(3000)}))
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM ({_asof_sql(5000)}))
+"""
+
+
+@query("q_cdc_snapshot_log", oracle=SNAPSHOT_LOG_SQL)
+def q_cdc_snapshot_log(spark, sf_dir):
+    """Table-history metadata query — the analogue of Iceberg's
+    ``snapshots`` metadata table (the reference's operators inspect
+    table history through it): one row per committed version with its
+    live row count, read from the SAME manifests the time-travel reads
+    use, so the ledger and the data can't drift apart.
+
+    At 100 TB the row count per version would come from manifest
+    statistics (Iceberg stores per-file counts) rather than a scan;
+    here each version IS scanned — the fallback's honest cost — which
+    doubles as an end-to-end audit that every version stays readable."""
+    m = _snapshot_mirror(spark, sf_dir)
+    out = None
+    for v in m.versions():
+        row = m.read(v).agg(F.count("*").cast("long").alias("n_rows")).select(
+            F.lit(v).cast("long").alias("version"), "n_rows"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

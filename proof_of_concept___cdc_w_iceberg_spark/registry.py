@@ -226,6 +226,7 @@ _CHECK_PRIORITY = [
     "q_distinct_salted",
     "q_join_asof_forward",
     "q_union_evolve",
+    "q_cdc_snapshot_log",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",
