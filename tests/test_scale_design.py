@@ -131,3 +131,94 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir):
     total = spark.read.parquet(path).count()
     others = events.filter(F.col("day") != F.lit(some_day)).count()
     assert total == others + 5
+
+
+scd2_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),          # key
+        st.sampled_from(["c", "u", "d"]),               # op
+        st.integers(min_value=0, max_value=50),         # ts
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(events=scd2_events)
+def test_scd2_window_law_on_random_changelogs(spark, events):
+    """For ANY changelog: SCD2 versions per key never overlap, at most
+    one is open, and the open versions equal latest-wins compaction of
+    the non-deleted keys — the law q_cdc_scd2 instantiates, checked
+    here on random event mixes rather than the fixture."""
+    from pyspark.sql import Window
+
+    if not events:
+        return
+    ch = spark.createDataFrame(
+        [(k, op, ts, off) for off, (k, op, ts) in enumerate(events)],
+        schema="k LONG, op STRING, ts_ms LONG, off LONG",
+    )
+    w = Window.partitionBy("k").orderBy("ts_ms", "off")
+    scd2 = (
+        ch.withColumn("valid_to", F.lead("ts_ms").over(w))
+        .filter(F.col("op") != "d")
+        .select("k", "op", F.col("ts_ms").alias("valid_from"), "valid_to")
+    )
+    rows = scd2.collect()
+    # per-key: intervals ordered by valid_from must not overlap
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append((r["valid_from"], r["valid_to"]))
+    n_open_total = 0
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda x: (x[0], x[1] is None, x[1]))
+        opens = [iv for iv in ivs if iv[1] is None]
+        assert len(opens) <= 1, f"key {k}: multiple open versions"
+        n_open_total += len(opens)
+        for (f1, t1), (f2, _t2) in zip(ivs, ivs[1:]):
+            assert t1 is not None and f2 >= t1, f"key {k}: overlap {ivs}"
+    # open versions == keys whose LAST event (ts, off order) is not 'd'
+    latest: dict = {}
+    for off, (k, op, ts) in enumerate(events):
+        if k not in latest or (ts, off) > latest[k][:2]:
+            latest[k] = (ts, off, op)
+    want_open = {k for k, (_, _, op) in latest.items() if op != "d"}
+    got_open = {r["k"] for r in rows if r["valid_to"] is None}
+    assert got_open == want_open
+
+
+salted_values = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),                    # group
+        st.integers(min_value=-100, max_value=100),     # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(rows=salted_values)
+def test_salted_distinct_is_exact_on_random_data(spark, rows):
+    """Two-stage salted COUNT(DISTINCT) == plain COUNT(DISTINCT) for
+    ANY input (the disjointness argument: a value-derived salt puts
+    each distinct value in exactly one salt cell)."""
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, schema="g STRING, v LONG")
+    plain = {
+        (r["g"], r["n"]) for r in
+        df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    salted = (
+        df.withColumn("salt", F.pmod(F.hash("v"), F.lit(4)))
+        .groupBy("g", "salt").agg(F.countDistinct("v").alias("nd"))
+        .groupBy("g").agg(F.sum("nd").alias("n"))
+    )
+    got = {(r["g"], r["n"]) for r in salted.collect()}
+    assert got == plain
