@@ -560,7 +560,11 @@ def q_dedup_cluster(spark, sf_dir):
     canonical doc per component.
     Oracle: DuckDB recursive-CTE transitive closure + min-reachable.
     """
-    pairs = q_dedup_ngram(spark, sf_dir).select("id_a", "id_b")
+    # Persisted: edges unions BOTH directions of this relation, and
+    # without the persist each union branch re-runs the whole ngram
+    # verify-join tail (the shingle relations inside q_dedup_ngram are
+    # persisted, but the candidate join + Jaccard filter are not).
+    pairs = q_dedup_ngram(spark, sf_dir).select("id_a", "id_b").persist()
     nodes = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
