@@ -181,3 +181,62 @@ def q_embed_gram(spark, sf_dir):
         F.sum(F.col("term").cast("decimal(25,12)")).cast("double").alias("gram"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+@query(
+    "q_centroid_incremental",
+    oracle="""
+        SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+               ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                                   AS DECIMAL(20,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS centroid,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        GROUP BY label, i
+    """,
+)
+def q_centroid_incremental(spark, sf_dir):
+    """Incremental IVF-index maintenance: per-label centroids updated
+    by MERGING partial states — (decimal sum, count) per (label, dim)
+    from the existing corpus combined with the same state from an
+    arriving batch — instead of rescanning everything. The oracle
+    recomputes from the full corpus, so the driver hash-check PROVES
+    state-merge == full recompute (the algebraic property that makes
+    centroid maintenance O(|batch|) per ingest at 100 TB; decimal
+    partial sums make the merge exact, where float partials would
+    drift by accumulation order).
+
+    This is the index-side twin of q_cdc_incremental_agg: same IVM
+    delta algebra, applied to the vector-index build that q_sim_ivf
+    probes."""
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 13 != 5)
+    batch = e.filter(F.col("vec_id") % 13 == 5)
+
+    def partial(df):
+        return (
+            df.select("label", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("label", F.col("dim").cast("long").alias("dim"))
+            .agg(
+                F.sum(F.col("x").cast("double").cast("decimal(20,10)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+        )
+
+    pc = partial(corpus).alias("c")
+    pb = partial(batch).alias("b")
+    merged = pc.join(pb, ["label", "dim"], "full").select(
+        "label",
+        "dim",
+        (
+            F.coalesce(F.col("c.s"), F.lit(0).cast("decimal(20,10)"))
+            + F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(20,10)"))
+        ).alias("s"),
+        (F.coalesce(F.col("c.n"), F.lit(0)) + F.coalesce(F.col("b.n"), F.lit(0))).alias("n"),
+    )
+    return merged.select(
+        "label",
+        "dim",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("centroid"),
+        F.col("n").cast("long").alias("n_vecs"),
+    )

@@ -625,9 +625,7 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-@query(
-    "q_bm25",
-    oracle=f"""
+BM25_SQL = f"""
         WITH toks AS (
             SELECT doc_id,
                    unnest(string_split_regex(trim(text), '\\s+')) AS token
@@ -659,8 +657,10 @@ BM25_B = 0.75
         )
         SELECT doc_id, ROUND(s, 4) AS bm25
         FROM scored ORDER BY ROUND(s, 4) DESC, doc_id LIMIT 20
-    """,
-)
+    """
+
+
+@query("q_bm25", oracle=BM25_SQL)
 def q_bm25(spark, sf_dir):
     """BM25 ranking (k1={BM25_K1}, b={BM25_B}) of the corpus against a
     fixed 3-term query — the retrieval scorer of a RAG/data-curation
@@ -767,3 +767,56 @@ def q_text_entropy(spark, sf_dir):
             F.count("*").cast("long").alias("n_distinct_tokens"),
         )
     )
+
+
+RERANK_W_CE = 5.0   # blend weight of the (stub) cross-encoder score
+RERANK_TOP = 10
+
+_CE_U32 = (
+    "("
+    + " + ".join(
+        f"(CAST(instr('0123456789abcdef', substr(md5('ce|' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) AS BIGINT) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+
+@query(
+    "q_rerank",
+    oracle=f"""
+        WITH bm AS ({BM25_SQL})
+        SELECT doc_id, bm25,
+               ROUND({_CE_U32} / 4294967296.0, 6) AS ce_score,
+               ROUND(bm25 + {RERANK_W_CE} * ROUND({_CE_U32} / 4294967296.0, 6), 4)
+                   AS final_score
+        FROM bm
+        ORDER BY ROUND(bm25 + {RERANK_W_CE} * ROUND({_CE_U32} / 4294967296.0, 6), 4)
+                 DESC, doc_id
+        LIMIT {RERANK_TOP}
+    """,
+)
+def q_rerank(spark, sf_dir):
+    """Two-stage retrieval (the RAG serving shape): BM25 recalls the
+    top-20 candidates corpus-wide, then a cross-encoder re-scores ONLY
+    those 20 and the blended score picks the final top-{RERANK_TOP}.
+    The cross-encoder is the same honest md5-uniform stub as
+    q_model_score — on a real deployment stage 2 is a per-candidate
+    model call, and the whole point of the architecture is that its
+    cost is O(candidates), decoupled from corpus size.
+
+    Scale shape: stage 1 is the full q_bm25 pipeline (one tokenize
+    pass, broadcast stats); stage 2 is a narrow projection over 20
+    rows — free. Ordering on the ROUNDED blended score with doc_id
+    tiebreak keeps the final ranking cross-engine exact."""
+    bm = q_bm25(spark, sf_dir)
+    ce = F.round(
+        F.expr(_CE_U32.replace("AS VARCHAR", "AS STRING")) / F.lit(4294967296.0), 6
+    )
+    scored = bm.select(
+        "doc_id",
+        "bm25",
+        ce.alias("ce_score"),
+        F.round(F.col("bm25") + RERANK_W_CE * ce, 4).alias("final_score"),
+    )
+    return scored.orderBy(F.desc("final_score"), "doc_id").limit(RERANK_TOP)

@@ -227,6 +227,8 @@ _CHECK_PRIORITY = [
     "q_join_asof_forward",
     "q_union_evolve",
     "q_cdc_snapshot_log",
+    "q_rerank",
+    "q_centroid_incremental",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",

@@ -33,6 +33,7 @@ NESTED_LOOP_OK = {
     "q_tpch_q22": "uncorrelated scalar subquery -> 1-row broadcast",
     "q_scalar_subquery": "scalar subquery is by definition a 1-row join",
     "q_bm25": "1-row corpus-stats broadcast",
+    "q_rerank": "inherits q_bm25's 1-row corpus-stats broadcast",
     "q_text_tfidf": "1-row N broadcast",
     "q_tpch_q15": "1-row max-revenue broadcast back",
     "q_pack_sequences": "16-row bucket-offset broadcast",
