@@ -572,3 +572,46 @@ def q_stratified_split(spark, sf_dir):
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "q_dup_ratio_report",
+    oracle="""
+        WITH fp AS (
+            SELECT source, md5(text) AS fp FROM documents
+        ),
+        per_fp AS (
+            SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS n
+            FROM fp GROUP BY source, fp
+        )
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_unique,
+               CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+               ROUND((SUM(n) - COUNT(*)) / CAST(SUM(n) AS DOUBLE), 6)
+                   AS dup_ratio
+        FROM per_fp GROUP BY source
+    """,
+)
+def q_dup_ratio_report(spark, sf_dir):
+    """Corpus-health dashboard: per-source exact-duplicate ratio
+    (docs beyond the first per content hash). The monitoring metric a
+    crawl pipeline alerts on — a source whose dup_ratio spikes is
+    re-serving content and should be throttled before it floods the
+    dedup stage.
+
+    Scale: one shuffle on (source, content hash), then a per-source
+    rollup of the per-hash counts — the second aggregate reuses the
+    first's partitioning prefix, and output is |sources| rows."""
+    fp = load(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("fp")
+    )
+    per_fp = fp.groupBy("source", "fp").agg(F.count("*").alias("n"))
+    return per_fp.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_unique"),
+        (F.sum("n") - F.count("*")).cast("long").alias("n_dup_docs"),
+        F.round(
+            (F.sum("n") - F.count("*")) / F.sum("n").cast("double"), 6
+        ).alias("dup_ratio"),
+    )

@@ -702,3 +702,47 @@ def q_distinct_salted(spark, sf_dir):
         stage1.groupBy("l_returnflag")
         .agg(F.sum("n_d").cast("long").alias("n_parts"))
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS d
+            FROM lineitem WHERE l_extendedprice >= 1
+        ),
+        counts AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+        ),
+        tot AS (SELECT SUM(n) AS t FROM counts)
+        SELECT d, n,
+               ROUND(n / CAST(t AS DOUBLE), 6) AS observed,
+               ROUND(log10(1.0 + 1.0 / d), 6) AS benford
+        FROM counts, tot
+    """,
+)
+def q_benford(spark, sf_dir):
+    """First-digit (Benford) distribution of l_extendedprice — the
+    data-forensics screen for fabricated or truncated numeric columns
+    (natural multi-scale amounts follow log10(1+1/d); a synthetic or
+    clipped column visibly deviates, as this fixture's bounded price
+    generator does). Output pairs the observed frequency with the
+    Benford expectation per digit so the deviation is read directly.
+
+    Scale: narrow digit extraction + a 9-key map-combinable count,
+    1-row total broadcast back — profiling cost independent of width."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") >= 1)
+    digits = li.select(
+        F.substring(
+            F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+        ).cast("int").alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(F.col("n") / F.col("t").cast("double"), 6).alias("observed"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford"),
+    )

@@ -229,6 +229,8 @@ _CHECK_PRIORITY = [
     "q_cdc_snapshot_log",
     "q_rerank",
     "q_centroid_incremental",
+    "q_benford",
+    "q_dup_ratio_report",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",

@@ -50,6 +50,7 @@ NESTED_LOOP_OK = {
     "q_sim_ivf": "query x |centroids| probe assignment — bounded by design",
     "q_stream_watermark": "1-row max-event-time cutoff broadcast",
     "q_histogram": "1-row global min/max broadcast for bin edges",
+    "q_benford": "1-row digit-total broadcast for observed frequencies",
     "q_layout_zorder": "1-row global min/max broadcast for quantization",
 }
 
