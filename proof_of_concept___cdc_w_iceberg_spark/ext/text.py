@@ -820,3 +820,106 @@ def q_rerank(spark, sf_dir):
         F.round(F.col("bm25") + RERANK_W_CE * ce, 4).alias("final_score"),
     )
     return scored.orderBy(F.desc("final_score"), "doc_id").limit(RERANK_TOP)
+
+
+PMI_MIN_COUNT = 20  # ignore bigrams rarer than this (PMI is unstable
+#                     at low counts — standard collocation practice)
+PMI_TOP = 25
+
+
+@query(
+    "q_text_pmi",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM toks WHERE len(t) >= 2
+        ),
+        unigrams AS (
+            SELECT unnest(t) AS u FROM toks
+        ),
+        bg_counts AS (
+            SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_bg
+            FROM bigrams GROUP BY bg HAVING COUNT(*) >= {PMI_MIN_COUNT}
+        ),
+        u_counts AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS n_u FROM unigrams GROUP BY u
+        ),
+        totals AS (
+            SELECT CAST((SELECT COUNT(*) FROM bigrams) AS DOUBLE) AS nb,
+                   CAST((SELECT COUNT(*) FROM unigrams) AS DOUBLE) AS nu
+        ),
+        scored AS (
+            SELECT bg, n_bg,
+                   ROUND(ln((n_bg / nb)
+                         / ((ua.n_u / nu) * (ub.n_u / nu))), 4) AS pmi
+            FROM bg_counts
+            JOIN u_counts ua ON ua.u = split_part(bg, ' ', 1)
+            JOIN u_counts ub ON ub.u = split_part(bg, ' ', 2)
+            CROSS JOIN totals
+        )
+        SELECT bg, n_bg, pmi
+        FROM scored ORDER BY pmi DESC, bg LIMIT {PMI_TOP}
+    """,
+)
+def q_text_pmi(spark, sf_dir):
+    """Pointwise mutual information over adjacent-token bigrams — the
+    collocation statistic (word2vec-era PMI matrices, multi-word-
+    expression mining, tokenizer-merge candidates). PMI =
+    ln(p(ab) / (p(a)p(b))), computed only for bigrams with >=
+    {PMI_MIN_COUNT} occurrences (low-count PMI is noise), ranked on
+    the ROUNDED score with a bigram tiebreak for cross-engine-exact
+    ordering.
+
+    Scale shape: one tokenize pass feeds both the bigram and unigram
+    counts; unigram counts are vocabulary-sized and BROADCAST into the
+    bigram relation (two broadcast joins, no corpus re-shuffle); the
+    corpus totals are a 1-row broadcast. The only big shuffle is the
+    bigram count itself — vocabulary-bounded, map-side combined."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    bigrams = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bg")
+    )
+    unigrams = toks.select(F.explode("t").alias("u"))
+    bg_counts = (
+        bigrams.groupBy("bg").agg(F.count("*").cast("long").alias("n_bg"))
+        .filter(F.col("n_bg") >= PMI_MIN_COUNT)
+    )
+    u_counts = unigrams.groupBy("u").agg(F.count("*").cast("long").alias("n_u"))
+    totals = bigrams.agg(F.count("*").cast("double").alias("nb")).crossJoin(
+        unigrams.agg(F.count("*").cast("double").alias("nu"))
+    )
+    ua = u_counts.alias("ua")
+    ub = u_counts.alias("ub")
+    pmi = F.round(
+        F.log(
+            (F.col("n_bg") / F.col("nb"))
+            / ((F.col("ua.n_u") / F.col("nu")) * (F.col("ub.n_u") / F.col("nu")))
+        ),
+        4,
+    )
+    return (
+        bg_counts.join(
+            F.broadcast(ua), F.col("ua.u") == F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .join(
+            F.broadcast(ub), F.col("ub.u") == F.split_part(F.col("bg"), F.lit(" "), F.lit(2))
+        )
+        .crossJoin(F.broadcast(totals))
+        .select("bg", "n_bg", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "bg")
+        .limit(PMI_TOP)
+    )

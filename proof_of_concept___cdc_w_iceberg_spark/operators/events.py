@@ -596,3 +596,63 @@ def q_ts_interpolate(spark, sf_dir):
         F.round(interp, 6).alias("value_interp"),
         F.col("obs").isNotNull().cast("long").alias("is_observed"),
     )
+
+
+_AUTOCORR_SQL = """
+    WITH seq AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    pairs AS (SELECT user_id, value AS x, prev AS y FROM seq
+              WHERE prev IS NOT NULL),
+    moments AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(24,8))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(24,8))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(24,8))) AS DOUBLE) AS syy
+        FROM pairs GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS autocorr
+    FROM moments
+    WHERE n >= 3 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+"""
+
+
+@query("q_ts_autocorr", oracle=_AUTOCORR_SQL)
+def q_ts_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values — the
+    self-similarity diagnostic behind seasonality detection and
+    anomaly-model selection (a series with high |r| needs a temporal
+    model; near-zero means i.i.d. treatment is fine). Pearson r of
+    (x_t, x_{t-1}) from DECIMAL-exact co-moments (the same
+    order-independent accumulation as q_agg_stats), one lag window +
+    one aggregate on a single user_id partitioning."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("value").alias("x"), F.lag("value").over(w).alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    m = pairs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(20,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(24,8)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(24,8)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(24,8)")).cast("double").alias("syy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(var_x * var_y)
+    return (
+        m.filter((F.col("n") >= 3) & (var_x > 0) & (var_y > 0))
+        .select("user_id", "n", F.round(r, 6).alias("autocorr"))
+    )

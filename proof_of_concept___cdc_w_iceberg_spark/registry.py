@@ -231,6 +231,8 @@ _CHECK_PRIORITY = [
     "q_centroid_incremental",
     "q_benford",
     "q_dup_ratio_report",
+    "q_ts_autocorr",
+    "q_text_pmi",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",
