@@ -746,3 +746,47 @@ def q_benford(spark, sf_dir):
         F.round(F.col("n") / F.col("t").cast("double"), 6).alias("observed"),
         F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford"),
     )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+        WITH ranked AS (
+            SELECT c_mktsegment, c_name, c_acctbal, c_custkey,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey DESC
+                   ) AS rn_max,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal, c_custkey
+                   ) AS rn_min
+            FROM customer
+        )
+        SELECT m.c_mktsegment,
+               m.c_name AS richest, m.c_acctbal AS max_bal,
+               n.c_name AS poorest, n.c_acctbal AS min_bal
+        FROM (SELECT * FROM ranked WHERE rn_max = 1) m
+        JOIN (SELECT * FROM ranked WHERE rn_min = 1) n USING (c_mktsegment)
+    """,
+)
+def q_agg_argmax(spark, sf_dir):
+    """Arg-max / arg-min aggregates: the value of ONE column at
+    another's extreme (max_by/min_by) — fetched in a single hash
+    aggregate instead of the self-join-on-max anti-pattern. Tiebreak
+    is explicit ((bal, custkey) struct ordering), so the answer is
+    deterministic where bare max_by would be tie-arbitrary.
+
+    Scale: one map-side-combinable aggregate per segment; each partial
+    carries a single (bal, custkey, name) candidate — constant state
+    per group per task, vs the window formulation's full sort."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("richest"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.min_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("poorest"),
+            F.min("c_acctbal").alias("min_bal"),
+        )
+    )

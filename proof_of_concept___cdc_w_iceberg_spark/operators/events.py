@@ -656,3 +656,66 @@ def q_ts_autocorr(spark, sf_dir):
         m.filter((F.col("n") >= 3) & (var_x > 0) & (var_y > 0))
         .select("user_id", "n", F.round(r, 6).alias("autocorr"))
     )
+
+
+_TWAP_SQL = """
+    WITH seq AS (
+        SELECT user_id, value, ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ),
+    held AS (
+        SELECT user_id, value,
+               CAST(date_diff('second', ts, next_ts) AS BIGINT) AS held_s
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(held_s) AS BIGINT) AS total_s,
+           ROUND(CAST(SUM(CAST(value * held_s AS DECIMAL(28,8))) AS DOUBLE)
+                 / SUM(held_s), 6) AS twap
+    FROM held
+    WHERE held_s > 0
+    GROUP BY user_id
+    HAVING SUM(held_s) > 0
+"""
+
+
+@query("q_ts_twap", oracle=_TWAP_SQL)
+def q_ts_twap(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each observation
+    holds until the next one, weighted by its holding duration —
+    the correct average for irregularly-sampled state (billing meters,
+    position marks, sensor states), where the plain mean over-weights
+    bursts. One lead window + one aggregate on the same user_id
+    partitioning; the value x duration products go through DECIMAL so
+    the weighted sum is order-independent and hash-exact."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "value",
+            "ts",
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).alias("held_s"),
+        )
+        .filter(F.col("held_s") > 0)
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.sum("held_s").cast("long").alias("total_s"),
+            F.round(
+                F.sum((F.col("value") * F.col("held_s")).cast("decimal(28,8)"))
+                .cast("double") / F.sum("held_s"),
+                6,
+            ).alias("twap"),
+        )
+        .filter(F.col("total_s") > 0)
+    )

@@ -233,6 +233,8 @@ _CHECK_PRIORITY = [
     "q_dup_ratio_report",
     "q_ts_autocorr",
     "q_text_pmi",
+    "q_agg_argmax",
+    "q_ts_twap",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",
