@@ -923,3 +923,105 @@ def q_text_pmi(spark, sf_dir):
         .orderBy(F.desc("pmi"), "bg")
         .limit(PMI_TOP)
     )
+
+
+LM_TOP = 50  # report the 50 most-surprising (highest cross-entropy) docs
+
+
+@query(
+    "q_text_lm_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents
+        ),
+        doc_bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM toks WHERE len(t) >= 2
+        ),
+        bg_c AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab
+                 FROM doc_bg GROUP BY bg),
+        u_c AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS c_a FROM (
+                SELECT unnest(t) AS u FROM toks
+            ) GROUP BY u
+        ),
+        vocab AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM u_c),
+        terms AS (
+            SELECT d.doc_id,
+                   ROUND(-ln((bg_c.c_ab + 1.0)
+                             / (u_c.c_a + vocab.v)), 6) AS nll
+            FROM doc_bg d
+            JOIN bg_c ON bg_c.bg = d.bg
+            JOIN u_c ON u_c.u = split_part(d.bg, ' ', 1)
+            CROSS JOIN vocab
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(nll AS DECIMAL(25,10))) AS DOUBLE)
+                     / COUNT(*), 4) AS cross_entropy
+        FROM terms GROUP BY doc_id
+        ORDER BY ROUND(CAST(SUM(CAST(nll AS DECIMAL(25,10))) AS DOUBLE)
+                       / COUNT(*), 4) DESC, doc_id
+        LIMIT {LM_TOP}
+    """,
+)
+def q_text_lm_score(spark, sf_dir):
+    """N-gram language-model scoring — REAL perplexity-style quality
+    filtering (the KenLM rung of curation pipelines), not a stub: a
+    bigram LM with add-one smoothing is fit on the corpus itself, and
+    each document's cross-entropy under it ranks how "surprising" the
+    doc is (boilerplate scores low, garbled text scores high). Top-50
+    most-surprising docs reported — the review/drop queue.
+
+    Scale shape: ONE tokenize pass feeds doc-bigrams, bigram counts,
+    and unigram counts; both count relations are vocabulary-sized and
+    BROADCAST back into the per-doc term stream, the vocab size is a
+    1-row broadcast, and the only corpus-wide shuffles are the two
+    vocabulary-bounded counts + the final per-doc aggregate. Per-term
+    -ln p is rounded 6dp (cross-engine libm ulp) then decimal-summed:
+    the scoring is hash-exact, where a real KenLM would be rows-only."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    doc_bg = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    bg_c = doc_bg.groupBy("bg").agg(F.count("*").cast("long").alias("c_ab"))
+    u_c = (
+        toks.select(F.explode("t").alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("c_a"))
+    )
+    vocab = u_c.agg(F.count("*").cast("double").alias("v"))
+    nll = F.round(
+        -F.log((F.col("c_ab") + 1.0) / (F.col("c_a") + F.col("v"))), 6
+    )
+    terms = (
+        doc_bg.join(F.broadcast(bg_c), "bg")
+        .join(
+            F.broadcast(u_c),
+            F.col("u") == F.split_part(F.col("bg"), F.lit(" "), F.lit(1)),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll"))
+    )
+    ce = F.round(
+        F.sum(F.col("nll").cast("decimal(25,10)")).cast("double") / F.count("*"), 4
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_bigrams"), ce.alias("cross_entropy"))
+        .orderBy(F.desc("cross_entropy"), "doc_id")
+        .limit(LM_TOP)
+    )

@@ -235,6 +235,7 @@ _CHECK_PRIORITY = [
     "q_text_pmi",
     "q_agg_argmax",
     "q_ts_twap",
+    "q_text_lm_score",
     "q_sim_ivf",
     "q_sim_lsh",
     "q_cdc_apply",

@@ -35,6 +35,7 @@ NESTED_LOOP_OK = {
     "q_bm25": "1-row corpus-stats broadcast",
     "q_rerank": "inherits q_bm25's 1-row corpus-stats broadcast",
     "q_text_pmi": "1-row corpus-totals broadcast into the PMI score",
+    "q_text_lm_score": "1-row vocab-size broadcast into the smoothing term",
     "q_text_tfidf": "1-row N broadcast",
     "q_tpch_q15": "1-row max-revenue broadcast back",
     "q_pack_sequences": "16-row bucket-offset broadcast",
