@@ -23,10 +23,32 @@ shared verbatim between the Spark plan and the DuckDB oracle.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load
+
+
+def _dpp_fact_path(spark, sf_dir: str) -> str:
+    """Month-partitioned lineitem fixture for q_scan_dpp, written once
+    per sf_dir into a deterministic temp location (_SUCCESS marks a
+    complete write; a torn dir is rewritten)."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"dpp_fact_{tag}", "lineitem_by_month"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load(spark, sf_dir, "lineitem").select(
+            F.month("l_shipdate").cast("int").alias("ship_month"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        li.write.mode("overwrite").partitionBy("ship_month").parquet(path)
+    return path
 
 ZBITS = 8       # 8 bits per dimension -> 16-bit Morton key, 0..65535
 ZBUCKET_DIV = 1024  # z >> 10: 64 buckets ~ 64 target files
@@ -156,20 +178,12 @@ def q_scan_dpp(spark, sf_dir):
     At 100 TB this is THE dominant cost lever on date-partitioned
     facts: without DPP the scan reads every partition and discards
     rows post-join; with it a 3-month probe touches 3/12 of the data
-    regardless of cluster size. Rewriting the fixture per call keeps
-    the query hermetic; a lake deployment reads the already-partitioned
-    table."""
-    import os
-    import tempfile
-
-    li = load(spark, sf_dir, "lineitem").select(
-        F.month("l_shipdate").cast("int").alias("ship_month"),
-        "l_extendedprice",
-        "l_discount",
-    )
-    path = os.path.join(tempfile.mkdtemp(prefix="dpp_fact_"), "lineitem_by_month")
-    li.write.mode("overwrite").partitionBy("ship_month").parquet(path)
-    fact = spark.read.parquet(path)
+    regardless of cluster size. The month-partitioned fixture is
+    written ONCE per sf_dir (cached by deterministic path + _SUCCESS
+    marker) so repeated bench/correctness sweeps measure the pruned
+    scan, not the fixture rewrite, and don't leak temp dirs; a lake
+    deployment reads the already-partitioned table."""
+    fact = spark.read.parquet(_dpp_fact_path(spark, sf_dir))
     months = (
         load(spark, sf_dir, "orders")
         .filter(

@@ -143,9 +143,15 @@ def available_formats(spark) -> dict[str, bool]:
 
 @query(
     "q_sink_avro",
+    # The oracle pins the STAND-IN format this container uses — the
+    # result self-describes what was actually verified (round-3 verdict
+    # item: the green driver row must not overstate "Avro"). If a
+    # future environment ships spark-avro, the Spark side emits 'avro',
+    # the hash flips, and the mismatch is the signal to update this
+    # literal — capability changes can't pass silently.
     oracle="""
-        SELECT p_partkey, p_name, p_retailprice FROM part
-        WHERE p_partkey % 4 = 0
+        SELECT p_partkey, p_name, p_retailprice, 'orc' AS sink_format
+        FROM part WHERE p_partkey % 4 = 0
     """,
 )
 def q_sink_avro(spark, sf_dir):
@@ -155,15 +161,16 @@ def q_sink_avro(spark, sf_dir):
     with pyspark, not the datasource). When the module is present this
     writes/reads real ``.avro`` row-oriented files; otherwise it
     degrades to the built-in ORC writer so the registered query stays
-    green — the format actually used is the row-equivalent columnar
-    stand-in, and tests/test_gates.py reports the gate as SKIPPED
-    naming the missing jar."""
+    green. The format actually exercised is emitted as the
+    ``sink_format`` column, so every correctness row names in-band
+    what it verified; tests/test_gates.py additionally reports the
+    gate as SKIPPED naming the missing jar."""
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0) \
         .select("p_partkey", "p_name", "p_retailprice")
     fmt = "avro" if avro_available(spark) else "orc"
     path = tempfile.mkdtemp(prefix="sink_avro_")
     p.write.mode("overwrite").format(fmt).save(path)
-    return spark.read.format(fmt).load(path)
+    return spark.read.format(fmt).load(path).withColumn("sink_format", F.lit(fmt))
 
 
 @query(

@@ -71,10 +71,14 @@ class StreamingCdcPipeline:
         partition-scoped merge (only touched buckets rewritten).
 
         Malformed envelopes (mandatory ``op`` null after PERMISSIVE
-        from_json) are appended raw to the dead-letter table instead of
+        from_json) are written raw to the dead-letter table instead of
         flowing into the merge as null-key rows — the streaming twin of
         q_cdc_dead_letter (Kafka Connect ``errors.tolerance: all`` +
-        DLQ topic).
+        DLQ topic). The DLQ write is idempotent like the mirror path:
+        partitioned by batch_id with dynamic partition overwrite, so a
+        micro-batch replayed after failure/restart replaces its own
+        DLQ partition rather than appending duplicate dead letters
+        (foreachBatch is at-least-once).
 
         Idempotent apply (`q_stream_dedup`): duplicate (key, offset)
         deliveries collapse before compaction, mirroring the
@@ -85,7 +89,10 @@ class StreamingCdcPipeline:
         bad = tagged.filter(F.col("_op_probe").isNull()).drop("_op_probe")
         if not bad.isEmpty():
             (bad.withColumn("batch_id", F.lit(batch_id).cast("long"))
-             .write.mode("append").parquet(self.dlq_path))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(self.dlq_path))
         good = tagged.filter(F.col("_op_probe").isNotNull()).drop("_op_probe")
         changes = decode_envelope(good).select(
             F.coalesce(F.col("after.k"), F.col("before.k")).alias("k"),
@@ -124,7 +131,11 @@ class StreamingCdcPipeline:
             return self.spark.createDataFrame(
                 [], "key LONG, value STRING, batch_id LONG"
             )
-        return self.spark.read.parquet(self.dlq_path)
+        # Partition-column type inference yields INT for small ids —
+        # pin the declared LONG contract.
+        return self.spark.read.parquet(self.dlq_path).select(
+            "key", "value", F.col("batch_id").cast("long").alias("batch_id")
+        )
 
 
 def kafka_available(spark: SparkSession) -> bool:

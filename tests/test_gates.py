@@ -77,6 +77,12 @@ def test_sink_avro_query_degrades_cleanly(spark, sf_dir):
     the module is present, ORC stand-in otherwise."""
     from proof_of_concept___cdc_w_iceberg_spark import registry
 
+    from proof_of_concept___cdc_w_iceberg_spark.operators.scans import avro_available
+
     df = registry.queries()["q_sink_avro"](spark, sf_dir)
     assert df.count() > 0
-    assert set(df.columns) == {"p_partkey", "p_name", "p_retailprice"}
+    assert set(df.columns) == {"p_partkey", "p_name", "p_retailprice", "sink_format"}
+    # The result self-describes which codec it exercised (in-band
+    # disclosure for the driver's correctness row).
+    want = "avro" if avro_available(spark) else "orc"
+    assert df.select("sink_format").distinct().collect()[0][0] == want

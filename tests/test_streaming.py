@@ -401,3 +401,10 @@ def test_streaming_dead_letter_routing(spark, sf_dir):
         .select("k", "name", "bal")
     )
     assert mirror_diff(pipe.mirror(), expected).count() == 0
+
+    # foreachBatch is at-least-once: replay the SAME micro-batch id and
+    # the DLQ must not grow (batch_id-partitioned dynamic overwrite),
+    # and the mirror must be unchanged (latest-wins merge).
+    pipe._apply_batch(corrupted, 0)
+    assert pipe.dead_letters().count() == n_bad
+    assert mirror_diff(pipe.mirror(), expected).count() == 0
