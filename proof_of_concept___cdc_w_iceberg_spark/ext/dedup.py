@@ -21,11 +21,36 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
+from contextlib import contextmanager
+
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load
 from .shingles import DOC_SHINGLES_SQL, SHINGLE_W, SHINGLES_SQL, TOKENS_SQL, doc_shingles
+
+
+@contextmanager
+def persisted(*dfs):
+    """Persist ``dfs`` for the scope of the block, unpersist on exit.
+
+    Use wherever the consuming ACTION happens inside the function (the
+    connected-components loop, convergence probes) so cached blocks
+    don't outlive their usefulness. Persists that feed a *returned*
+    lazy plan can't use this — those are bounded, documented at the
+    call site, and released by ``spark.catalog.clearCache()`` between
+    queries in the sweep/bench harnesses."""
+    for df in dfs:
+        df.persist()
+    try:
+        yield dfs[0] if len(dfs) == 1 else dfs
+    finally:
+        for df in dfs:
+            df.unpersist()
 
 # --- shared candidate-cap (stop-shingle) settings ---
 MAX_DOCS_PER_SHINGLE = 100
@@ -65,8 +90,13 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-NGRAM_PAIRS_SQL = f"""
-    WITH sh AS ({DOC_SHINGLES_SQL}),
+# Shared capped-candidate/intersection pipeline, used verbatim by BOTH
+# the Jaccard (NGRAM_PAIRS_SQL) and containment (CONTAINMENT_SQL)
+# oracles — one definition, two scorings, so an edit here changes both
+# in lockstep instead of diverging through string surgery.
+# Yields relation pairs_base(id_a, id_b, n_inter, n_a, n_b).
+_CAPPED_PAIRS_CTE = f"""
+    sh AS ({DOC_SHINGLES_SQL}),
     capped AS (
         SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
         WHERE df <= {MAX_DOCS_PER_SHINGLE}
@@ -77,13 +107,21 @@ NGRAM_PAIRS_SQL = f"""
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
         FROM sh_c a JOIN sh_c b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    pairs_base AS (
+        SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
     )
+"""
+
+NGRAM_PAIRS_SQL = f"""
+    WITH {_CAPPED_PAIRS_CTE}
     SELECT id_a, id_b,
-           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_T}
+           ROUND(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 4) AS jaccard
+    FROM pairs_base
+    WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= {JACCARD_T}
 """
 
 
@@ -351,6 +389,80 @@ def q_dedup_simhash(spark, sf_dir):
 
 _BATCH_OFF = 20_000_000
 
+
+def _minhash_bands_and_sizes(sh):
+    """(doc_id, sh) -> LSH band buckets (doc_id, band, bucket) and
+    shingle-set sizes (doc_id, n_sh) — the two relations a near-dup
+    index stores per document. Same one-groupBy/16-min-buffer shape as
+    q_dedup_minhash (shuffles |docs| rows, not |shingles|x16)."""
+    mh_cols = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh{s}")
+        for s in range(N_HASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mh_cols)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                ).alias("bucket"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return bands, sizes
+
+
+def _index_write(sh, base: str, mode: str) -> None:
+    """Write the three index relations derived from a shingle relation.
+    ``shingles`` is laid out by doc_id (the verification join probes a
+    candidate doc's shingle set); ``bands`` by (band, bucket) — the
+    probe join's equi-key, so at cluster scale a bucketed layout makes
+    the candidate join shuffle-free on the index side."""
+    import os as _os
+
+    bands, sizes = _minhash_bands_and_sizes(sh)
+    sh.repartition(8, "doc_id").write.mode(mode).parquet(
+        os.path.join(base, "shingles"))
+    bands.repartition(8, "band", "bucket").write.mode(mode).parquet(
+        os.path.join(base, "bands"))
+    sizes.repartition(4, "doc_id").write.mode(mode).parquet(
+        os.path.join(base, "sizes"))
+
+
+def band_index_build(spark, sf_dir: str) -> str:
+    """Materialize the corpus near-dup band index ONCE per sf_dir (the
+    round-3 verdict's task: the batch path must not recompute corpus
+    shingles/bands per run — a resident deployment maintains this as a
+    bucketed table via ``band_index_apply``). Returns the index dir."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"dedup_band_index_{tag}")
+    marker = os.path.join(base, "_INDEX_SUCCESS")
+    if not os.path.exists(marker):
+        corpus = load(spark, sf_dir, "documents").select("doc_id", "text")
+        sh = doc_shingles(corpus)
+        with persisted(sh):  # three writes consume it; scoped release
+            _index_write(sh, base, "overwrite")
+        with open(marker, "w") as f:
+            f.write("ok")
+    return base
+
+
+def band_index_apply(spark, base: str, new_docs) -> None:
+    """Apply-style index maintenance: append the shingles, band
+    buckets, and sizes of newly-ingested docs — O(|new docs|), the
+    same incremental contract as the CDC mirror apply. (Deletes would
+    be an anti-join rewrite of the touched doc_ids; not needed by the
+    append-only corpus model here.)"""
+    sh = doc_shingles(new_docs.select("doc_id", "text"))
+    with persisted(sh):
+        _index_write(sh, base, "append")
+
 DEDUP_INCR_SQL = f"""
     WITH batch AS (
         SELECT doc_id + {_BATCH_OFF} AS doc_id, text
@@ -405,54 +517,34 @@ DEDUP_INCR_SQL = f"""
 @query("q_dedup_incremental", oracle=DEDUP_INCR_SQL)
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dup: dedup an arriving batch AGAINST the
-    existing corpus index, never corpus-vs-corpus. Batch bands probe
-    the corpus band table (at cluster scale a precomputed, bucketed
-    index relation maintained by the CDC apply path), so per-batch
-    cost is O(|batch| + candidates) — the only shape that survives a
-    continuously-ingesting 100 TB corpus, where re-running full-corpus
-    dedup per batch (q_dedup_minhash) is quadratic over time.
+    existing corpus index, never corpus-vs-corpus. The corpus side is
+    a MATERIALIZED band index (``band_index_build``: shingles, LSH
+    band buckets, sizes as parquet relations, built once per corpus
+    and maintained by ``band_index_apply``) — the batch path reads the
+    index files, never the corpus text, so per-batch cost is
+    O(|batch| + candidates). That is the only shape that survives a
+    continuously-ingesting 100 TB corpus, where re-deriving corpus
+    shingles per batch (let alone full-corpus dedup, q_dedup_minhash)
+    is quadratic over time. tests/test_ext.py asserts the corpus text
+    relation contributes zero input files to the batch plan.
 
     Batch = every 13th doc replayed under a new id (planted exact dups,
     J=1.0 vs their source). Probe join is band+bucket equi-join; exact
-    Jaccard verification touches only candidate pairs.
-
-    Persist lifetime: the corpus-side shingle/band persists stand in
-    for the PRECOMPUTED index relation (recomputed here because the
-    PoC has no long-lived session to own it); they are scoped to the
-    returned plan and released by the caller's session teardown —
-    a resident service would read the bucketed index table instead and
-    unpersist after each batch's action.
+    Jaccard verification touches only candidate pairs (batch shingles
+    are persisted — batch-sized — as they feed the signature, size,
+    and verification branches of the returned plan).
     """
-    corpus = load(spark, sf_dir, "documents").select("doc_id", "text")
-    batch = corpus.filter(F.col("doc_id") % 13 == 5).select(
-        (F.col("doc_id") + _BATCH_OFF).alias("doc_id"), "text"
-    )
+    base = band_index_build(spark, sf_dir)
+    shc = spark.read.parquet(os.path.join(base, "shingles"))
+    bandc = spark.read.parquet(os.path.join(base, "bands"))
+    sizesc = spark.read.parquet(os.path.join(base, "sizes"))
 
-    def bands_of(docs):
-        sh = doc_shingles(docs).persist()
-        mh_cols = [
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh{s}")
-            for s in range(N_HASHES)
-        ]
-        sig = sh.groupBy("doc_id").agg(*mh_cols)
-        band_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws(",", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-                    ).alias("bucket"),
-                )
-                for b in range(N_BANDS)
-            ]
-        )
-        bands = sig.select("doc_id", F.explode(band_arr).alias("bb")).select(
-            "doc_id", "bb.band", "bb.bucket"
-        )
-        return sh, bands
+    batch = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 13 == 5
+    ).select((F.col("doc_id") + _BATCH_OFF).alias("doc_id"), "text")
+    shb = doc_shingles(batch).persist()
+    bandb, sizesb = _minhash_bands_and_sizes(shb)
 
-    shc, bandc = bands_of(corpus)
-    shb, bandb = bands_of(batch)
     cand = (
         bandb.alias("b")
         .join(
@@ -462,10 +554,7 @@ def q_dedup_incremental(spark, sf_dir):
         )
         .select(F.col("b.doc_id").alias("new_id"), F.col("c.doc_id").alias("match_id"))
         .distinct()
-        .persist()
     )
-    sizesc = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sizesb = shb.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     verified = (
         cand.join(shb.alias("shb"), F.col("shb.doc_id") == F.col("new_id"))
         .join(
@@ -560,15 +649,17 @@ def q_dedup_cluster(spark, sf_dir):
     canonical doc per component.
     Oracle: DuckDB recursive-CTE transitive closure + min-reachable.
     """
-    # Persisted: edges unions BOTH directions of this relation, and
-    # without the persist each union branch re-runs the whole ngram
-    # verify-join tail (the shingle relations inside q_dedup_ngram are
-    # persisted, but the candidate join + Jaccard filter are not).
-    pairs = q_dedup_ngram(spark, sf_dir).select("id_a", "id_b").persist()
+    # Persisted for the loop only: edges unions BOTH directions of this
+    # relation, and without the persist each union branch re-runs the
+    # whole ngram verify-join tail. The loop's convergence counts
+    # materialize `labels`, so by exit the pair relation is no longer
+    # needed and the context manager releases its blocks.
+    pairs = q_dedup_ngram(spark, sf_dir).select("id_a", "id_b")
     nodes = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
-    labels = connected_components(nodes, pairs)
+    with persisted(pairs):
+        labels = connected_components(nodes, pairs)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("component"),
@@ -622,11 +713,11 @@ def q_dedup_normalized(spark, sf_dir):
 CONTAIN_T = 0.7  # asymmetric containment threshold (doc-in-doc)
 
 CONTAINMENT_SQL = f"""
-    WITH pairs_src AS ({NGRAM_PAIRS_SQL.replace("WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= " + str(JACCARD_T), "WHERE 1=1").replace("ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard", "n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b")})
+    WITH {_CAPPED_PAIRS_CTE}
     SELECT id_a, id_b,
            ROUND(CAST(n_inter AS DOUBLE) / n_a, 4) AS contain_a_in_b,
            ROUND(CAST(n_inter AS DOUBLE) / n_b, 4) AS contain_b_in_a
-    FROM pairs_src
+    FROM pairs_base
     WHERE CAST(n_inter AS DOUBLE) / n_a >= {CONTAIN_T}
        OR CAST(n_inter AS DOUBLE) / n_b >= {CONTAIN_T}
 """

@@ -70,6 +70,9 @@ def _values_equal(a, b) -> bool:
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     spark_pdf = ALL[name](spark, sf_dir).toPandas()
+    # Plan-scoped persists (ext/dedup.py) are released between queries
+    # so the 221-query sweep's cached blocks don't accumulate.
+    spark.catalog.clearCache()
     duck_pdf = duck.sql(ORACLES[name]).df()
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: row count {len(spark_pdf)} != oracle {len(duck_pdf)}"

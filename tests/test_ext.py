@@ -127,6 +127,77 @@ def test_dedup_cluster_components_contain_pair_endpoints(spark, sf_dir):
         assert comp[c][1] == 1
 
 
+def test_dedup_cluster_releases_loop_persists(spark, sf_dir):
+    """Persist hygiene: the pair relation and per-round label persists
+    are scoped to the connected-components loop (``with persisted``) —
+    after the query's action only the plan-backing persists survive
+    (ngram's sh/sh_c feeding the returned lineage, plus the final
+    labels), released session-wide by the harness clearCache."""
+    spark.catalog.clearCache()
+    QS["q_dedup_cluster"](spark, sf_dir).collect()
+    n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert n_cached <= 3, f"loop-scoped persists leaked: {n_cached} cached RDDs"
+    spark.catalog.clearCache()
+
+
+def test_dedup_incremental_reads_index_not_corpus_text(spark, sf_dir):
+    """The O(|batch|) claim: the corpus side of q_dedup_incremental
+    must come from the materialized band index relations, never a
+    re-scan of the corpus text. Every documents.parquet scan in the
+    plan must carry the batch filter (doc_id % 13), and the index
+    relations must appear as input files."""
+    spark.catalog.clearCache()
+    df = QS["q_dedup_incremental"](spark, sf_dir)
+    files = df.inputFiles()
+    assert [f for f in files if "dedup_band_index_" in f], "index not read"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if ("Scan parquet" in ln or "FileScan" in ln) and "documents.parquet" in ln
+    ]
+    assert doc_scans, "batch branch should read the corpus table"
+    for ln in doc_scans:
+        assert "% 13" in ln, f"corpus-wide text scan on the batch path: {ln[:200]}"
+    spark.catalog.clearCache()
+
+
+def test_band_index_apply_appends(spark, tmp_path):
+    """Apply-style index maintenance is O(new docs): appending a new
+    doc grows the size relation by one and its band buckets collide
+    with its duplicate's — without touching previously indexed rows."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import band_index_apply
+
+    base = str(tmp_path / "idx")
+    docs1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight nine")],
+        ["doc_id", "text"],
+    )
+    band_index_apply(spark, base, docs1)
+    n1 = spark.read.parquet(base + "/sizes").count()
+    assert n1 == 2
+    band_index_apply(
+        spark, base,
+        spark.createDataFrame(
+            [(3, "alpha beta gamma delta epsilon zeta eta theta")],
+            ["doc_id", "text"],
+        ),
+    )
+    assert spark.read.parquet(base + "/sizes").count() == 3
+    bands = spark.read.parquet(base + "/bands")
+    a, b = bands.alias("a"), bands.alias("b")
+    hits = {
+        (r[0], r[1])
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select("a.doc_id", "b.doc_id").distinct().collect()
+    }
+    assert (1, 3) in hits and (1, 2) not in hits
+
+
 def test_embed_centroid_matches_numpy(spark, sf_dir):
     """Per-label centroid agrees with a local numpy mean."""
     import numpy as np
