@@ -24,8 +24,13 @@ O(touched buckets × bucket size), not O(|mirror|):
   partitions present in the written data, which would otherwise
   resurrect deleted rows.
 
-At even larger scale the same layout extends to date × bucket, and on
-a real lake this whole module is replaced by the Iceberg MERGE path
+At even larger scale the same layout extends to date × bucket
+(``TwoLevelMirror``): the outer date level gives retention drops,
+time-pruned reads, and batch-date pruning on apply; the inner hash
+bucket keeps the merge partition-scoped. ``compact()`` on either
+layout is the parquet analogue of Iceberg's ``rewrite_data_files``
+small-file maintenance (`connect-iceberg-sink.json:19-29`). On a real
+lake this whole module is replaced by the Iceberg MERGE path
 (`iceberg.py`); this is the fallback done right, not a competitor.
 """
 
@@ -170,4 +175,149 @@ class BucketedMirror:
             b = int(name.split("=", 1)[1])
             full = os.path.join(self.path, name)
             out[b] = {f for f in os.listdir(full) if f.endswith(".parquet")}
+        return out
+
+    def _leaf_partitions(self) -> dict[str, set[str]]:
+        """Relative leaf partition dir -> parquet file names, for any
+        partition depth (bucket, or date/bucket)."""
+        out: dict[str, set[str]] = {}
+        for root, _dirs, files in os.walk(self.path):
+            pq = {f for f in files if f.endswith(".parquet")}
+            if pq and "=" in os.path.basename(root):
+                out[os.path.relpath(root, self.path)] = pq
+        return out
+
+    def compact(self, max_files: int = 1) -> dict[str, tuple[int, int]]:
+        """Small-file maintenance: rewrite every leaf partition holding
+        more than ``max_files`` parquet files down to ``max_files`` —
+        the parquet analogue of Iceberg ``rewrite_data_files``
+        (`connect-iceberg-sink.json:19-29`). Content is untouched
+        (``read()`` identical before/after); only the file count per
+        fragmented partition drops. Returns {partition: (before,
+        after)} for the partitions rewritten.
+
+        Scale shape: each fragmented partition is an independent
+        read→coalesce→write of ONE partition dir (a bucket is ~25 GB
+        at the 100 TB/4096-bucket layout) — embarrassingly parallel
+        across partitions, and a no-op scan-skip for compacted ones.
+        """
+        done: dict[str, tuple[int, int]] = {}
+        for rel, files in sorted(self._leaf_partitions().items()):
+            if len(files) <= max_files:
+                continue
+            full = os.path.join(self.path, rel)
+            staged = f"{full}__compact_staged"
+            # Leaf-dir read: partition values live in the dir name, not
+            # the files, so the rewritten files drop straight back in.
+            (self.spark.read.parquet(full).coalesce(max_files)
+             .write.mode("overwrite").parquet(staged))
+            new_files = [f for f in os.listdir(staged) if f.endswith(".parquet")]
+            for f in files:
+                os.remove(os.path.join(full, f))
+            for f in new_files:
+                os.rename(os.path.join(staged, f), os.path.join(full, f))
+            shutil.rmtree(staged, ignore_errors=True)
+            done[rel] = (len(files), len(new_files))
+        return done
+
+
+class TwoLevelMirror(BucketedMirror):
+    """Date × bucket mirror: outer ``date_col`` partition (retention /
+    time-pruned reads / batch-date pruning), inner key-hash bucket
+    (partition-scoped merge). The promised two-level layout of the
+    module docstring.
+
+    Placement contract: ``date_col`` is IMMUTABLE per key — it is part
+    of the row's physical address, exactly like Iceberg's partition
+    spec over a source column. CDC rows must carry it (delete
+    envelopes take it from the before-image), and apply prunes on BOTH
+    levels: only (batch dates) × (touched buckets) partitions are
+    scanned and rewritten.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str],
+                 date_col: str, n_buckets: int = 16,
+                 order_cols: list[str] = ("ts_ms", "off")):
+        super().__init__(spark, path, keys, n_buckets, order_cols)
+        self.date_col = date_col
+
+    def _has_buckets(self) -> bool:
+        if not os.path.isdir(self.path):
+            return False
+        for name in os.listdir(self.path):
+            if name.startswith(f"{self.date_col}="):
+                full = os.path.join(self.path, name)
+                if any(n.startswith(f"{BUCKET_COL}=") for n in os.listdir(full)):
+                    return True
+        return False
+
+    def init(self, snapshot: DataFrame) -> None:
+        (self._with_bucket(snapshot)
+         .repartition(self.date_col, BUCKET_COL)
+         .write.mode("overwrite")
+         .partitionBy(self.date_col, BUCKET_COL).parquet(self.path))
+        with open(self._schema_path(), "w") as f:
+            f.write(snapshot.schema.json())
+
+    def touched_partitions(self, changes: DataFrame) -> list[tuple]:
+        """Distinct (date, bucket) pairs of the batch — bounded by
+        |batch dates| × n_buckets, a driver-safe collect."""
+        rows = (changes.select(
+            F.col(self.date_col),
+            bucket_expr(self.keys, self.n_buckets).alias(BUCKET_COL))
+            .distinct().collect())
+        return sorted((r[0], r[1]) for r in rows)
+
+    def apply(self, changes: DataFrame, op_col: str = "op",
+              tag: str = "batch") -> list[tuple]:
+        """Two-level partition-scoped merge: compact → scan only the
+        (batch dates) × (touched buckets) partitions → anti-join +
+        union → dynamic overwrite of exactly those partitions, with
+        explicit clearing of emptied ones. Returns the touched pairs."""
+        latest = compact_latest(changes, self.keys, self.order_cols)
+        touched = self.touched_partitions(latest)
+        if not touched:
+            return []
+        dates = sorted({d for d, _ in touched})
+        buckets = sorted({b for _, b in touched})
+        if self._has_buckets():
+            mirror = self.spark.read.parquet(self.path)
+            subset = (mirror.filter(F.col(self.date_col).isin(dates)
+                                    & F.col(BUCKET_COL).isin(buckets))
+                      .drop(BUCKET_COL))
+        else:
+            subset = self._empty()
+        merged = apply_changes(subset, latest, self.keys, op_col=op_col,
+                               order_cols=self.order_cols)
+        staged = f"{self.path}_{tag}_staged"
+        (self._with_bucket(merged).repartition(self.date_col, BUCKET_COL)
+         .write.mode("overwrite")
+         .partitionBy(self.date_col, BUCKET_COL).parquet(staged))
+        has_out = any(n.startswith(f"{self.date_col}=")
+                      for n in os.listdir(staged))
+        if has_out:
+            staged_df = self.spark.read.parquet(staged)
+            (staged_df.repartition(self.date_col, BUCKET_COL)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(self.date_col, BUCKET_COL).parquet(self.path))
+            out_parts = {(r[0], r[1]) for r in staged_df
+                         .select(self.date_col, BUCKET_COL).distinct().collect()}
+        else:
+            out_parts = set()
+        for d, b in set(touched) - out_parts:
+            shutil.rmtree(
+                os.path.join(self.path, f"{self.date_col}={d}",
+                             f"{BUCKET_COL}={b}"),
+                ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
+        return touched
+
+    def partition_files(self) -> dict[tuple, set[str]]:  # type: ignore[override]
+        """(date, bucket) -> parquet file names."""
+        out: dict[tuple, set[str]] = {}
+        for rel, files in self._leaf_partitions().items():
+            date_part, bucket_part = rel.split(os.sep)
+            out[(date_part.split("=", 1)[1],
+                 int(bucket_part.split("=", 1)[1]))] = files
         return out

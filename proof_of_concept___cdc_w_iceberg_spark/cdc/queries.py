@@ -217,6 +217,99 @@ def q_cdc_apply_bucketed(spark, sf_dir):
     return m.read()
 
 
+APPLY_PART_MIRROR_SQL = """
+        WITH mirror AS (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                   CAST(year(l_shipdate) AS INT) AS part_year
+            FROM lineitem
+        ),
+        changes AS (
+            SELECT l_orderkey, l_linenumber,
+                   l_quantity + 5.0 AS l_quantity, l_extendedprice,
+                   CAST(year(l_shipdate) AS INT) AS part_year,
+                   'u' AS op, CAST(2000 AS BIGINT) AS ts_ms,
+                   l_orderkey * 10 + l_linenumber AS off
+            FROM lineitem WHERE l_orderkey % 10 = 0
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, NULL, NULL,
+                   CAST(year(l_shipdate) AS INT),
+                   'd', 3000, 1000000000 + l_orderkey * 10 + l_linenumber
+            FROM lineitem WHERE l_orderkey % 15 = 0
+            UNION ALL
+            SELECT l_orderkey + 100000000, l_linenumber, l_quantity,
+                   l_extendedprice, CAST(year(l_shipdate) AS INT),
+                   'c', 2500, 2000000000 + l_orderkey * 10 + l_linenumber
+            FROM lineitem WHERE l_orderkey % 12 = 0
+        ),
+        latest AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_orderkey, l_linenumber
+                ORDER BY ts_ms DESC, off DESC) AS rn
+            FROM changes
+        ),
+        fc AS (SELECT * FROM latest WHERE rn = 1)
+        SELECT m.l_orderkey, m.l_linenumber, m.l_quantity,
+               m.l_extendedprice, m.part_year
+        FROM mirror m ANTI JOIN fc USING (l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, part_year
+        FROM fc WHERE op <> 'd'
+"""
+
+
+@query("q_cdc_apply_partitioned", oracle=APPLY_PART_MIRROR_SQL)
+def q_cdc_apply_partitioned(spark, sf_dir):
+    """The apply-gate semantics through the TWO-LEVEL (date × bucket)
+    mirror (cdc/bucketed.py TwoLevelMirror): ship-year outer
+    partition, key-hash bucket inner. The year is placement — carried
+    by every change event (delete events take it from the CDC
+    before-image, `connect-iceberg-sink.json:30-33` equality deletes),
+    so apply scans and rewrites ONLY (batch years) × (touched
+    buckets). At 100 TB this is the layout that adds retention drops
+    and time-pruned reads on top of q_cdc_apply_bucketed's
+    partition-scoped merge; hash-checked against the same-latest-wins
+    oracle extended with the year column."""
+    from .bucketed import TwoLevelMirror
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        F.year("l_shipdate").cast("int").alias("part_year"),
+    )
+
+    def ev(pred_mod, op, ts_ms, off_base, key_shift=0, qty=None, null_vals=False):
+        df = load(spark, sf_dir, "lineitem").filter(
+            F.col("l_orderkey") % pred_mod == 0)
+        return df.select(
+            (F.col("l_orderkey") + F.lit(key_shift)).cast("long").alias("l_orderkey"),
+            "l_linenumber",
+            (F.lit(None) if null_vals else
+             (qty if qty is not None else F.col("l_quantity")))
+            .cast("double").alias("l_quantity"),
+            (F.lit(None) if null_vals else F.col("l_extendedprice"))
+            .cast("double").alias("l_extendedprice"),
+            F.year("l_shipdate").cast("int").alias("part_year"),
+            F.lit(op).alias("op"),
+            F.lit(ts_ms).cast("long").alias("ts_ms"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber") + F.lit(off_base))
+            .cast("long").alias("off"),
+        )
+
+    changes = (
+        ev(10, "u", 2000, 0, qty=F.col("l_quantity") + F.lit(5.0))
+        .unionByName(ev(15, "d", 3000, 1_000_000_000, null_vals=True))
+        .unionByName(ev(12, "c", 2500, 2_000_000_000, key_shift=100_000_000))
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="cdc_twolevel_"), "mirror")
+    m = TwoLevelMirror(spark, path, keys=["l_orderkey", "l_linenumber"],
+                       date_col="part_year", n_buckets=16)
+    m.init(li)
+    m.apply(changes)
+    return m.read().select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        F.col("part_year").cast("int").alias("part_year"),
+    )
+
+
 @query("q_cdc_snapshot_then_stream", oracle=MIRROR_SQL)
 def q_cdc_snapshot_then_stream(spark, sf_dir):
     """Snapshot (op='r') unified with incremental changes through the

@@ -135,6 +135,104 @@ def test_apply_batches_accumulate_and_idempotent_replay(spark):
     assert mirror_diff(m.read(), expected).count() == 0
 
 
+def test_compaction_halves_files_content_unchanged(spark, tmp_path):
+    """Small-file maintenance (the parquet rewrite_data_files): a
+    fragmented bucket drops to one file per partition; read() results
+    are byte-identical before and after."""
+    path = str(tmp_path / "mirror")
+    m = BucketedMirror(spark, path, keys=["k"], n_buckets=N_BUCKETS)
+    snap = _snapshot(spark)
+    # Fragment deliberately: 8 writer tasks × each holding rows of
+    # every bucket → ~8 files per partition dir.
+    (m._with_bucket(snap).repartition(8)
+     .write.partitionBy(BUCKET_COL).parquet(path))
+    before_files = m.partition_files()
+    frag = {b for b, fs in before_files.items() if len(fs) > 1}
+    assert frag, "fixture should produce fragmented partitions"
+    before_rows = sorted(map(tuple, m.read().collect()))
+
+    done = m.compact(max_files=1)
+    assert set(done) == {f"{BUCKET_COL}={b}" for b in frag}
+    after_files = m.partition_files()
+    for b in frag:
+        assert len(after_files[b]) == 1
+        assert len(before_files[b]) >= 2 * len(after_files[b]), (
+            "compaction must at least halve files in a fragmented bucket"
+        )
+    assert sorted(map(tuple, m.read().collect())) == before_rows
+    # Idempotent: a second pass finds nothing to do.
+    assert m.compact(max_files=1) == {}
+
+
+def _dated_snapshot(spark):
+    return spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("bal"),
+        (F.lit(2024) + F.col("id") % 3).cast("int").alias("yr"),
+    )
+
+
+def test_two_level_apply_prunes_both_levels(spark, tmp_path):
+    """TwoLevelMirror: a batch confined to one (year, bucket) cell
+    rewrites exactly that cell; every other (year, bucket) partition's
+    files are untouched, and semantics match the plain full apply."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.bucketed import TwoLevelMirror
+
+    path = str(tmp_path / "mirror")
+    m = TwoLevelMirror(spark, path, keys=["k"], date_col="yr",
+                       n_buckets=N_BUCKETS)
+    snap = _dated_snapshot(spark)
+    m.init(snap)
+    before = m.partition_files()
+    assert len(before) > N_BUCKETS  # multiple years × buckets
+
+    k_upd = 6  # yr = 2024 + 6 % 3 = 2024
+    b = _buckets_of(spark, [k_upd])[k_upd]
+    batch = spark.createDataFrame(
+        [(k_upd, "upd", 0.0, 2024, "u", 10, 1)],
+        "k long, name string, bal double, yr int, op string, ts_ms long, off long",
+    )
+    touched = m.apply(batch)
+    assert touched == [(2024, b)]
+    after = m.partition_files()
+    for part in before:
+        if part == ("2024", b):
+            assert after[part] != before[part]
+        else:
+            assert after[part] == before[part], f"{part} must be untouched"
+
+    expected = apply_changes(snap, batch, keys=["k"])
+    got = m.read().withColumn("yr", F.col("yr").cast("int")).select(
+        "k", "name", "bal", "yr")
+    assert mirror_diff(got, expected.select("k", "name", "bal", "yr")).count() == 0
+
+
+def test_two_level_delete_clears_emptied_cell(spark, tmp_path):
+    """Deleting every key of one (year, bucket) cell removes that
+    partition dir; the rest of the year survives."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.bucketed import TwoLevelMirror
+
+    path = str(tmp_path / "mirror")
+    m = TwoLevelMirror(spark, path, keys=["k"], date_col="yr",
+                       n_buckets=N_BUCKETS)
+    m.init(_dated_snapshot(spark))
+    # keys of year 2025 (id % 3 == 1) landing in one bucket
+    keys_2025 = [k for k in range(100) if k % 3 == 1]
+    bmap = _buckets_of(spark, keys_2025)
+    b0 = bmap[keys_2025[0]]
+    cell_keys = [k for k in keys_2025 if bmap[k] == b0]
+    batch = spark.createDataFrame(
+        [(k, None, None, 2025, "d", 10, i) for i, k in enumerate(cell_keys)],
+        "k long, name string, bal double, yr int, op string, ts_ms long, off long",
+    )
+    m.apply(batch)
+    assert ("2025", b0) not in m.partition_files()
+    got = m.read()
+    assert got.filter(F.col("k").isin(cell_keys)).count() == 0
+    assert got.count() == 100 - len(cell_keys)
+
+
 def test_snapshot_mirror_reuses_untouched_bucket_files(spark, tmp_path):
     """A commit must write only touched buckets; untouched bucket
     entries in the new manifest must point at the PREVIOUS commit's
