@@ -80,6 +80,17 @@ BENCH_QUERIES = [
     "q_scan_dpp",
     "q_model_score",
     "q_embed_gram",
+    # r04 additions — the newer heavy pipelines whose plans could
+    # otherwise degenerate unmeasured (round-3 verdict item 4).
+    "q_dedup_incremental",
+    "q_dedup_fuzzy",
+    "q_rerank",
+    "q_text_lm_score",
+    "q_text_tfidf",
+    "q_pack_sequences",
+    "q_cdc_incremental_join",
+    "q_multimodal_phash",
+    "q_cdc_apply_partitioned",
 ]
 
 
@@ -104,6 +115,10 @@ def main() -> None:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        # Release persists that back the returned plan (documented in
+        # ext/dedup.py): keeps the long loop's executor memory flat and
+        # every query's timing independent of its predecessors.
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
