@@ -91,6 +91,15 @@ BENCH_QUERIES = [
     "q_cdc_incremental_join",
     "q_multimodal_phash",
     "q_cdc_apply_partitioned",
+    # r04 new operators with nontrivial wall-clock at sf0.1: iterative
+    # clustering/PCA, corpus-wide strip/mix, snowflake join.
+    "q_kmeans_embed",
+    "q_embed_pca",
+    "q_boilerplate_strip",
+    "q_mix_temperature",
+    "q_tpch_q5",
+    "q_join_interval",
+    "q_quality_checks",
 ]
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources.cdc_fixtures import CHANGELOG_SQL, MIRROR_SQL, changelog
 from ..sources.tables import load
-from .apply import apply_changes, compact_latest, merge_upsert, mirror_diff
+from .apply import apply_changes, compact_latest, evolve_schema, merge_upsert, mirror_diff
 from .envelope import decode_envelope, encode_envelope
 
 
@@ -687,3 +687,138 @@ def q_cdc_snapshot_log(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+EVOLVE_SQL = """
+    WITH snap AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name,
+               c_acctbal AS bal, CAST(NULL AS VARCHAR) AS tier,
+               'r' AS op, CAST(1000 AS BIGINT) AS ts_ms,
+               CAST(c_custkey AS BIGINT) AS off
+        FROM customer
+    ), drifted AS (
+        SELECT CAST(c_custkey AS BIGINT), c_name, c_acctbal + 100.0,
+               c_mktsegment, 'u', CAST(2000 AS BIGINT),
+               CAST(1000000 + c_custkey AS BIGINT)
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'new_' || c_name, c_acctbal,
+               c_mktsegment, 'c', 2500, 4000000 + c_custkey
+        FROM customer WHERE c_custkey % 13 = 0
+        UNION ALL
+        SELECT CAST(c_custkey AS BIGINT), NULL, NULL, NULL, 'd', 3000,
+               CAST(2000000 + c_custkey AS BIGINT)
+        FROM customer WHERE c_custkey % 7 = 0
+    ), unioned AS (
+        SELECT * FROM snap UNION ALL SELECT * FROM drifted
+    ), ranked AS (
+        SELECT k, name, bal, tier, op,
+               row_number() OVER (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM unioned
+    )
+    SELECT k, name, bal, tier FROM ranked WHERE rn = 1 AND op <> 'd'
+"""
+
+
+@query("q_cdc_apply_evolve", oracle=EVOLVE_SQL)
+def q_cdc_apply_evolve(spark, sf_dir):
+    """CDC apply under MID-STREAM SCHEMA DRIFT: the source table gains
+    a column (`tier`) after the snapshot was taken, so later change
+    events carry a wider payload than the mirror. The sink must evolve
+    the mirror schema (add-column-at-end, existing rows read NULL) and
+    keep upserting — Iceberg sink behavior for evolving Debezium
+    payloads (`connect-iceberg-sink.json:15-16`; Iceberg spec schema
+    evolution). Fallback = evolve_schema (typed-NULL widen, zero data
+    rewrite — a metadata-only operation on a real Iceberg table) + the
+    standard latest-wins apply.
+
+    Scale: identical to q_cdc_apply — the widen adds a NULL literal to
+    the projection, no extra shuffle, no rewrite of unmatched rows."""
+    c = load(spark, sf_dir, "customer")
+    snapshot = c.select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+
+    def branch(df, op, ts_ms, off_base, name_col, bal_col, tier_col, key_shift=0):
+        return df.select(
+            (F.col("c_custkey") + F.lit(key_shift)).cast("long").alias("k"),
+            name_col.cast("string").alias("name"),
+            bal_col.cast("double").alias("bal"),
+            tier_col.cast("string").alias("tier"),
+            F.lit(op).alias("op"),
+            F.lit(ts_ms).cast("long").alias("ts_ms"),
+            (F.col("c_custkey") + F.lit(off_base)).cast("long").alias("off"),
+        )
+
+    upd = branch(
+        c.filter(F.col("c_custkey") % 10 == 0), "u", 2000, 1_000_000,
+        F.col("c_name"), F.col("c_acctbal") + F.lit(100.0), F.col("c_mktsegment"),
+    )
+    ins = branch(
+        c.filter(F.col("c_custkey") % 13 == 0), "c", 2500, 4_000_000,
+        F.concat(F.lit("new_"), F.col("c_name")), F.col("c_acctbal"),
+        F.col("c_mktsegment"), key_shift=10_000_000,
+    )
+    dele = branch(
+        c.filter(F.col("c_custkey") % 7 == 0), "d", 3000, 2_000_000,
+        F.lit(None), F.lit(None), F.lit(None),
+    )
+    changes = upd.unionByName(ins).unionByName(dele)
+    evolved = evolve_schema(snapshot, changes.drop("op", "ts_ms", "off"))
+    return apply_changes(evolved, changes, keys=["k"])
+
+
+EXPIRE_SQL = f"""
+    WITH changes AS ({CHANGELOG_SQL})
+    SELECT CAST(1 AS BIGINT) AS version,
+           CAST((SELECT COUNT(*) FROM ({_asof_sql(3000)})) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS expired
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM ({_asof_sql(5000)})), 0
+    UNION ALL
+    SELECT 0, (SELECT COUNT(*) FROM ({_asof_sql(1000)})), 1
+"""
+
+
+@query("q_cdc_expire_snapshots", oracle=EXPIRE_SQL)
+def q_cdc_expire_snapshots(spark, sf_dir):
+    """Snapshot retention — Iceberg's ``expire_snapshots`` maintenance
+    procedure on the parquet fallback: build a fresh 3-version mirror,
+    expire to the last 2, and report the ledger (expired versions keep
+    their pre-expiry row counts; retained versions are re-counted from
+    the SURVIVING files, proving expiry removed only unreferenced
+    commit data — bucket dirs still referenced by live manifests are
+    kept even when their commit's manifest is gone).
+
+    Scale: expiry is pure manifest/file bookkeeping — no data scan, no
+    shuffle; the verification re-reads are this query's own audit cost.
+    A dedicated mirror (not the shared cached fixture) because expiry
+    mutates state; the build cost is the same 3 commits q_cdc_time_travel
+    pays."""
+    from .versioned import SnapshotMirror
+
+    ch = changelog(spark, sf_dir)
+    m = SnapshotMirror(spark, tempfile.mkdtemp(prefix="cdc_expire_"),
+                       keys=["k"])
+    m.init(ch.filter(F.col("op") == "r").select("k", "name", "bal"))
+    m.apply(ch.filter(F.col("ts_ms").between(1001, 3000)))
+    m.apply(ch.filter(F.col("ts_ms") > 3000))
+    pre_counts = {v: m.read(v).count() for v in m.versions()}
+    dead = m.expire(keep_last=2)
+    rows = None
+    for v in m.versions():
+        row = m.read(v).agg(F.count("*").cast("long").alias("n_rows")).select(
+            F.lit(v).cast("long").alias("version"), "n_rows",
+            F.lit(0).cast("long").alias("expired"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    for v in dead:
+        row = spark.range(1).select(
+            F.lit(v).cast("long").alias("version"),
+            F.lit(pre_counts[v]).cast("long").alias("n_rows"),
+            F.lit(1).cast("long").alias("expired"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

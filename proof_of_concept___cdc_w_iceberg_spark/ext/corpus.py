@@ -615,3 +615,196 @@ def q_dup_ratio_report(spark, sf_dir):
             (F.sum("n") - F.count("*")) / F.sum("n").cast("double"), 6
         ).alias("dup_ratio"),
     )
+
+
+BP_MIN_DOCS = 3  # a line present in >= 3 distinct docs of one source
+#                  is that source's boilerplate (headers, nav, legal
+#                  footers); real pipelines use a fraction of the
+#                  source's doc count — only this constant changes.
+
+_SRC_LINES_SQL = f"""
+    SELECT doc_id, source,
+           CAST(ceil(len({TOKENS_SQL}) / {SEG_W}) AS BIGINT) AS n_lines,
+           unnest(list_transform(
+               range(1, CAST(ceil(len({TOKENS_SQL}) / {SEG_W}) AS BIGINT) + 1),
+               i -> array_to_string(
+                   list_slice({TOKENS_SQL}, (i-1)*{SEG_W} + 1, i*{SEG_W}), ' ')
+           )) AS line,
+           generate_subscripts(list_transform(
+               range(1, CAST(ceil(len({TOKENS_SQL}) / {SEG_W}) AS BIGINT) + 1),
+               i -> i), 1) AS seg
+    FROM documents WHERE len({TOKENS_SQL}) >= 1
+"""
+
+BOILERPLATE_SQL = f"""
+    WITH lines AS ({_SRC_LINES_SQL}),
+    bp AS (
+        SELECT source, md5(line) AS h
+        FROM lines
+        GROUP BY source, md5(line)
+        HAVING COUNT(DISTINCT doc_id) >= {BP_MIN_DOCS}
+    ),
+    kept AS (
+        SELECT l.doc_id, l.n_lines, l.seg, l.line
+        FROM lines l LEFT JOIN bp
+          ON l.source = bp.source AND md5(l.line) = bp.h
+        WHERE bp.h IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(line, ' ' ORDER BY seg) AS new_text
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT DISTINCT doc_id, n_lines FROM lines)
+    SELECT t.doc_id, t.n_lines,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.new_text, '') AS new_text
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+@query("q_boilerplate_strip", oracle=BOILERPLATE_SQL)
+def q_boilerplate_strip(spark, sf_dir):
+    """Per-source boilerplate removal (CCNet/RefinedWeb shape): a line
+    occurring in >= BP_MIN_DOCS distinct documents of the SAME source
+    is structural boilerplate (nav bars, footers, cookie banners) and
+    is dropped at EVERY occurrence; documents rebuild from what's left.
+    Complements q_dedup_lines, which keeps a duplicate line's first
+    occurrence — boilerplate keeps none.
+
+    Scale: the line relation shuffles once on (source, line-hash) to
+    count distinct docs per line; the boilerplate set is the tiny tail
+    of that aggregate (lines repeated >= 3x within a source), so the
+    strip join back is a broadcast in practice. Document rebuild
+    reuses q_dedup_lines' collect/sort-within-doc pattern — one
+    shuffle on doc_id."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 1)
+    lines = d.select(
+        "doc_id",
+        "source",
+        F.ceil(F.size("toks") / F.lit(SEG_W)).cast("long").alias("n_lines"),
+        F.posexplode(_lines_col(F.col("toks"))).alias("seg0", "line"),
+    ).select(
+        "doc_id", "source", "n_lines", (F.col("seg0") + 1).alias("seg"), "line"
+    )
+    bp = (
+        lines.groupBy("source", F.md5("line").alias("h"))
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= BP_MIN_DOCS)
+        .select("source", "h")
+    )
+    kept = lines.alias("l").join(
+        F.broadcast(bp.alias("b")),
+        (F.col("l.source") == F.col("b.source"))
+        & (F.md5(F.col("l.line")) == F.col("b.h")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "line"))),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    totals = lines.select("doc_id", "n_lines").distinct()
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )
+
+
+MIX_BUDGET_FRAC = 0.5  # sampled corpus = half the input rows
+
+MIX_TEMPERATURE_SQL = f"""
+    WITH per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(sqrt(COUNT(*)) AS DECIMAL(20,8)) AS w
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+               SUM(w) AS w_total
+        FROM per_src
+    ),
+    quota AS (
+        SELECT source, n_docs,
+               CAST(greatest(1, floor(
+                   floor(CAST(n_total AS DOUBLE) * {MIX_BUDGET_FRAC})
+                   * (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) + 0.5
+               )) AS BIGINT) AS target
+        FROM per_src, tot
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, q.target,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rn
+        FROM documents d JOIN quota q ON d.source = q.source
+    )
+    SELECT doc_id, source, target AS src_quota
+    FROM ranked WHERE rn <= target
+"""
+
+
+@query("q_mix_temperature", oracle=MIX_TEMPERATURE_SQL)
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-scaled domain mixing (multilingual-LM sampling,
+    alpha = 0.5): per-source sampling weights proportional to
+    n_docs^alpha flatten the source distribution — big domains are
+    down-sampled, small ones kept whole — under a global doc budget.
+    The mixture-setting step that runs AFTER curation and BEFORE
+    shuffle-sharding in an LLM data pipeline.
+
+    Determinism: sqrt is IEEE-exact in both engines; the weight sum
+    crosses sources through DECIMAL(20,8) (order-independent); each
+    source's quota is one double multiply + floor; doc selection is
+    hash-ranked (md5 of the id), not rand(). Scale: per-source counts
+    are a map-combined aggregate into |sources| rows (broadcast back),
+    and the selection window partitions BY SOURCE — each source's
+    rank is an independent partition sort, skew-bounded by the quota
+    cap; at 100 TB swap the exact window for a per-source hash
+    threshold (keep where hash < quota/n_docs) at the cost of +-1%
+    quota precision."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sqrt(F.count("*")).cast("decimal(20,8)").alias("w"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.sum("w").alias("w_total"),
+    )
+    quota = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.greatest(
+            F.lit(1),
+            F.floor(
+                F.floor(F.col("n_total").cast("double") * F.lit(MIX_BUDGET_FRAC))
+                * (F.col("w").cast("double") / F.col("w_total").cast("double"))
+                + F.lit(0.5)
+            ),
+        ).cast("long").alias("target"),
+    )
+    ranked = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(quota), "source")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), "doc_id"
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rn") <= F.col("target")).select(
+        "doc_id", "source", F.col("target").alias("src_quota")
+    )

@@ -240,3 +240,255 @@ def q_centroid_incremental(spark, sf_dir):
         F.round(F.col("s").cast("double") / F.col("n"), 6).alias("centroid"),
         F.col("n").cast("long").alias("n_vecs"),
     )
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def _sq_dist_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd iterations as a CTE chain (the DuckDB twin of the
+    driver-broadcast loop below — same seeds, same decimal-exact
+    centroid means, same (dist, cluster) argmin tie-break)."""
+    parts = [
+        f"cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, "
+        f"embedding AS ctr FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}))"
+    ]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""assign{it} AS (
+        SELECT vec_id, embedding, cl, dist FROM (
+            SELECT vec_id, embedding, cl, dist,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+            FROM (SELECT e.vec_id, e.embedding, c.cl,
+                         {_sq_dist_sql('e.embedding', 'c.ctr')} AS dist
+                  FROM embeddings e CROSS JOIN {prev} c))
+        WHERE rn = 1)"""
+        )
+        if it < iters:
+            parts.append(
+                f"""cent{it} AS (
+        SELECT cl, list(val ORDER BY pos) AS ctr FROM (
+            SELECT cl, i AS pos,
+                   ROUND(CAST(SUM(CAST(embedding[i]::DOUBLE AS DECIMAL(20,10))) AS DOUBLE)
+                         / COUNT(*), 6) AS val
+            FROM assign{it}, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+            GROUP BY cl, i) GROUP BY cl)"""
+            )
+            prev = f"cent{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, CAST(cl AS BIGINT) AS cluster, "
+        f"ROUND(dist, 6) AS dist FROM assign{iters}"
+    )
+
+
+@query("q_kmeans_embed", oracle=_kmeans_sql())
+def q_kmeans_embed(spark, sf_dir):
+    """K-means clustering of the embedding column (Lloyd, K=4, 3
+    iterations, first-K-by-id seeding): the semantic-clustering step
+    LLM data pipelines run for topic balancing, cluster-based dedup
+    pruning (SemDeDup-style), and IVF coarse quantizer training.
+
+    Spark-first shape — the MLlib pattern: centroids are DRIVER-SIDE
+    state (K x d doubles, a few KB) re-broadcast each iteration as
+    literal arrays, so per-iteration work is one narrow map computing K
+    fold-distances per row (argmin via array_position of the min — ties
+    to the lowest cluster id) plus one posexplode + map-combined
+    groupBy(cluster, dim) for the new means: |K x d| groups per
+    partial, independent of corpus size. NO cross join, NO per-row
+    Python. Per-dim means go through DECIMAL(20,10) and round to 6
+    (order-independent, cross-engine exact), so every iteration's
+    centroids — and therefore the final assignment — hash-match the
+    unrolled-SQL oracle bit for bit.
+
+    At 100 TB: iterations scan the corpus K more times (cacheable);
+    the driver state stays K x d regardless of rows — this is exactly
+    how distributed k-means is meant to run on Spark."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def sq_dist(emb, cent_vals):
+        cent = F.array(*[F.lit(float(v)) for v in cent_vals])
+        return F.aggregate(
+            F.zip_with(
+                emb,
+                cent,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    seeds = e.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents = [[float(v) for v in r["embedding"]] for r in seeds]
+
+    assigned = None
+    for it in range(1, KMEANS_ITERS + 1):
+        darr = F.array(*[sq_dist(F.col("embedding"), c) for c in cents])
+        assigned = e.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("long").alias("cluster"),
+            F.array_min(darr).alias("dist"),
+        )
+        if it < KMEANS_ITERS:
+            means = (
+                assigned.select("cluster", F.posexplode("embedding").alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(
+                    F.round(
+                        F.sum(F.col("x").cast("double").cast("decimal(20,10)"))
+                        .cast("double") / F.count("*"),
+                        6,
+                    ).alias("val")
+                )
+                .collect()
+            )
+            by_cl: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cl.setdefault(r["cluster"], {})[r["dim"]] = r["val"]
+            cents = [
+                [by_cl[cl][d] for d in sorted(by_cl[cl])] for cl in sorted(by_cl)
+            ]
+    return assigned.select("vec_id", "cluster", F.round("dist", 6).alias("dist"))
+
+
+PCA_ITERS = 5
+
+_GRAM_FULL_SQL = """
+    gram_ut AS (
+        SELECT i, j,
+               CAST(SUM(CAST(term AS DECIMAL(25,12))) AS DOUBLE) AS g
+        FROM (
+            SELECT i, j,
+                   ROUND(CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[j] AS DOUBLE), 9) AS term
+            FROM embeddings,
+                 UNNEST(range(1, len(embedding) + 1)) AS t(i),
+                 UNNEST(range(1, len(embedding) + 1)) AS u(j)
+            WHERE j >= i)
+        GROUP BY i, j
+    ),
+    gram_full AS (
+        SELECT i - 1 AS i, j - 1 AS j, g FROM gram_ut
+        UNION ALL
+        SELECT j - 1, i - 1, g FROM gram_ut WHERE i <> j
+    )
+"""
+
+
+def _pca_sql(iters: int = PCA_ITERS) -> str:
+    """Unrolled power iteration (DuckDB twin of the driver-side loop):
+    matvec folds each row's terms in ascending-j order — the same
+    sequential IEEE addition chain Python's reduce performs — and
+    normalizes by the max-|component| (comparison only, no arithmetic),
+    so every iterate is bit-identical across engines."""
+    parts = [
+        _GRAM_FULL_SQL.strip(),
+        "x0 AS (SELECT DISTINCT i AS dim, 1.0 AS val FROM gram_full)",
+    ]
+    prev = "x0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""y{it} AS (
+        SELECT i AS dim, list_reduce(list(gx ORDER BY j), (a, b) -> a + b) AS y
+        FROM (SELECT g.i, g.j, g.g * x.val AS gx
+              FROM gram_full g JOIN {prev} x ON g.j = x.dim)
+        GROUP BY i)"""
+        )
+        parts.append(
+            f"x{it} AS (SELECT dim, y / (SELECT MAX(abs(y)) FROM y{it}) AS val FROM y{it})"
+        )
+        prev = f"x{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(dim AS BIGINT) AS dim, ROUND(val, 8) AS loading,
+           ROUND((SELECT MAX(abs(y)) FROM y{iters}), 6) AS eigenvalue_est
+    FROM x{iters}"""
+    )
+
+
+@query("q_embed_pca", oracle=_pca_sql())
+def q_embed_pca(spark, sf_dir):
+    """Top principal direction of the embedding second-moment matrix
+    by POWER ITERATION (5 steps, all-ones start, max-abs-component
+    normalization): the PCA/whitening prep step embedding pipelines
+    run before SemDeDup-style pruning or dimension reduction.
+
+    Spark-first split of work: the GRAM accumulation is the distributed
+    part (q_embed_gram's array-side pair expansion + one map-combined
+    groupBy — O(d²) shuffle regardless of corpus size); the iteration
+    runs DRIVER-SIDE on the collected d×d matrix (bounded KBs by
+    design, like MLlib's RowMatrix.computePrincipalComponents Gramian
+    collect). Each matvec row-sum folds in ascending-j order and the
+    normalizer is a pure comparison, so driver arithmetic replays the
+    oracle's fold chains bit-for-bit. Eigenvalue estimate = the last
+    normalizer (max-abs of the unnormalized iterate). Convergence is
+    the usual (lambda2/lambda1)^k rate — on a near-isotropic corpus
+    (like this fixture) 5 steps yield a partially-converged direction;
+    the hash-checked contract is the exact iteration, and
+    tests/test_r04_ops.py asserts the spectrum-independent laws
+    (Rayleigh-quotient monotonicity, eigenvalue bounds, numpy replay).
+
+    At 100 TB: one corpus scan total; driver state d² doubles. For d
+    beyond ~10k (matrix no longer driver-bounded) the same iteration
+    runs distributed on the (i, j, g) relation with the vector
+    broadcast — only the collect moves."""
+    from functools import reduce as _reduce
+
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+    d_col = F.size("embedding")
+    xi = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    pairs = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), d_col - 1),
+                    lambda i: F.transform(
+                        F.sequence(i, d_col - 1),
+                        lambda j: F.struct(
+                            i.cast("long").alias("i"),
+                            j.cast("long").alias("j"),
+                            F.round(xi(i) * xi(j), 9).alias("term"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.term")
+    ut = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("term").cast("decimal(25,12)")).cast("double").alias("g"))
+        .collect()
+    )
+    g: dict[int, dict[int, float]] = {}
+    for r in ut:
+        g.setdefault(r["i"], {})[r["j"]] = r["g"]
+        if r["i"] != r["j"]:
+            g.setdefault(r["j"], {})[r["i"]] = r["g"]
+    dims = sorted(g)
+    x = {dim: 1.0 for dim in dims}
+    m = 1.0
+    for _ in range(PCA_ITERS):
+        y = {
+            i: _reduce(lambda a, b: a + b, [g[i][j] * x[j] for j in sorted(g[i])])
+            for i in dims
+        }
+        m = max(abs(v) for v in y.values())
+        x = {i: v / m for i, v in y.items()}
+    rows = [(int(i), round(x[i], 8), round(m, 6)) for i in dims]
+    return spark.createDataFrame(
+        rows, "dim: bigint, loading: double, eigenvalue_est: double"
+    )

@@ -358,3 +358,73 @@ def q_join_asof_forward(spark, sf_dir):
             F.col("m.o_orderdate").alias("next_orderdate"),
         )
     )
+
+
+INTERVAL_JOIN_SQL = """
+    WITH user_iv AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               epoch_ms(MIN(ts)) AS u_start, epoch_ms(MAX(ts)) AS u_end
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    type_iv AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               epoch_ms(MIN(ts)) AS t_start, epoch_ms(MAX(ts)) AS t_end
+        FROM events WHERE event_type IN ('error', 'purchase')
+        GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT u.user_id, t.event_type, u.day,
+           CAST(least(u.u_end, t.t_end) - greatest(u.u_start, t.t_start)
+                AS BIGINT) AS overlap_ms
+    FROM user_iv u JOIN type_iv t
+      ON u.day = t.day
+     AND u.u_start <= t.t_end AND t.t_start <= u.u_end
+"""
+
+
+@query("q_join_interval", oracle=INTERVAL_JOIN_SQL)
+def q_join_interval(spark, sf_dir):
+    """Interval-OVERLAP join (SQL:2011 temporal-join shape): per-user
+    daily activity intervals x per-type daily incident windows, matched
+    when the intervals intersect, emitting the overlap duration. The
+    range-bucketed complement to q_join_range_bucketed's point-in-band
+    join: BOTH sides are intervals.
+
+    Scale shape: the overlap predicate alone has no equi-key (nested
+    loop); blocking on the containing time bucket (here the day — both
+    interval relations are day-grained, so each interval lives in
+    exactly one bucket and the join is a pure EQUI-join with the
+    overlap as residual). For intervals spanning buckets, the general
+    pattern is q_join_range_bucketed's: explode each interval to its
+    covered buckets, equi-join, dedup on the interval pair. Both input
+    relations come from ONE events scan each, map-combined; the join
+    key (day) spreads uniformly, the incident side is |types x days|
+    — broadcastable."""
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    user_iv = ev.groupBy("user_id", day.alias("day")).agg(
+        F.unix_millis(F.min("ts")).alias("u_start"),
+        F.unix_millis(F.max("ts")).alias("u_end"),
+    )
+    type_iv = (
+        ev.filter(F.col("event_type").isin("error", "purchase"))
+        .groupBy("event_type", day.alias("day"))
+        .agg(
+            F.unix_millis(F.min("ts")).alias("t_start"),
+            F.unix_millis(F.max("ts")).alias("t_end"),
+        )
+    )
+    return (
+        user_iv.join(F.broadcast(type_iv), "day")
+        .filter(
+            (F.col("u_start") <= F.col("t_end"))
+            & (F.col("t_start") <= F.col("u_end"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "day",
+            (
+                F.least("u_end", "t_end") - F.greatest("u_start", "t_start")
+            ).cast("long").alias("overlap_ms"),
+        )
+    )

@@ -1,0 +1,177 @@
+"""Data-quality validation and distribution-diagnostics operators.
+
+The reference verifies its mirror tables by hand-written re-queries
+(`test_cdc.py:75-92`); production lakehouse tables carry *declared*
+constraints (Delta CHECK constraints, dbt tests, Iceberg validation
+jobs) evaluated as batch scans. q_quality_checks is that evaluator:
+one rule set in, one violation report out. q_skew_diagnose is the
+planning-side complement — the per-key distribution profile you run
+BEFORE choosing a join/agg strategy on a 100 TB fact (decides salting
+factor, AQE skew thresholds, broadcast eligibility).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+QUALITY_SQL = """
+    SELECT 'customer_name_not_null' AS rule,
+           CAST(COUNT(*) FILTER (WHERE c_name IS NULL) AS BIGINT) AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM customer
+    UNION ALL
+    SELECT 'customer_key_unique',
+           (SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS cnt FROM customer GROUP BY c_custkey)
+            WHERE cnt > 1),
+           (SELECT COUNT(*) FROM customer)
+    UNION ALL
+    SELECT 'orders_custkey_exists',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+"""
+
+
+@query("q_quality_checks", oracle=QUALITY_SQL)
+def q_quality_checks(spark, sf_dir):
+    """Declarative constraint validation over lake tables: NOT NULL,
+    key uniqueness, referential integrity, and range CHECKs evaluated
+    in one report (rule, n_violations, n_checked).
+
+    Scale shape: the two lineitem range rules and the customer
+    null-check are MAP-SIDE ONLY (conditional-count aggregates, one
+    partial per partition, no per-rule scan — Spark collapses the two
+    lineitem rules into one scan via shared relation). Uniqueness is
+    one groupBy on the key; referential integrity is a left-anti join
+    with the customer KEY COLUMN broadcast. No rule materializes
+    violating ROWS (count-only), so the report stays O(rules) bytes
+    regardless of table size; a debugging variant would add LIMITed
+    exemplars per rule."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def report(rule, viol, checked):
+        return viol.select(
+            F.lit(rule).alias("rule"),
+            F.col("v").cast("long").alias("n_violations"),
+            checked.cast("long").alias("n_checked"),
+        )
+
+    name_null = c.agg(
+        F.count_if(F.col("c_name").isNull()).alias("v"), F.count("*").alias("n")
+    )
+    r1 = report("customer_name_not_null", name_null, F.col("n"))
+
+    dup = (
+        c.groupBy("c_custkey").agg(F.count("*").alias("cnt"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1)), F.lit(0)
+            ).alias("v"),
+            F.sum("cnt").alias("n"),
+        )
+    )
+    r2 = report("customer_key_unique", dup, F.col("n"))
+
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ).agg(F.count("*").alias("v"))
+    )
+    n_orders = o.count()
+    r3 = report("orders_custkey_exists", orphans, F.lit(n_orders))
+
+    li_rules = li.agg(
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("v_disc"),
+        F.count_if(F.col("l_quantity") <= 0).alias("v_qty"),
+        F.count("*").alias("n"),
+    )
+    r4 = li_rules.select(
+        F.lit("lineitem_discount_range").alias("rule"),
+        F.col("v_disc").cast("long").alias("n_violations"),
+        F.col("n").cast("long").alias("n_checked"),
+    )
+    r5 = li_rules.select(
+        F.lit("lineitem_quantity_positive").alias("rule"),
+        F.col("v_qty").cast("long").alias("n_violations"),
+        F.col("n").cast("long").alias("n_checked"),
+    )
+    out = r1
+    for r in (r2, r3, r4, r5):
+        out = out.unionByName(r)
+    return out
+
+
+SKEW_SQL = """
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), stats AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+               CAST(MIN(cnt) AS BIGINT) AS min_key_rows
+        FROM per_key
+    )
+    SELECT n_rows, n_keys, max_key_rows, min_key_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / n_keys, 4) AS avg_key_rows,
+           ROUND(CAST(max_key_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys), 4)
+               AS skew_factor,
+           ROUND(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top_key_share
+    FROM stats
+"""
+
+
+@query("q_skew_diagnose", oracle=SKEW_SQL)
+def q_skew_diagnose(spark, sf_dir):
+    """Key-distribution profile for shuffle planning: per-key counts
+    reduced to (n_rows, n_keys, max/min/avg key size, skew factor =
+    hottest key vs mean, hottest key's share of the table). This is the
+    one-pass diagnostic that decides whether a downstream join on this
+    key needs salting (operators/skew.py), a higher AQE skew threshold,
+    or nothing.
+
+    Scale: one map-combined groupBy on the key (the same shuffle the
+    real join would pay, minus the payload), then a SINGLE-ROW global
+    aggregate — partial-aggregated, so the driver sees one row. No
+    collect of the per-key relation; at 100 TB this runs at scan speed.
+    """
+    per_key = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+        F.min("cnt").cast("long").alias("min_key_rows"),
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys")
+    return stats.select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "min_key_rows",
+        F.round(avg, 4).alias("avg_key_rows"),
+        F.round(F.col("max_key_rows").cast("double") / avg, 4).alias("skew_factor"),
+        F.round(
+            F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
+        ).alias("top_key_share"),
+    )

@@ -1075,3 +1075,64 @@ def q_tpch_q20(spark, sf_dir):
     return s.join(
         qualified, s.s_suppkey == qualified.l_suppkey, "left_semi"
     ).select("s_name", "s_acctbal")
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local supplier volume: the canonical snowflake join —
+    fact (lineitem) against four dims plus the c_nationkey=s_nationkey
+    *cycle* edge that forces customer to stay joined until supplier
+    arrives. Region/nation/supplier/customer all broadcast (each ≤ a
+    few MB even at 100 TB fact scale), so the only shuffle is the final
+    per-nation aggregate; the o_orderdate range predicate pushes into
+    the orders parquet scan. Reference parity: the lake-side analytic
+    SQL surface of `init_for_test.py:66-79` (any SQL over the mirror).
+    """
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                20,
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

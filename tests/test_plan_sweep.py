@@ -54,6 +54,7 @@ NESTED_LOOP_OK = {
     "q_histogram": "1-row global min/max broadcast for bin edges",
     "q_benford": "1-row digit-total broadcast for observed frequencies",
     "q_layout_zorder": "1-row global min/max broadcast for quantization",
+    "q_mix_temperature": "1-row (total, weight-sum) broadcast into quotas",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))
