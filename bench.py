@@ -22,6 +22,15 @@ from proof_of_concept___cdc_w_iceberg_spark import registry
 from proof_of_concept___cdc_w_iceberg_spark.session import get_spark
 
 BENCH_QUERIES = [
+    "q_percentile_exact_dist",
+    "q_attribution",
+    "q_cdc_drift_psi",
+    "q_join_bloom",
+    "q_sketch_cms",
+    "q_knn_graph",
+    "q_pattern_match",
+    "q_win_distinct",
+    "q_cdc_compact_log",
     "q_scan_parquet",
     "q_str_funcs",
     "q_tpch_q1",

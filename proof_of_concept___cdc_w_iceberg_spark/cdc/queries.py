@@ -822,3 +822,204 @@ def q_cdc_expire_snapshots(spark, sf_dir):
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+COMPACT_HORIZON_MS = 4500  # tombstones older than this are reclaimed
+
+COMPACT_LOG_SQL = f"""
+    WITH changes AS ({CHANGELOG_SQL}),
+    latest AS (
+        SELECT k, name, bal, op, ts_ms, off,
+               row_number() OVER (PARTITION BY k
+                                  ORDER BY ts_ms DESC, off DESC) AS rn
+        FROM changes
+    )
+    SELECT k, name, bal, op, ts_ms, off
+    FROM latest
+    WHERE rn = 1
+      AND NOT (op = 'd' AND ts_ms < {COMPACT_HORIZON_MS})
+"""
+
+
+@query("q_cdc_compact_log", oracle=COMPACT_LOG_SQL)
+def q_cdc_compact_log(spark, sf_dir):
+    """Kafka log-compaction parity (`cleanup.policy=compact`, the
+    retention mode of the reference's per-table change topics,
+    `connect-sqlserver-source.json:10-12`): keep only the LATEST
+    event per key, retaining tombstones ('d') newer than the
+    delete-retention horizon so late consumers still observe the
+    delete, and reclaiming older ones entirely.
+
+    Distinct from q_cdc_apply (the table VIEW of the log — tombstoned
+    keys vanish): compaction is the LOG's self-view — recent
+    tombstones survive as events. One window pass on k; at 100 TB
+    this is the same single-shuffle shape as the apply path, and in
+    practice runs per topic-partition (k is the partition key, so the
+    shuffle is partition-local on a real Kafka layout)."""
+    w = Window.partitionBy("k").orderBy(F.col("ts_ms").desc(), F.col("off").desc())
+    return (
+        changelog(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & ~((F.col("op") == "d") & (F.col("ts_ms") < COMPACT_HORIZON_MS))
+        )
+        .drop("rn")
+    )
+
+
+LAG_WATERMARK_OFF = 3_000_000  # mirror applied through this offset
+LAG_PARTS = 4  # simulated topic partitions (key-hash routed)
+
+REPL_LAG_SQL = f"""
+    WITH changes AS ({CHANGELOG_SQL}),
+    parted AS (SELECT *, k % {LAG_PARTS} AS part FROM changes)
+    SELECT part,
+           CAST(MAX(off) AS BIGINT) AS latest_off,
+           CAST(MAX(CASE WHEN off <= {LAG_WATERMARK_OFF} THEN off END) AS BIGINT)
+               AS applied_off,
+           CAST(COUNT(CASE WHEN off > {LAG_WATERMARK_OFF} THEN 1 END) AS BIGINT)
+               AS lag_events,
+           CAST(MAX(ts_ms)
+                - MAX(CASE WHEN off <= {LAG_WATERMARK_OFF} THEN ts_ms END)
+                AS BIGINT) AS lag_ms
+    FROM parted
+    GROUP BY part
+"""
+
+
+@query("q_cdc_lag", oracle=REPL_LAG_SQL)
+def q_cdc_lag(spark, sf_dir):
+    """Replication-lag report — the monitoring query every CDC
+    deployment runs against Debezium's offset topic (the reference
+    surfaces it via Kafka Connect's consumer-lag metrics,
+    `setup.sh:35-40` stack): per topic partition (key-hash routed,
+    k % 4), the newest produced offset, the newest APPLIED offset
+    (sink watermark), and the lag in events and milliseconds.
+
+    One map-combinable groupBy over the log — O(partitions) output
+    regardless of log size; conditional aggregates avoid a second
+    scan for the applied side. At 100 TB the log scan prunes to
+    offsets near the watermark when the transport exposes
+    startingOffsets (the streaming twin reads only the tail)."""
+    ch = changelog(spark, sf_dir).withColumn("part", F.col("k") % LAG_PARTS)
+    applied = F.when(F.col("off") <= LAG_WATERMARK_OFF, F.col("off"))
+    applied_ts = F.when(F.col("off") <= LAG_WATERMARK_OFF, F.col("ts_ms"))
+    return ch.groupBy("part").agg(
+        F.max("off").cast("long").alias("latest_off"),
+        F.max(applied).cast("long").alias("applied_off"),
+        F.count(F.when(F.col("off") > LAG_WATERMARK_OFF, F.lit(1))).alias("lag_events"),
+        (F.max("ts_ms") - F.max(applied_ts)).cast("long").alias("lag_ms"),
+    )
+
+
+PSI_BINS = 10
+
+DRIFT_PSI_SQL = f"""
+    WITH changes AS ({CHANGELOG_SQL}),
+    old AS ({_asof_sql(1000)}),
+    new AS ({_asof_sql(5000)}),
+    stats AS (
+        SELECT MIN(bal) AS lo, MAX(bal) AS hi FROM (
+            SELECT bal FROM old UNION ALL SELECT bal FROM new
+        )
+    ),
+    ob AS (
+        SELECT LEAST(CAST(FLOOR((bal - lo) / ((hi - lo) / {PSI_BINS})) AS BIGINT),
+                     {PSI_BINS - 1}) AS bin, COUNT(*) AS n
+        FROM old, stats GROUP BY 1
+    ),
+    nb AS (
+        SELECT LEAST(CAST(FLOOR((bal - lo) / ((hi - lo) / {PSI_BINS})) AS BIGINT),
+                     {PSI_BINS - 1}) AS bin, COUNT(*) AS n
+        FROM new, stats GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT SUM(n) FROM ob) AS n_old_t,
+               (SELECT SUM(n) FROM nb) AS n_new_t
+    ),
+    spine AS (SELECT CAST(t.range AS BIGINT) AS bin FROM range({PSI_BINS}) t)
+    SELECT s.bin,
+           CAST(COALESCE(ob.n, 0) AS BIGINT) AS n_old,
+           CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_new,
+           ROUND(
+             ((COALESCE(ob.n, 0) + 1.0) / (n_old_t + {PSI_BINS}.0)
+              - (COALESCE(nb.n, 0) + 1.0) / (n_new_t + {PSI_BINS}.0))
+             * LN(((COALESCE(ob.n, 0) + 1.0) / (n_old_t + {PSI_BINS}.0))
+                  / ((COALESCE(nb.n, 0) + 1.0) / (n_new_t + {PSI_BINS}.0))),
+             6) AS psi_term
+    FROM spine s
+    LEFT JOIN ob ON ob.bin = s.bin
+    LEFT JOIN nb ON nb.bin = s.bin, tot
+"""
+
+
+@query("q_cdc_drift_psi", oracle=DRIFT_PSI_SQL)
+def q_cdc_drift_psi(spark, sf_dir):
+    """Distribution-drift monitor between table versions: the
+    Population Stability Index of `bal` from the v0 snapshot to the
+    final mirror state, per bin — the screen a CDC-fed feature store
+    runs before trusting a refreshed table (PSI > 0.2 ⇒ retrain /
+    investigate).
+
+    Scale shape: two latest-wins states from ONE changelog scan
+    (shared window pass), a 1-row min/max broadcast, then two
+    10-group map-combinable counts — the exchanges carry bins, not
+    rows. The bin spine is generated (spark.range) so empty bins
+    surface as rows; Laplace +1 smoothing keeps ln() finite, and
+    rounded terms make the float path cross-engine exact."""
+    ch = changelog(spark, sf_dir)
+    w = Window.partitionBy("k").orderBy(F.col("ts_ms").desc(), F.col("off").desc())
+
+    def asof(cutoff):
+        return (
+            ch.filter(F.col("ts_ms") <= cutoff)
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+            .select("bal")
+        )
+
+    old, new = asof(1000), asof(5000)
+    stats = old.unionByName(new).agg(
+        F.min("bal").alias("lo"), F.max("bal").alias("hi")
+    )
+
+    def bins(df):
+        return (
+            df.crossJoin(F.broadcast(stats))
+            .select(
+                F.least(
+                    F.floor((F.col("bal") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / PSI_BINS)).cast("long"),
+                    F.lit(PSI_BINS - 1).cast("long"),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"))
+        )
+
+    ob = bins(old).withColumnRenamed("n", "n_old")
+    nb = bins(new).withColumnRenamed("n", "n_new")
+    tot = ob.agg(F.sum("n_old").alias("n_old_t")).crossJoin(
+        nb.agg(F.sum("n_new").alias("n_new_t"))
+    )
+    spine = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    j = (
+        spine.join(F.broadcast(ob), "bin", "left")
+        .join(F.broadcast(nb), "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.col("n_old_t"),
+            F.col("n_new_t"),
+        )
+    )
+    p = (F.col("n_old") + 1.0) / (F.col("n_old_t") + float(PSI_BINS))
+    q = (F.col("n_new") + 1.0) / (F.col("n_new_t") + float(PSI_BINS))
+    return j.select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

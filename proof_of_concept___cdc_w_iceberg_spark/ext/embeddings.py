@@ -492,3 +492,90 @@ def q_embed_pca(spark, sf_dir):
     return spark.createDataFrame(
         rows, "dim: bigint, loading: double, eigenvalue_est: double"
     )
+
+
+OUTLIER_FACTOR = 1.05  # dist² > factor × label mean dist² ⇒ outlier
+#   (synthetic near-uniform embeddings concentrate hard at d=64 —
+#   dist² spread is only ~±8% of the mean — so the screen threshold
+#   sits just above the bulk; real curation pipelines tune this knob)
+
+OUTLIER_SQL = """
+    WITH exploded AS (
+        SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS c
+        FROM exploded GROUP BY label, dim
+    ),
+    terms AS (
+        SELECT e.vec_id, e.label,
+               ROUND((e.x - cent.c) * (e.x - cent.c), 8) AS term
+        FROM exploded e JOIN cent
+          ON cent.label = e.label AND cent.dim = e.dim
+    ),
+    d AS (
+        SELECT vec_id, label,
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(20,8))) AS DOUBLE), 6)
+                   AS dist2
+        FROM terms GROUP BY vec_id, label
+    ),
+    lab AS (
+        SELECT label,
+               ROUND(CAST(SUM(CAST(dist2 AS DECIMAL(20,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_d
+        FROM d GROUP BY label
+    )
+    SELECT d.vec_id, d.label, d.dist2,
+           d.dist2 > {factor} * lab.avg_d AS is_outlier
+    FROM d JOIN lab ON lab.label = d.label
+""".format(factor=OUTLIER_FACTOR)
+
+
+@query("q_embed_outlier", oracle=OUTLIER_SQL)
+def q_embed_outlier(spark, sf_dir):
+    """Centroid-distance outlier screen — the embedding-space quality
+    filter (mislabeled / off-distribution samples sit far from their
+    class prototype; SemDeDup-style pipelines drop or re-queue them).
+
+    Two tiny broadcast relations do all the work: the per-(label,dim)
+    centroid (|labels|×d rows, from the same map-combined long-format
+    partials as q_embed_centroid) and the per-label mean distance
+    (|labels| rows). The corpus is scanned twice (centroid pass +
+    distance pass) but shuffled only as micro-aggregates — at 100 TB
+    both exchanges stay KB-sized. Determinism: rounded centroids,
+    per-term round(·,8) then exact decimal summation, so the outlier
+    comparison sees bit-identical doubles on both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select("vec_id", "label", F.col("dim").cast("long").alias("dim"), F.col("xf").cast("double").alias("x"))
+    cent = exploded.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*"), 6
+        ).alias("c")
+    )
+    terms = exploded.join(F.broadcast(cent), ["label", "dim"]).select(
+        "vec_id",
+        "label",
+        F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 8).alias("term"),
+    )
+    d = terms.groupBy("vec_id", "label").agg(
+        F.round(F.sum(F.col("term").cast("decimal(20,8)")).cast("double"), 6).alias("dist2")
+    )
+    lab = d.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("dist2").cast("decimal(20,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_d")
+    )
+    return d.join(F.broadcast(lab), "label").select(
+        "vec_id",
+        "label",
+        "dist2",
+        (F.col("dist2") > OUTLIER_FACTOR * F.col("avg_d")).alias("is_outlier"),
+    )

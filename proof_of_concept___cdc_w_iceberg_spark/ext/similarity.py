@@ -345,3 +345,72 @@ def q_sim_lsh(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("query_id", "cand_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+KNN_K = 3
+
+
+@query(
+    "q_knn_graph",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding,
+                   {SQNORM_SQL.format(a='embedding')} AS sq
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   {DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                       / sqrt(a.sq * b.sq) AS cosine
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT src, dst, cosine,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY cosine DESC, dst) AS rn
+            FROM scored
+        )
+        SELECT src, dst, ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {KNN_K}
+    """,
+)
+def q_knn_graph(spark, sf_dir):
+    """k-NN graph construction (k=3) — the backbone relation for
+    graph-based dedup clustering, semantic-dedup partitions (SemDeDup
+    shape), and kNN-classifier curation.
+
+    BLOCKED, never all-pairs: candidate pairs form only within a
+    coarse cell (label — the same role an IVF/k-means assignment
+    plays at 100 TB, see q_sim_ivf), so pair count is Σ|cell|², not
+    |corpus|². One equi-join on the cell key, per-source top-k via
+    window on the join's own partitioning. Missed cross-cell edges
+    are the standard IVF recall trade; multi-probe assignment (emit
+    each vector to its 2 nearest cells) recovers them with 2× pair
+    cost."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    b = e.select(
+        F.col("label").alias("b_label"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sq").alias("b_sq"),
+    )
+    scored = (
+        e.join(b, (F.col("label") == F.col("b_label")) & (F.col("vec_id") != F.col("dst")))
+        .select(
+            F.col("vec_id").alias("src"),
+            "dst",
+            (
+                _dot(F.col("embedding"), F.col("b_emb"))
+                / F.sqrt(F.col("sq") * F.col("b_sq"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "dst", F.round("cosine", 6).alias("cosine"), F.col("rn").cast("long").alias("rn"))
+    )

@@ -10,6 +10,8 @@ order-independent and bit-equal to the DuckDB oracle (see _util.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -790,3 +792,120 @@ def q_agg_argmax(spark, sf_dir):
             F.min("c_acctbal").alias("min_bal"),
         )
     )
+
+
+ROLLUP_INC_SQL = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', CAST(ts AS DATE)) AS day,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, date_trunc('month', day) AS month,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) AS sum_value
+    FROM daily GROUP BY 1, 2
+"""
+
+
+@query("q_rollup_incremental", oracle=ROLLUP_INC_SQL)
+def q_rollup_incremental(spark, sf_dir):
+    """Hierarchical rollup maintenance (continuous-aggregate shape):
+    the monthly aggregate is computed FROM the daily partials — sum
+    of counts, sum of decimal sums — never from raw events. This is
+    the maintenance law that makes incremental rollups valid: count
+    and decimal-sum are commutative monoids, so re-aggregating
+    partials is exactly the direct aggregate (the oracle IS the
+    two-level plan; tests/test_r04b_ops.py asserts equality with the
+    single-level monthly aggregate too).
+
+    At 100 TB the daily relation is what materializes (hypertable
+    continuous aggregate / Iceberg rollup table): each new day
+    appends one partial per group, and month re-derivation touches
+    |days-in-month| × |groups| rows instead of the raw fact. The two
+    groupBys share a partitioning prefix (event_type), so AQE plans
+    the second exchange as a near-no-op."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.trunc(F.col("ts").cast("date"), "month").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+    )
+    return daily.groupBy("event_type", "month").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("sv").cast("double").alias("sum_value"),
+    )
+
+
+PCT_TARGETS = (0.5, 0.9, 0.99)
+PCT_BUCKETS = 64
+
+PCT_EXACT_SQL = f"""
+    WITH s AS (SELECT l_extendedprice AS x FROM lineitem),
+    n AS (SELECT COUNT(*) AS n FROM s),
+    r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM s)
+    {' UNION ALL '.join(
+        f"SELECT {p} AS p, x AS value FROM r, n "
+        f"WHERE rn = CAST(CEIL({p} * n) AS BIGINT)"
+        for p in PCT_TARGETS
+    )}
+"""
+
+
+@query("q_percentile_exact_dist", oracle=PCT_EXACT_SQL)
+def q_percentile_exact_dist(spark, sf_dir):
+    """EXACT distributed percentiles (p50/p90/p99) without a global
+    sort — the two-phase bucket-count algorithm:
+
+    phase 1: one scan builds a 64-bucket equi-width histogram
+    (map-combinable; the shuffle carries ≤64 partials per task);
+    the driver folds the ≤64 cumulative counts and locates, for each
+    target rank k = ceil(p·n), the bucket holding the k-th order
+    statistic and the residual offset within it;
+    phase 2: a range-pruned re-scan of ONLY that bucket (a pushed-down
+    min/max filter — at 100 TB with zone maps this reads a tiny
+    fraction), where orderBy+limit(offset) plans as
+    TakeOrderedAndProject and max() of that set is the exact k-th
+    value. No stage ever sorts more than one bucket's rows; a skewed
+    bucket recurses (not needed at these SFs — asserted in tests).
+
+    The oracle takes the same k-th order statistic from a global
+    row_number — value-identical because rank-at-value is tie-stable.
+    Driver state: 1 stats row + 64 bucket counts (bounded collects).
+    """
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("x"))
+    lo, hi, n = li.agg(F.min("x"), F.max("x"), F.count("x")).first()
+    width = (hi - lo) / PCT_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("x") - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(PCT_BUCKETS - 1).cast("long"),
+    )
+    counts = dict(
+        (r["b"], r["cnt"])
+        for r in li.groupBy(bucket.alias("b")).agg(F.count("*").alias("cnt")).collect()
+    )
+    out = None
+    for p in PCT_TARGETS:
+        k = int(math.ceil(p * n))
+        cum = 0
+        for b in range(PCT_BUCKETS):
+            c = counts.get(b, 0)
+            if cum + c >= k:
+                break
+            cum += c
+        offset = k - cum  # 1-indexed rank within bucket b
+        # Membership reuses the EXACT histogram bucket expression (no
+        # float boundary drift); the widened range predicate is the
+        # pushdown guard that lets zone maps prune the re-scan.
+        b_lo = lo + (b - 1) * width
+        b_hi = hi if b >= PCT_BUCKETS - 2 else lo + (b + 2) * width
+        in_bucket = li.filter(
+            (F.col("x") >= F.lit(b_lo)) & (F.col("x") <= F.lit(b_hi)) & (bucket == b)
+        )
+        kth = in_bucket.orderBy("x").limit(offset).agg(
+            F.lit(p).alias("p"), F.max("x").alias("value")
+        )
+        out = kth if out is None else out.unionByName(kth)
+    return out

@@ -719,3 +719,132 @@ def q_ts_twap(spark, sf_dir):
         )
         .filter(F.col("total_s") > 0)
     )
+
+
+@query(
+    "q_pattern_match",
+    oracle="""
+        WITH journeys AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS journey,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               substr(journey, 1, 12) AS journey_head,
+               regexp_matches(journey, 'v.*c.*p') AS funnel_hit,
+               regexp_matches(journey, 'ee')      AS error_burst
+        FROM journeys
+    """,
+)
+def q_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite sequence pattern detection (Flink/Trino
+    `MATCH_RECOGNIZE` parity): each user's event history collapses to
+    a canonical symbol string (one char per event, (ts, event_id)
+    total order), and row-pattern predicates become regexes over it —
+    `v.*c.*p` is the view→click→purchase funnel, `ee` a back-to-back
+    error burst.
+
+    Scale shape: ONE shuffle on user_id; per-user state is the
+    bounded per-key history (the same bound any MATCH_RECOGNIZE
+    engine needs), evaluated JVM-side (array_sort + transform +
+    rlike — no Python). For unbounded histories the streaming
+    sessionizer (streaming/queries.py) windows the symbol string
+    first. Reference parity: `init_for_test.py:66-79` arbitrary SQL
+    surface; Trino ships MATCH_RECOGNIZE on the same tables.
+    """
+    ev = load(spark, sf_dir, "events")
+    j = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("h"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.array_join(
+                F.transform(F.col("h"), lambda s: F.substring(s["event_type"], 1, 1)),
+                "",
+            ).alias("journey"),
+        )
+    )
+    return j.select(
+        "user_id",
+        "n_events",
+        F.substring("journey", 1, 12).alias("journey_head"),
+        F.col("journey").rlike("v.*c.*p").alias("funnel_hit"),
+        F.col("journey").rlike("ee").alias("error_burst"),
+    )
+
+
+ATTR_WINDOW_H = 24  # purchase looks back this many hours for touches
+
+ATTRIBUTION_SQL = f"""
+    WITH p AS (
+        SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+        WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts, event_type, event_id FROM events
+        WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+        SELECT p.p_id, t.event_type
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND t.ts <= p.p_ts
+         AND t.ts > p.p_ts - INTERVAL '{ATTR_WINDOW_H}' HOUR
+    ),
+    sized AS (
+        SELECT p_id, COUNT(*) OVER (PARTITION BY p_id) AS n, event_type
+        FROM pairs
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+           ROUND(CAST(SUM(CAST(ROUND(1.0 / n, 8) AS DECIMAL(18,8)))
+                      AS DOUBLE), 4) AS credit
+    FROM sized GROUP BY event_type
+"""
+
+
+@query("q_attribution", oracle=ATTRIBUTION_SQL)
+def q_attribution(spark, sf_dir):
+    """Multi-touch (linear) marketing attribution: every purchase
+    splits one unit of credit equally across the user's view/click
+    touches in the prior 24 h; report per-touch-type totals.
+
+    Scale shape: the touch↔purchase pairing is an EQUI-join on
+    user_id with the time window as a residual predicate — one
+    shuffle, never a time-range cross join (for corpus-scale windows
+    the day-bucket blocking of q_join_range_bucketed applies
+    unchanged). Credit weights are per-purchase windowed counts on
+    the join's own p_id grouping; rounded weights + decimal summation
+    keep the totals cross-engine exact."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_type"
+    )
+    pairs = t.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") <= F.col("p_ts"))
+        & (F.col("ts") > F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_H} HOURS")),
+    ).select("p_id", "event_type")
+    sized = pairs.withColumn(
+        "n", F.count("*").over(Window.partitionBy("p_id"))
+    )
+    return sized.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.round(
+            F.sum(F.round(1.0 / F.col("n"), 8).cast("decimal(18,8)")).cast("double"), 4
+        ).alias("credit"),
+    )

@@ -1,0 +1,206 @@
+"""§2.12 — sketch-driven scale operators (r04).
+
+The reference's query layer (Trino via `init_for_test.py:66-79`)
+leans on runtime filters and approximate sketches at scale; these
+operators implement the two workhorses natively so the plan is
+inspectable:
+
+- ``q_join_bloom``: semi-join reduction through a Bloom bitset — the
+  runtime-filter pattern that prunes a 100 TB fact scan *before* the
+  shuffle join, with a filter whose size is CONSTANT (m bits) no
+  matter how many dimension keys qualify.
+- ``q_sketch_cms``: count-min heavy hitters — frequency estimation
+  whose state is a fixed depth×width grid, map-side combinable, so
+  the shuffle carries O(d·w) cells per task regardless of stream
+  size.
+
+Hashes are md5-derived via the engine-portable hex→u32 decode
+(``instr`` on the hex alphabet), so DuckDB rebuilds the identical
+bit positions / cells and results hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+from ._util import dec_sum
+
+
+def _hex_u32_sql(h: str) -> str:
+    """First 8 hex chars of md5 string ``h`` as a 0..2^32-1 integer —
+    same portable decode as ext/corpus.py."""
+    nibbles = [
+        f"(CAST(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(nibbles) + ")"
+
+
+BLOOM_M = 8192  # bits in the filter
+BLOOM_K = 3     # hash functions
+
+# Position j for hash i of key k: u32(md5('bf<i>|' || k)) % m.
+def _bloom_pos_sql(i: int, key: str, vc: str = "VARCHAR") -> str:
+    h = "md5('bf" + str(i) + "|' || CAST(" + key + " AS " + vc + "))"
+    return f"({_hex_u32_sql(h)} % {BLOOM_M})"
+
+
+@query(
+    "q_join_bloom",
+    oracle=f"""
+        WITH dim AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ),
+        bloom AS (
+            SELECT DISTINCT pos FROM (
+                {' UNION ALL '.join(
+                    f"SELECT {_bloom_pos_sql(i, 'c_custkey')} AS pos FROM dim"
+                    for i in range(BLOOM_K)
+                )}
+            )
+        ),
+        survived AS (
+            SELECT o.* FROM orders o
+            WHERE {' AND '.join(
+                f"{_bloom_pos_sql(i, 'o.o_custkey')} IN (SELECT pos FROM bloom)"
+                for i in range(BLOOM_K)
+            )}
+        )
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM survived o JOIN dim d ON o.o_custkey = d.c_custkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bloom(spark, sf_dir):
+    """Bloom-filter semi-join reduction (runtime-filter shape).
+
+    Build an m=8192-bit Bloom set over the qualifying dimension keys
+    (k=3 md5-derived hash positions), reduce the fact with three
+    broadcast semi-joins against the occupied-position relation, THEN
+    run the exact join to eliminate false positives. The occupied-
+    position relation has AT MOST m distinct rows however many keys
+    qualify — unlike broadcasting the key set itself, the reduction
+    side stays constant-size at 100 TB. Catalyst does this internally
+    (``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled``); this
+    is the explicit, plan-visible rendering with an exact oracle.
+
+    Reference parity: Trino's dynamic filtering on the same join shape
+    (`init_for_test.py:66-79` query surface).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def pos(i: int, key: str):
+        return F.expr(_bloom_pos_sql(i, key, "STRING")).alias("pos")
+
+    bloom = None
+    for i in range(BLOOM_K):
+        part = dim.select(pos(i, "c_custkey"))
+        bloom = part if bloom is None else bloom.unionByName(part)
+    bloom = bloom.distinct()  # ≤ m rows: constant-size broadcast
+
+    survived = o
+    for i in range(BLOOM_K):
+        survived = survived.withColumn("_p", F.expr(_bloom_pos_sql(i, "o_custkey", "STRING"))).join(
+            F.broadcast(bloom), F.col("_p") == F.col("pos"), "left_semi"
+        ).drop("_p")
+
+    return (
+        survived.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("sum_price"))
+    )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPN = 10
+
+
+def _cms_cell_sql(row: int, key: str, vc: str = "VARCHAR") -> str:
+    h = "md5('cms" + str(row) + "|' || CAST(" + key + " AS " + vc + "))"
+    return f"({_hex_u32_sql(h)} % {CMS_WIDTH})"
+
+
+@query(
+    "q_sketch_cms",
+    oracle=f"""
+        WITH stream AS (SELECT l_suppkey AS k FROM lineitem),
+        cells AS (
+            {' UNION ALL '.join(
+                f"SELECT {r} AS r, {_cms_cell_sql(r, 'k')} AS c, COUNT(*) AS cnt "
+                f"FROM stream GROUP BY 2"
+                for r in range(CMS_DEPTH)
+            )}
+        ),
+        keys AS (SELECT k, COUNT(*) AS exact_cnt FROM stream GROUP BY k),
+        est AS (
+            SELECT keys.k, keys.exact_cnt,
+                   MIN(cells.cnt) AS est_cnt
+            FROM keys JOIN cells
+              ON cells.c = CASE cells.r
+                    {' '.join(f"WHEN {r} THEN {_cms_cell_sql(r, 'keys.k')}" for r in range(CMS_DEPTH))}
+                 END
+            GROUP BY keys.k, keys.exact_cnt
+        ),
+        ranked AS (
+            SELECT k, CAST(est_cnt AS BIGINT) AS est_cnt,
+                   CAST(exact_cnt AS BIGINT) AS exact_cnt,
+                   row_number() OVER (ORDER BY est_cnt DESC, k) AS rn
+            FROM est
+        )
+        SELECT k, est_cnt, exact_cnt FROM ranked WHERE rn <= {CMS_TOPN}
+    """,
+)
+def q_sketch_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the lineitem supplier stream.
+
+    The sketch is a fixed depth×width (4×256) count grid: one
+    map-combinable groupBy per row builds it, so the shuffle carries at
+    most d·w=1024 partial cells per task — CONSTANT state however large
+    the stream (the point of CMS at 100 TB; exact per-key counting
+    shuffles |keys| instead). Estimates (min over the key's d cells,
+    the classic one-sided overestimate) are joined back for the top-10
+    report next to the exact count so the error is visible in-band.
+
+    The probe joins each candidate key's cells against the tiny sketch
+    relation (broadcast, ≤1024 rows). md5-derived cells keep DuckDB
+    bit-identical.
+    """
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+
+    sketch = None
+    for r in range(CMS_DEPTH):
+        part = (
+            li.groupBy(F.expr(_cms_cell_sql(r, "k", "STRING")).alias("c"))
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("r", F.lit(r))
+        )
+        sketch = part if sketch is None else sketch.unionByName(part)
+
+    keys = li.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+    probed = keys
+    for r in range(CMS_DEPTH):
+        probed = probed.withColumn(f"_c{r}", F.expr(_cms_cell_sql(r, "k", "STRING")))
+    # One broadcast join per sketch row: key matches row r on its cell.
+    for r in range(CMS_DEPTH):
+        row_cells = sketch.filter(F.col("r") == r).select(
+            F.col("c").alias(f"_sc{r}"), F.col("cnt").alias(f"_cnt{r}")
+        )
+        probed = probed.join(
+            F.broadcast(row_cells), F.col(f"_c{r}") == F.col(f"_sc{r}"), "inner"
+        )
+    est = probed.select(
+        "k",
+        F.least(*[F.col(f"_cnt{r}") for r in range(CMS_DEPTH)]).cast("long").alias("est_cnt"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+    )
+    # Fully-ordered top-N with a key tiebreaker -> TakeOrderedAndProject
+    # (per-partition heads merged on the driver, no single-task sort).
+    return est.orderBy(F.col("est_cnt").desc(), F.col("k")).limit(CMS_TOPN)

@@ -261,3 +261,54 @@ def q_win_time_range(spark, sf_dir):
         F.count("*").over(w).cast("long").alias("n_1h"),
         F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("sum_1h"),
     )
+
+
+@query(
+    "q_win_distinct",
+    oracle="""
+        WITH flagged AS (
+            SELECT o_orderkey, o_custkey, o_orderpriority, o_orderdate,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY o_custkey, o_orderpriority
+                            ORDER BY o_orderdate, o_orderkey) = 1
+                        THEN 1 ELSE 0 END AS first_seen
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(first_seen) OVER (PARTITION BY o_custkey) AS BIGINT)
+                   AS n_prio_part,
+               CAST(SUM(first_seen) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                   AS n_prio_run
+        FROM flagged
+    """,
+)
+def q_win_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) OVER — the window aggregate Spark does not
+    support natively — via the first-occurrence rewrite: flag the
+    first (partition, value) appearance with one row_number pass,
+    then the partition-wide distinct count is a plain SUM(flag) over
+    the partition and the RUNNING distinct count is the running
+    SUM(flag). Both windows and the flag pass share ONE Exchange on
+    o_custkey; per-row state is constant (vs size(collect_set) over a
+    growing frame, which holds the whole value set per row). The
+    oracle uses the identical engine-neutral rewrite.
+    """
+    first_w = W.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    part_w = W.partitionBy("o_custkey")
+    run_w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.when(F.row_number().over(first_w) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("first_seen").over(part_w).cast("long").alias("n_prio_part"),
+        F.sum("first_seen").over(run_w).cast("long").alias("n_prio_run"),
+    )

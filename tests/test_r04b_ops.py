@@ -1,0 +1,236 @@
+"""Semantic invariants for the second r04 operator batch
+(q_join_bloom, q_sketch_cms, q_win_distinct, q_pattern_match,
+q_cdc_compact_log, q_cdc_lag, q_knn_graph, q_embed_outlier) —
+properties the DuckDB hash-compare can't state directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proof_of_concept___cdc_w_iceberg_spark import registry
+from proof_of_concept___cdc_w_iceberg_spark.cdc.queries import (
+    COMPACT_HORIZON_MS,
+    LAG_WATERMARK_OFF,
+)
+from proof_of_concept___cdc_w_iceberg_spark.ext.embeddings import OUTLIER_FACTOR
+from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import KNN_K
+from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import BLOOM_M
+from proof_of_concept___cdc_w_iceberg_spark.sources.cdc_fixtures import changelog
+from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+QS = registry.queries()
+
+
+def test_bloom_reduction_is_exact(spark, sf_dir):
+    """The Bloom prefilter admits false positives but NEVER drops a
+    true match, so the post-join aggregate equals the plain join's."""
+    out = QS["q_join_bloom"](spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    plain = (
+        o.join(
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    got = {r["o_orderpriority"]: r["n_orders"] for r in out.collect()}
+    want = {r["o_orderpriority"]: r["n_orders"] for r in plain.collect()}
+    assert got == want
+
+
+def test_bloom_position_relation_is_bounded(spark, sf_dir):
+    """The broadcast reduction side is capped at m rows regardless of
+    dimension cardinality — the constant-size-filter property."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import _bloom_pos_sql
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    n = (
+        c.select(F.expr(_bloom_pos_sql(0, "c_custkey", "STRING")).alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n <= BLOOM_M
+
+
+def test_cms_estimates_never_undercount(spark, sf_dir):
+    """Count-min error is one-sided: est ≥ exact for every key."""
+    rows = QS["q_sketch_cms"](spark, sf_dir).collect()
+    assert rows, "heavy-hitter report empty"
+    assert all(r["est_cnt"] >= r["exact_cnt"] for r in rows)
+
+
+def test_win_distinct_running_reaches_partition_total(spark, sf_dir):
+    out = QS["q_win_distinct"](spark, sf_dir)
+    # running count is ≤ the partition-wide count everywhere and
+    # reaches it at the partition's last row
+    assert out.filter(F.col("n_prio_run") > F.col("n_prio_part")).count() == 0
+    finals = out.groupBy("o_custkey").agg(
+        F.max("n_prio_run").alias("run_max"), F.max("n_prio_part").alias("part")
+    )
+    assert finals.filter(F.col("run_max") != F.col("part")).count() == 0
+    # partition-wide count equals an independent exact distinct count
+    o = load(spark, sf_dir, "orders")
+    exact = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("nd")
+    )
+    joined = finals.join(exact, "o_custkey")
+    assert joined.filter(F.col("part") != F.col("nd")).count() == 0
+
+
+def test_pattern_match_flags_are_consistent(spark, sf_dir):
+    out = QS["q_pattern_match"](spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    assert (
+        out.agg(F.sum("n_events")).first()[0] == ev.count()
+    ), "per-user event counts must partition the table"
+    # independently recompute the funnel regex per user on the driver
+    j = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: F.substring(s["event_type"], 1, 1),
+                ),
+                "",
+            ).alias("journey")
+        )
+        .collect()
+    )
+    import re
+
+    expect = {r["user_id"]: bool(re.search("v.*c.*p", r["journey"])) for r in j}
+    got = {r["user_id"]: r["funnel_hit"] for r in out.collect()}
+    assert got == expect
+
+
+def test_compact_log_view_equals_apply_mirror(spark, sf_dir):
+    """Compaction keeps the log replayable: dropping its tombstones
+    yields exactly the latest-wins table view (q_cdc_apply)."""
+    compacted = QS["q_cdc_compact_log"](spark, sf_dir)
+    assert compacted.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+    live = compacted.filter(F.col("op") != "d").select("k", "name", "bal")
+    mirror = QS["q_cdc_apply"](spark, sf_dir).select("k", "name", "bal")
+    assert live.exceptAll(mirror).count() == 0
+    assert mirror.exceptAll(live).count() == 0
+    # every surviving tombstone is within the retention horizon
+    assert (
+        compacted.filter(
+            (F.col("op") == "d") & (F.col("ts_ms") < COMPACT_HORIZON_MS)
+        ).count()
+        == 0
+    )
+
+
+def test_lag_report_accounts_for_every_pending_event(spark, sf_dir):
+    out = QS["q_cdc_lag"](spark, sf_dir).collect()
+    ch = changelog(spark, sf_dir)
+    pending = ch.filter(F.col("off") > LAG_WATERMARK_OFF).count()
+    assert sum(r["lag_events"] for r in out) == pending
+    for r in out:
+        assert r["applied_off"] <= LAG_WATERMARK_OFF
+        if r["lag_events"] > 0:
+            assert r["latest_off"] > LAG_WATERMARK_OFF
+            assert r["lag_ms"] >= 0
+
+
+def test_knn_graph_is_blocked_and_k_bounded(spark, sf_dir):
+    out = QS["q_knn_graph"](spark, sf_dir).persist()
+    per_src = out.groupBy("src").count()
+    assert per_src.filter(F.col("count") > KNN_K).count() == 0
+    # every edge stays inside one coarse cell (label block)
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    edges = (
+        out.join(e.withColumnRenamed("vec_id", "src").withColumnRenamed("label", "sl"), "src")
+        .join(e.withColumnRenamed("vec_id", "dst").withColumnRenamed("label", "dl"), "dst")
+    )
+    assert edges.filter(F.col("sl") != F.col("dl")).count() == 0
+    assert out.filter((F.col("cosine") < -1.000001) | (F.col("cosine") > 1.000001)).count() == 0
+    out.unpersist()
+
+
+def test_embed_outlier_threshold_holds(spark, sf_dir):
+    out = QS["q_embed_outlier"](spark, sf_dir).persist()
+    avg = out.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("dist2").cast("decimal(20,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_d")
+    )
+    joined = out.join(avg, "label")
+    bad = joined.filter(
+        F.col("is_outlier") != (F.col("dist2") > OUTLIER_FACTOR * F.col("avg_d"))
+    )
+    assert bad.count() == 0
+    n = out.count()
+    n_out = out.filter("is_outlier").count()
+    assert 0 < n_out < n / 2, "outliers must be a strict minority"
+    out.unpersist()
+
+
+def test_rollup_incremental_equals_direct(spark, sf_dir):
+    """Partial re-aggregation law: monthly-from-daily == monthly-from-raw."""
+    out = QS["q_rollup_incremental"](spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    direct = ev.groupBy(
+        "event_type", F.trunc(F.col("ts").cast("date"), "month").alias("month")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    assert out.exceptAll(direct).count() == 0
+    assert direct.exceptAll(out).count() == 0
+
+
+def test_percentile_exact_matches_global_sort(spark, sf_dir):
+    """The two-phase bucket algorithm returns the SAME k-th order
+    statistic a global sort would."""
+    import math
+
+    from pyspark.sql import Window as W
+
+    got = {r["p"]: r["value"] for r in QS["q_percentile_exact_dist"](spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("x"))
+    n = li.count()
+    ranked = li.withColumn("rn", F.row_number().over(W.orderBy("x")))
+    for p in (0.5, 0.9, 0.99):
+        k = int(math.ceil(p * n))
+        want = ranked.filter(F.col("rn") == k).first()["x"]
+        assert got[p] == want, f"p={p}: {got[p]} != {want}"
+    assert got[0.5] <= got[0.9] <= got[0.99]
+
+
+def test_attribution_credit_partitions_purchases(spark, sf_dir):
+    """Linear attribution conserves credit: the per-type credit totals
+    sum to the number of purchases that had ≥1 touch in-window."""
+    rows = QS["q_attribution"](spark, sf_dir).collect()
+    total_credit = sum(r["credit"] for r in rows)
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click"))
+    attributed = (
+        t.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("ts") <= F.col("p_ts"))
+            & (F.col("ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .select("p_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total_credit - attributed) < 0.01
+
+
+def test_drift_psi_terms_nonnegative_and_counts_tie_out(spark, sf_dir):
+    """(p-q)·ln(p/q) ≥ 0 term-wise; bin counts partition both mirror
+    states exactly."""
+    rows = QS["q_cdc_drift_psi"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["psi_term"] >= -1e-9 for r in rows)
+    mirror_n = QS["q_cdc_apply"](spark, sf_dir).count()
+    assert sum(r["n_new"] for r in rows) == mirror_n
