@@ -55,6 +55,8 @@ NESTED_LOOP_OK = {
     "q_benford": "1-row digit-total broadcast for observed frequencies",
     "q_layout_zorder": "1-row global min/max broadcast for quantization",
     "q_mix_temperature": "1-row (total, weight-sum) broadcast into quotas",
+    "q_cdc_drift_psi": "1-row min/max + 1-row bin-total broadcasts into the "
+    "10-row bin spine",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))
