@@ -414,3 +414,142 @@ def q_knn_graph(spark, sf_dir):
         .filter(F.col("rn") <= KNN_K)
         .select("src", "dst", F.round("cosine", 6).alias("cosine"), F.col("rn").cast("long").alias("rn"))
     )
+
+
+MMR_QUERY_ID = 0   # query vector: embedding of vec_id 0
+MMR_POOL = 8       # stage-1 candidate pool (top-k by relevance)
+MMR_SELECT = 4     # diversified picks
+MMR_LAMBDA = 0.7   # relevance weight; 1-λ penalizes redundancy
+
+_MMR_STEP_SQL = """
+    s{n} AS (
+        SELECT c.cand_id, ROUND({lam} * c.rel - {mu} * MAX(s.sim), 6) AS score
+        FROM cand c JOIN sims s
+          ON s.i = c.cand_id AND s.j IN (SELECT cand_id FROM sel{p})
+        WHERE c.cand_id NOT IN (SELECT cand_id FROM sel{p})
+        GROUP BY c.cand_id, c.rel
+        ORDER BY score DESC, cand_id LIMIT 1
+    ),
+    sel{n} AS (SELECT cand_id FROM sel{p} UNION ALL SELECT cand_id FROM s{n})
+"""
+
+MMR_SQL = (
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding, {SQNORM_SQL.format(a='embedding')} AS sq
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id = {MMR_QUERY_ID}),
+    rel AS (
+        SELECT c.vec_id AS cand_id,
+               ROUND({DOT_SQL.format(a='q.embedding', b='c.embedding')}
+                     / sqrt(q.sq * c.sq), 6) AS rel
+        FROM e c, q WHERE c.vec_id <> {MMR_QUERY_ID}
+    ),
+    cand AS (SELECT cand_id, rel FROM rel ORDER BY rel DESC, cand_id LIMIT {MMR_POOL}),
+    ce AS (
+        SELECT c.cand_id, e.embedding, e.sq
+        FROM cand c JOIN e ON e.vec_id = c.cand_id
+    ),
+    sims AS (
+        SELECT a.cand_id AS i, b.cand_id AS j,
+               ROUND({DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                     / sqrt(a.sq * b.sq), 6) AS sim
+        FROM ce a JOIN ce b ON a.cand_id <> b.cand_id
+    ),
+    s1 AS (SELECT cand_id, rel AS score FROM cand ORDER BY score DESC, cand_id LIMIT 1),
+    sel1 AS (SELECT cand_id FROM s1),
+    """
+    + ",".join(
+        _MMR_STEP_SQL.format(n=n, p=n - 1, lam=MMR_LAMBDA, mu=round(1 - MMR_LAMBDA, 6))
+        for n in range(2, MMR_SELECT + 1)
+    )
+    + "".join(
+        f"""
+    SELECT CAST({n} AS BIGINT) AS step, cand_id, score FROM s{n}
+    {"UNION ALL" if n < MMR_SELECT else ""}"""
+        for n in range(1, MMR_SELECT + 1)
+    )
+)
+
+
+@query("q_mmr_diversify", oracle=MMR_SQL)
+def q_mmr_diversify(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversification — the result-set
+    de-redundancy step of a RAG retrieval stack (after q_sim_topk /
+    q_rerank recall): greedily pick the candidate maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked.
+
+    Scale split mirrors q_rerank: stage 1 (relevance against the
+    whole corpus + top-{MMR_POOL} pool) is fully distributed — one
+    corpus scan with a 1-row query broadcast, TakeOrderedAndProject
+    pool cut; stage 2 (the greedy loop) runs on the DRIVER over the
+    collected pool — O(k²)={MMR_POOL}² rounded similarity numbers,
+    BOUNDED state independent of corpus size, exactly where an
+    inherently-sequential k-step greedy belongs. The oracle unrolls
+    the same {MMR_SELECT} steps as CTEs; driver-side rounding uses
+    decimal HALF_UP to match both engines' ROUND."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    qv = e.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("sq").alias("q_sq")
+    )
+    rel = (
+        e.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / F.sqrt(F.col("q_sq") * F.col("sq")),
+                6,
+            ).alias("rel"),
+        )
+    )
+    cand = rel.orderBy(F.col("rel").desc(), F.col("cand_id")).limit(MMR_POOL)
+    ce = cand.join(e, cand.cand_id == e.vec_id).select("cand_id", "rel", "embedding", "sq")
+    b = ce.select(
+        F.col("cand_id").alias("j"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sq").alias("b_sq"),
+    )
+    sims_df = (
+        ce.join(b, F.col("cand_id") != F.col("j"))
+        .select(
+            F.col("cand_id").alias("i"),
+            "j",
+            F.round(
+                _dot(F.col("embedding"), F.col("b_emb"))
+                / F.sqrt(F.col("sq") * F.col("b_sq")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    pool = {r["cand_id"]: r["rel"] for r in cand.collect()}
+    sims = {(r["i"], r["j"]): r["sim"] for r in sims_df.collect()}
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    for step in range(1, MMR_SELECT + 1):
+        best = None
+        for cid, rv in pool.items():
+            if cid in chosen:
+                continue
+            if not chosen:
+                score = rv  # first pick: pure relevance (already 6dp)
+            else:
+                score = r6(
+                    MMR_LAMBDA * rv
+                    - round(1 - MMR_LAMBDA, 6) * max(sims[(cid, s)] for s in chosen)
+                )
+            if best is None or (score, -cid) > (best[1], -best[0]):
+                best = (cid, score)
+        chosen.append(best[0])
+        selected.append((step, best[0], best[1]))
+    return spark.createDataFrame(selected, "step long, cand_id long, score double")

@@ -848,3 +848,48 @@ def q_attribution(spark, sf_dir):
             F.sum(F.round(1.0 / F.col("n"), 8).cast("decimal(18,8)")).cast("double"), 4
         ).alias("credit"),
     )
+
+
+ACTIVITY_BITMAP_SQL = """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               date_trunc('month', CAST(ts AS DATE)) AS month,
+               CAST(day(CAST(ts AS DATE)) AS BIGINT) AS dom
+        FROM events
+    )
+    SELECT user_id, month,
+           CAST(SUM(CAST(POWER(2, dom - 1) AS BIGINT)) AS BIGINT) AS mask,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(MIN(dom) AS BIGINT) AS first_day,
+           CAST(MAX(dom) AS BIGINT) AS last_day
+    FROM days GROUP BY user_id, month
+"""
+
+
+@query("q_activity_bitmap", oracle=ACTIVITY_BITMAP_SQL)
+def q_activity_bitmap(spark, sf_dir):
+    """Per-(user, month) activity as a day-of-month BITMAP — the
+    roaring-bitmap representation retention/engagement systems keep
+    instead of raw event rows: one 64-bit word encodes a month of
+    presence, set-intersection (AND of masks) answers "active in both
+    months", popcount answers "days active".
+
+    Scale shape: distinct (user, month, day) first — the dedup shrink
+    happens map-side before the bitmap aggregate, and both groupBys
+    share the user_id-prefixed partitioning, so AQE coalesces the
+    second exchange. Per-group state is ONE long regardless of event
+    volume (2^(day-1) terms are distinct powers, so the sum IS the
+    bitwise OR — exact in int64 for dom ≤ 31). POWER()-based shifts
+    keep the arithmetic engine-portable."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.trunc(F.col("ts").cast("date"), "month").alias("month"),
+        F.dayofmonth(F.col("ts").cast("date")).cast("long").alias("dom"),
+    ).distinct()
+    return days.groupBy("user_id", "month").agg(
+        F.sum(F.pow(F.lit(2.0), F.col("dom") - 1).cast("long")).cast("long").alias("mask"),
+        F.count("*").alias("n_active"),
+        F.min("dom").alias("first_day"),
+        F.max("dom").alias("last_day"),
+    )

@@ -203,3 +203,90 @@ def q_scan_dpp(spark, sf_dir):
             F.count("*").cast("long").alias("n"),
         )
     )
+
+
+ZONES = 32  # range-partition count modeled by the zone map
+
+
+ZONEMAP_SQL = f"""
+    WITH li AS (
+        SELECT l_shipdate AS d, l_extendedprice AS p FROM lineitem
+    ),
+    stats AS (SELECT MIN(d) AS d_lo, MAX(d) AS d_hi FROM li),
+    zoned AS (
+        SELECT LEAST(CAST(FLOOR(date_diff('day', d_lo, d)
+                          / ((date_diff('day', d_lo, d_hi) + 1) / {ZONES}.0))
+                          AS BIGINT), {ZONES - 1}) AS zone,
+               d, p
+        FROM li, stats
+    ),
+    zm AS (
+        SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(d) AS d_min, MAX(d) AS d_max,
+               MIN(p) AS p_min, MAX(p) AS p_max
+        FROM zoned GROUP BY zone
+    )
+    SELECT zone, n_rows, d_min, d_max, p_min, p_max,
+           (d_min <= DATE '1995-12-31' AND d_max >= DATE '1995-01-01')
+               AS scan_date_pred,
+           (p_max >= 90000.0) AS scan_price_pred
+    FROM zm
+"""
+
+
+@query("q_zonemap_prune", oracle=ZONEMAP_SQL)
+def q_zonemap_prune(spark, sf_dir):
+    """Zone-map (file-statistics) pruning report for a range-clustered
+    layout — the data-skipping half of the Iceberg maintenance story
+    (`connect-iceberg-sink.json:19-29`; Iceberg manifests carry
+    exactly these per-file min/max envelopes).
+
+    The table is zoned by equal date ranges — the zones a
+    ``repartitionByRange(l_shipdate)`` write would produce as files —
+    and for each zone the query emits its min/max envelope on BOTH the
+    cluster dimension (shipdate) and an uncorrelated one (price), plus
+    the may-contain verdict for two predicates. The output IS the
+    pruning analysis: the 1995 date predicate keeps only the zones
+    whose envelope overlaps the year (a ~1/7 read at these fixtures),
+    while the price predicate keeps nearly every zone — the measured
+    argument for clustering on the dimension you filter by (and for
+    Z-order when you filter on both, q_layout_zorder).
+
+    One 1-row min/max broadcast + one map-combinable groupBy(zone):
+    the shuffle carries ≤{ZONES} zone partials per task at any scale.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").alias("d"), F.col("l_extendedprice").alias("p")
+    )
+    stats = li.agg(F.min("d").alias("d_lo"), F.max("d").alias("d_hi"))
+    zoned = li.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                F.datediff(F.col("d"), F.col("d_lo"))
+                / ((F.datediff(F.col("d_hi"), F.col("d_lo")) + 1) / float(ZONES))
+            ).cast("long"),
+            F.lit(ZONES - 1).cast("long"),
+        ).alias("zone"),
+        "d",
+        "p",
+    )
+    zm = zoned.groupBy("zone").agg(
+        F.count("*").alias("n_rows"),
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+        F.min("p").alias("p_min"),
+        F.max("p").alias("p_max"),
+    )
+    return zm.select(
+        "zone",
+        "n_rows",
+        "d_min",
+        "d_max",
+        "p_min",
+        "p_max",
+        (
+            (F.col("d_min") <= F.lit("1995-12-31").cast("date"))
+            & (F.col("d_max") >= F.lit("1995-01-01").cast("date"))
+        ).alias("scan_date_pred"),
+        (F.col("p_max") >= 90000.0).alias("scan_price_pred"),
+    )

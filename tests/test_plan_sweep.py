@@ -57,6 +57,9 @@ NESTED_LOOP_OK = {
     "q_mix_temperature": "1-row (total, weight-sum) broadcast into quotas",
     "q_cdc_drift_psi": "1-row min/max + 1-row bin-total broadcasts into the "
     "10-row bin spine",
+    "q_zonemap_prune": "1-row global min/max broadcast for zone edges",
+    "q_mmr_diversify": "1-row query-vector broadcast (stage 1); greedy loop "
+    "runs on the bounded collected pool",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))

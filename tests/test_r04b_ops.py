@@ -234,3 +234,72 @@ def test_drift_psi_terms_nonnegative_and_counts_tie_out(spark, sf_dir):
     assert all(r["psi_term"] >= -1e-9 for r in rows)
     mirror_n = QS["q_cdc_apply"](spark, sf_dir).count()
     assert sum(r["n_new"] for r in rows) == mirror_n
+
+
+def test_zonemap_pruning_is_safe_and_effective(spark, sf_dir):
+    """Zones the date predicate prunes contain NO matching rows
+    (safety), and the date predicate prunes a majority of zones while
+    the uncorrelated price predicate prunes almost none."""
+    out = QS["q_zonemap_prune"](spark, sf_dir).collect()
+    li = load(spark, sf_dir, "lineitem")
+    assert sum(r["n_rows"] for r in out) == li.count()
+    pruned_date = [r for r in out if not r["scan_date_pred"]]
+    for r in pruned_date:
+        # re-check safety directly against the data in that zone's range
+        n = li.filter(
+            (F.col("l_shipdate") >= F.lit(str(r["d_min"])))
+            & (F.col("l_shipdate") <= F.lit(str(r["d_max"])))
+            & (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") <= F.lit("1995-12-31"))
+        ).count()
+        assert n == 0, f"zone {r['zone']} pruned but contains 1995 rows"
+    n_zones = len(out)
+    assert len(pruned_date) > n_zones // 2, "date clustering should prune most zones"
+    scanned_price = sum(1 for r in out if r["scan_price_pred"])
+    assert scanned_price > n_zones // 2, "uncorrelated predicate should prune little"
+
+
+def test_activity_bitmap_popcount_and_bounds(spark, sf_dir):
+    out = QS["q_activity_bitmap"](spark, sf_dir)
+    bad = out.filter(F.bit_count("mask") != F.col("n_active"))
+    assert bad.count() == 0, "popcount(mask) must equal distinct active days"
+    lowbits = out.filter(
+        (F.col("mask") % F.pow(F.lit(2.0), F.col("first_day") - 1).cast("long")) != 0
+    )
+    assert lowbits.count() == 0, "no bit may be set below first_day"
+    over = out.filter(
+        F.col("mask") >= F.pow(F.lit(2.0), F.col("last_day")).cast("long")
+    )
+    assert over.count() == 0, "no bit may be set above last_day"
+
+
+def test_mmr_picks_are_distinct_pool_members_led_by_relevance(spark, sf_dir):
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import (
+        MMR_POOL,
+        MMR_SELECT,
+    )
+
+    rows = sorted(QS["q_mmr_diversify"](spark, sf_dir).collect(), key=lambda r: r["step"])
+    assert [r["step"] for r in rows] == list(range(1, MMR_SELECT + 1))
+    ids = [r["cand_id"] for r in rows]
+    assert len(set(ids)) == MMR_SELECT, "picks must be distinct"
+    # step 1 is the pure-relevance argmax over the corpus (minus query)
+    e = QS["q_sim_topk"]  # noqa: F841 — same corpus, different query set
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import MMR_QUERY_ID
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load as _load
+    emb = {r["vec_id"]: r["embedding"] for r in _load(spark, sf_dir, "embeddings").collect()}
+    import math
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        return dot / math.sqrt(
+            sum(float(x) ** 2 for x in a) * sum(float(y) ** 2 for y in b)
+        )
+
+    q = emb[MMR_QUERY_ID]
+    best = max(
+        ((vid, cos(v, q)) for vid, v in emb.items() if vid != MMR_QUERY_ID),
+        key=lambda t: (round(t[1], 6), -t[0]),
+    )
+    assert ids[0] == best[0]
+    assert len(ids) <= MMR_POOL
