@@ -22,6 +22,9 @@ from proof_of_concept___cdc_w_iceberg_spark import registry
 from proof_of_concept___cdc_w_iceberg_spark.session import get_spark
 
 BENCH_QUERIES = [
+    "q_centroid_classify",
+    "q_join_temporal",
+    "q_text_readability",
     "q_zonemap_prune",
     "q_mmr_diversify",
     "q_activity_bitmap",

@@ -579,3 +579,85 @@ def q_embed_outlier(spark, sf_dir):
         "dist2",
         (F.col("dist2") > OUTLIER_FACTOR * F.col("avg_d")).alias("is_outlier"),
     )
+
+
+CLASSIFY_SQL = """
+    WITH exploded AS (
+        SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+               CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT label AS c_label, dim,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE)
+                     / COUNT(*), 6) AS c
+        FROM exploded GROUP BY label, dim
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label AS true_label, cent.c_label,
+               ROUND(CAST(SUM(CAST(ROUND((e.x - cent.c) * (e.x - cent.c), 8)
+                                   AS DECIMAL(20,8))) AS DOUBLE), 6) AS d2
+        FROM exploded e JOIN cent ON cent.dim = e.dim
+        GROUP BY e.vec_id, e.label, cent.c_label
+    ),
+    pred AS (
+        SELECT vec_id, true_label, c_label AS pred_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, c_label) AS rn
+        FROM dists
+    )
+    SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY true_label, pred_label
+"""
+
+
+@query("q_centroid_classify", oracle=CLASSIFY_SQL)
+def q_centroid_classify(spark, sf_dir):
+    """Nearest-centroid classification + confusion matrix — the
+    embedding-space eval loop (is the labeling / clustering coherent?)
+    and the assignment step of coarse quantization (every vector vs
+    EVERY cell centroid, unlike q_embed_outlier's own-label distance).
+
+    Scale shape: centroids are a |labels|×d broadcast (KB-sized);
+    distances to ALL centroids come from ONE join of the exploded
+    corpus against the centroid relation on dim — the per-row work is
+    |labels| partial products, map-combined by (vec, centroid) before
+    the argmin window on the vector's own partitioning. The confusion
+    matrix is O(|labels|²) rows out. Same rounded-term decimal
+    summation as the rest of the module keeps argmin ties (broken by
+    centroid label) cross-engine identical."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = exploded.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(20,10)")).cast("double") / F.count("*"), 6
+        ).alias("c")
+    )
+    dists = (
+        exploded.join(F.broadcast(cent), "dim")
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "c_label",
+            F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 8).alias("t"),
+        )
+        .groupBy("vec_id", "true_label", "c_label")
+        .agg(F.round(F.sum(F.col("t").cast("decimal(20,8)")).cast("double"), 6).alias("d2"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", F.col("c_label").alias("pred_label"))
+        .agg(F.count("*").alias("n"))
+    )

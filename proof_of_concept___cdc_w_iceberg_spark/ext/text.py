@@ -1025,3 +1025,69 @@ def q_text_lm_score(spark, sf_dir):
         .orderBy(F.desc("cross_entropy"), "doc_id")
         .limit(LM_TOP)
     )
+
+
+READABILITY_SQL = """
+    WITH m AS (
+        SELECT doc_id, lang,
+               GREATEST(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 1)
+                   AS n_words,
+               GREATEST(CAST(length(regexp_replace(text, '[.!?]+', 'S', 'g'))
+                        - length(regexp_replace(text, '[.!?]+', '', 'g')) AS BIGINT), 1)
+                   AS n_sents,
+               GREATEST(CAST(length(regexp_replace(lower(text), '[aeiouy]+', 'V', 'g'))
+                        - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT), 1)
+                   AS n_syll
+        FROM documents
+    )
+    SELECT doc_id, lang, n_words, n_sents, n_syll,
+           ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+    FROM m
+"""
+
+
+@query("q_text_readability", oracle=READABILITY_SQL)
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease scoring — the readability rung of the text
+    quality ladder (curation pipelines bucket corpora by audience
+    level; hard-to-read boilerplate scores negative, natural prose
+    ~50-70). Syllables are approximated by VOWEL GROUPS (each maximal
+    [aeiouy]+ run counts once — the standard cheap proxy), sentences
+    by [.!?]+ runs; both are computed with the replace-and-diff trick
+    (length with each run collapsed to one char minus length with runs
+    removed = run count), which is pure JVM string arithmetic — no
+    Python, no explode, zero shuffle: a narrow map the optimizer can
+    pipeline into any downstream filter. Floors at 1 keep the ratios
+    total. Same formula verbatim in the DuckDB oracle."""
+    text = F.col("text")
+    low = F.lower(text)
+
+    def runs(col, pat):
+        return F.greatest(
+            (
+                F.length(F.regexp_replace(col, pat, "S"))
+                - F.length(F.regexp_replace(col, pat, ""))
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        )
+
+    n_words = F.greatest(
+        F.size(F.split(F.trim(text), r"\s+")).cast("long"), F.lit(1).cast("long")
+    )
+    n_sents = runs(text, r"[.!?]+")
+    n_syll = runs(low, r"[aeiouy]+")
+    flesch = F.round(
+        F.lit(206.835)
+        - 1.015 * (n_words.cast("double") / n_sents)
+        - 84.6 * (n_syll.cast("double") / n_words),
+        4,
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+        flesch.alias("flesch"),
+    )

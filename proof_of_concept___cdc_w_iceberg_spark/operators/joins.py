@@ -428,3 +428,98 @@ def q_join_interval(spark, sf_dir):
             ).cast("long").alias("overlap_ms"),
         )
     )
+
+
+TEMPORAL_PROBES = (1500, 2500, 3500, 4500, 5500)
+
+TEMPORAL_JOIN_SQL = f"""
+    WITH changes AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name, c_acctbal AS bal,
+               'r' AS op, CAST(1000 AS BIGINT) AS ts_ms,
+               CAST(c_custkey AS BIGINT) AS off
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal + 100.0, 'u', 2000, 1000000 + c_custkey
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal + 200.0, 'u', 3000, 2000000 + c_custkey
+        FROM customer WHERE c_custkey % 20 = 0
+        UNION ALL
+        SELECT c_custkey, NULL, NULL, 'd', 4000, 3000000 + c_custkey
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, 're_' || c_name, c_acctbal + 1.0, 'c', 5000, 5000000 + c_custkey
+        FROM customer WHERE c_custkey % 21 = 0
+    ),
+    dim AS (
+        SELECT k, name, bal, op, ts_ms AS valid_from,
+               COALESCE(lead(ts_ms) OVER (PARTITION BY k ORDER BY ts_ms, off),
+                        9223372036854775807) AS valid_to
+        FROM changes
+    ),
+    probes AS (
+        SELECT k, t FROM (SELECT DISTINCT k FROM changes),
+             (SELECT UNNEST(ARRAY[{', '.join(str(t) for t in TEMPORAL_PROBES)}]) AS t)
+        WHERE k % 5 = 0
+    )
+    SELECT p.k, CAST(p.t AS BIGINT) AS t, d.name, d.bal
+    FROM probes p JOIN dim d
+      ON d.k = p.k AND d.valid_from <= p.t AND p.t < d.valid_to
+    WHERE d.op <> 'd'
+"""
+
+
+@query("q_join_temporal", oracle=TEMPORAL_JOIN_SQL)
+def q_join_temporal(spark, sf_dir):
+    """Temporal (point-in-time / SCD2) dimension join — Flink's
+    temporal table join and SQL:2011 `FOR SYSTEM_TIME AS OF`: each
+    probe (key, t) retrieves the dimension version valid AT t, i.e.
+    valid_from <= t < valid_to, skipping intervals opened by a delete.
+
+    The version relation is q_cdc_scd2's one-window build (validity =
+    [event ts, next event ts)); the probe side here is a generated
+    (key × 5 timestamps) grid standing in for a fact table's
+    (fk, event_time) pairs. The join is EQUI on k with the validity
+    range as a residual — one shuffle on the key, never a range cross
+    join; per-key version counts are bounded by change frequency, so
+    the residual scan is a handful of rows per probe at any scale.
+    Reference parity: the reinsert-after-delete keys
+    (`cdc_fixtures.py` §A.3 mix) prove gap semantics — probes inside
+    a deleted interval return no row, probes after the reinsert see
+    the new version."""
+    from ..sources.cdc_fixtures import changelog
+
+    # Exclude the ts=2500 insert branch (new keys) so the probe grid
+    # stays aligned with the oracle's inline changelog above.
+    ch = changelog(spark, sf_dir).filter(F.col("k") < 10_000_000)
+    w = Window.partitionBy("k").orderBy("ts_ms", "off")
+    dim = ch.select(
+        "k",
+        "name",
+        "bal",
+        "op",
+        F.col("ts_ms").alias("valid_from"),
+        F.coalesce(F.lead("ts_ms").over(w), F.lit(2**63 - 1)).alias("valid_to"),
+    )
+    probes = (
+        ch.select("k")
+        .distinct()
+        .filter(F.col("k") % 5 == 0)
+        .crossJoin(
+            F.broadcast(
+                load(spark, sf_dir, "region")
+                .limit(1)
+                .select(F.explode(F.array(*[F.lit(t) for t in TEMPORAL_PROBES])).alias("t"))
+            )
+        )
+    )
+    return (
+        probes.join(
+            dim,
+            (probes.k == dim.k)
+            & (dim.valid_from <= probes.t)
+            & (probes.t < dim.valid_to),
+        )
+        .filter(F.col("op") != "d")
+        .select(probes.k, F.col("t").cast("long").alias("t"), "name", "bal")
+    )

@@ -303,3 +303,45 @@ def test_mmr_picks_are_distinct_pool_members_led_by_relevance(spark, sf_dir):
     )
     assert ids[0] == best[0]
     assert len(ids) <= MMR_POOL
+
+
+def test_centroid_classify_is_a_partition_of_the_corpus(spark, sf_dir):
+    out = QS["q_centroid_classify"](spark, sf_dir).collect()
+    e = load(spark, sf_dir, "embeddings")
+    assert sum(r["n"] for r in out) == e.count(), "every vector classified once"
+    labels = {r["label"] for r in e.select("label").distinct().collect()}
+    assert all(r["true_label"] in labels and r["pred_label"] in labels for r in out)
+
+
+def test_temporal_join_respects_delete_gaps_and_reinserts(spark, sf_dir):
+    out = QS["q_join_temporal"](spark, sf_dir).persist()
+    # deleted-never-reinserted keys (k%7==0, k%21!=0) vanish for t >= 4000
+    gap = out.filter(
+        (F.col("k") % 7 == 0) & (F.col("k") % 21 != 0) & (F.col("t") >= 4000)
+    )
+    assert gap.count() == 0
+    # reinserted keys (k%21==0 ⊂ k%7==0) reappear at t=5500 with the new image
+    re_rows = out.filter((F.col("k") % 21 == 0) & (F.col("t") == 5500))
+    if re_rows.count():
+        assert re_rows.filter(~F.col("name").startswith("re_")).count() == 0
+    # at most one version matches any probe
+    assert out.groupBy("k", "t").count().filter(F.col("count") > 1).count() == 0
+    out.unpersist()
+
+
+def test_readability_agrees_with_driver_recompute(spark, sf_dir):
+    import re as _re
+
+    rows = QS["q_text_readability"](spark, sf_dir).limit(0).columns
+    assert rows == ["doc_id", "lang", "n_words", "n_sents", "n_syll", "flesch"]
+    sample = (
+        QS["q_text_readability"](spark, sf_dir)
+        .join(load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+        .limit(20)
+        .collect()
+    )
+    for r in sample:
+        words = max(len(_re.split(r"\s+", r["text"].strip())), 1)
+        sents = max(len(_re.findall(r"[.!?]+", r["text"])), 1)
+        syll = max(len(_re.findall(r"[aeiouy]+", r["text"].lower())), 1)
+        assert (r["n_words"], r["n_sents"], r["n_syll"]) == (words, sents, syll)
