@@ -502,9 +502,9 @@ def q_join_temporal(spark, sf_dir):
         F.coalesce(F.lead("ts_ms").over(w), F.lit(2**63 - 1)).alias("valid_to"),
     )
     probes = (
-        ch.select("k")
+        ch.select(F.col("k").alias("pk"))
         .distinct()
-        .filter(F.col("k") % 5 == 0)
+        .filter(F.col("pk") % 5 == 0)
         .crossJoin(
             F.broadcast(
                 load(spark, sf_dir, "region")
@@ -516,10 +516,10 @@ def q_join_temporal(spark, sf_dir):
     return (
         probes.join(
             dim,
-            (probes.k == dim.k)
-            & (dim.valid_from <= probes.t)
-            & (probes.t < dim.valid_to),
+            (F.col("pk") == F.col("k"))
+            & (F.col("valid_from") <= F.col("t"))
+            & (F.col("t") < F.col("valid_to")),
         )
         .filter(F.col("op") != "d")
-        .select(probes.k, F.col("t").cast("long").alias("t"), "name", "bal")
+        .select(F.col("pk").alias("k"), F.col("t").cast("long").alias("t"), "name", "bal")
     )

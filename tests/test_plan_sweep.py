@@ -60,6 +60,8 @@ NESTED_LOOP_OK = {
     "q_zonemap_prune": "1-row global min/max broadcast for zone edges",
     "q_mmr_diversify": "1-row query-vector broadcast (stage 1); greedy loop "
     "runs on the bounded collected pool",
+    "q_join_temporal": "5-literal probe-timestamp broadcast expands the "
+    "probe grid; the version lookup itself is the equi-join on k",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))
