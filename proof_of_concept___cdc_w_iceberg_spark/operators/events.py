@@ -893,3 +893,119 @@ def q_activity_bitmap(spark, sf_dir):
         F.min("dom").alias("first_day"),
         F.max("dom").alias("last_day"),
     )
+
+
+MARKOV_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM trans
+"""
+
+
+@query("q_markov_transitions", oracle=MARKOV_SQL)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — the process-mining / next-action-model primitive
+    (which state follows which, with what probability).
+
+    One lag window on the user_id partitioning (the module's shared
+    single-Exchange shape), then a |types|² count aggregate —
+    map-combinable, so the second shuffle carries at most |types|²
+    partials per task at any scale. Row probabilities normalize via a
+    window over the tiny transition relation itself."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+COOCCUR_SQL = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    totals AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users FROM events),
+    rates AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n_t FROM ut GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both,
+           ROUND((p.n_both / t.n_users)
+                 / ((ra.n_t / t.n_users) * (rb.n_t / t.n_users)), 6) AS lift
+    FROM pairs p
+    JOIN rates ra ON ra.event_type = p.type_a
+    JOIN rates rb ON rb.event_type = p.type_b, totals t
+"""
+
+
+@query("q_event_cooccur", oracle=COOCCUR_SQL)
+def q_event_cooccur(spark, sf_dir):
+    """Event-type co-occurrence with lift — market-basket association
+    over user behavior (lift > 1: the two actions attract; < 1: they
+    repel). The distinct (user, type) shrink happens map-side first,
+    the per-user type self-join is bounded by |types| per user (≤5
+    here — never an unblocked self-join), and the base-rate relation
+    (|types| rows) broadcasts back into the lift expression."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(
+        F.countDistinct("user_id").cast("double").alias("n_users")
+    )
+    rates = ut.groupBy("event_type").agg(F.count("*").cast("double").alias("n_t"))
+    b = ut.select(F.col("user_id").alias("b_user"), F.col("event_type").alias("type_b"))
+    pairs = (
+        ut.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("event_type") < F.col("type_b")),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ra = rates.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    rb = rates.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ra), "type_a")
+        .join(F.broadcast(rb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                (F.col("n_both") / F.col("n_users"))
+                / ((F.col("n_a") / F.col("n_users")) * (F.col("n_b") / F.col("n_users"))),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -62,6 +62,8 @@ NESTED_LOOP_OK = {
     "runs on the bounded collected pool",
     "q_join_temporal": "5-literal probe-timestamp broadcast expands the "
     "probe grid; the version lookup itself is the equi-join on k",
+    "q_event_cooccur": "1-row distinct-user-count broadcast into the lift "
+    "denominator",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))

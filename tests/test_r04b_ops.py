@@ -345,3 +345,24 @@ def test_readability_agrees_with_driver_recompute(spark, sf_dir):
         sents = max(len(_re.findall(r"[.!?]+", r["text"])), 1)
         syll = max(len(_re.findall(r"[aeiouy]+", r["text"].lower())), 1)
         assert (r["n_words"], r["n_sents"], r["n_syll"]) == (words, sents, syll)
+
+
+def test_markov_rows_are_probability_distributions(spark, sf_dir):
+    out = QS["q_markov_transitions"](spark, sf_dir)
+    sums = out.groupBy("prev_type").agg(F.sum("p").alias("s"), F.sum("n").alias("n"))
+    bad = sums.filter(F.abs(F.col("s") - 1.0) > 1e-4)
+    assert bad.count() == 0, "each row of the transition matrix sums to ~1"
+    ev = load(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert out.agg(F.sum("n")).first()[0] == ev.count() - n_users, (
+        "transitions = events minus one sequence start per user"
+    )
+
+
+def test_cooccur_lift_is_symmetric_and_bounded(spark, sf_dir):
+    rows = QS["q_event_cooccur"](spark, sf_dir).collect()
+    assert all(r["type_a"] < r["type_b"] for r in rows), "canonical pair order"
+    ev = load(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert all(0 < r["n_both"] <= n_users for r in rows)
+    assert all(r["lift"] > 0 for r in rows)
