@@ -22,6 +22,9 @@ from proof_of_concept___cdc_w_iceberg_spark import registry
 from proof_of_concept___cdc_w_iceberg_spark.session import get_spark
 
 BENCH_QUERIES = [
+    "q_cdc_merge_on_read",
+    "q_markov_transitions",
+    "q_event_cooccur",
     "q_centroid_classify",
     "q_join_temporal",
     "q_text_readability",

@@ -1023,3 +1023,56 @@ def q_cdc_drift_psi(spark, sf_dir):
         "n_new",
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+def _mor_paths(spark, sf_dir):
+    """Merge-on-read layout fixture, written once per sf_dir: a BASE
+    data file set (the snapshot), an equality-DELETE file (changed
+    keys), and an insert DELTA file (latest post-images) — the three
+    file classes of an Iceberg v2 MOR table."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"cdc_mor_{tag}")
+    base, dels, delta = (os.path.join(root, d) for d in ("base", "deletes", "delta"))
+    if not all(os.path.exists(os.path.join(d, "_SUCCESS")) for d in (base, dels, delta)):
+        ch = changelog(spark, sf_dir)
+        ch.filter(F.col("op") == "r").select("k", "name", "bal").write.mode(
+            "overwrite"
+        ).parquet(base)
+        changed = ch.filter(F.col("ts_ms") > 1000).select("k").distinct()
+        changed.write.mode("overwrite").parquet(dels)
+        w = Window.partitionBy("k").orderBy(F.col("ts_ms").desc(), F.col("off").desc())
+        latest = (
+            ch.filter(F.col("ts_ms") > 1000)
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+            .select("k", "name", "bal")
+        )
+        latest.write.mode("overwrite").parquet(delta)
+    return base, dels, delta
+
+
+@query("q_cdc_merge_on_read", oracle=MIRROR_SQL)
+def q_cdc_merge_on_read(spark, sf_dir):
+    """Iceberg v2 MERGE-ON-READ apply — the write-cheap half of the
+    reference's upsert story (`connect-iceberg-sink.json:30-33` with
+    `write.delete.mode=merge-on-read`): instead of rewriting the base
+    (copy-on-write, q_cdc_apply/q_cdc_apply_bucketed), a batch
+    appends only an equality-DELETE file (the changed keys) and a
+    DELTA file (the latest post-images) — O(changes) write amplification,
+    zero base rewrite.
+
+    The read-side merge this query returns is the price: base
+    ANTI-JOIN delete-keys (broadcast — delete files are small by
+    construction) UNION the delta. Reads pay that merge until a
+    compaction (q_cdc_expire_snapshots / BucketedMirror.compact)
+    folds deletes into a new base. Both paths end at the identical
+    latest-wins mirror, which is exactly what the oracle checks."""
+    base, dels, delta = _mor_paths(spark, sf_dir)
+    base_df = spark.read.parquet(base)
+    del_keys = spark.read.parquet(dels)
+    delta_df = spark.read.parquet(delta)
+    return base_df.join(
+        F.broadcast(del_keys), "k", "left_anti"
+    ).unionByName(delta_df)

@@ -39,13 +39,28 @@ def _hex_u32_sql(h: str) -> str:
     return "(" + " + ".join(nibbles) + ")"
 
 
+def _hex_slice_sql(h: str, start: int, nibbles: int) -> str:
+    """Decode ``nibbles`` hex chars of ``h`` starting at 1-indexed
+    ``start`` into an integer. Keeping the slice narrow matters:
+    every nibble term re-references (and so re-evaluates) the hash
+    expression, so a 13-bit Bloom position reads 4 nibbles and an
+    8-bit CMS cell reads 2 — not a full u32 decode."""
+    terms = [
+        f"(CAST(instr('0123456789abcdef', substr({h}, {start + i}, 1)) AS BIGINT) - 1)"
+        f" * {16 ** (nibbles - 1 - i)}"
+        for i in range(nibbles)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 BLOOM_M = 8192  # bits in the filter
 BLOOM_K = 3     # hash functions
 
-# Position j for hash i of key k: u32(md5('bf<i>|' || k)) % m.
+# Position for hash i of key k: 16-bit slice i of ONE md5 per key
+# (bytes of a cryptographic hash are independent), mod m.
 def _bloom_pos_sql(i: int, key: str, vc: str = "VARCHAR") -> str:
-    h = "md5('bf" + str(i) + "|' || CAST(" + key + " AS " + vc + "))"
-    return f"({_hex_u32_sql(h)} % {BLOOM_M})"
+    h = "md5('bf|' || CAST(" + key + " AS " + vc + "))"
+    return f"({_hex_slice_sql(h, 4 * i + 1, 4)} % {BLOOM_M})"
 
 
 @query(
@@ -123,9 +138,11 @@ CMS_WIDTH = 256
 CMS_TOPN = 10
 
 
+# Cell for sketch row r: byte r (two hex chars) of ONE md5 per key —
+# width 256 needs exactly 8 bits, so the decode reads 2 nibbles, not 8.
 def _cms_cell_sql(row: int, key: str, vc: str = "VARCHAR") -> str:
-    h = "md5('cms" + str(row) + "|' || CAST(" + key + " AS " + vc + "))"
-    return f"({_hex_u32_sql(h)} % {CMS_WIDTH})"
+    h = "md5('cms|' || CAST(" + key + " AS " + vc + "))"
+    return _hex_slice_sql(h, 2 * row + 1, 2)
 
 
 @query(
