@@ -1076,3 +1076,116 @@ def q_cdc_merge_on_read(spark, sf_dir):
     return base_df.join(
         F.broadcast(del_keys), "k", "left_anti"
     ).unionByName(delta_df)
+
+
+WAP_BAL_LO, WAP_BAL_HI = -1000.0, 11000.0
+WAP_MAX_DELTA = 0.5  # |staged - published| may not exceed 50% of published
+
+WAP_SQL = f"""
+    WITH changes AS ({CHANGELOG_SQL}),
+    staged AS ({MIRROR_SQL.replace(CHANGELOG_SQL, 'SELECT * FROM changes')}),
+    snap AS (SELECT COUNT(*) AS n0 FROM changes WHERE op = 'r'),
+    s AS (
+        SELECT COUNT(*) AS n,
+               COUNT(CASE WHEN k IS NULL THEN 1 END) AS null_k,
+               COUNT(CASE WHEN bal < {WAP_BAL_LO} OR bal > {WAP_BAL_HI}
+                          THEN 1 END) AS range_v
+        FROM staged
+    ),
+    d AS (
+        SELECT COALESCE(SUM(c - 1), 0) AS dup FROM (
+            SELECT COUNT(*) AS c FROM staged GROUP BY k
+        )
+    ),
+    a AS (
+        SELECT s.n, s.null_k, s.range_v, d.dup,
+               CASE WHEN ABS(s.n - snap.n0) > {WAP_MAX_DELTA} * snap.n0
+                    THEN 1 ELSE 0 END AS delta_v
+        FROM s, d, snap
+    )
+    SELECT 'unique_key' AS rule, CAST(dup AS BIGINT) AS violations,
+           dup = 0 AS passed FROM a
+    UNION ALL
+    SELECT 'non_null_key', null_k, null_k = 0 FROM a
+    UNION ALL
+    SELECT 'bal_range', range_v, range_v = 0 FROM a
+    UNION ALL
+    SELECT 'row_delta', delta_v, delta_v = 0 FROM a
+    UNION ALL
+    SELECT 'published_rows', n,
+           dup = 0 AND null_k = 0 AND range_v = 0 AND delta_v = 0 FROM a
+"""
+
+
+@query("q_cdc_wap", oracle=WAP_SQL)
+def q_cdc_wap(spark, sf_dir):
+    """Write-Audit-Publish (Iceberg's WAP workflow, the guarded-commit
+    pattern the reference's lake maintenance implies): the applied
+    batch lands in a STAGED view, a declarative audit runs against it
+    (key uniqueness, non-null keys, value-range CHECK, row-count delta
+    vs the published snapshot bounded at ±{int(WAP_MAX_DELTA*100)}%),
+    and publication is gated on every rule passing — the report's
+    final row carries the would-be published row count and the gate
+    verdict.
+
+    Scale shape: all four audits are count-only aggregates over ONE
+    staged scan (the uniqueness audit adds one map-combinable groupBy
+    whose shuffle carries per-key counts); the verdict join combines
+    1-row relations. O(rules) output regardless of table size — same
+    contract as q_quality_checks, specialized to the commit gate."""
+    ch = changelog(spark, sf_dir)
+    w = Window.partitionBy("k").orderBy(F.col("ts_ms").desc(), F.col("off").desc())
+    staged = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("k", "name", "bal")
+    )
+    snap = ch.filter(F.col("op") == "r").agg(F.count("*").alias("n0"))
+    s = staged.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("null_k"),
+        F.count(
+            F.when((F.col("bal") < WAP_BAL_LO) | (F.col("bal") > WAP_BAL_HI), 1)
+        ).alias("range_v"),
+    )
+    d = (
+        staged.groupBy("k")
+        .agg(F.count("*").alias("c"))
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("dup"))
+    )
+    a = (
+        s.crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(snap))
+        .select(
+            "n",
+            "null_k",
+            "range_v",
+            "dup",
+            F.when(
+                F.abs(F.col("n") - F.col("n0")) > WAP_MAX_DELTA * F.col("n0"), 1
+            )
+            .otherwise(0)
+            .alias("delta_v"),
+        )
+    )
+
+    def row(rule, v_col, pass_col):
+        return a.select(
+            F.lit(rule).alias("rule"),
+            v_col.cast("long").alias("violations"),
+            pass_col.alias("passed"),
+        )
+
+    all_pass = (
+        (F.col("dup") == 0)
+        & (F.col("null_k") == 0)
+        & (F.col("range_v") == 0)
+        & (F.col("delta_v") == 0)
+    )
+    return (
+        row("unique_key", F.col("dup"), F.col("dup") == 0)
+        .unionByName(row("non_null_key", F.col("null_k"), F.col("null_k") == 0))
+        .unionByName(row("bal_range", F.col("range_v"), F.col("range_v") == 0))
+        .unionByName(row("row_delta", F.col("delta_v"), F.col("delta_v") == 0))
+        .unionByName(row("published_rows", F.col("n"), all_pass))
+    )

@@ -553,3 +553,86 @@ def q_mmr_diversify(spark, sf_dir):
         chosen.append(best[0])
         selected.append((step, best[0], best[1]))
     return spark.createDataFrame(selected, "step long, cand_id long, score double")
+
+
+SEM_T = 0.45  # cosine threshold for a semantic-duplicate edge
+
+SEMANTIC_DEDUP_SQL = f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label, embedding,
+               {SQNORM_SQL.format(a='embedding')} AS sq
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND({DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                    / sqrt(a.sq * b.sq), 6) >= {SEM_T}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    )
+    SELECT v.vec_id,
+           CAST(LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS BIGINT)
+               AS component,
+           CAST(CASE WHEN LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id))
+                          = v.vec_id THEN 1 ELSE 0 END AS BIGINT)
+               AS is_canonical
+    FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+    GROUP BY v.vec_id
+"""
+
+
+@query("q_dedup_semantic", oracle=SEMANTIC_DEDUP_SQL)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-shaped semantic deduplication: embedding-space
+    duplicate EDGES (cosine ≥ {SEM_T} within a coarse cell) collapsed
+    to connected COMPONENTS, one canonical representative (min id)
+    per component — the semantic complement of the token-level dedup
+    ladder (ext/dedup.py), catching paraphrases that share no
+    shingles.
+
+    Scale shape: the edge relation is the same label-blocked pairwise
+    join as q_knn_graph (Σ|cell|² candidates, never corpus²), and the
+    component pass reuses ext.dedup.connected_components — per-round
+    join + min-agg with driver convergence probe; dup clusters are
+    small, so rounds ≈ 2-3. Oracle: recursive-CTE transitive closure,
+    exactly as q_dedup_cluster."""
+    from .dedup import connected_components
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    b = e.select(
+        F.col("label").alias("b_label"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sq").alias("b_sq"),
+    )
+    pairs = (
+        e.join(b, (F.col("label") == F.col("b_label")) & (F.col("vec_id") < F.col("id_b")))
+        .filter(
+            F.round(
+                _dot(F.col("embedding"), F.col("b_emb"))
+                / F.sqrt(F.col("sq") * F.col("b_sq")),
+                6,
+            )
+            >= SEM_T
+        )
+        .select(F.col("vec_id").alias("id_a"), "id_b")
+    )
+    nodes = e.select(F.col("vec_id").alias("node"))
+    labels = connected_components(nodes, pairs)
+    return labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").cast("long").alias("component"),
+        F.when(F.col("comp") == F.col("node"), 1).otherwise(0).cast("long").alias("is_canonical"),
+    )

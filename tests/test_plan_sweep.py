@@ -64,6 +64,8 @@ NESTED_LOOP_OK = {
     "probe grid; the version lookup itself is the equi-join on k",
     "q_event_cooccur": "1-row distinct-user-count broadcast into the lift "
     "denominator",
+    "q_cdc_wap": "verdict join of 1-row audit aggregates (staged stats, "
+    "dup total, snapshot count)",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))

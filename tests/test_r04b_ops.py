@@ -366,3 +366,31 @@ def test_cooccur_lift_is_symmetric_and_bounded(spark, sf_dir):
     n_users = ev.select("user_id").distinct().count()
     assert all(0 < r["n_both"] <= n_users for r in rows)
     assert all(r["lift"] > 0 for r in rows)
+
+
+def test_semantic_dedup_components_are_consistent(spark, sf_dir):
+    out = QS["q_dedup_semantic"](spark, sf_dir).persist()
+    e = load(spark, sf_dir, "embeddings")
+    assert out.count() == e.count()
+    # the component representative is a member and is canonical
+    reps = out.filter(F.col("is_canonical") == 1).select(
+        F.col("component").alias("rep")
+    )
+    comps = out.select("component").distinct()
+    assert comps.join(reps, comps.component == reps.rep, "left_anti").count() == 0
+    # component id == min member id
+    mins = out.groupBy("component").agg(F.min("vec_id").alias("mn"))
+    assert mins.filter(F.col("component") != F.col("mn")).count() == 0
+    out.unpersist()
+
+
+def test_wap_gate_passes_on_the_clean_fixture(spark, sf_dir):
+    rows = {r["rule"]: r for r in QS["q_cdc_wap"](spark, sf_dir).collect()}
+    assert set(rows) == {
+        "unique_key", "non_null_key", "bal_range", "row_delta", "published_rows"
+    }
+    for rule in ("unique_key", "non_null_key", "bal_range", "row_delta"):
+        assert rows[rule]["passed"] and rows[rule]["violations"] == 0
+    mirror_n = QS["q_cdc_apply"](spark, sf_dir).count()
+    assert rows["published_rows"]["violations"] == mirror_n
+    assert rows["published_rows"]["passed"]
