@@ -345,3 +345,51 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     read 3/12 of a date-partitioned 100 TB fact."""
     plan = QS["q_scan_dpp"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, "fact scan lost dynamic partition pruning"
+
+
+def test_sketch_cms_partial_agg_and_topn(spark, sf_dir):
+    """The sketch build must carry partial counts (constant-state
+    shuffle) and the heavy-hitter cut must be TakeOrdered, not a
+    global sort."""
+    plan = explain_str(QS["q_sketch_cms"](spark, sf_dir))
+    assert "partial_count" in plan
+    rep = plan_report(QS["q_sketch_cms"](spark, sf_dir))
+    assert rep["has_take_ordered"]
+
+
+def test_bloom_reduction_joins_are_broadcast_semi(spark, sf_dir):
+    plan = explain_str(QS["q_join_bloom"](spark, sf_dir))
+    assert plan.count("LeftSemi") >= 3, "three Bloom-position semi-joins"
+    assert "SortMergeJoin" not in plan, "reduction side must broadcast"
+
+
+def test_percentile_phase2_is_take_ordered(spark, sf_dir):
+    rep = plan_report(QS["q_percentile_exact_dist"](spark, sf_dir))
+    assert rep["has_take_ordered"], "kth-in-bucket must plan TakeOrderedAndProject"
+    assert not rep["has_sort_merge_join"]
+
+
+def test_merge_on_read_anti_join_is_broadcast(spark, sf_dir):
+    plan = explain_str(QS["q_cdc_merge_on_read"](spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, (
+        "equality-delete merge must broadcast the delete-key file"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_temporal_join_is_keyed_not_nested_loop(spark, sf_dir):
+    plan = explain_str(QS["q_join_temporal"](spark, sf_dir))
+    # version lookup must be an equi hash join on k with the validity
+    # range as residual condition, never a nested-loop over versions
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_mmr_result_is_bounded_local_relation(spark, sf_dir):
+    """Stage 2 (the greedy) runs on the driver over the collected
+    pool, so the RETURNED relation must be a bounded LocalTableScan —
+    k rows, no distributed work left in the plan. (Stage 1's pool cut
+    runs inside the query call; its TakeOrdered shape is shared with
+    q_sim_topk / q_topk, gated above.)"""
+    plan = explain_str(QS["q_mmr_diversify"](spark, sf_dir))
+    assert ("LocalTableScan" in plan) or ("Scan ExistingRDD" in plan)
+    assert "Exchange" not in plan
