@@ -70,3 +70,66 @@ def q_pipeline_curate(spark, sf_dir):
         .filter(F.col("rn") <= 2)
         .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+ASSEMBLE_MIN_CHARS = 100
+ASSEMBLE_TRAIN_FRAC = 0.9
+
+
+def _assemble_split_sql(vc: str) -> str:
+    from .corpus import _hex_u32_sql
+
+    h = _hex_u32_sql(f"md5('asm|' || CAST(doc_id AS {vc}))")
+    return (
+        f"CASE WHEN {h} / 4294967296.0 < {ASSEMBLE_TRAIN_FRAC} "
+        f"THEN 'train' ELSE 'val' END"
+    )
+
+
+SAMPLE_ASSEMBLE_SQL = f"""
+    SELECT d.doc_id, d.lang, e.label,
+           CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+               AS n_toks,
+           ROUND(sqrt(list_reduce(
+               list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE),
+               (x, y) -> x + y)), 6) AS emb_norm,
+           {_assemble_split_sql('VARCHAR')} AS split
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    WHERE d.n_chars >= {ASSEMBLE_MIN_CHARS}
+"""
+
+
+@query("q_sample_assemble", oracle=SAMPLE_ASSEMBLE_SQL)
+def q_sample_assemble(spark, sf_dir):
+    """Multimodal training-sample assembly — the last-mile join that
+    turns curated tables into training records: text features
+    (token count) + the aligned embedding (with its L2 norm as the
+    sanity stat) + a deterministic train/val split, one row per
+    sample.
+
+    Scale shape: ONE equi-join on the sample id — with both tables
+    bucketed on id (sources/bucketed.py) this is the zero-exchange
+    join; everything else is narrow maps (token count, fold-based
+    norm, hash split) that pipeline into the join's output without
+    materialization. The split is hash-derived (corpus.py idiom), so
+    sample membership is stable under repartitioning, reruns, and
+    corpus growth — the property rand() splits lack."""
+    from .corpus import _hex_u32_sql
+    from .similarity import _sqnorm
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= ASSEMBLE_MIN_CHARS
+    )
+    e = load(spark, sf_dir, "embeddings")
+    split = F.expr(_assemble_split_sql("STRING"))
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "label",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_toks"),
+            F.round(F.sqrt(_sqnorm(F.col("embedding"))), 6).alias("emb_norm"),
+            split.alias("split"),
+        )
+    )
