@@ -1036,12 +1036,17 @@ def _mor_paths(spark, sf_dir):
     root = os.path.join(tempfile.gettempdir(), f"cdc_mor_{tag}")
     base, dels, delta = (os.path.join(root, d) for d in ("base", "deletes", "delta"))
     if not all(os.path.exists(os.path.join(d, "_SUCCESS")) for d in (base, dels, delta)):
+        # Stage under a process-unique dir, then atomically rename into
+        # place — concurrent first-callers (parallel test sessions)
+        # must never overwrite each other mid-write. Loser of the race
+        # discards its staging copy.
+        stage = tempfile.mkdtemp(prefix=f"cdc_mor_stage_{tag}_")
         ch = changelog(spark, sf_dir)
         ch.filter(F.col("op") == "r").select("k", "name", "bal").write.mode(
             "overwrite"
-        ).parquet(base)
+        ).parquet(os.path.join(stage, "base"))
         changed = ch.filter(F.col("ts_ms") > 1000).select("k").distinct()
-        changed.write.mode("overwrite").parquet(dels)
+        changed.write.mode("overwrite").parquet(os.path.join(stage, "deletes"))
         w = Window.partitionBy("k").orderBy(F.col("ts_ms").desc(), F.col("off").desc())
         latest = (
             ch.filter(F.col("ts_ms") > 1000)
@@ -1049,7 +1054,16 @@ def _mor_paths(spark, sf_dir):
             .filter((F.col("rn") == 1) & (F.col("op") != "d"))
             .select("k", "name", "bal")
         )
-        latest.write.mode("overwrite").parquet(delta)
+        latest.write.mode("overwrite").parquet(os.path.join(stage, "delta"))
+        import shutil
+
+        os.makedirs(root, exist_ok=True)
+        for d in ("base", "deletes", "delta"):
+            try:
+                os.rename(os.path.join(stage, d), os.path.join(root, d))
+            except OSError:
+                pass  # raced: another session already published this dir
+        shutil.rmtree(stage, ignore_errors=True)
     return base, dels, delta
 
 

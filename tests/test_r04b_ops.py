@@ -394,3 +394,23 @@ def test_wap_gate_passes_on_the_clean_fixture(spark, sf_dir):
     mirror_n = QS["q_cdc_apply"](spark, sf_dir).count()
     assert rows["published_rows"]["violations"] == mirror_n
     assert rows["published_rows"]["passed"]
+
+
+def test_merge_on_read_write_amplification_is_o_changes(spark, sf_dir):
+    """MOR's point: the batch writes only delete-keys + delta rows
+    (O(changes)), never a base rewrite — and the read-side merge
+    still equals the copy-on-write mirror."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.queries import _mor_paths
+
+    base, dels, delta = _mor_paths(spark, sf_dir)
+    n_base = spark.read.parquet(base).count()
+    n_dels = spark.read.parquet(dels).count()
+    n_delta = spark.read.parquet(delta).count()
+    ch = changelog(spark, sf_dir)
+    n_changes = ch.filter(F.col("ts_ms") > 1000).count()
+    assert n_dels <= n_changes and n_delta <= n_changes, "writes bounded by batch"
+    assert n_base == ch.filter(F.col("op") == "r").count(), "base untouched"
+    mor = QS["q_cdc_merge_on_read"](spark, sf_dir)
+    cow = QS["q_cdc_apply"](spark, sf_dir)
+    assert mor.exceptAll(cow).count() == 0
+    assert cow.exceptAll(mor).count() == 0
