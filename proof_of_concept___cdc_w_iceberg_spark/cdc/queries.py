@@ -1203,3 +1203,125 @@ def q_cdc_wap(spark, sf_dir):
         .unionByName(row("row_delta", F.col("delta_v"), F.col("delta_v") == 0))
         .unionByName(row("published_rows", F.col("n"), all_pass))
     )
+
+
+# Patch-style changelog: updates carry ONLY the changed column (the
+# other is NULL with has_<col>=0 — "unchanged", not "set to NULL").
+PATCH_CHANGELOG_SQL = """
+    SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name, c_acctbal AS bal,
+           1 AS has_name, 1 AS has_bal,
+           'r' AS op, CAST(1000 AS BIGINT) AS ts_ms,
+           CAST(c_custkey AS BIGINT) AS off
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, NULL, c_acctbal + 500.0, 0, 1, 'u', 2000,
+           1000000 + c_custkey
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_name || '!', NULL, 1, 0, 'u', 3000,
+           2000000 + c_custkey
+    FROM customer WHERE c_custkey % 4 = 0
+    UNION ALL
+    SELECT c_custkey, NULL, NULL, 0, 0, 'd', 4000, 3000000 + c_custkey
+    FROM customer WHERE c_custkey % 7 = 0
+"""
+
+PARTIAL_UPDATE_SQL = f"""
+    WITH changes AS ({PATCH_CHANGELOG_SQL}),
+    alive AS (
+        SELECT k FROM (
+            SELECT k, op, row_number() OVER (PARTITION BY k
+                                             ORDER BY ts_ms DESC, off DESC) AS rn
+            FROM changes
+        ) WHERE rn = 1 AND op <> 'd'
+    ),
+    latest_name AS (
+        SELECT k, name FROM (
+            SELECT k, name, row_number() OVER (PARTITION BY k
+                                               ORDER BY ts_ms DESC, off DESC) AS rn
+            FROM changes WHERE has_name = 1
+        ) WHERE rn = 1
+    ),
+    latest_bal AS (
+        SELECT k, bal FROM (
+            SELECT k, bal, row_number() OVER (PARTITION BY k
+                                              ORDER BY ts_ms DESC, off DESC) AS rn
+            FROM changes WHERE has_bal = 1
+        ) WHERE rn = 1
+    )
+    SELECT a.k, n.name, b.bal
+    FROM alive a
+    LEFT JOIN latest_name n ON n.k = a.k
+    LEFT JOIN latest_bal b ON b.k = a.k
+"""
+
+
+@query("q_cdc_partial_update", oracle=PARTIAL_UPDATE_SQL)
+def q_cdc_partial_update(spark, sf_dir):
+    """Partial-update (column-mask) CDC apply — the Debezium subtlety
+    whole-row latest-wins gets WRONG: a patch event carries only its
+    changed columns, with a mask distinguishing "column unchanged"
+    from "column set to NULL". A key patched twice (bal at ts 2000,
+    name at ts 3000) must end with BOTH patches applied; naive
+    latest-wins would resurrect the pre-2000 balance from the ts-3000
+    event's empty bal slot.
+
+    The merge is PER-COLUMN latest-wins: one window pass per carrying
+    column over only the events that carry it (mask pushdown shrinks
+    each pass), plus the liveness pass — all on the SAME k
+    partitioning, so Spark plans one Exchange feeding three window
+    evaluations and the co-partitioned assembly joins. Reference
+    parity: Debezium's `column.include.list` sources emit exactly
+    this shape; Iceberg MERGE with per-column conditions is the sink
+    (`connect-iceberg-sink.json:30-33`)."""
+    c = load(spark, sf_dir, "customer")
+
+    def branch(df, name_col, bal_col, has_name, has_bal, op, ts_ms, off_base):
+        return df.select(
+            F.col("c_custkey").cast("long").alias("k"),
+            name_col.cast("string").alias("name"),
+            bal_col.cast("double").alias("bal"),
+            F.lit(has_name).alias("has_name"),
+            F.lit(has_bal).alias("has_bal"),
+            F.lit(op).alias("op"),
+            F.lit(ts_ms).cast("long").alias("ts_ms"),
+            (F.col("c_custkey") + F.lit(off_base)).cast("long").alias("off"),
+        )
+
+    snap = branch(c, F.col("c_name"), F.col("c_acctbal"), 1, 1, "r", 1000, 0)
+    p_bal = branch(
+        c.filter(F.col("c_custkey") % 10 == 0),
+        F.lit(None), F.col("c_acctbal") + 500.0, 0, 1, "u", 2000, 1_000_000,
+    )
+    p_name = branch(
+        c.filter(F.col("c_custkey") % 4 == 0),
+        F.concat(F.col("c_name"), F.lit("!")), F.lit(None), 1, 0, "u", 3000, 2_000_000,
+    )
+    dele = branch(
+        c.filter(F.col("c_custkey") % 7 == 0),
+        F.lit(None), F.lit(None), 0, 0, "d", 4000, 3_000_000,
+    )
+    ch = snap.unionByName(p_bal).unionByName(p_name).unionByName(dele)
+
+    w = Window.partitionBy("k").orderBy(F.col("ts_ms").desc(), F.col("off").desc())
+    alive = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("k")
+    )
+    latest_name = (
+        ch.filter(F.col("has_name") == 1)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "name")
+    )
+    latest_bal = (
+        ch.filter(F.col("has_bal") == 1)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "bal")
+    )
+    return (
+        alive.join(latest_name, "k", "left").join(latest_bal, "k", "left")
+        .select("k", "name", "bal")
+    )

@@ -1009,3 +1009,59 @@ def q_event_cooccur(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+OHLC_SQL = """
+    WITH ranked AS (
+        SELECT user_id, date_trunc('hour', ts) AS bar, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_z,
+               COUNT(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+                   AS n
+        FROM events
+    )
+    SELECT user_id, bar,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(MAX(CASE WHEN rn_z = 1 THEN value END) AS DOUBLE) AS close,
+           CAST(MAX(n) AS BIGINT) AS n_events
+    FROM ranked GROUP BY user_id, bar
+"""
+
+
+@query("q_ts_ohlc", oracle=OHLC_SQL)
+def q_ts_ohlc(spark, sf_dir):
+    """Per-(user, hour) OHLC bars — the hypertable candlestick rollup
+    (open/high/low/close + volume): the state every monitoring or
+    market pipeline materializes per time bucket.
+
+    First/last within the bar resolve through the (ts, event_id)
+    TOTAL order (same-timestamp events are deterministic), via two
+    rank passes that share ONE Exchange on (user_id, bar) with the
+    final aggregate — the whole query is a single shuffle. The
+    conditional-MAX extraction of the rank-1 rows keeps the aggregate
+    map-combinable (constant per-group state), where a collect+sort
+    rendering would hold the bar's full event list."""
+    ev = load(spark, sf_dir, "events")
+    bar = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy("user_id", bar).orderBy("ts", "event_id")
+    wz = Window.partitionBy("user_id", bar).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id",
+        bar.alias("bar"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wz).alias("rn_z"),
+    )
+    return ranked.groupBy("user_id", "bar").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).cast("double").alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max(F.when(F.col("rn_z") == 1, F.col("value"))).cast("double").alias("close"),
+        F.count("*").alias("n_events"),
+    )

@@ -414,3 +414,44 @@ def test_merge_on_read_write_amplification_is_o_changes(spark, sf_dir):
     cow = QS["q_cdc_apply"](spark, sf_dir)
     assert mor.exceptAll(cow).count() == 0
     assert cow.exceptAll(mor).count() == 0
+
+
+def test_ohlc_bounds_and_coverage(spark, sf_dir):
+    out = QS["q_ts_ohlc"](spark, sf_dir).persist()
+    bad = out.filter(
+        (F.col("low") > F.col("high"))
+        | (F.col("open") < F.col("low")) | (F.col("open") > F.col("high"))
+        | (F.col("close") < F.col("low")) | (F.col("close") > F.col("high"))
+    )
+    assert bad.count() == 0
+    ev = load(spark, sf_dir, "events")
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+    out.unpersist()
+
+
+def test_partial_update_applies_both_patches(spark, sf_dir):
+    """The resurrection bug whole-row latest-wins would cause: a key
+    patched on bal (ts 2000) then name (ts 3000) must keep BOTH."""
+    out = QS["q_cdc_partial_update"](spark, sf_dir).persist()
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"), "c_name", "c_acctbal"
+    )
+    both = out.join(c, "k").filter(
+        (F.col("k") % 20 == 0) & (F.col("k") % 7 != 0)
+    )
+    assert both.count() > 0
+    wrong = both.filter(
+        (F.col("name") != F.concat(F.col("c_name"), F.lit("!")))
+        | (F.abs(F.col("bal") - (F.col("c_acctbal") + 500.0)) > 1e-9)
+    )
+    assert wrong.count() == 0, "both column patches must survive"
+    assert out.filter(F.col("k") % 7 == 0).count() == 0, "deletes win"
+    # untouched keys keep their snapshot image
+    untouched = out.join(c, "k").filter(
+        (F.col("k") % 10 != 0) & (F.col("k") % 4 != 0) & (F.col("k") % 7 != 0)
+    )
+    assert untouched.filter(
+        (F.col("name") != F.col("c_name"))
+        | (F.abs(F.col("bal") - F.col("c_acctbal")) > 1e-9)
+    ).count() == 0
+    out.unpersist()
