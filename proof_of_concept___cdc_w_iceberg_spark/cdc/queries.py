@@ -1325,3 +1325,64 @@ def q_cdc_partial_update(spark, sf_dir):
         alive.join(latest_name, "k", "left").join(latest_bal, "k", "left")
         .select("k", "name", "bal")
     )
+
+
+VACUUM_SQL = f"""
+    WITH changes AS ({CHANGELOG_SQL})
+    SELECT CAST(0 AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows FROM ({_asof_sql(1000)})
+    UNION ALL
+    SELECT 1, COUNT(*) FROM ({_asof_sql(3000)})
+    UNION ALL
+    SELECT 2, COUNT(*) FROM ({_asof_sql(5000)})
+    UNION ALL
+    SELECT -1, 2
+"""
+
+
+@query("q_cdc_vacuum_orphans", oracle=VACUUM_SQL)
+def q_cdc_vacuum_orphans(spark, sf_dir):
+    """Orphan-file cleanup — Iceberg's `remove_orphan_files`, the
+    maintenance sibling of q_cdc_expire_snapshots: data directories
+    that NO manifest references (torn writes, failed commits — the
+    manifest swap is the commit point, so a crash between data write
+    and manifest write strands files) are detected by walking the
+    data root against the union of every live manifest's file
+    references, and deleted.
+
+    This query plants two fake torn-commit directories in a fresh
+    versioned mirror, vacuums, and returns per-version row counts
+    read AFTER the vacuum plus an orphans-removed row (version -1) —
+    hash-checked, so the oracle proves both that exactly the planted
+    orphans died and that every committed version still reads intact
+    (nothing referenced was touched). At 100 TB the walk is a
+    metadata-only listing per bucket dir, and the referenced set is
+    the manifest union — O(versions × buckets) strings."""
+    m = _snapshot_mirror(spark, sf_dir)
+    data_root = os.path.join(m.path, "data")
+    # plant torn-commit leftovers: data dirs no manifest references
+    planted = []
+    for name in ("commit_torn_a", "commit_torn_b"):
+        d = os.path.join(data_root, name, "bucket=0")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-orphan.parquet"), "w") as f:
+            f.write("not a real footer")
+        planted.append(os.path.join(data_root, name))
+    # referenced = union of all live manifests' data dirs
+    referenced = set()
+    for v in m.versions():
+        for bucket_dir in m._load_manifest(v)["buckets"].values():
+            top = os.path.join(data_root, os.path.relpath(
+                bucket_dir, data_root).split(os.sep)[0])
+            referenced.add(top)
+    removed = 0
+    import shutil
+
+    for entry in sorted(os.listdir(data_root)):
+        full = os.path.join(data_root, entry)
+        if full not in referenced:
+            shutil.rmtree(full)
+            removed += 1
+    rows = [(v, m.read(v).count()) for v in m.versions()]
+    rows.append((-1, removed))
+    return spark.createDataFrame(rows, "version long, n_rows long")

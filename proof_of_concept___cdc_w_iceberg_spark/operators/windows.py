@@ -312,3 +312,83 @@ def q_win_distinct(spark, sf_dir):
         F.sum("first_seen").over(part_w).cast("long").alias("n_prio_part"),
         F.sum("first_seen").over(run_w).cast("long").alias("n_prio_run"),
     )
+
+
+REG_FRAME = 10  # rolling OLS over the last N events per user
+
+REGRESSION_SQL = f"""
+    WITH seq AS (
+        SELECT user_id, event_id, value,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS BIGINT) AS x
+        FROM events
+    ),
+    sums AS (
+        SELECT user_id, event_id, x,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * value AS DECIMAL(28,10))) OVER w AS DOUBLE)
+                   AS sxy
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY x
+                     ROWS BETWEEN {REG_FRAME - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           ROUND((n * sxy - sx * sy)
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 6) AS slope
+    FROM sums
+"""
+
+
+@query("q_win_regression", oracle=REGRESSION_SQL)
+def q_win_regression(spark, sf_dir):
+    """Rolling OLS slope (trend detector): per user, the least-squares
+    slope of value against event index over the trailing {REG_FRAME}
+    events — the windowed-regression primitive monitoring and feature
+    pipelines run (is this metric trending up, and how fast?).
+
+    All four co-moments (n, Σx, Σx², Σxy, Σy) are windowed aggregates
+    over ONE frame on the user_id partitioning — the index pass and
+    the sum pass share the Exchange, per-row state is five numbers
+    (never the frame's rows). Determinism: x is the integer event
+    index, so the denominator is exact int64 arithmetic; y-sums go
+    through decimal casts (order-independent), and the final division
+    is one IEEE op on identical inputs. First-row frames (n=1)
+    surface as NULL via the zero denominator — no fake zero trend."""
+    ev = load(spark, sf_dir, "events")
+    ws = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(ws).cast("long").alias("x"),
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-(REG_FRAME - 1), W.currentRow)
+    )
+    sums = seq.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(wf).cast("long").alias("n"),
+        F.sum("x").over(wf).cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(wf).cast("long").alias("sxx"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(wf).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("value")).cast("decimal(28,10)"))
+        .over(wf)
+        .cast("double")
+        .alias("sxy"),
+    )
+    denom = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.select(
+        "user_id",
+        "event_id",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.when(denom != 0.0, denom),
+            6,
+        ).alias("slope"),
+    )

@@ -455,3 +455,55 @@ def test_partial_update_applies_both_patches(spark, sf_dir):
         | (F.abs(F.col("bal") - F.col("c_acctbal")) > 1e-9)
     ).count() == 0
     out.unpersist()
+
+
+def test_win_regression_constant_series_has_zero_slope(spark, sf_dir):
+    """Sanity on synthetic frames: a frame of equal y values must
+    regress to slope 0; single-row frames must be NULL."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.windows import REG_FRAME
+
+    out = QS["q_win_regression"](spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    assert out.count() == ev.count()
+    # per user, the FIRST event's frame has n=1 -> NULL slope
+    from pyspark.sql import Window as W
+
+    first = (
+        ev.withColumn(
+            "rn", F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+    nulls = out.join(first, ["user_id", "event_id"])
+    assert nulls.filter(F.col("slope").isNotNull()).count() == 0
+    # driver recompute on one user's trailing frames
+    import numpy as np
+
+    rows = (
+        ev.filter(F.col("user_id") == ev.first()["user_id"])
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    got = {
+        r["event_id"]: r["slope"]
+        for r in out.join(
+            ev.filter(F.col("user_id") == rows[0]["user_id"]).select("event_id"),
+            "event_id",
+        ).collect()
+    }
+    ys = [r["value"] for r in rows]
+    for i in range(1, min(len(rows), 25)):
+        lo = max(0, i - (REG_FRAME - 1))
+        xs = np.arange(lo + 1, i + 2, dtype=float)
+        yw = np.array(ys[lo : i + 1])
+        slope = np.polyfit(xs, yw, 1)[0]
+        assert abs(got[rows[i]["event_id"]] - slope) < 1e-4
+
+
+def test_vacuum_removes_only_orphans_and_versions_survive(spark, sf_dir):
+    rows = {r["version"]: r["n_rows"] for r in QS["q_cdc_vacuum_orphans"](spark, sf_dir).collect()}
+    assert rows[-1] == 2, "exactly the two planted torn commits die"
+    tt = QS["q_cdc_time_travel"](spark, sf_dir).groupBy("version").count().collect()
+    for r in tt:
+        assert rows[r["version"]] == r["count"], "versions read intact post-vacuum"
