@@ -221,3 +221,106 @@ def q_sketch_cms(spark, sf_dir):
     # Fully-ordered top-N with a key tiebreaker -> TakeOrderedAndProject
     # (per-partition heads merged on the driver, no single-task sort).
     return est.orderBy(F.col("est_cnt").desc(), F.col("k")).limit(CMS_TOPN)
+
+
+HLL_B = 8                 # 2^8 = 256 registers
+HLL_M = 1 << HLL_B
+HLL_VBITS = 24            # rank bits per hash
+
+
+def _hll_rho_sql(v: str) -> str:
+    """1-indexed position of the first 1-bit (from the MSB) of the
+    {HLL_VBITS}-bit value ``v`` — a pure comparison ladder, no log2
+    (libm rounding at exact powers of two differs across engines)."""
+    cases = " ".join(
+        f"WHEN {v} >= {1 << (HLL_VBITS - i)} THEN {i}"
+        for i in range(1, HLL_VBITS + 1)
+    )
+    return f"(CASE {cases} ELSE {HLL_VBITS + 1} END)"
+
+
+def _hll_fields_sql(key: str, vc: str) -> tuple[str, str]:
+    """(bucket, rho) expressions for one key: byte 0 of md5 routes to
+    a register, the next 24 bits give the rank."""
+    h = "md5('hll|' || CAST(" + key + " AS " + vc + "))"
+    bucket = _hex_slice_sql(h, 1, 2)
+    rho = _hll_rho_sql(_hex_slice_sql(h, 3, 6))
+    return bucket, rho
+
+
+_HLL_ALPHA = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0))"
+
+
+def _hll_oracle(stream_sql: str, key: str) -> str:
+    bucket, rho = _hll_fields_sql(key, "VARCHAR")
+    return f"""
+        WITH stream AS ({stream_sql}),
+        regs AS (
+            SELECT {bucket} AS j, MAX({rho}) AS m
+            FROM stream GROUP BY 1
+        ),
+        spine AS (SELECT CAST(t.range AS BIGINT) AS j FROM range({HLL_M}) t),
+        full_regs AS (
+            SELECT s.j, COALESCE(r.m, 0) AS m
+            FROM spine s LEFT JOIN regs r ON r.j = s.j
+        ),
+        z AS (
+            SELECT CAST(SUM(CAST(POWER(2.0, -m) AS DECIMAL(38,30)))
+                        AS DOUBLE) AS isum
+            FROM full_regs
+        ),
+        exact AS (SELECT COUNT(DISTINCT k) AS n_exact FROM stream)
+        SELECT CAST(exact.n_exact AS BIGINT) AS n_exact,
+               ROUND({_HLL_ALPHA} * {HLL_M}.0 * {HLL_M}.0 / z.isum, 4) AS est,
+               ROUND(ABS({_HLL_ALPHA} * {HLL_M}.0 * {HLL_M}.0 / z.isum
+                         - exact.n_exact) / exact.n_exact, 4) AS rel_err
+        FROM exact, z
+    """
+
+
+@query(
+    "q_sketch_hll",
+    oracle=_hll_oracle("SELECT o_orderkey AS k FROM orders", "k"),
+)
+def q_sketch_hll(spark, sf_dir):
+    """Portable HyperLogLog distinct-count — built from first
+    principles so the sketch itself is cross-engine exact (unlike
+    approx_count_distinct, whose Datasketches binary no oracle can
+    replay): md5 byte 0 routes each key to one of 256 registers, the
+    next 24 bits yield the first-one rank via a comparison ladder (no
+    log2 — libm rounding at exact powers differs across engines), and
+    the register relation is a MAX-aggregate — 256 longs of state,
+    map-combinable, and MERGEABLE (max is a monoid: per-partition
+    sketches union by register-wise max; asserted in tests).
+
+    The estimate is the raw HLL harmonic mean with the 2^-M sum done
+    in DECIMAL(38,30) (exact — every 2^-M, M ≤ 25, terminates within
+    30 decimal places), so est and rel_err hash-match the oracle to
+    the rounded digit. Output carries the exact count beside the
+    estimate, making the ~1.04/√m error budget visible in-band."""
+    # o_orderkey: >=1500 distinct at every SF, keeping the sketch in
+    # the raw-estimate regime (n >= 2.5m; below that, production HLLs
+    # switch to linear counting -- out of scope for the portability demo)
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    bucket, rho = _hll_fields_sql("k", "STRING")
+    regs = (
+        o.select(F.expr(bucket).alias("j"), F.expr(rho).alias("r"))
+        .groupBy("j")
+        .agg(F.max("r").alias("m"))
+    )
+    spine = spark.range(HLL_M).select(F.col("id").alias("j"))
+    full_regs = spine.join(F.broadcast(regs), "j", "left").select(
+        "j", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    z = full_regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m")).cast("decimal(38,30)"))
+        .cast("double")
+        .alias("isum")
+    )
+    exact = o.agg(F.countDistinct("k").alias("n_exact"))
+    est = F.expr(_HLL_ALPHA) * HLL_M * HLL_M / F.col("isum")
+    return exact.crossJoin(F.broadcast(z)).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(est, 4).alias("est"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+    )

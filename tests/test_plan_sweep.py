@@ -66,6 +66,8 @@ NESTED_LOOP_OK = {
     "denominator",
     "q_cdc_wap": "verdict join of 1-row audit aggregates (staged stats, "
     "dup total, snapshot count)",
+    "q_sketch_hll": "1-row harmonic-sum broadcast into the estimate; the "
+    "register spine join is a 256-row broadcast",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))

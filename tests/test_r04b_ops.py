@@ -507,3 +507,34 @@ def test_vacuum_removes_only_orphans_and_versions_survive(spark, sf_dir):
     tt = QS["q_cdc_time_travel"](spark, sf_dir).groupBy("version").count().collect()
     for r in tt:
         assert rows[r["version"]] == r["count"], "versions read intact post-vacuum"
+
+
+def test_hll_error_within_budget_and_registers_merge(spark, sf_dir):
+    """The estimate must sit inside ~3x the theoretical 1.04/sqrt(m)
+    error, and per-partition sketches must merge by register-wise MAX
+    to the global sketch (the mergeable-monoid law)."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        HLL_M,
+        _hll_fields_sql,
+    )
+
+    row = QS["q_sketch_hll"](spark, sf_dir).first()
+    assert row["rel_err"] <= 3 * 1.04 / (HLL_M ** 0.5)
+    o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    bucket, rho = _hll_fields_sql("k", "STRING")
+
+    def regs(df):
+        return (
+            df.select(F.expr(bucket).alias("j"), F.expr(rho).alias("r"))
+            .groupBy("j")
+            .agg(F.max("r").alias("m"))
+        )
+
+    whole = regs(o)
+    half_a = regs(o.filter(F.col("k") % 2 == 0))
+    half_b = regs(o.filter(F.col("k") % 2 == 1))
+    merged = (
+        half_a.unionByName(half_b).groupBy("j").agg(F.max("m").alias("m"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
