@@ -1256,24 +1256,8 @@ PARTIAL_UPDATE_SQL = f"""
 """
 
 
-@query("q_cdc_partial_update", oracle=PARTIAL_UPDATE_SQL)
-def q_cdc_partial_update(spark, sf_dir):
-    """Partial-update (column-mask) CDC apply — the Debezium subtlety
-    whole-row latest-wins gets WRONG: a patch event carries only its
-    changed columns, with a mask distinguishing "column unchanged"
-    from "column set to NULL". A key patched twice (bal at ts 2000,
-    name at ts 3000) must end with BOTH patches applied; naive
-    latest-wins would resurrect the pre-2000 balance from the ts-3000
-    event's empty bal slot.
-
-    The merge is PER-COLUMN latest-wins: one window pass per carrying
-    column over only the events that carry it (mask pushdown shrinks
-    each pass), plus the liveness pass — all on the SAME k
-    partitioning, so Spark plans one Exchange feeding three window
-    evaluations and the co-partitioned assembly joins. Reference
-    parity: Debezium's `column.include.list` sources emit exactly
-    this shape; Iceberg MERGE with per-column conditions is the sink
-    (`connect-iceberg-sink.json:30-33`)."""
+def patch_changelog(spark, sf_dir):
+    """Column-mask patch changelog (DuckDB twin: PATCH_CHANGELOG_SQL)."""
     c = load(spark, sf_dir, "customer")
 
     def branch(df, name_col, bal_col, has_name, has_bal, op, ts_ms, off_base):
@@ -1301,7 +1285,28 @@ def q_cdc_partial_update(spark, sf_dir):
         c.filter(F.col("c_custkey") % 7 == 0),
         F.lit(None), F.lit(None), 0, 0, "d", 4000, 3_000_000,
     )
-    ch = snap.unionByName(p_bal).unionByName(p_name).unionByName(dele)
+    return snap.unionByName(p_bal).unionByName(p_name).unionByName(dele)
+
+
+@query("q_cdc_partial_update", oracle=PARTIAL_UPDATE_SQL)
+def q_cdc_partial_update(spark, sf_dir):
+    """Partial-update (column-mask) CDC apply — the Debezium subtlety
+    whole-row latest-wins gets WRONG: a patch event carries only its
+    changed columns, with a mask distinguishing "column unchanged"
+    from "column set to NULL". A key patched twice (bal at ts 2000,
+    name at ts 3000) must end with BOTH patches applied; naive
+    latest-wins would resurrect the pre-2000 balance from the ts-3000
+    event's empty bal slot.
+
+    The merge is PER-COLUMN latest-wins: one window pass per carrying
+    column over only the events that carry it (mask pushdown shrinks
+    each pass), plus the liveness pass — all on the SAME k
+    partitioning, so Spark plans one Exchange feeding three window
+    evaluations and the co-partitioned assembly joins. Reference
+    parity: Debezium's `column.include.list` sources emit exactly
+    this shape; Iceberg MERGE with per-column conditions is the sink
+    (`connect-iceberg-sink.json:30-33`)."""
+    ch = patch_changelog(spark, sf_dir)
 
     w = Window.partitionBy("k").orderBy(F.col("ts_ms").desc(), F.col("off").desc())
     alive = (

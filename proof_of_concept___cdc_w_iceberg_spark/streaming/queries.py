@@ -290,3 +290,97 @@ def q_stream_stream_join(spark, sf_dir):
         .groupBy("click_id", "user_id")
         .agg(F.count("*").alias("n_prior_views"))
     )
+
+
+def _register_stream_partial_update():
+    """Registered via a helper so the oracle can be imported from
+    cdc.queries without a circular module-level import."""
+    from ..cdc.queries import PARTIAL_UPDATE_SQL, patch_changelog
+
+    @query("q_stream_partial_update", oracle=PARTIAL_UPDATE_SQL)
+    def q_stream_partial_update(spark, sf_dir):
+        """Stateful streaming form of the partial-update (column-mask)
+        apply: the patch changelog arrives as THREE micro-batches
+        (split by ts_ms), and the store keeps PER-COLUMN version
+        stamps — (name, name_ord), (bal, bal_ord), live_ord — merged
+        with each batch by a full-outer join taking each column from
+        whichever side carries the newer stamp. That per-column state
+        is exactly what makes the patch semantics incrementalizable:
+        whole-row state would need the batch to re-read columns it
+        doesn't carry. Final state must equal the one-shot batch
+        apply (same oracle as q_cdc_partial_update) — the state-merge
+        law, proven by hash.
+
+        Scale shape: every merge is an equi-join on k (state and
+        batch co-partition); per-key state is a constant-width row
+        regardless of event volume — the foreachBatch rendering of
+        applyInPandasWithState for this operator."""
+        ch = patch_changelog(spark, sf_dir)
+        ord_col = (F.col("ts_ms") * F.lit(1_000_000_000) + F.col("off")).alias("ord")
+        state = None
+        for lo, hi in [(0, 2000), (2001, 3000), (3001, 10_000)]:
+            b = ch.filter(F.col("ts_ms").between(lo, hi)).withColumn("ord", ord_col)
+            from pyspark.sql import Window as W
+
+            wk = W.partitionBy("k").orderBy(F.col("ord").desc())
+
+            def latest(df, flag, col):
+                return (
+                    df.filter(F.col(flag) == 1)
+                    .withColumn("rn", F.row_number().over(wk))
+                    .filter(F.col("rn") == 1)
+                    .select("k", F.col(col).alias(f"b_{col}"),
+                            F.col("ord").alias(f"b_{col}_ord"))
+                )
+
+            b_name = latest(b, "has_name", "name")
+            b_bal = latest(b, "has_bal", "bal")
+            b_live = (
+                b.withColumn("rn", F.row_number().over(wk))
+                .filter(F.col("rn") == 1)
+                .select("k", (F.col("op") != "d").alias("b_alive"),
+                        F.col("ord").alias("b_live_ord"))
+            )
+            batch_state = (
+                b_live.join(b_name, "k", "left").join(b_bal, "k", "left")
+                .select(
+                    "k",
+                    F.col("b_name").alias("name"),
+                    F.coalesce("b_name_ord", F.lit(-1)).alias("name_ord"),
+                    F.col("b_bal").alias("bal"),
+                    F.coalesce("b_bal_ord", F.lit(-1)).alias("bal_ord"),
+                    F.col("b_alive").alias("alive"),
+                    F.col("b_live_ord").alias("live_ord"),
+                )
+            )
+            if state is None:
+                state = batch_state
+                continue
+            sa, ba = state.alias("s"), batch_state.alias("b")
+            joined = sa.join(ba, F.col("s.k") == F.col("b.k"), "full")
+
+            def newer(col, ordc):
+                take_b = F.coalesce(F.col(f"b.{ordc}"), F.lit(-1)) > F.coalesce(
+                    F.col(f"s.{ordc}"), F.lit(-1)
+                )
+                return (
+                    F.when(take_b, F.col(f"b.{col}")).otherwise(F.col(f"s.{col}")).alias(col),
+                    F.greatest(
+                        F.coalesce(F.col(f"b.{ordc}"), F.lit(-1)),
+                        F.coalesce(F.col(f"s.{ordc}"), F.lit(-1)),
+                    ).alias(ordc),
+                )
+
+            n_c, n_o = newer("name", "name_ord")
+            b_c, b_o = newer("bal", "bal_ord")
+            a_c, a_o = newer("alive", "live_ord")
+            state = joined.select(
+                F.coalesce(F.col("s.k"), F.col("b.k")).alias("k"),
+                n_c, n_o, b_c, b_o, a_c, a_o,
+            )
+        return state.filter(F.col("alive")).select("k", "name", "bal")
+
+    return q_stream_partial_update
+
+
+_register_stream_partial_update()

@@ -538,3 +538,13 @@ def test_hll_error_within_budget_and_registers_merge(spark, sf_dir):
     )
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_stream_partial_update_state_merge_equals_batch(spark, sf_dir):
+    """The per-column-stamp state merged across three micro-batches
+    must equal the one-shot batch apply — the state-merge law for
+    patch semantics."""
+    stream = QS["q_stream_partial_update"](spark, sf_dir)
+    batch = QS["q_cdc_partial_update"](spark, sf_dir)
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
