@@ -384,3 +384,64 @@ def _register_stream_partial_update():
 
 
 _register_stream_partial_update()
+
+
+def _register_stream_compact():
+    from ..cdc.queries import COMPACT_HORIZON_MS, COMPACT_LOG_SQL
+
+    @query("q_stream_compact", oracle=COMPACT_LOG_SQL)
+    def q_stream_compact(spark, sf_dir):
+        """Streaming log compaction: the per-key latest-EVENT store
+        (op included — tombstones are state too, unlike the mirror
+        store which drops them) maintained across three micro-batches
+        by a latest-wins full-outer merge on (ts_ms, off); the
+        tombstone-retention horizon applies at EMIT time, not in
+        state — a tombstone must keep overwriting older images even
+        while it is itself past retention. Final emission equals the
+        batch compaction (q_cdc_compact_log) by hash — the state-merge
+        law for cleanup.policy=compact."""
+        ch = changelog(spark, sf_dir)
+        state = None
+        for lo, hi in [(0, 2000), (2001, 3000), (3001, 10_000)]:
+            from pyspark.sql import Window as W
+
+            b = ch.filter(F.col("ts_ms").between(lo, hi))
+            wk = W.partitionBy("k").orderBy(
+                F.col("ts_ms").desc(), F.col("off").desc()
+            )
+            latest = (
+                b.withColumn("rn", F.row_number().over(wk))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            if state is None:
+                state = latest
+                continue
+            sa, ba = state.alias("s"), latest.alias("b")
+            newer_is_b = (
+                F.struct(
+                    F.coalesce(F.col("b.ts_ms"), F.lit(-1)).alias("t"),
+                    F.coalesce(F.col("b.off"), F.lit(-1)).alias("o"),
+                )
+                > F.struct(
+                    F.coalesce(F.col("s.ts_ms"), F.lit(-1)).alias("t"),
+                    F.coalesce(F.col("s.off"), F.lit(-1)).alias("o"),
+                )
+            )
+            state = sa.join(ba, F.col("s.k") == F.col("b.k"), "full").select(
+                F.coalesce(F.col("s.k"), F.col("b.k")).alias("k"),
+                *[
+                    F.when(newer_is_b, F.col(f"b.{c}"))
+                    .otherwise(F.col(f"s.{c}"))
+                    .alias(c)
+                    for c in ("name", "bal", "op", "ts_ms", "off")
+                ],
+            )
+        return state.filter(
+            ~((F.col("op") == "d") & (F.col("ts_ms") < COMPACT_HORIZON_MS))
+        )
+
+    return q_stream_compact
+
+
+_register_stream_compact()

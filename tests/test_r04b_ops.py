@@ -548,3 +548,10 @@ def test_stream_partial_update_state_merge_equals_batch(spark, sf_dir):
     batch = QS["q_cdc_partial_update"](spark, sf_dir)
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
+
+
+def test_stream_compact_state_merge_equals_batch(spark, sf_dir):
+    stream = QS["q_stream_compact"](spark, sf_dir)
+    batch = QS["q_cdc_compact_log"](spark, sf_dir)
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
