@@ -1391,3 +1391,64 @@ def q_cdc_vacuum_orphans(spark, sf_dir):
     rows = [(v, m.read(v).count()) for v in m.versions()]
     rows.append((-1, removed))
     return spark.createDataFrame(rows, "version long, n_rows long")
+
+
+FANOUT_SQL = f"""
+    WITH changes AS ({CHANGELOG_SQL}),
+    mirror AS ({MIRROR_SQL.replace(CHANGELOG_SQL, 'SELECT * FROM changes')})
+    SELECT 'mirror' AS sink, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+    FROM mirror
+    UNION ALL
+    SELECT 'agg_by_prefix', COUNT(*), CAST(SUM(s) AS DOUBLE) FROM (
+        SELECT k % 10 AS pfx, SUM(CAST(bal AS DECIMAL(18,2))) AS s
+        FROM mirror GROUP BY k % 10
+    )
+    UNION ALL
+    SELECT 'changelog', COUNT(*), NULL FROM changes
+"""
+
+
+@query("q_cdc_fanout", oracle=FANOUT_SQL)
+def q_cdc_fanout(spark, sf_dir):
+    """Single-changelog fan-out — one CDC stream feeding TWO sinks
+    (the row mirror and a derived aggregate table), with consistency
+    verified in one report: the aggregate sink's total must equal the
+    mirror's total because both are views of the same log prefix.
+    This is the reference's one-topic-many-consumers topology
+    (`connect-iceberg-sink.json` sink + downstream Trino aggregates)
+    collapsed into a checkable relation.
+
+    The changelog is scanned ONCE into the compacted mirror
+    (persist-free: Catalyst reuses the window subplan for both sink
+    branches under one union), each sink is a map-combinable
+    aggregate, and the report is O(sinks) rows. Equality of the two
+    bal_sum rows — decimal-exact on both paths — IS the fan-out
+    consistency check, enforced by the hash oracle and by
+    tests/test_r04b_ops.py directly."""
+    ch = changelog(spark, sf_dir)
+    w = Window.partitionBy("k").orderBy(F.col("ts_ms").desc(), F.col("off").desc())
+    mirror = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("k", "name", "bal")
+    )
+    m_row = mirror.agg(
+        F.lit("mirror").alias("sink"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("bal").cast("decimal(18,2)")).cast("double").alias("bal_sum"),
+    )
+    agg = mirror.groupBy((F.col("k") % 10).alias("pfx")).agg(
+        F.sum(F.col("bal").cast("decimal(18,2)")).alias("s")
+    )
+    a_row = agg.agg(
+        F.lit("agg_by_prefix").alias("sink"),
+        F.count("*").alias("n_rows"),
+        F.sum("s").cast("double").alias("bal_sum"),
+    )
+    c_row = ch.agg(
+        F.lit("changelog").alias("sink"),
+        F.count("*").alias("n_rows"),
+        F.lit(None).cast("double").alias("bal_sum"),
+    )
+    return m_row.unionByName(a_row).unionByName(c_row)

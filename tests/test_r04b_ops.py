@@ -555,3 +555,12 @@ def test_stream_compact_state_merge_equals_batch(spark, sf_dir):
     batch = QS["q_cdc_compact_log"](spark, sf_dir)
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
+
+
+def test_fanout_sinks_are_consistent(spark, sf_dir):
+    rows = {r["sink"]: r for r in QS["q_cdc_fanout"](spark, sf_dir).collect()}
+    assert rows["mirror"]["bal_sum"] == rows["agg_by_prefix"]["bal_sum"], (
+        "both sinks view the same log prefix: totals must agree exactly"
+    )
+    assert rows["agg_by_prefix"]["n_rows"] == 10
+    assert rows["changelog"]["n_rows"] > rows["mirror"]["n_rows"]
