@@ -274,3 +274,37 @@ def q_sink_csv(spark, sf_dir):
     path = tempfile.mkdtemp(prefix="sink_csv_")
     s.write.mode("overwrite").option("header", "true").csv(path)
     return spark.read.schema(s.schema).option("header", "true").csv(path)
+
+
+VIEW_SQL = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM (
+        SELECT * FROM lineitem WHERE l_quantity >= 25
+    ) big_items
+    GROUP BY l_returnflag
+"""
+
+
+@query("q_ddl_view", oracle=VIEW_SQL)
+def q_ddl_view(spark, sf_dir):
+    """CREATE VIEW + query-through-view (`init_for_test.py:66-79`
+    surface: Trino users layer views over the lake tables). The view
+    is a logical-plan alias — Catalyst inlines it, so the filter
+    inside the view definition still pushes to the parquet scan and
+    the aggregate still partial-combines; the oracle runs the view
+    body inlined, proving the indirection is plan-transparent."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("poc_big_items_src")
+    spark.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW poc_big_items AS
+           SELECT * FROM poc_big_items_src WHERE l_quantity >= 25"""
+    )
+    return spark.sql(
+        """SELECT l_returnflag,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                      AS sum_price
+           FROM poc_big_items GROUP BY l_returnflag"""
+    )
