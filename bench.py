@@ -22,6 +22,7 @@ from proof_of_concept___cdc_w_iceberg_spark import registry
 from proof_of_concept___cdc_w_iceberg_spark.session import get_spark
 
 BENCH_QUERIES = [
+    "q_win_zscore",
     "q_sketch_hll",
     "q_win_regression",
     "q_cdc_partial_update",

@@ -392,3 +392,63 @@ def q_win_regression(spark, sf_dir):
             6,
         ).alias("slope"),
     )
+
+
+ZS_FRAME = 20  # rolling z-score over the trailing N events
+
+ZSCORE_SQL = f"""
+    WITH sums AS (
+        SELECT user_id, event_id, value,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,10))) OVER w
+                    AS DOUBLE) AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ZS_FRAME - 1} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           ROUND((value - s1 / n)
+                 / NULLIF(sqrt((s2 - s1 * s1 / n) / (n - 1)), 0.0), 4) AS z
+    FROM sums WHERE n >= 3
+"""
+
+
+@query("q_win_zscore", oracle=ZSCORE_SQL)
+def q_win_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detector: each event scored against the
+    mean/std of its user's PRECEDING {ZS_FRAME} events (frame ends at
+    1 PRECEDING — the current value never contaminates its own
+    baseline, the leakage mistake that mutes exactly the outliers
+    being hunted). Complements q_anomaly (global per-user stats) with
+    the streaming-shaped trailing baseline.
+
+    Same single-Exchange co-moment shape as q_win_regression: n, Σx,
+    Σx² as windowed decimal aggregates, constant per-row state; rows
+    with fewer than 3 baseline events are excluded rather than scored
+    against noise, and a zero-variance baseline yields NULL."""
+    ev = load(spark, sf_dir, "events")
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ZS_FRAME - 1), -1)
+    )
+    sums = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count("*").over(wf).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(wf).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)"))
+        .over(wf)
+        .cast("double")
+        .alias("s2"),
+    )
+    sd = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    return sums.filter(F.col("n") >= 3).select(
+        "user_id",
+        "event_id",
+        F.round(
+            (F.col("value") - F.col("s1") / F.col("n")) / F.when(sd != 0.0, sd), 4
+        ).alias("z"),
+    )

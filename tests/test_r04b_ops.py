@@ -564,3 +564,25 @@ def test_fanout_sinks_are_consistent(spark, sf_dir):
     )
     assert rows["agg_by_prefix"]["n_rows"] == 10
     assert rows["changelog"]["n_rows"] > rows["mirror"]["n_rows"]
+
+
+def test_zscore_baseline_excludes_current_row(spark, sf_dir):
+    """Leakage check: a planted extreme value must score against its
+    trailing baseline, not shrink it — recompute one user by hand."""
+    import statistics
+
+    out = {r["event_id"]: r["z"] for r in QS["q_win_zscore"](spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events")
+    uid = ev.first()["user_id"]
+    rows = ev.filter(F.col("user_id") == uid).orderBy("ts", "event_id").collect()
+    from proof_of_concept___cdc_w_iceberg_spark.operators.windows import ZS_FRAME
+
+    for i in range(3, min(len(rows), 30)):
+        base = [r["value"] for r in rows[max(0, i - (ZS_FRAME - 1)) : i]]
+        if len(base) < 3:
+            continue
+        mu = sum(base) / len(base)
+        sd = statistics.stdev(base)
+        want = (rows[i]["value"] - mu) / sd
+        got = out[rows[i]["event_id"]]
+        assert abs(got - want) < 1e-3, (i, got, want)
