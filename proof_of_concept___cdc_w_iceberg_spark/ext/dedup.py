@@ -844,3 +844,53 @@ def q_dedup_fuzzy(spark, sf_dir):
             F.round(sim, 4).alias("sim"),
         )
     )
+
+
+DEDUP_EVAL_SQL = f"""
+    WITH mh AS ({MINHASH_PAIRS_SQL}),
+    ex AS ({NGRAM_PAIRS_SQL})
+    SELECT CASE WHEN m.id_a IS NULL THEN 'blocked_exact_only'
+                WHEN e.id_a IS NULL THEN 'minhash_only'
+                ELSE 'both' END AS category,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM mh m FULL JOIN ex e
+      ON m.id_a = e.id_a AND m.id_b = e.id_b
+    GROUP BY 1
+"""
+
+
+@query("q_dedup_eval", oracle=DEDUP_EVAL_SQL)
+def q_dedup_eval(spark, sf_dir):
+    """Sketch-quality evaluation — the recall/precision audit every
+    production dedup pipeline runs before trusting an LSH config:
+    MinHash-LSH-recalled pairs (16 hashes, 8 bands) set-compared
+    against the shingle-blocked exact-Jaccard pairs at the SAME
+    threshold. `both` = agreement, `blocked_exact_only` = LSH misses
+    (band-collision recall loss), `minhash_only` = pairs only the LSH
+    candidate path surfaced. O(pairs) full-outer join on the pair
+    key — the eval costs what the dedup itself costs, and the
+    category counts ARE the knob-tuning evidence (more bands →
+    fewer misses, more candidates).
+
+    Both pair relations are the registered operators' own plans
+    (q_dedup_minhash, q_dedup_ngram), so this evaluates exactly what
+    ships."""
+    mh = q_dedup_minhash(spark, sf_dir).select(
+        F.col("id_a").alias("m_a"), F.col("id_b").alias("m_b")
+    )
+    ex = q_dedup_ngram(spark, sf_dir).select(
+        F.col("id_a").alias("e_a"), F.col("id_b").alias("e_b")
+    )
+    j = mh.join(
+        ex, (F.col("m_a") == F.col("e_a")) & (F.col("m_b") == F.col("e_b")), "full"
+    )
+    return (
+        j.select(
+            F.when(F.col("m_a").isNull(), "blocked_exact_only")
+            .when(F.col("e_a").isNull(), "minhash_only")
+            .otherwise("both")
+            .alias("category")
+        )
+        .groupBy("category")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -586,3 +586,16 @@ def test_zscore_baseline_excludes_current_row(spark, sf_dir):
         want = (rows[i]["value"] - mu) / sd
         got = out[rows[i]["event_id"]]
         assert abs(got - want) < 1e-3, (i, got, want)
+
+
+def test_dedup_eval_agreement_dominates(spark, sf_dir):
+    """The planted-dup fixture is easy for LSH: agreement must be the
+    dominant category and counts must tie out against the two pair
+    relations."""
+    rows = {r["category"]: r["n_pairs"] for r in QS["q_dedup_eval"](spark, sf_dir).collect()}
+    n_mh = QS["q_dedup_minhash"](spark, sf_dir).count()
+    n_ex = QS["q_dedup_ngram"](spark, sf_dir).count()
+    both = rows.get("both", 0)
+    assert both + rows.get("minhash_only", 0) == n_mh
+    assert both + rows.get("blocked_exact_only", 0) == n_ex
+    assert both >= rows.get("blocked_exact_only", 0), "LSH recall must dominate misses"
