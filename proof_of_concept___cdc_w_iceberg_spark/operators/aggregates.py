@@ -909,3 +909,56 @@ def q_percentile_exact_dist(spark, sf_dir):
         )
         out = kth if out is None else out.unionByName(kth)
     return out
+
+
+MOMENTS_SQL = """
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(o_totalprice * o_totalprice * o_totalprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS s3
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           ROUND(s1 / n, 4) AS mean,
+           ROUND((s2 - s1 * s1 / n) / n, 4) AS var_pop,
+           ROUND((s3 - 3.0 * (s1 / n) * s2 + 2.0 * n * (s1 / n) * (s1 / n) * (s1 / n))
+                 / (n * POWER((s2 - s1 * s1 / n) / n, 1.5)), 4) AS skew
+    FROM m
+"""
+
+
+@query("q_agg_moments", oracle=MOMENTS_SQL)
+def q_agg_moments(spark, sf_dir):
+    """Higher-moment profile (mean / population variance / skewness)
+    from RAW POWER SUMS — the numerically portable formulation: the
+    three power sums are exact decimal aggregates (order-independent,
+    map-combinable, constant per-group state), and the moments are
+    derived arithmetic on those exact sums, so results hash-match
+    across engines where built-in skewness() (engine-specific update
+    formulas, fp accumulation order) never would. This is also the
+    distributed-merge-friendly form: power sums from two partitions
+    ADD — the same monoid law the sketches rely on."""
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(p.cast("decimal(18,2)")).cast("double").alias("s1"),
+        F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("s2"),
+        F.sum((p * p * p).cast("decimal(38,6)")).cast("double").alias("s3"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    mean = s1 / n
+    var_pop = (s2 - s1 * s1 / n) / n
+    skew = (s3 - 3.0 * mean * s2 + 2.0 * n * mean * mean * mean) / (
+        n * F.pow(var_pop, 1.5)
+    )
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.round(mean, 4).alias("mean"),
+        F.round(var_pop, 4).alias("var_pop"),
+        F.round(skew, 4).alias("skew"),
+    )

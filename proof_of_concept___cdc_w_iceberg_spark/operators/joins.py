@@ -523,3 +523,61 @@ def q_join_temporal(spark, sf_dir):
         .filter(F.col("op") != "d")
         .select(F.col("pk").alias("k"), F.col("t").cast("long").alias("t"), "name", "bal")
     )
+
+
+NULLSAFE_JOIN_SQL = """
+    WITH l AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS grp
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    r AS (
+        SELECT CASE WHEN n % 3 = 0 THEN NULL ELSE pr END AS grp,
+               CAST(n AS BIGINT) AS grp_rank
+        FROM (
+            SELECT DISTINCT o_orderpriority AS pr,
+                   CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS n
+            FROM orders
+        )
+    )
+    SELECT l.o_orderkey, r.grp_rank,
+           COALESCE(l.grp, '<null>') AS grp
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+"""
+
+
+@query("q_join_nullsafe", oracle=NULLSAFE_JOIN_SQL)
+def q_join_nullsafe(spark, sf_dir):
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other — the semantics CDC merge comparisons and
+    dimension lookups with unknown-bucket rows need (a plain `=` join
+    silently drops every NULL-keyed row). Spark plans `<=>` as a real
+    HASH join key (NULL becomes an ordinary key value), so this stays
+    a broadcast/shuffle hash join — no nested-loop penalty for the
+    null-safe semantics; the dim side here is tiny and broadcasts."""
+    o = load(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("grp"),
+    )
+    dim = (
+        o.select(F.col("o_orderpriority").alias("pr")).distinct()
+        .select(
+            "pr", F.substring("pr", 1, 1).cast("long").alias("n")
+        )
+        .select(
+            F.when(F.col("n") % 3 == 0, F.lit(None)).otherwise(F.col("pr")).alias("r_grp"),
+            F.col("n").alias("grp_rank"),
+        )
+    )
+    return (
+        left.join(F.broadcast(dim), F.col("grp").eqNullSafe(F.col("r_grp")))
+        .select(
+            "o_orderkey",
+            "grp_rank",
+            F.coalesce(F.col("grp"), F.lit("<null>")).alias("grp"),
+        )
+    )
