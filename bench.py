@@ -125,6 +125,16 @@ BENCH_QUERIES = [
     "q_tpch_q5",
     "q_join_interval",
     "q_quality_checks",
+    # r05 additions: new operators with nontrivial wall-clock.
+    "q_graph_triangles",
+    "q_basket_pairs",
+    "q_stats_corr",
+    "q_ts_changepoint",
+    "q_ts_seasonal",
+    "q_text_hashing_trick",
+    "q_anon_kanonymity",
+    "q_knn_graph_multiprobe",
+    "q_dedup_semantic_multiprobe",
 ]
 
 
@@ -155,13 +165,45 @@ def main() -> None:
         spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver captures only the stdout TAIL: with 99+ queries the
+    # full per-query map outgrew it and BENCH_r04.json landed with
+    # parsed:null (round-4 verdict item 1). So the FINAL stdout line is
+    # a compact headline (metric/value/sf plus the handful of flagship
+    # timings that BASELINE.md names), and the full per-query map goes
+    # to stderr and to BENCH_DETAIL.json next to this script.
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    headline_queries = {
+        name: timings[name]
+        for name in (
+            "q_tpch_q1", "q_tpch_q3", "q_cdc_apply", "q_dedup_minhash",
+            "q_sim_topk", "q_join_asof", "q_sessionize", "q_text_stats",
+        )
+        if name in timings
+    }
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline_queries,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
                 "sf": float(sf),
             }
         )

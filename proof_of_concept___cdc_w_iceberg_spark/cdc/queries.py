@@ -15,7 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.cdc_fixtures import CHANGELOG_SQL, MIRROR_SQL, changelog
+from ..sources.cdc_fixtures import CHANGELOG_SQL, MIRROR_SQL, changelog, mirror_cte
 from ..sources.tables import load
 from .apply import apply_changes, compact_latest, evolve_schema, merge_upsert, mirror_diff
 from .envelope import decode_envelope, encode_envelope
@@ -1059,10 +1059,19 @@ def _mor_paths(spark, sf_dir):
 
         os.makedirs(root, exist_ok=True)
         for d in ("base", "deletes", "delta"):
+            dst = os.path.join(root, d)
             try:
-                os.rename(os.path.join(stage, d), os.path.join(root, d))
+                os.rename(os.path.join(stage, d), dst)
             except OSError:
-                pass  # raced: another session already published this dir
+                # Rename failed: either another session already
+                # published a COMPLETE dir (has _SUCCESS — fine, lose
+                # the race) or a prior crash left a TORN dir with no
+                # _SUCCESS. A torn publish must self-heal, not be
+                # silently consumed forever (round-4 advice): move the
+                # stale dir aside and retry the rename once.
+                if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+                    shutil.move(dst, tempfile.mkdtemp(prefix=f"cdc_mor_torn_{tag}_"))
+                    os.rename(os.path.join(stage, d), dst)
         shutil.rmtree(stage, ignore_errors=True)
     return base, dels, delta
 
@@ -1097,7 +1106,7 @@ WAP_MAX_DELTA = 0.5  # |staged - published| may not exceed 50% of published
 
 WAP_SQL = f"""
     WITH changes AS ({CHANGELOG_SQL}),
-    staged AS ({MIRROR_SQL.replace(CHANGELOG_SQL, 'SELECT * FROM changes')}),
+    staged AS ({mirror_cte('SELECT * FROM changes')}),
     snap AS (SELECT COUNT(*) AS n0 FROM changes WHERE op = 'r'),
     s AS (
         SELECT COUNT(*) AS n,
@@ -1395,7 +1404,7 @@ def q_cdc_vacuum_orphans(spark, sf_dir):
 
 FANOUT_SQL = f"""
     WITH changes AS ({CHANGELOG_SQL}),
-    mirror AS ({MIRROR_SQL.replace(CHANGELOG_SQL, 'SELECT * FROM changes')})
+    mirror AS ({mirror_cte('SELECT * FROM changes')})
     SELECT 'mirror' AS sink, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
     FROM mirror

@@ -129,19 +129,14 @@ NGRAM_PAIRS_SQL = f"""
 def q_dedup_ngram(spark, sf_dir):
     """N-gram Jaccard near-dup: shingle-blocked candidate pairs, exact
     Jaccard verification. Guaranteed-recall blocking (any pair with
-    J>0 shares a shingle), stop-shingle cap bounds bucket size."""
-    # Persist the shingle relation: it feeds the DF-cap agg, both join
-    # sides, and the size agg — without it Spark re-tokenizes the corpus
-    # per consumer. At cluster scale this is the step you'd materialize
-    # to a bucketed intermediate table instead.
-    sh = doc_shingles(load(spark, sf_dir, "documents")).persist()
-    df_cap = (
-        sh.groupBy("sh").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_DOCS_PER_SHINGLE)
-        .select("sh")
-    )
-    sh_c = sh.join(df_cap, "sh").persist()
-    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    J>0 shares a shingle), stop-shingle cap bounds bucket size.
+
+    The DF-capped shingle relation and sizes are READ from the
+    per-corpus materialized stage (``capped_shingles``) — both join
+    sides and the size lookup scan compact parquet files instead of
+    re-tokenizing and re-capping the corpus per consumer (round-4
+    verdict task 5)."""
+    sh_c, sizes = capped_shingles(spark, sf_dir)
     a = sh_c.alias("a")
     b = sh_c.alias("b")
     inter = (
@@ -453,6 +448,54 @@ def band_index_build(spark, sf_dir: str) -> str:
     return base
 
 
+def corpus_shingles(spark, sf_dir: str):
+    """The corpus (doc_id, sh) relation READ FROM the materialized
+    band index (built once per sf_dir by ``band_index_build``) instead
+    of re-tokenized per query. q_dedup_ngram / containment / fuzzy all
+    consume the identical shingle relation; deriving it per query cost
+    each of them a full corpus re-shingle (the round-4 bench showed the
+    trio at 2-3× their round-3 times once the suite grew). At cluster
+    scale this is the shared bucketed intermediate table every near-dup
+    stage reads; content is byte-identical to ``doc_shingles(corpus)``,
+    so the DuckDB oracles are unchanged."""
+    base = band_index_build(spark, sf_dir)
+    return spark.read.parquet(os.path.join(base, "shingles"))
+
+
+def capped_shingles(spark, sf_dir: str):
+    """(sh_c, sizes): the DF-capped shingle relation and its per-doc
+    set sizes, materialized once per corpus — the shared stage-0 of
+    the whole blocked near-dup trio (ngram / containment / fuzzy).
+    The stop-shingle DF cap is a CORPUS-GLOBAL statistic, so unlike
+    the band index it is rebuilt on corpus refresh rather than
+    appended (a doc ingested later can push a shingle over the cap
+    retroactively); the batch trio always reads the full-corpus
+    build. Laid out by the self-join key ``sh``."""
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"dedup_capped_{tag}")
+    marker = os.path.join(base, "_CAPPED_SUCCESS")
+    if not os.path.exists(marker):
+        sh = corpus_shingles(spark, sf_dir)
+        df_cap = (
+            sh.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= MAX_DOCS_PER_SHINGLE)
+            .select("sh")
+        )
+        sh_c = sh.join(df_cap, "sh")
+        with persisted(sh_c):
+            sh_c.repartition(8, "sh").write.mode("overwrite").parquet(
+                os.path.join(base, "shingles_capped"))
+            (sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+             .repartition(4, "doc_id").write.mode("overwrite")
+             .parquet(os.path.join(base, "sizes_capped")))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return (
+        spark.read.parquet(os.path.join(base, "shingles_capped")),
+        spark.read.parquet(os.path.join(base, "sizes_capped")),
+    )
+
+
 def band_index_apply(spark, base: str, new_docs) -> None:
     """Apply-style index maintenance: append the shingles, band
     buckets, and sizes of newly-ingested docs — O(|new docs|), the
@@ -735,15 +778,10 @@ def q_dedup_containment(spark, sf_dir):
     Same blocked candidate generation as q_dedup_ngram (shingle
     equi-join under the stop-shingle DF cap — never all-pairs), same
     single verification aggregate; only the final scoring differs, so
-    the scale properties are inherited unchanged."""
-    sh = doc_shingles(load(spark, sf_dir, "documents")).persist()
-    df_cap = (
-        sh.groupBy("sh").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_DOCS_PER_SHINGLE)
-        .select("sh")
-    )
-    sh_c = sh.join(df_cap, "sh").persist()
-    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    the scale properties are inherited unchanged. Capped shingles and
+    sizes read from the materialized per-corpus stage
+    (``capped_shingles``)."""
+    sh_c, sizes = capped_shingles(spark, sf_dir)
     a = sh_c.alias("a")
     b = sh_c.alias("b")
     inter = (
@@ -809,14 +847,10 @@ def q_dedup_fuzzy(spark, sf_dir):
     q_dedup_ngram (>= {FUZZY_MIN_SHARED} shared shingles), and only
     those pairs pay the quadratic kernel — at 100 TB the kernel cost
     scales with |near-dup pairs|, not |corpus|². JVM built-in
-    ``levenshtein`` (identical DP in DuckDB) keeps it codegen'd."""
-    sh = doc_shingles(load(spark, sf_dir, "documents")).persist()
-    df_cap = (
-        sh.groupBy("sh").agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_DOCS_PER_SHINGLE)
-        .select("sh")
-    )
-    sh_c = sh.join(df_cap, "sh")
+    ``levenshtein`` (identical DP in DuckDB) keeps it codegen'd.
+    Capped shingles read from the materialized per-corpus stage
+    (``capped_shingles``)."""
+    sh_c, _sizes = capped_shingles(spark, sf_dir)
     a = sh_c.alias("a")
     b = sh_c.alias("b")
     cand = (

@@ -140,3 +140,183 @@ def q_graph_pagerank(spark, sf_dir):
     return rank.join(
         F.broadcast(nation), rank.v == nation.n_nationkey
     ).select("n_nationkey", "n_name", F.round("r", 8).alias("pagerank"))
+
+
+TRI_TOPN = 20
+TRI_MINW = 5  # edge = pair co-supplying at least this many orders
+
+TRIANGLES_SQL = f"""
+    WITH edges AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MINW}
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    ),
+    ranked AS (
+        SELECT node, n_triangles,
+               row_number() OVER (ORDER BY n_triangles DESC, node) AS rn
+        FROM per_node
+    )
+    SELECT node, n_triangles FROM ranked WHERE rn <= 20
+"""
+
+
+@query("q_graph_triangles", oracle=TRIANGLES_SQL)
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counting over the supplier co-supply graph (edge =
+    two suppliers shipped lines of the same order) — the clustering /
+    community-density primitive (local clustering coefficient, spam
+    and collusion detection) that pure SQL engines struggle to scale.
+
+    Spark shape: edges are ORIENTED low-id -> high-id, so each
+    triangle {a<b<c} is generated exactly once as (a-b, b-c, a-c) by
+    two equi-joins — never a permutation blow-up. Edge generation is
+    an order-blocked self-join (pairs per order ~ O(lines/order)², a
+    small constant) aggregated on the pair key with a weight floor of
+    {TRI_MINW} co-supplied orders — the thresholding that keeps a
+    co-occurrence graph from densifying into all-pairs as the fact
+    table grows (random collisions stay below the floor; real
+    repeated relationships clear it). At a skewed 100 TB graph the refinement is
+    degree-based orientation (low-degree -> high-degree endpoint),
+    which provably bounds the join fan-out at O(m^1.5) — id-based
+    orientation keeps this fixture deterministic and oracle-matched.
+    Reports the {TRI_TOPN} most triangle-dense nodes (full ordering
+    with id tiebreaker)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MINW)
+        .select("u", "v")
+        .persist()  # three join references below; released by harness clearCache
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        per_node.orderBy(F.col("n_triangles").desc(), F.col("node"))
+        .limit(TRI_TOPN)
+        .select("node", "n_triangles")
+    )
+
+
+BASKET_MINSUP = 3  # pair must co-occur in at least this many orders
+
+BASKET_SQL = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {BASKET_MINSUP}
+    ),
+    freq AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items)
+    SELECT p.part_a, p.part_b, p.n_ab,
+           ROUND(CAST(p.n_ab AS DOUBLE) * n_orders / (fa.n * fb.n), 6) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN tot
+"""
+
+
+@query("q_basket_pairs", oracle=BASKET_SQL)
+def q_basket_pairs(spark, sf_dir):
+    """Frequent-itemset pair mining (the Apriori/market-basket L2
+    step) over order baskets: part pairs co-ordered in >= {BASKET_MINSUP}
+    orders, scored by lift = P(a,b) / (P(a)·P(b)) — the association
+    signal recommendation and substitution analyses start from.
+
+    Scale shape: pair generation is BASKET-BLOCKED — the self-join
+    equi-keys on the order, so candidates are Σ(basket size)², a
+    small per-order constant, never |parts|²; the support floor then
+    collapses the long random-collision tail in the same map-combined
+    groupBy that counts it (state = surviving pairs only). Frequencies
+    and the order total are tiny aggregates broadcast back onto the
+    pair relation. A 100 TB fact changes only partition counts; the
+    giant-basket skew guard (cap or sample baskets above ~1e3 items,
+    the standard Apriori hygiene) is noted for real catalogs."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()  # three consumers below; released by harness clearCache
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MINSUP)
+    )
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1091,3 +1091,67 @@ def q_text_readability(spark, sf_dir):
         n_syll.alias("n_syll"),
         flesch.alias("flesch"),
     )
+
+
+HASH_DIM = 64  # feature-hashed vector width
+
+HASHING_TRICK_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substring(md5('ht|' || tok), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substring(md5('ht|' || tok), 2, 1)) - 1)
+               % {HASH_DIM} AS feat
+        FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, CAST(feat AS INT) AS feat, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM feats GROUP BY 1, 2
+    ),
+    lens AS (SELECT doc_id, SUM(tf) AS n FROM tf GROUP BY 1)
+    SELECT t.doc_id, t.feat, t.tf, ROUND(CAST(t.tf AS DOUBLE) / n, 6) AS w
+    FROM tf t JOIN lens USING (doc_id)
+"""
+
+
+@query("q_text_hashing_trick", oracle=HASHING_TRICK_SQL)
+def q_text_hashing_trick(spark, sf_dir):
+    """Feature-hashing vectorizer (the 'hashing trick'): every token
+    routes to one of {HASH_DIM} feature slots via a hash — the
+    fixed-width, vocabulary-free featurization that lets a 100 TB
+    corpus be vectorized in ONE streaming pass with ZERO global state
+    (no vocabulary build, no broadcast dictionary, no OOV problem —
+    the reason Vowpal-Wabbit-style hashing is the default for
+    web-scale text). Emits the sparse (doc, slot, tf, l1-weight)
+    relation; collisions are the accepted trade (E[collisions] ~
+    tokens²/2·dim per doc, negligible at realistic dims like 2²⁰ —
+    {HASH_DIM} here keeps the fixture relation small).
+
+    Scale shape: narrow per-row tokenize+hash in whole-stage codegen,
+    one map-combined groupBy(doc, slot) — state ≤ {HASH_DIM} slots per
+    doc — and a per-doc length agg joined back on the same key. First
+    2 md5 hex chars -> slot keeps DuckDB bit-identical."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    feat = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ht|"), F.col("tok"))), 1, 2), 16, 10)
+        .cast("int")
+        % HASH_DIM
+    )
+    tf = (
+        toks.select("doc_id", feat.cast("int").alias("feat"))
+        .groupBy("doc_id", "feat")
+        .agg(F.count("*").alias("tf"))
+    )
+    lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    return tf.join(lens, "doc_id").select(
+        "doc_id",
+        "feat",
+        "tf",
+        F.round(F.col("tf").cast("double") / F.col("n"), 6).alias("w"),
+    )

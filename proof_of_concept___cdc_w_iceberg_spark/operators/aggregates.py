@@ -925,7 +925,8 @@ MOMENTS_SQL = """
            ROUND(s1 / n, 4) AS mean,
            ROUND((s2 - s1 * s1 / n) / n, 4) AS var_pop,
            ROUND((s3 - 3.0 * (s1 / n) * s2 + 2.0 * n * (s1 / n) * (s1 / n) * (s1 / n))
-                 / (n * POWER((s2 - s1 * s1 / n) / n, 1.5)), 4) AS skew
+                 / (n * ((s2 - s1 * s1 / n) / n)
+                      * sqrt((s2 - s1 * s1 / n) / n)), 4) AS skew
     FROM m
 """
 
@@ -952,8 +953,11 @@ def q_agg_moments(spark, sf_dir):
     n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
     mean = s1 / n
     var_pop = (s2 - s1 * s1 / n) / n
+    # v^1.5 as v*sqrt(v), NOT pow(v, 1.5): sqrt is correctly rounded
+    # (IEEE754-required) on both engines, while Java Math.pow vs libm
+    # pow can differ by ulps right at a 4dp rounding boundary.
     skew = (s3 - 3.0 * mean * s2 + 2.0 * n * mean * mean * mean) / (
-        n * F.pow(var_pop, 1.5)
+        n * var_pop * F.sqrt(var_pop)
     )
     return m.select(
         "o_orderpriority",
@@ -962,3 +966,93 @@ def q_agg_moments(spark, sf_dir):
         F.round(var_pop, 4).alias("var_pop"),
         F.round(skew, 4).alias("skew"),
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_sums_sql() -> str:
+    sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}")
+        sums.append(
+            f"CAST(SUM(CAST({c} * {c} AS DECIMAL(38,8))) AS DOUBLE) AS ss_{c}"
+        )
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            f"CAST(SUM(CAST({a} * {b} AS DECIMAL(38,8))) AS DOUBLE) AS sp_{a}_{b}"
+        )
+    return ", ".join(sums)
+
+
+CORR_SQL = (
+    f"WITH m AS (SELECT {_corr_sums_sql()} FROM lineitem)\n"
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           ROUND((n * sp_{a}_{b} - s_{a} * s_{b})
+                 / sqrt((n * ss_{a} - s_{a} * s_{a})
+                        * (n * ss_{b} - s_{b} * s_{b})), 6) AS corr
+    FROM m"""
+        for a, b in _CORR_PAIRS
+    )
+)
+
+
+@query("q_stats_corr", oracle=CORR_SQL)
+def q_stats_corr(spark, sf_dir):
+    """Pearson correlation matrix over the lineitem measures from RAW
+    POWER SUMS — the feature-screening profile (which measures are
+    redundant / leaking) computed the distributed-merge-friendly way:
+    ONE map-combined aggregation pass collects n, Σx, Σx², Σxy as
+    EXACT decimal sums (order-independent addition, constant state:
+    15 accumulators for 4 columns — the same monoid law as
+    q_agg_moments), and the 6 pairwise correlations are derived
+    arithmetic on that single row. Built-in corr() would cost one
+    pass per pair with engine-specific fp accumulation; this is one
+    pass total and hash-matches DuckDB bit-for-bit.
+
+    At 100 TB this is the only viable shape: the scan dominates, so
+    all-pairs statistics must amortize into a single pass with
+    combiner-friendly state."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(F.col(c).cast("decimal(18,2)")).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"ss_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"sp_{a}_{b}")
+        )
+    m = li.agg(*aggs)
+    n = F.col("n")
+
+    def corr(a: str, b: str):
+        return F.round(
+            (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+            / F.sqrt(
+                (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            ),
+            6,
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                corr(a, b).alias("corr"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select("r.col_a", "r.col_b", "r.corr")

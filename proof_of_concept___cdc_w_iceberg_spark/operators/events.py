@@ -1065,3 +1065,154 @@ def q_ts_ohlc(spark, sf_dir):
         F.max(F.when(F.col("rn_z") == 1, F.col("value"))).cast("double").alias("close"),
         F.count("*").alias("n_events"),
     )
+
+
+CP_MIN_SEG = 5  # changepoint: at least this many events on each side
+
+CHANGEPOINT_SQL = f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER w AS i,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS s_i,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id) AS DOUBLE) AS s_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    scored AS (
+        SELECT user_id, event_id, i, n,
+               s_i / i AS mean_left,
+               (s_n - s_i) / (n - i) AS mean_right
+        FROM ordered
+        WHERE i >= {CP_MIN_SEG} AND i <= n - {CP_MIN_SEG}
+    ),
+    best AS (
+        SELECT user_id, event_id, i, n, mean_left, mean_right,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ABS(mean_left - mean_right) DESC, i)
+                   AS rn
+        FROM scored
+    )
+    SELECT user_id, event_id AS split_event_id, CAST(i AS BIGINT) AS split_idx, n,
+           ROUND(mean_left, 6) AS mean_left,
+           ROUND(mean_right, 6) AS mean_right,
+           ROUND(ABS(mean_left - mean_right), 6) AS shift
+    FROM best WHERE rn = 1
+"""
+
+
+@query("q_ts_changepoint", oracle=CHANGEPOINT_SQL)
+def q_ts_changepoint(spark, sf_dir):
+    """Single-changepoint detection per user series (binary
+    segmentation step 1): the split maximizing the mean shift
+    |mean(left) - mean(right)| over all admissible split points with
+    at least {CP_MIN_SEG} events per side — the drift/level-break
+    detector a metrics pipeline runs per entity.
+
+    O(n) per series, not O(n²): prefix sums via ONE ordered window
+    over the user partition give every split's two means from
+    constant per-row state (exact decimal accumulation), then one
+    argmax window picks the winner — two window passes over the same
+    partitioning, a single shuffle on user_id. Scales to millions of
+    users; a 100 TB variant changes nothing but the partition count.
+    Ties break on the earlier split index; both engines compute
+    identical IEEE chains so the ordering hash-matches."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wo).alias("i"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("s_i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(wp).cast("double").alias("s_n"),
+    )
+    scored = ordered.filter(
+        (F.col("i") >= CP_MIN_SEG) & (F.col("i") <= F.col("n") - CP_MIN_SEG)
+    ).select(
+        "user_id",
+        "event_id",
+        "i",
+        "n",
+        (F.col("s_i") / F.col("i")).alias("mean_left"),
+        ((F.col("s_n") - F.col("s_i")) / (F.col("n") - F.col("i"))).alias("mean_right"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("mean_left") - F.col("mean_right")).desc(), F.col("i")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("split_event_id"),
+            F.col("i").cast("long").alias("split_idx"),
+            "n",
+            F.round("mean_left", 6).alias("mean_left"),
+            F.round("mean_right", 6).alias("mean_right"),
+            F.round(F.abs(F.col("mean_left") - F.col("mean_right")), 6).alias("shift"),
+        )
+    )
+
+
+SEASONAL_SQL = """
+    WITH hourly AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+               SUM(CAST(value AS DECIMAL(18,6))) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(s) AS DOUBLE) AS s_all,
+               CAST(SUM(n) AS BIGINT) AS n_all
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hr, h.n,
+           ROUND(CAST(h.s AS DOUBLE) / h.n, 6) AS hourly_mean,
+           ROUND(CAST(h.s AS DOUBLE) / h.n - t.s_all / t.n_all, 6) AS seasonal_dev
+    FROM hourly h JOIN tot t ON t.event_type = h.event_type
+"""
+
+
+@query("q_ts_seasonal", oracle=SEASONAL_SQL)
+def q_ts_seasonal(spark, sf_dir):
+    """Hour-of-day seasonal profile per event type: hourly mean value
+    and its deviation from the type's overall mean — the seasonal
+    component of a classical decomposition (the residual feeds
+    anomaly scoring; q_win_zscore is the trailing-window complement).
+
+    One map-combined groupBy on (type, hour) — at most types×24
+    groups of constant state regardless of corpus size — then the
+    per-type totals are RE-AGGREGATED FROM THE HOURLY PARTIALS (exact
+    decimal sums add associatively: the same monoid reuse as
+    q_rollup_incremental), so the raw table is scanned exactly once.
+    The totals relation (|types| rows) broadcasts back onto the
+    hourly rows."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.hour("ts").cast("int").alias("hr"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .persist()  # feeds both the totals agg and the final join
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("s").cast("double").alias("s_all"), F.sum("n").alias("n_all")
+    )
+    h_mean = F.col("s").cast("double") / F.col("n")
+    return hourly.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hr",
+        "n",
+        F.round(h_mean, 6).alias("hourly_mean"),
+        F.round(h_mean - F.col("s_all") / F.col("n_all"), 6).alias("seasonal_dev"),
+    )

@@ -175,3 +175,51 @@ def q_skew_diagnose(spark, sf_dir):
             F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
         ).alias("top_key_share"),
     )
+
+
+K_ANON = 5  # minimum equivalence-class size
+
+KANON_SQL = f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM customer
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band, class_size,
+           CAST(CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END AS BIGINT)
+               AS below_k
+    FROM classes
+"""
+
+
+@query("q_anon_kanonymity", oracle=KANON_SQL)
+def q_anon_kanonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data pipeline runs before releasing user-derived tables:
+    every (nation, market segment, balance band) equivalence class
+    must contain at least {K_ANON} individuals, or its rows are
+    re-identifiable by linkage. Emits every class with its size and a
+    below-k flag (the rows a release job would suppress or
+    generalize).
+
+    One map-combined groupBy on the quasi-identifier tuple — state is
+    |classes| (bounded by the QI domain, not the row count), exactly
+    the aggregate shape that scales to a 100 TB user table. The
+    balance banding (width 2000) is the generalization step of the
+    Samarati/Sweeney model: coarser bands -> bigger classes -> fewer
+    suppressions."""
+    c = load(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("class_size"))
+    return classes.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "class_size",
+        F.when(F.col("class_size") < K_ANON, 1).otherwise(0).cast("long").alias("below_k"),
+    )

@@ -178,45 +178,44 @@ def _cms_cell_sql(row: int, key: str, vc: str = "VARCHAR") -> str:
 def q_sketch_cms(spark, sf_dir):
     """Count-min-sketch heavy hitters over the lineitem supplier stream.
 
-    The sketch is a fixed depth×width (4×256) count grid: one
-    map-combinable groupBy per row builds it, so the shuffle carries at
-    most d·w=1024 partial cells per task — CONSTANT state however large
-    the stream (the point of CMS at 100 TB; exact per-key counting
-    shuffles |keys| instead). Estimates (min over the key's d cells,
-    the classic one-sided overestimate) are joined back for the top-10
-    report next to the exact count so the error is visible in-band.
+    The sketch is a fixed depth×width (4×256) count grid built in ONE
+    stream scan: each row posexplodes its d (row, cell) coordinates and
+    a single map-combinable groupBy(r, c) accumulates them, so the
+    shuffle carries at most d·w=1024 partial cells per task — CONSTANT
+    state however large the stream (the point of CMS at 100 TB; exact
+    per-key counting shuffles |keys| instead). Estimates (min over the
+    key's d cells, the classic one-sided overestimate) are joined back
+    for the top-10 report next to the exact count so the error is
+    visible in-band.
 
-    The probe joins each candidate key's cells against the tiny sketch
-    relation (broadcast, ≤1024 rows). md5-derived cells keep DuckDB
-    bit-identical.
+    The probe posexplodes each candidate key's d cells and makes ONE
+    broadcast equi-join on (r, c) against the tiny sketch relation
+    (≤1024 rows), then min-aggregates per key — one sketch evaluation,
+    one join, instead of a join per depth row. md5-derived cells keep
+    DuckDB bit-identical.
     """
     li = load(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
 
-    sketch = None
-    for r in range(CMS_DEPTH):
-        part = (
-            li.groupBy(F.expr(_cms_cell_sql(r, "k", "STRING")).alias("c"))
-            .agg(F.count("*").alias("cnt"))
-            .withColumn("r", F.lit(r))
-        )
-        sketch = part if sketch is None else sketch.unionByName(part)
+    cell_exprs = [F.expr(_cms_cell_sql(r, "k", "STRING")) for r in range(CMS_DEPTH)]
+    sketch = (
+        li.select(F.posexplode(F.array(*cell_exprs)).alias("r", "c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
 
     keys = li.groupBy("k").agg(F.count("*").alias("exact_cnt"))
-    probed = keys
-    for r in range(CMS_DEPTH):
-        probed = probed.withColumn(f"_c{r}", F.expr(_cms_cell_sql(r, "k", "STRING")))
-    # One broadcast join per sketch row: key matches row r on its cell.
-    for r in range(CMS_DEPTH):
-        row_cells = sketch.filter(F.col("r") == r).select(
-            F.col("c").alias(f"_sc{r}"), F.col("cnt").alias(f"_cnt{r}")
+    probe = keys.select(
+        "k", "exact_cnt", F.posexplode(F.array(*cell_exprs)).alias("r", "c")
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["r", "c"], "inner")
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("cnt").alias("min_cnt"))
+        .select(
+            "k",
+            F.col("min_cnt").cast("long").alias("est_cnt"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
         )
-        probed = probed.join(
-            F.broadcast(row_cells), F.col(f"_c{r}") == F.col(f"_sc{r}"), "inner"
-        )
-    est = probed.select(
-        "k",
-        F.least(*[F.col(f"_cnt{r}") for r in range(CMS_DEPTH)]).cast("long").alias("est_cnt"),
-        F.col("exact_cnt").cast("long").alias("exact_cnt"),
     )
     # Fully-ordered top-N with a key tiebreaker -> TakeOrderedAndProject
     # (per-partition heads merged on the driver, no single-task sort).

@@ -394,7 +394,7 @@ def q_win_regression(spark, sf_dir):
     )
 
 
-ZS_FRAME = 20  # rolling z-score over the trailing N events
+ZS_FRAME = 20  # baseline frame: the ZS_FRAME-1 = 19 trailing events
 
 ZSCORE_SQL = f"""
     WITH sums AS (
@@ -417,9 +417,10 @@ ZSCORE_SQL = f"""
 @query("q_win_zscore", oracle=ZSCORE_SQL)
 def q_win_zscore(spark, sf_dir):
     """Rolling z-score anomaly detector: each event scored against the
-    mean/std of its user's PRECEDING {ZS_FRAME} events (frame ends at
-    1 PRECEDING — the current value never contaminates its own
-    baseline, the leakage mistake that mutes exactly the outliers
+    mean/std of its user's trailing {ZS_FRAME - 1}-event baseline
+    (ROWS BETWEEN {ZS_FRAME - 1} PRECEDING AND 1 PRECEDING — the frame
+    ends at 1 PRECEDING so the current value never contaminates its
+    own baseline, the leakage mistake that mutes exactly the outliers
     being hunted). Complements q_anomaly (global per-user stats) with
     the streaming-shaped trailing baseline.
 

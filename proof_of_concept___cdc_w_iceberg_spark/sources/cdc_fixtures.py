@@ -43,10 +43,18 @@ CHANGELOG_SQL = """
     FROM customer WHERE c_custkey % 21 = 0
 """
 
-# Latest-change-wins post-image of the changelog (the expected CDC
-# mirror): per-key max (ts_ms, off), drop rows whose latest op is 'd'.
-MIRROR_SQL = f"""
-    WITH changes AS ({CHANGELOG_SQL}),
+def mirror_cte(src_sql: str) -> str:
+    """Latest-change-wins post-image over an arbitrary changes source.
+
+    Renders the canonical mirror query — per-key max (ts_ms, off),
+    drop rows whose latest op is 'd' — with ``src_sql`` as the changes
+    relation. Oracles that need the mirror over a *pre-bound* CTE
+    (e.g. ``'SELECT * FROM changes'`` inside a larger WITH chain) call
+    this instead of string-surgery on ``MIRROR_SQL`` (round-4 verdict
+    item 3: ``.replace(CHANGELOG_SQL, ...)`` silently no-ops if either
+    constant's rendering drifts)."""
+    return f"""
+    WITH changes AS ({src_sql}),
     ranked AS (
         SELECT k, name, bal, op,
                row_number() OVER (PARTITION BY k ORDER BY ts_ms DESC, off DESC) AS rn
@@ -54,6 +62,11 @@ MIRROR_SQL = f"""
     )
     SELECT k, name, bal FROM ranked WHERE rn = 1 AND op <> 'd'
 """
+
+
+# Latest-change-wins post-image of the changelog (the expected CDC
+# mirror): per-key max (ts_ms, off), drop rows whose latest op is 'd'.
+MIRROR_SQL = mirror_cte(CHANGELOG_SQL)
 
 
 def changelog(spark: SparkSession, sf_dir: str) -> DataFrame:

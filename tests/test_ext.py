@@ -222,3 +222,112 @@ def test_pii_scrub_removes_all_planted_pii(spark, sf_dir):
     for r in rows:
         assert r["n_emails"] == 1, r
         assert r["n_phones"] == 1, r
+
+
+def test_multiprobe_knn_recall_monotone_vs_single_cell(spark, sf_dir):
+    """Multi-probe kNN (own cell + nearest other centroid) must be at
+    least as close to the exact kNN graph as single-cell blocking: the
+    per-source candidate pool is a superset, so every exact edge the
+    single-cell graph keeps stays in the multi-probe graph (at most
+    k-1 corpus vectors beat it). Exact graph via numpy all-pairs on
+    the 500-vector fixture."""
+    import numpy as np
+
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import KNN_K
+
+    single = {(r["src"], r["dst"]) for r in QS["q_knn_graph"](spark, sf_dir).collect()}
+    multi_rows = QS["q_knn_graph_multiprobe"](spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    multi = {(r["src"], r["dst"]) for r in multi_rows}
+    per_src: dict[int, int] = {}
+    for r in multi_rows:
+        per_src[r["src"]] = per_src.get(r["src"], 0) + 1
+    assert all(v == KNN_K for v in per_src.values())
+
+    rows = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2.0)
+    exact = set()
+    for i in range(len(ids)):
+        # same ordering contract as the operators: cosine desc, id asc
+        order = sorted(range(len(ids)), key=lambda j: (-sims[i, j], ids[j]))
+        for j in order[:KNN_K]:
+            exact.add((int(ids[i]), int(ids[j])))
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single, (r_multi, r_single)
+    # the probe actually reaches outside the own cell
+    assert len(multi - single) > 0
+
+
+def test_multiprobe_semantic_edges_superset_of_in_cell(spark, sf_dir):
+    """The multi-probe duplicate-edge relation must be a strict-or-
+    equal SUPERSET of the in-cell relation (own cell is always among
+    the assigned cells), and its recall against exact all-pairs edges
+    must be monotone non-decreasing."""
+    import numpy as np
+
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import (
+        SEM_T,
+        _cell_blocked_pairs,
+        _dot,
+        _sqnorm,
+        semantic_edges_multiprobe,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    own = e.select("vec_id", F.col("label").alias("cell"))
+    cos = _dot(F.col("a_emb"), F.col("b_emb")) / F.sqrt(F.col("a_sq") * F.col("b_sq"))
+    in_cell = {
+        (r["id_a"], r["id_b"])
+        for r in _cell_blocked_pairs(e, own)
+        .filter(F.round(cos, 6) >= SEM_T)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_edges_multiprobe(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    assert in_cell <= multi
+
+    rows = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = [int(r["vec_id"]) for r in rows]
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    exact = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(sims[i, j], 6) >= SEM_T
+    }
+    if exact:
+        r_in = len(in_cell & exact) / len(exact)
+        r_multi = len(multi & exact) / len(exact)
+        assert r_multi >= r_in, (r_multi, r_in)
+
+
+def test_blocked_trio_reads_materialized_capped_stage(spark, sf_dir):
+    """Round-4 verdict task 5: q_dedup_ngram / containment / fuzzy must
+    read the materialized capped-shingle stage instead of re-deriving
+    corpus shingles per query — no documents.parquet text scan on the
+    candidate-generation path (fuzzy still reads documents for its
+    Levenshtein verification TEXT, which is candidate-scoped)."""
+    spark.catalog.clearCache()
+    for name in ("q_dedup_ngram", "q_dedup_containment"):
+        df = QS[name](spark, sf_dir)
+        files = df.inputFiles()
+        assert [f for f in files if "dedup_capped_" in f], f"{name}: stage not read"
+        assert not [f for f in files if "documents.parquet" in f], (
+            f"{name}: corpus text re-scan"
+        )
+    df = QS["q_dedup_fuzzy"](spark, sf_dir)
+    files = df.inputFiles()
+    assert [f for f in files if "dedup_capped_" in f]

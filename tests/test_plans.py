@@ -355,6 +355,11 @@ def test_sketch_cms_partial_agg_and_topn(spark, sf_dir):
     assert "partial_count" in plan
     rep = plan_report(QS["q_sketch_cms"](spark, sf_dir))
     assert rep["has_take_ordered"]
+    # One-pass build (round-4 verdict task 4): the whole plan reads
+    # lineitem exactly twice — once for the posexploded sketch build,
+    # once for the exact-count probe side; the old per-depth-row loop
+    # read it five times.
+    assert plan.count("lineitem.parquet") <= 2, plan
 
 
 def test_bloom_reduction_joins_are_broadcast_semi(spark, sf_dir):

@@ -408,3 +408,77 @@ def test_streaming_dead_letter_routing(spark, sf_dir):
     pipe._apply_batch(corrupted, 0)
     assert pipe.dead_letters().count() == n_bad
     assert mirror_diff(pipe.mirror(), expected).count() == 0
+
+
+def test_streaming_dlq_checkpoint_replay_idempotent(spark, sf_dir):
+    """Checkpoint-level replay (round-4 verdict task 6): run the
+    stream, crash it AFTER the last micro-batch's offsets were logged
+    but BEFORE its commit (simulated by deleting the newest
+    ``commits/N`` file — exactly the window a real crash leaves), then
+    restart from the checkpoint. Structured Streaming re-executes
+    batch N; the DLQ must hold the same dead letters, not duplicates —
+    the guarantee the batch_id-partitioned dynamic-overwrite DLQ write
+    exists to provide."""
+    import os
+
+    ch = changelog(spark, sf_dir)
+    snapshot = ch.filter(F.col("op") == "r").select("k", "name", "bal")
+    stream_part = ch.filter(F.col("op") != "r")
+
+    def corrupt(df, mod):
+        env = encode_envelope(df)
+        return env.select(
+            "key",
+            F.when(F.col("key") % 5 == mod, F.substring("value", 1, 8))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+
+    pipe = StreamingCdcPipeline(spark)
+    pipe.init_mirror(snapshot)
+    # Two input files -> two micro-batches (maxFilesPerTrigger=1), each
+    # carrying both good rows and guaranteed-unparseable rows.
+    pipe.feed(corrupt(stream_part.filter(F.col("ts_ms") <= 2500), 0), "b0")
+    pipe.feed(corrupt(stream_part.filter(F.col("ts_ms") > 2500), 1), "b1")
+    q = pipe.start(trigger_once=True)
+    q.awaitTermination(300)
+
+    n_dlq = pipe.dead_letters().count()
+    assert n_dlq > 0
+    good_stream = stream_part.filter(
+        ~(
+            ((F.col("k") % 5 == 0) & (F.col("ts_ms") <= 2500))
+            | ((F.col("k") % 5 == 1) & (F.col("ts_ms") > 2500))
+        )
+    )
+    expected = (
+        compact_latest(
+            snapshot.select(
+                "k", "name", "bal", F.lit("r").alias("op"),
+                F.lit(1000).cast("long").alias("ts_ms"), F.col("k").alias("off"),
+            ).unionByName(good_stream),
+            ["k"],
+        )
+        .filter(F.col("op") != "d")
+        .select("k", "name", "bal")
+    )
+    assert mirror_diff(pipe.mirror(), expected).count() == 0
+    applied_before = pipe.batches_applied
+
+    # Crash simulation: offsets/N exists, commits/N gone -> on restart
+    # the engine replays batch N through _apply_batch with the SAME id.
+    commits_dir = os.path.join(pipe.checkpoint, "commits")
+    newest = max(f for f in os.listdir(commits_dir) if f.isdigit())
+    os.remove(os.path.join(commits_dir, newest))
+    # ChecksumFs keeps a .N.crc sibling; a real crash loses both.
+    crc = os.path.join(commits_dir, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    q2 = pipe.start(trigger_once=True)
+    q2.awaitTermination(300)
+    # The replay really happened (the batch re-applied)...
+    assert pipe.batches_applied > applied_before
+    # ...and was idempotent: same dead letters, same mirror.
+    assert pipe.dead_letters().count() == n_dlq
+    assert mirror_diff(pipe.mirror(), expected).count() == 0
