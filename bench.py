@@ -135,6 +135,11 @@ BENCH_QUERIES = [
     "q_anon_kanonymity",
     "q_knn_graph_multiprobe",
     "q_dedup_semantic_multiprobe",
+    "q_orders_rfm",
+    "q_cohort_ltv",
+    "q_herfindahl",
+    "q_cdc_checksum",
+    "q_ts_out_of_order",
 ]
 
 

@@ -1461,3 +1461,61 @@ def q_cdc_fanout(spark, sf_dir):
         F.lit(None).cast("double").alias("bal_sum"),
     )
     return m_row.unionByName(a_row).unionByName(c_row)
+
+
+CHECKSUM_SQL = f"""
+    WITH mirror AS ({MIRROR_SQL}),
+    hashed AS (
+        SELECT ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 1048576
+              + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 65536
+              + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substring(h, 5, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substring(h, 6, 1)) - 1)) AS hv
+        FROM (
+            SELECT md5(CAST(k AS VARCHAR) || '|' || COALESCE(name, '<null>')
+                       || '|' || COALESCE(CAST(CAST(bal AS DECIMAL(18,2))
+                                               AS VARCHAR), '<null>')) AS h
+            FROM mirror
+        )
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(hv) AS BIGINT) AS checksum_sum,
+           CAST(bit_xor(hv) AS BIGINT) AS checksum_xor
+    FROM hashed
+"""
+
+
+@query("q_cdc_checksum", oracle=CHECKSUM_SQL)
+def q_cdc_checksum(spark, sf_dir):
+    """Order-insensitive table checksum of the CDC mirror — the
+    replica-verification primitive (pt-table-checksum's model): each
+    row hashes to a 24-bit value off md5 of its canonicalized columns,
+    and the table fingerprint is (count, SUM of hashes, XOR of
+    hashes). Both aggregates are COMMUTATIVE MONOIDS, so the
+    fingerprint is independent of row order and partitioning and
+    merges across partitions/replicas for free — comparing source and
+    mirror costs one scan each side and ships 3 numbers, the only
+    feasible equality check between 100 TB replicas.
+
+    Canonicalization pins the float column through DECIMAL(18,2) text
+    (engine-stable rendering) and gives NULLs an explicit token, so
+    Spark and DuckDB hash identical bytes. 6 hex nibbles -> 24-bit hv
+    keeps the SUM well inside BIGINT at any row count."""
+    mirror = compact_latest(changelog(spark, sf_dir), ["k"]).filter(
+        F.col("op") != "d"
+    ).select("k", "name", "bal")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("k").cast("string"),
+            F.coalesce(F.col("name"), F.lit("<null>")),
+            F.coalesce(F.col("bal").cast("decimal(18,2)").cast("string"), F.lit("<null>")),
+        )
+    )
+    hv = F.conv(F.substring(h, 1, 6), 16, 10).cast("long")
+    return mirror.select(hv.alias("hv")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("hv").alias("checksum_sum"),
+        F.expr("bit_xor(hv)").cast("long").alias("checksum_xor"),
+    )

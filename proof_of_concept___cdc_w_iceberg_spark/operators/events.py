@@ -1216,3 +1216,61 @@ def q_ts_seasonal(spark, sf_dir):
         F.round(h_mean, 6).alias("hourly_mean"),
         F.round(h_mean - F.col("s_all") / F.col("n_all"), 6).alias("seasonal_dev"),
     )
+
+
+OOO_SQL = """
+    WITH arrivals AS (
+        SELECT user_id, ts,
+               MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_max
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN ts < prev_max THEN 1 END) AS BIGINT) AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN ts < prev_max
+                    THEN date_diff('second', ts, prev_max) END), 0) AS BIGINT)
+               AS max_delay_s,
+           ROUND(CAST(COUNT(CASE WHEN ts < prev_max THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 4) AS late_frac
+    FROM arrivals GROUP BY user_id
+"""
+
+
+@query("q_ts_out_of_order", oracle=OOO_SQL)
+def q_ts_out_of_order(spark, sf_dir):
+    """Out-of-order arrival audit: per user, how many events arrived
+    with an event-time EARLIER than something already seen (arrival
+    order = event_id, the ingestion sequence), and the worst disorder
+    in seconds. This measurement IS how a streaming deployment chooses
+    its watermark delay (q_stream_watermark): the watermark must cover
+    the observed max_delay_s tail or late events silently drop.
+
+    One running-MAX window over the arrival order (constant per-row
+    state, frame ends at 1 PRECEDING so an event never compares to
+    itself) feeding one map-combined groupBy — a single shuffle on
+    user_id at any scale. Second-granularity delays keep the
+    cross-engine arithmetic integral."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "user_id",
+        "ts",
+        F.max("ts").over(w).alias("prev_max"),
+    )
+    late = F.when(F.col("ts") < F.col("prev_max"), 1)
+    delay = F.when(
+        F.col("ts") < F.col("prev_max"),
+        F.unix_timestamp("prev_max") - F.unix_timestamp("ts"),
+    )
+    return arr.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count(late).alias("n_late"),
+        F.coalesce(F.max(delay), F.lit(0)).cast("long").alias("max_delay_s"),
+        F.round(F.count(late).cast("double") / F.count("*"), 4).alias("late_frac"),
+    )

@@ -180,7 +180,7 @@ def _load() -> None:
     if _loaded:
         return
     _loaded = True
-    from .operators import aggregates, events, filters, joins, layout, quality, scans, setops, sketches, sorts, subqueries, tpch, windows  # noqa: F401
+    from .operators import aggregates, analytics, events, filters, joins, layout, quality, scans, setops, sketches, sorts, subqueries, tpch, windows  # noqa: F401
     from .functions import scalar  # noqa: F401
     from .cdc import incremental as _cdc_ivm  # noqa: F401
     from .cdc import queries as _cdc  # noqa: F401

@@ -58,6 +58,12 @@ NESTED_LOOP_OK = {
     "q_cdc_drift_psi": "1-row min/max + 1-row bin-total broadcasts into the "
     "10-row bin spine",
     "q_zonemap_prune": "1-row global min/max broadcast for zone edges",
+    "q_orders_rfm": "1-row reference-date broadcast into the recency calc",
+    "q_basket_pairs": "1-row order-total broadcast into the lift score",
+    "q_knn_graph_multiprobe": "corpus x |centroids| (≤cells) probe "
+    "assignment — bounded by design, same shape as q_sim_ivf",
+    "q_dedup_semantic_multiprobe": "corpus x |centroids| probe assignment "
+    "— bounded by design, same shape as q_sim_ivf",
     "q_mmr_diversify": "1-row query-vector broadcast (stage 1); greedy loop "
     "runs on the bounded collected pool",
     "q_join_temporal": "5-literal probe-timestamp broadcast expands the "
