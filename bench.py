@@ -140,6 +140,13 @@ BENCH_QUERIES = [
     "q_herfindahl",
     "q_cdc_checksum",
     "q_ts_out_of_order",
+    "q_win_median",
+    "q_ts_cusum",
+    "q_funnel_latency",
+    "q_stream_topk",
+    "q_events_dau_wau",
+    "q_join_asof_nearest",
+    "q_agg_gini",
 ]
 
 

@@ -1056,3 +1056,113 @@ def q_stats_corr(spark, sf_dir):
         ]
     )
     return m.select(F.explode(rows).alias("r")).select("r.col_a", "r.col_b", "r.corr")
+
+
+TRIM_DIV = 20  # trim n//20 rows (5%) from each tail
+
+TRIMMED_SQL = f"""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS trimmed_mean
+    FROM ranked
+    WHERE rn > n // {TRIM_DIV} AND rn <= n - n // {TRIM_DIV}
+    GROUP BY o_orderpriority, n
+"""
+
+
+@query("q_agg_trimmed", oracle=TRIMMED_SQL)
+def q_agg_trimmed(spark, sf_dir):
+    """5%-trimmed mean per group — the robust location estimate that
+    survives the fat tails a plain mean is hostage to (metric
+    pipelines report this next to p50). Trim counts use INTEGER
+    division (n // {TRIM_DIV}), never n*0.05 — float multiples of a
+    non-binary fraction can floor differently at exact boundaries.
+
+    Rank window partitioned on the group key (distributed — each
+    group sorts its own slice), tail filter, then the same
+    exact-decimal mean as everywhere else. One Exchange total: the
+    follow-up aggregate reuses the window's hash keys."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(w.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    lo = F.floor(F.col("n") / TRIM_DIV)
+    kept = ranked.filter((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
+    return kept.groupBy("o_orderpriority", "n").agg(
+        F.count("*").alias("n_kept"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("trimmed_mean"),
+    ).select(
+        "o_orderpriority", F.col("n").cast("long").alias("n"), "n_kept", "trimmed_mean"
+    )
+
+
+GINI_SQL = """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           ROUND(2.0 * CAST(SUM(CAST(rn * o_totalprice AS DECIMAL(38,8)))
+                            AS DOUBLE)
+                 / (n * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                             AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM ranked
+    GROUP BY o_orderpriority, n
+"""
+
+
+@query("q_agg_gini", oracle=GINI_SQL)
+def q_agg_gini(spark, sf_dir):
+    """Gini coefficient of order value per priority class — the
+    inequality/concentration profile (how skewed is spend across
+    orders), computed by the rank formulation
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending ranks.
+
+    Both Σ terms are EXACT decimals (integer rank × 2dp price stays
+    rational), so the double arithmetic at the end is an identical
+    chain cross-engine. Same distributed shape as q_agg_trimmed: a
+    group-partitioned rank window feeding a map-combined aggregate —
+    the rank window is the only ordered pass, and it orders each
+    group's slice, never the table."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(w.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    swx = F.sum((F.col("rn") * F.col("o_totalprice")).cast("decimal(38,8)")).cast(
+        "double"
+    )
+    sx = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    n = F.col("n")
+    return ranked.groupBy("o_orderpriority", "n").agg(
+        F.round(
+            F.lit(2.0) * swx / (n * sx) - (n + 1).cast("double") / n, 6
+        ).alias("gini")
+    ).select("o_orderpriority", F.col("n").cast("long").alias("n"), "gini")

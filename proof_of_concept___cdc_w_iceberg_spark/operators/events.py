@@ -1274,3 +1274,186 @@ def q_ts_out_of_order(spark, sf_dir):
         F.coalesce(F.max(delay), F.lit(0)).cast("long").alias("max_delay_s"),
         F.round(F.count(late).cast("double") / F.count("*"), 4).alias("late_frac"),
     )
+
+
+FUNNEL_LAT_SQL = """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT f.user_id, f.v_ts, MIN(e.ts) AS c_ts
+        FROM firsts f
+        JOIN events e ON e.user_id = f.user_id
+            AND e.event_type = 'click' AND e.ts >= f.v_ts
+        GROUP BY f.user_id, f.v_ts
+    )
+    SELECT CAST((SELECT COUNT(*) FROM firsts WHERE v_ts IS NOT NULL) AS BIGINT)
+               AS n_viewers,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(CAST(date_diff('second', v_ts, c_ts)
+                               AS DECIMAL(18,0))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_delay_s,
+           CAST(MAX(date_diff('second', v_ts, c_ts)) AS BIGINT) AS max_delay_s
+    FROM conv
+"""
+
+
+@query("q_funnel_latency", oracle=FUNNEL_LAT_SQL)
+def q_funnel_latency(spark, sf_dir):
+    """Time-to-convert between funnel steps: first 'view' per user to
+    the first 'click' at-or-after it — the latency distribution behind
+    q_funnel's step counts (how LONG conversion takes, not just
+    whether it happens).
+
+    Two co-partitioned aggregations on user_id (first-view, then
+    first-qualifying-click on the join's own partitioning) and a
+    single-row summary with an exact integer-second decimal sum —
+    the event-time arithmetic stays integral so both engines agree
+    bit-for-bit. At 100 TB the user_id shuffle is the only wide op."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v_ts")
+    )
+    viewers = firsts.filter(F.col("v_ts").isNotNull())
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts_raw")
+    )
+    conv = (
+        viewers.join(clicks, "user_id")
+        .filter(F.col("c_ts_raw") >= F.col("v_ts"))
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("c_ts_raw").alias("c_ts"))
+    )
+    delay = F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")
+    n_viewers = viewers.count()
+    return conv.agg(
+        F.lit(n_viewers).cast("long").alias("n_viewers"),
+        F.count("*").alias("n_converted"),
+        F.round(
+            F.sum(delay.cast("decimal(18,0)")).cast("double") / F.count("*"), 4
+        ).alias("avg_delay_s"),
+        F.max(delay).cast("long").alias("max_delay_s"),
+    )
+
+
+CUSUM_SQL = """
+    WITH series AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   AS mu,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           ROUND(list_reduce(list_prepend(0.0, vals),
+                 (acc, x) -> GREATEST(0.0, acc + (x - mu))), 6) AS cusum_pos,
+           ROUND(list_reduce(list_prepend(0.0, vals),
+                 (acc, x) -> GREATEST(0.0, acc + (mu - x))), 6) AS cusum_neg
+    FROM series
+"""
+
+
+@query("q_ts_cusum", oracle=CUSUM_SQL)
+def q_ts_cusum(spark, sf_dir):
+    """CUSUM drift detector per user series: S⁺ = max(0, S⁺ + (x-μ))
+    and S⁻ = max(0, S⁻ + (μ-x)) folded over the time order — the
+    ONLINE complement of q_ts_changepoint's offline split search
+    (end-of-window S values far from 0 mean unacknowledged drift; a
+    monitoring deployment alarms when S crosses h·σ).
+
+    The recursion is nonlinear (the max clamp), so no window frame
+    expresses it — this is the array-fold shape of q_ts_ewma: ONE
+    shuffle on user_id collects each series, μ comes from an exact
+    decimal sum in the SAME aggregation (no second pass), and both
+    folds are identical IEEE chains in Spark ``aggregate`` and DuckDB
+    ``list_reduce`` (zero-seeded via list_prepend), so results
+    hash-match. Per-group state = that user's event list."""
+    ev = load(spark, sf_dir, "events")
+    arr = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    series = ev.groupBy("user_id").agg(
+        F.transform(arr, lambda a: a["value"]).alias("vals"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+        F.count("*").alias("n_events"),
+    )
+    mu = F.col("mu")
+
+    def fold(sign: int):
+        return F.aggregate(
+            F.col("vals"),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(
+                F.lit(0.0), acc + (x - mu) * F.lit(float(sign))
+            ),
+        )
+
+    # (x - mu)*1 and (x - mu)*-1 must match the oracle's (x - mu) and
+    # (mu - x) bit-for-bit: IEEE negation is exact, multiplication by
+    # ±1.0 is an identity on finite doubles.
+    return series.select(
+        "user_id",
+        "n_events",
+        F.round(fold(1), 6).alias("cusum_pos"),
+        F.round(fold(-1), 6).alias("cusum_neg"),
+    )
+
+
+DAU_WAU_SQL = """
+    WITH userday AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM userday GROUP BY day
+    ),
+    contrib AS (
+        SELECT user_id, day + CAST(o.o AS INT) AS tday
+        FROM userday, (SELECT unnest(range(0, 7)) AS o) o
+    ),
+    wau AS (
+        SELECT tday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM contrib GROUP BY tday
+    )
+    SELECT d.day, d.dau, w.wau,
+           ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+"""
+
+
+@query("q_events_dau_wau", oracle=DAU_WAU_SQL)
+def q_events_dau_wau(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    triple. EXACT windowed distinct users without a distinct-over-
+    window (which Spark refuses) and without an O(days × corpus)
+    self-join: the (user, day) relation each contributes itself to
+    the 7 future days it keeps a user 'weekly-active' for (a 7-row
+    generator explode), and WAU is then a plain COUNT(DISTINCT) per
+    target day. Cost is 7×|user-days| rows into one distinct
+    aggregate — linear, map-combined, the standard scale shape for
+    exact sliding distincts (HLL register-merge, q_sketch_hll, is the
+    approximate alternative when 7× is too much).
+
+    Only days with actual activity are reported (inner join DAU∩WAU),
+    so the relation stays |active days| long."""
+    ev = load(spark, sf_dir, "events")
+    userday = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    dau = userday.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = userday.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("o")).alias("day"))
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

@@ -581,3 +581,74 @@ def q_join_nullsafe(spark, sf_dir):
             F.coalesce(F.col("grp"), F.lit("<null>")).alias("grp"),
         )
     )
+
+
+ASOF_NEAREST_SQL = """
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT event_id AS view_id, user_id AS v_user, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    cand AS (
+        SELECT c.click_id, c.user_id, v.view_id,
+               ABS(date_diff('second', v.v_ts, c.c_ts)) AS gap_s
+        FROM clicks c JOIN views v
+          ON v.v_user = c.user_id
+         AND v.v_ts BETWEEN c.c_ts - INTERVAL 30 MINUTE
+                        AND c.c_ts + INTERVAL 30 MINUTE
+    ),
+    ranked AS (
+        SELECT click_id, user_id, view_id, CAST(gap_s AS BIGINT) AS gap_s,
+               row_number() OVER (PARTITION BY click_id
+                                  ORDER BY gap_s, view_id) AS rn
+        FROM cand
+    )
+    SELECT click_id, user_id, view_id, gap_s FROM ranked WHERE rn = 1
+"""
+
+
+@query("q_join_asof_nearest", oracle=ASOF_NEAREST_SQL)
+def q_join_asof_nearest(spark, sf_dir):
+    """NEAREST-match as-of join: each click pairs with the view
+    closest in event time (either direction, ±30 min tolerance) — the
+    third member of the as-of family (q_join_asof = backward,
+    q_join_asof_forward = forward), the matching mode sensor-fusion
+    and attribution pipelines want when causality can run either way.
+
+    Same scale shape as its siblings: equi-join on the entity key
+    with a bounded time-range predicate (the tolerance bounds
+    candidate fan-out), then one rank window on the join's own
+    partitioning picks the minimum |gap| with a deterministic
+    tiebreak (gap, view_id). Integer-second gaps keep the ordering
+    cross-engine exact."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    cand = clicks.join(
+        views,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select(
+        "click_id",
+        "user_id",
+        "view_id",
+        F.abs(
+            F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")
+        ).cast("long").alias("gap_s"),
+    )
+    w = Window.partitionBy("click_id").orderBy("gap_s", "view_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("click_id", "user_id", "view_id", "gap_s")
+    )

@@ -453,3 +453,90 @@ def q_win_zscore(spark, sf_dir):
             (F.col("value") - F.col("s1") / F.col("n")) / F.when(sd != 0.0, sd), 4
         ).alias("z"),
     )
+
+
+MEDIAN_SQL = """
+    WITH ranked AS (
+        SELECT l_returnflag, l_linestatus, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                                  ORDER BY l_extendedprice, l_orderkey,
+                                           l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS median_price
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY l_returnflag, l_linestatus, n
+"""
+
+
+@query("q_win_median", oracle=MEDIAN_SQL)
+def q_win_median(spark, sf_dir):
+    """EXACT group median without engine median()/percentile()
+    built-ins (whose interpolation fp differs across engines): rank
+    within the group, keep the one or two middle rows, average them
+    through an exact decimal sum — even/odd group sizes both fall out
+    of the rn IN ((n+1)/2, (n+2)/2) selection.
+
+    The window partitions on the GROUP keys, so ranking is fully
+    distributed (each group sorts its own partition slice — never a
+    global sort); the follow-up aggregate reuses the same hash keys.
+    At 100 TB, exact medians of high-cardinality groups are exactly
+    this shape; a single giant group would switch to the two-pass
+    bucket prune of q_percentile_exact_dist."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag", "l_linestatus")
+    ranked = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_extendedprice",
+        F.row_number()
+        .over(w.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("l_returnflag", "l_linestatus", "n").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("median_price")
+    ).select("l_returnflag", "l_linestatus", F.col("n").cast("long").alias("n"), "median_price")
+
+
+RATIO_SQL = """
+    WITH t AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_orderpriority) AS DOUBLE) AS grp_total
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice / grp_total, 8) AS share
+    FROM t
+"""
+
+
+@query("q_win_ratio_to_report", oracle=RATIO_SQL)
+def q_win_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report: each order's share of its priority class's
+    total — the denominator is a whole-partition window SUM through an
+    exact decimal (order-independent), so every row's share is
+    bit-stable however the partition is scanned. One Exchange on the
+    partition key; the class totals never leave the executors (no
+    collect, no second scan) — the windowed form of the
+    aggregate-then-rejoin idiom, one shuffle cheaper."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") / total, 8).alias("share"),
+    )

@@ -445,3 +445,50 @@ def _register_stream_compact():
 
 
 _register_stream_compact()
+
+
+STREAM_TOPK_K = 3
+
+STREAM_TOPK_SQL = f"""
+    WITH totals AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, user_id, total,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY total DESC, user_id) AS rn
+        FROM totals
+    )
+    SELECT event_type, user_id, total, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {STREAM_TOPK_K}
+"""
+
+
+@query("q_stream_topk", oracle=STREAM_TOPK_SQL)
+def q_stream_topk(spark, sf_dir):
+    """Streaming top-k leaderboard, batch twin: top-{STREAM_TOPK_K}
+    users per event type by cumulative value. The LIVE form keeps a
+    per-(type, user) running sum in the state store
+    (streaming/stateful.py value_cumsum_stream — one 64-bit
+    accumulator per key, hash-partitioned, update-mode emission) and
+    ranks DOWNSTREAM of the state, so state size never depends on k
+    or candidate churn; tests/test_streaming.py proves the streamed
+    totals equal this batch computation bit-for-bit (6dp micro-unit
+    accumulation == the exact decimal sum, whatever the batching).
+
+    Batch shape: one map-combined decimal aggregate + a rank window
+    partitioned by event_type — both distributed at any scale."""
+    ev = load(spark, sf_dir, "events")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.col("total").desc(), F.col("user_id"))
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STREAM_TOPK_K)
+        .select("event_type", "user_id", "total", F.col("rn").cast("long").alias("rn"))
+    )

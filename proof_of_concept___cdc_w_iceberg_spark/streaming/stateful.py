@@ -158,3 +158,55 @@ if _HAVE_TWS_API:
             timeMode="None",
         )
 
+
+
+# --- per-(event_type, user_id) running-sum state -------------------------
+#
+# The incremental-aggregate stateful operator: tiny FIXED state per key
+# (one 64-bit micro-unit accumulator), update-mode emission per batch.
+# Top-k per event_type is computed DOWNSTREAM of the state (the batch
+# twin q_stream_topk does the same), so state never holds a candidate
+# set — the shape that scales to any user cardinality because keys
+# hash-partition across executors.
+#
+# Exactness contract: values accumulate as 6dp micro-units via
+# Decimal(repr(v)) HALF_UP — precisely Spark's double->DECIMAL(18,6)
+# cast semantics — so the streamed totals are bit-equal to the batch
+# twin's exact decimal sums however the stream is batched.
+
+CUMSUM_STATE_SCHEMA = "micros LONG"
+CUMSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("micros", T.LongType()),
+    ]
+)
+
+
+def cumsum_state_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        for v in pdf["value"]:
+            total += int(
+                Decimal(repr(float(v))).scaleb(6).to_integral_value(ROUND_HALF_UP)
+            )
+    state.update((total,))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "user_id": [int(key[1])], "micros": [total]}
+    )
+
+
+def value_cumsum_stream(events: DataFrame) -> DataFrame:
+    """Wire the running-sum operator over a (streaming) events frame
+    with columns (event_type, user_id, value)."""
+    return events.groupBy("event_type", "user_id").applyInPandasWithState(
+        cumsum_state_fn,
+        outputStructType=CUMSUM_OUTPUT_SCHEMA,
+        stateStructType=CUMSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

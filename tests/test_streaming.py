@@ -482,3 +482,62 @@ def test_streaming_dlq_checkpoint_replay_idempotent(spark, sf_dir):
     # ...and was idempotent: same dead letters, same mirror.
     assert pipe.dead_letters().count() == n_dlq
     assert mirror_diff(pipe.mirror(), expected).count() == 0
+
+
+def test_stateful_cumsum_topk_matches_batch(spark, sf_dir):
+    """The live stateful running-sum operator (applyInPandasWithState,
+    one 64-bit micro-unit accumulator per (type, user) key) fed the
+    events table as MULTIPLE micro-batches must produce totals
+    bit-equal to q_stream_topk's batch decimal sums — the state-merge
+    == batch law for the incremental-aggregate operator, independent
+    of how the stream was batched."""
+    from proof_of_concept___cdc_w_iceberg_spark.registry import queries
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.stateful import (
+        value_cumsum_stream,
+    )
+
+    events = load(spark, sf_dir, "events").select("event_type", "user_id", "ts", "value")
+    src = tempfile.mkdtemp(prefix="stream_topk_")
+    # Partitioned layout -> several files -> several micro-batches
+    # under maxFilesPerTrigger, so state genuinely merges across
+    # batches (a user's events span _b partitions only via ts order,
+    # but every key appears in exactly one _b — vary the split on
+    # event order instead of user so keys DO span batches).
+    events.withColumn("_b", (F.unix_timestamp("ts") % 3).cast("int")).write.partitionBy(
+        "_b"
+    ).mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_type string, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src + "/_b=*")
+    )
+    out = value_cumsum_stream(stream.select("event_type", "user_id", "value"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cumsum_topk_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update mode re-emits a key each batch it appears in: keep the max
+    # (monotone) accumulator per key = the final state.
+    got = spark.sql(
+        """
+        SELECT event_type, user_id, MAX(micros) / 1e6 AS total FROM cumsum_topk_test
+        GROUP BY event_type, user_id
+        """
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.col("total").desc(), F.col("user_id"))
+    got_topk = (
+        got.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "user_id", "total", F.col("rn").cast("long").alias("rn"))
+    )
+    expected = queries()["q_stream_topk"](spark, sf_dir)
+    assert got_topk.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got_topk).count() == 0
