@@ -348,6 +348,7 @@ def q_sim_lsh(spark, sf_dir):
 
 
 KNN_K = 3
+SEM_T = 0.45  # cosine threshold for a semantic-duplicate edge
 
 
 @query(
@@ -425,14 +426,22 @@ def multiprobe_assign(e, n_probe: int = 2):
     Keeping the own cell makes the induced pair set a strict SUPERSET
     of the single-cell blocking (recall can only go up); the extra
     probe recovers cross-cell neighbors at ≤ n_probe× pair cost.
-    Centroids are per-dimension means (one map-combined agg, O(cells ×
-    dim) state); the assignment join broadcasts the tiny centroid
-    relation, so the corpus never shuffles for it. ``e`` must carry
-    (vec_id, label, embedding, sq)."""
+    Centroids are per-dimension means computed from EXACT DECIMAL
+    sums (order-independent — float avg() would make the assignment,
+    and thus the result, partitioning-sensitive and un-oracle-able);
+    one map-combined agg, O(cells × dim) state; the assignment join
+    broadcasts the tiny centroid relation, so the corpus never
+    shuffles for it. ``e`` must carry (vec_id, label, embedding,
+    sq)."""
     dims = e.select("label", F.posexplode("embedding").alias("pos", "v"))
     cent = (
         dims.groupBy("label", "pos")
-        .agg(F.avg("v").alias("cv"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
         .groupBy("label")
         .agg(F.array_agg(F.struct("pos", "cv")).alias("pcs"))
         .select(
@@ -490,15 +499,88 @@ def _cell_blocked_pairs(e, assign):
     return cand.join(ea, "id_a").join(eb, "id_b")
 
 
-@query("q_knn_graph_multiprobe")
+# Multi-probe cell assignment as DuckDB CTEs, shared by both
+# multiprobe oracles. Centroids from EXACT decimal sums (matching
+# multiprobe_assign), so the assignment — and everything downstream —
+# is a deterministic identical-chain computation in both engines.
+_MULTIPROBE_CTE = f"""
+    e AS (
+        SELECT vec_id, label, embedding,
+               {SQNORM_SQL.format(a='embedding')} AS sq
+        FROM embeddings
+    ),
+    cent0 AS (
+        SELECT label, p.pos,
+               CAST(SUM(CAST(CAST(embedding[p.pos + 1] AS DOUBLE)
+                             AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+        FROM embeddings,
+             (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings
+                                      LIMIT 1))) AS pos) p
+        GROUP BY label, p.pos
+    ),
+    centn AS (
+        SELECT label AS c_label, centroid,
+               {SQNORM_SQL.format(a='centroid')} AS c_sq
+        FROM (SELECT label, list(cv ORDER BY pos) AS centroid
+              FROM cent0 GROUP BY label)
+    ),
+    probes AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.c_label AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {DOT_SQL.format(a='e.embedding', b='c.centroid')}
+                                / sqrt(e.sq * c.c_sq) DESC, c.c_label) AS rn
+            FROM e JOIN centn c ON e.label <> c.c_label
+        ) WHERE rn <= 1
+    ),
+    assign AS (
+        SELECT vec_id, CAST(label AS INT) AS cell FROM e
+        UNION ALL
+        SELECT vec_id, CAST(cell AS INT) FROM probes
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+"""
+
+KNN_MULTIPROBE_SQL = f"""
+    WITH {_MULTIPROBE_CTE},
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               {DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+                   / sqrt(ea.sq * eb.sq) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst, cosine FROM scored
+        UNION ALL
+        SELECT id_b, id_a, cosine FROM scored
+    ),
+    ranked AS (
+        SELECT src, dst, cosine,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rn
+        FROM sym
+    )
+    SELECT src, dst, ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
+@query("q_knn_graph_multiprobe", oracle=KNN_MULTIPROBE_SQL)
 def q_knn_graph_multiprobe(spark, sf_dir):
     """q_knn_graph with multi-probe cell assignment: candidates form
     inside any of each vector's 2 assigned cells (own label + nearest
     other centroid), recovering the cross-cell edges the single-cell
     blocking misses at ~2× pair cost — plans stay cell-blocked, never
-    all-pairs. No oracle (centroid means are float-order engine-
-    sensitive); the recall uplift over q_knn_graph is asserted against
-    brute force in tests/test_ext.py."""
+    all-pairs. Fully hash-checked: the decimal-sum centroids make the
+    whole assignment deterministic, so even the probe decisions match
+    the oracle bit-for-bit; the recall uplift over q_knn_graph is
+    additionally asserted against brute force in tests/test_ext.py."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
     )
@@ -535,15 +617,48 @@ def semantic_edges_multiprobe(spark, sf_dir):
     return pairs.filter(F.round(cos, 6) >= SEM_T).select("id_a", "id_b")
 
 
-@query("q_dedup_semantic_multiprobe")
+SEMANTIC_MULTIPROBE_SQL = f"""
+    WITH RECURSIVE {_MULTIPROBE_CTE},
+    pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.id_a
+        JOIN e eb ON eb.vec_id = c.id_b
+        WHERE ROUND({DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+                    / sqrt(ea.sq * eb.sq), 6) >= {SEM_T}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    )
+    SELECT v.vec_id,
+           CAST(LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id)) AS BIGINT)
+               AS component,
+           CAST(CASE WHEN LEAST(v.vec_id, COALESCE(MIN(r.b), v.vec_id))
+                          = v.vec_id THEN 1 ELSE 0 END AS BIGINT)
+               AS is_canonical
+    FROM embeddings v LEFT JOIN reach r ON r.a = v.vec_id
+    GROUP BY v.vec_id
+"""
+
+
+@query("q_dedup_semantic_multiprobe", oracle=SEMANTIC_MULTIPROBE_SQL)
 def q_dedup_semantic_multiprobe(spark, sf_dir):
     """q_dedup_semantic with multi-probe cell assignment: duplicate
     edges can now cross cells (own label + nearest other centroid), so
     paraphrase clusters split across a cell boundary collapse into one
     component — the SemDeDup recall gap named in q_dedup_semantic's
     docstring, closed at ≤2× pair cost. Components via the shared
-    min-label propagation. No oracle (float centroid means); edge-set
-    superset + uplift asserted in tests/test_ext.py."""
+    min-label propagation. Hash-checked end-to-end (decimal-sum
+    centroids make the probe assignment deterministic; recursive-CTE
+    closure oracle); edge-set superset + uplift additionally asserted
+    in tests/test_ext.py."""
     from .dedup import connected_components
 
     pairs = semantic_edges_multiprobe(spark, sf_dir)
@@ -694,8 +809,6 @@ def q_mmr_diversify(spark, sf_dir):
         selected.append((step, best[0], best[1]))
     return spark.createDataFrame(selected, "step long, cand_id long, score double")
 
-
-SEM_T = 0.45  # cosine threshold for a semantic-duplicate edge
 
 SEMANTIC_DEDUP_SQL = f"""
     WITH RECURSIVE e AS (
