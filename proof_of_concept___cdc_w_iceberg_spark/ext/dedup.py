@@ -928,3 +928,76 @@ def q_dedup_eval(spark, sf_dir):
         .groupBy("category")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+TEMPLATE_SQL = """
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 30000000,
+               text || ' session ' || CAST(doc_id AS VARCHAR) || ' of 2024'
+        FROM documents WHERE doc_id % 9 = 0
+        UNION ALL
+        SELECT doc_id + 40000000,
+               text || ' session ' || CAST(doc_id + 7 AS VARCHAR) || ' of 2025'
+        FROM documents WHERE doc_id % 9 = 0
+    ),
+    tmpl AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[0-9]+', '#', 'g'), '\\s+', ' ', 'g'))) AS template_fp
+        FROM all_docs
+    )
+    SELECT template_fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_instances
+    FROM tmpl GROUP BY template_fp
+    HAVING COUNT(*) > 1
+"""
+
+
+@query("q_dedup_template", oracle=TEMPLATE_SQL)
+def q_dedup_template(spark, sf_dir):
+    """Template dedup: mask every digit run to '#', collapse
+    whitespace, casefold, THEN hash-group — the log-line /
+    boilerplate-template collapse (timestamps, ids, counters vary;
+    the template repeats) that sits between normalized-exact
+    (q_dedup_normalized) and shingle near-dup in the web-scale ladder.
+    Template instances are PLANTED (every 9th doc replayed twice with
+    differing session ids/years) so the collapse is observable;
+    reports only templates with >1 instance — the dedup candidates.
+
+    Same single-shuffle scale shape as the other exact rungs: narrow
+    per-row regex canonicalization in whole-stage codegen, one
+    map-combined groupBy on the template hash."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def replay(off: int, id_shift: int, year: str):
+        return d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" session "),
+                (F.col("doc_id") + id_shift).cast("string"),
+                F.lit(f" of {year}"),
+            ).alias("text"),
+        )
+
+    all_docs = d.unionByName(replay(30_000_000, 0, "2024")).unionByName(
+        replay(40_000_000, 7, "2025")
+    )
+    tmpl = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return (
+        all_docs.select("doc_id", tmpl.alias("template_fp"))
+        .groupBy("template_fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_instances"))
+        .filter(F.col("n_instances") > 1)
+    )

@@ -242,3 +242,78 @@ def q_herfindahl(spark, sf_dir):
             ).alias("hhi")
         )
     )
+
+
+PARETO_T = 0.8  # revenue-coverage threshold
+
+PARETO_SQL = f"""
+    WITH spend AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_nationkey, o_custkey, s,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY s DESC, o_custkey) AS rn,
+               SUM(s) OVER (PARTITION BY c_nationkey
+                            ORDER BY s DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_s,
+               SUM(s) OVER (PARTITION BY c_nationkey) AS tot_s,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n_cust
+        FROM spend
+    )
+    SELECT c_nationkey, CAST(n_cust AS BIGINT) AS n_customers,
+           CAST(MIN(rn) AS BIGINT) AS n_top{int(PARETO_T * 100)},
+           ROUND(CAST(MIN(rn) AS DOUBLE) / n_cust, 6) AS top_frac
+    FROM ranked
+    WHERE CAST(cum_s AS DOUBLE) / CAST(tot_s AS DOUBLE) >= {PARETO_T}
+    GROUP BY c_nationkey, n_cust
+"""
+
+
+@query("q_orders_pareto", oracle=PARETO_SQL)
+def q_orders_pareto(spark, sf_dir):
+    """Pareto concentration per market: the smallest number of
+    customers whose cumulative spend covers {int(PARETO_T * 100)}% of
+    the nation's revenue (the '80/20' profile; q_herfindahl is the
+    index form, this is the actionable head-count). MIN(rn) over the
+    rows at-or-past the threshold is exactly the first rank reaching
+    it — no loop, no quantile.
+
+    Scale shape: exact-decimal spend per (nation, customer), then ONE
+    nation-partitioned ordered window pass producing rank + running
+    decimal share (order-independent accumulation), and a tiny
+    aggregate. All windows share one Exchange on the nation key."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+    )
+    wn = Window.partitionBy("c_nationkey")
+    wo = wn.orderBy(F.col("s").desc(), F.col("o_custkey"))
+    ranked = spend.select(
+        "c_nationkey",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("s")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_s"),
+        F.sum("s").over(wn).alias("tot_s"),
+        F.count("*").over(wn).alias("n_cust"),
+    )
+    past = ranked.filter(
+        F.col("cum_s").cast("double") / F.col("tot_s").cast("double") >= PARETO_T
+    )
+    return past.groupBy("c_nationkey", "n_cust").agg(
+        F.min("rn").alias("top_n"),
+        F.round(F.min("rn").cast("double") / F.col("n_cust").cast("double").cast("double"), 6).alias("top_frac"),
+    ).select(
+        "c_nationkey",
+        F.col("n_cust").cast("long").alias("n_customers"),
+        F.col("top_n").cast("long").alias(f"n_top{int(PARETO_T * 100)}"),
+        "top_frac",
+    )
