@@ -9,6 +9,7 @@ parquet lake format `init_for_test.py:93-94`; append/auto-create
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -307,4 +308,104 @@ def q_ddl_view(spark, sf_dir):
                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                       AS sum_price
            FROM poc_big_items GROUP BY l_returnflag"""
+    )
+
+
+def _staged_source(spark, sf_dir, name: str, fmt: str, df_fn, options: dict):
+    """Stage a table copy in a text format ONCE per sf_dir (md5-tagged
+    dir + _SUCCESS marker, like the MOR/index fixtures) so the
+    registered source queries measure the READ path — schema
+    application, type parsing — not the staging write."""
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"src_{fmt}_{name}_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        w = df_fn().write.mode("overwrite").format(fmt)
+        for k, v in options.items():
+            w = w.option(k, v)
+        w.save(path)
+    return path
+
+
+@query(
+    "q_source_csv",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_source_csv(spark, sf_dir):
+    """CSV source connector (§2.1): read a header'd CSV extract with
+    an EXPLICIT schema — at 100 TB you never let the reader infer
+    (inference is a second full scan and types can drift per file);
+    the declared schema also gives the date column a real DATE type at
+    parse time instead of a post-hoc cast. Round-trips the dates and
+    decimals bit-exactly against the parquet oracle.
+
+    The CSV copy is staged once per sf_dir; the measured plan is the
+    pure read: FileScan csv with the pushed projection. The order
+    stamp is a TIMESTAMP in the fixtures, so write and read share an
+    explicit microsecond timestampFormat (the default milliseconds
+    silently truncates — the classic CSV round-trip bug)."""
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+    def extract():
+        return load(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 7 == 0
+        ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+
+    path = _staged_source(
+        spark, sf_dir, "orders", "csv", extract,
+        {"header": "true", "timestampFormat": ts_fmt},
+    )
+    return (
+        spark.read.format("csv")
+        .option("header", "true")
+        .option("timestampFormat", ts_fmt)
+        .schema(
+            "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, "
+            "o_orderdate TIMESTAMP"
+        )
+        .load(path)
+    )
+
+
+@query(
+    "q_source_json",
+    oracle="""
+        SELECT event_id, user_id, event_type, value, ts
+        FROM events WHERE event_id % 11 = 0
+    """,
+)
+def q_source_json(spark, sf_dir):
+    """JSON-lines source connector (§2.1) — the transport format of
+    the reference's change events (JSON-with-schema envelopes on
+    Kafka, SURVEY §1.2), here as a lake source: explicit schema (no
+    inference scan), typed TIMESTAMP parsing at read time. Timestamps
+    and doubles round-trip bit-exactly against the parquet oracle
+    (shortest-repr doubles re-parse to the identical bits).
+
+    Staged once per sf_dir; measured plan is the pure JSON read. The
+    event stamps carry MICROSECONDS, so writer and reader share an
+    explicit microsecond timestampFormat — the default milliseconds
+    pattern silently truncates the last three digits."""
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+    def extract():
+        return load(spark, sf_dir, "events").filter(
+            F.col("event_id") % 11 == 0
+        ).select("event_id", "user_id", "event_type", "value", "ts")
+
+    path = _staged_source(
+        spark, sf_dir, "events", "json", extract, {"timestampFormat": ts_fmt}
+    )
+    return (
+        spark.read.format("json")
+        .option("timestampFormat", ts_fmt)
+        .schema(
+            "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, "
+            "ts TIMESTAMP"
+        )
+        .load(path)
     )
