@@ -398,3 +398,53 @@ def test_mmr_result_is_bounded_local_relation(spark, sf_dir):
     plan = explain_str(QS["q_mmr_diversify"](spark, sf_dir))
     assert ("LocalTableScan" in plan) or ("Scan ExistingRDD" in plan)
     assert "Exchange" not in plan
+
+
+def test_stats_corr_is_one_scan_with_partials(spark, sf_dir):
+    """All 15 power sums must come from a SINGLE lineitem pass with
+    map-side partial aggregation — the one-pass claim in the
+    docstring; a per-pair corr() would scan once per pair."""
+    plan = explain_str(QS["q_stats_corr"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "partial_" in plan
+
+
+def test_triangles_bounded_scans_and_take_ordered(spark, sf_dir):
+    """Edge derivation reads lineitem at most twice (self-join sides);
+    the three triangle-join references reuse the persisted edge
+    relation, and the top-N cut is TakeOrdered, not a global sort."""
+    spark.catalog.clearCache()
+    df = QS["q_graph_triangles"](spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("lineitem.parquet") <= 2, plan
+    rep = plan_report(df)
+    assert rep["has_take_ordered"]
+    spark.catalog.clearCache()
+
+
+def test_source_connectors_read_declared_schema_only(spark, sf_dir):
+    """The CSV/JSON reads must carry the EXPLICIT 4/5-column schema
+    into the FileScan (no inferred extra columns, no inference pass in
+    the plan)."""
+    csv_plan = explain_str(QS["q_source_csv"](spark, sf_dir))
+    assert "csv" in csv_plan.lower()
+    assert "o_orderdate" in csv_plan and "o_totalprice" in csv_plan
+    json_plan = explain_str(QS["q_source_json"](spark, sf_dir))
+    assert "json" in json_plan.lower()
+    assert "event_type" in json_plan and "ts" in json_plan
+
+
+def test_hashing_trick_has_map_side_combine(spark, sf_dir):
+    plan = explain_str(QS["q_text_hashing_trick"](spark, sf_dir))
+    assert "partial_count" in plan, "tf groupBy must combine map-side"
+
+
+def test_dedup_trio_shares_one_materialized_stage(spark, sf_dir):
+    """ngram and containment must read the SAME capped-stage files —
+    the shared-derivation-as-a-table rule (SCALING.md r05 addendum)."""
+    spark.catalog.clearCache()
+    f1 = {f for f in QS["q_dedup_ngram"](spark, sf_dir).inputFiles()
+          if "dedup_capped_" in f}
+    f2 = {f for f in QS["q_dedup_containment"](spark, sf_dir).inputFiles()
+          if "dedup_capped_" in f}
+    assert f1 and f1 == f2
