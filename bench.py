@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "q_events_dau_wau",
     "q_join_asof_nearest",
     "q_agg_gini",
+    "q_cdc_incremental_topk",
+    "q_source_csv",
+    "q_source_json",
 ]
 
 

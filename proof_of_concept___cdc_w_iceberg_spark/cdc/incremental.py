@@ -160,3 +160,108 @@ def q_cdc_incremental_join(spark, sf_dir):
         F.broadcast(upserts), orders.o_custkey == F.col("k")
     ).select("o_orderkey", "k", "name", "bal", "o_totalprice")
     return retained.unionByName(added)
+
+
+TOPK_K = 3
+
+
+def topk_affected_groups(base_topk, thresholds, latest, group_of):
+    """Groups whose top-{TOPK_K} can change under ``latest`` (compacted
+    per-key batch): a current top-k member was touched (update/delete),
+    or an upserted value reaches the group's k-th threshold, or the
+    group holds fewer than {TOPK_K} members (any insert can enter).
+    Everything else provably keeps its exact top-k — the pruning that
+    makes the maintenance O(|batch| + recompute(affected)) instead of
+    a full re-rank."""
+    in_topk = base_topk.select("k", F.lit(True).alias("__in_topk"))
+    probed = (
+        latest.withColumn("grp", group_of)
+        .join(in_topk, "k", "left")
+        .join(F.broadcast(thresholds), "grp", "left")
+    )
+    return (
+        probed.filter(
+            F.col("__in_topk").isNotNull()
+            | (
+                (F.col("op") != "d")
+                & (
+                    F.col("thr").isNull()          # group unseen or < K members
+                    | (F.col("n_topk") < TOPK_K)
+                    | (F.col("bal") >= F.col("thr"))
+                )
+            )
+        )
+        .select("grp")
+        .distinct()
+    )
+
+
+@query(
+    "q_cdc_incremental_topk",
+    oracle=f"""
+        WITH changes AS ({CHANGELOG_SQL}),
+        ranked AS (
+            SELECT k, name, bal, op,
+                   row_number() OVER (PARTITION BY k
+                                      ORDER BY ts_ms DESC, off DESC) AS rn
+            FROM changes
+        ),
+        mirror AS (SELECT k, bal FROM ranked WHERE rn = 1 AND op <> 'd'),
+        topk AS (
+            SELECT k % 10 AS grp, k, bal,
+                   row_number() OVER (PARTITION BY k % 10
+                                      ORDER BY bal DESC, k) AS rnk
+            FROM mirror
+        )
+        SELECT grp, CAST(rnk AS BIGINT) AS rnk, k, bal
+        FROM topk WHERE rnk <= {TOPK_K}
+    """,
+)
+def q_cdc_incremental_topk(spark, sf_dir):
+    """Incrementally-maintained TOP-{TOPK_K} view (highest balances per
+    key-bucket) — the IVM case SUM/COUNT algebra can't cover: top-k is
+    NOT a retraction-friendly monoid (deleting a ranked member needs
+    the runner-up, which the view no longer holds). The standard
+    maintenance is therefore prune-then-recompute: keep the base
+    top-k for every group the batch provably cannot affect
+    (``topk_affected_groups`` — touched member, threshold-crossing
+    upsert, or under-filled group) and re-rank ONLY affected groups
+    against the mirror. Per-batch cost is O(|batch| +
+    Σ|affected groups|); with the bucketed mirror layout the recompute
+    probe prunes to those groups' partitions. The ORACLE re-ranks the
+    fully-applied mirror from scratch — passing proves prune +
+    recompute ≡ recompute-everything."""
+    ch = changelog(spark, sf_dir)
+    grp_of = (F.col("k") % 10).alias("grp")
+    base = ch.filter(F.col("op") == "r").select("k", "bal")
+    from pyspark.sql import Window as W
+
+    wg = W.partitionBy("grp").orderBy(F.col("bal").desc(), F.col("k"))
+    base_topk = (
+        base.select(grp_of, "k", "bal")
+        .withColumn("rnk", F.row_number().over(wg))
+        .filter(F.col("rnk") <= TOPK_K)
+    )
+    thresholds = base_topk.groupBy("grp").agg(
+        F.min("bal").alias("thr"), F.count("*").alias("n_topk")
+    )
+    batch = ch.filter(F.col("op") != "r")
+    latest = compact_latest(batch, ["k"], ["ts_ms", "off"])
+    affected = topk_affected_groups(
+        base_topk, thresholds, latest, (F.col("k") % 10)
+    )
+    # Affected groups re-rank against the applied mirror (probe is
+    # group-pruned under the bucketed layout); the rest keep base.
+    mirror = (
+        compact_latest(ch, ["k"]).filter(F.col("op") != "d").select("k", "bal")
+    )
+    recomputed = (
+        mirror.select(grp_of, "k", "bal")
+        .join(F.broadcast(affected), "grp")
+        .withColumn("rnk", F.row_number().over(wg))
+        .filter(F.col("rnk") <= TOPK_K)
+    )
+    retained = base_topk.join(F.broadcast(affected), "grp", "left_anti")
+    return retained.unionByName(recomputed).select(
+        "grp", F.col("rnk").cast("long").alias("rnk"), "k", "bal"
+    )

@@ -274,3 +274,55 @@ def test_ratio_to_report_sums_to_one(spark, sf_dir):
         sums[r["o_orderpriority"]] = sums.get(r["o_orderpriority"], 0.0) + r["share"]
     for p, s in sums.items():
         assert abs(s - 1.0) < 1e-4, (p, s)  # 8dp rounds accumulate
+
+
+def test_incremental_topk_pruning_is_precise(spark):
+    """The affected-group predicate must include every group whose
+    top-k CAN change (touched member, threshold-crossing upsert,
+    under-filled group) and exclude the provably-safe ones (non-member
+    updates below threshold, non-member deletes)."""
+    from pyspark.sql import Window as W
+
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.incremental import (
+        TOPK_K,
+        topk_affected_groups,
+    )
+
+    base = spark.createDataFrame(
+        [
+            # g0: full, thr=80        # g1: under-filled (2 members)
+            (10, 100.0), (20, 90.0), (30, 80.0), (40, 10.0),
+            (11, 60.0), (21, 55.0),
+            # g2: full, thr=30        # g3: full, thr=7
+            (12, 50.0), (22, 40.0), (32, 30.0), (42, 20.0),
+            (13, 9.0), (23, 8.0), (33, 7.0), (43, 6.0),
+            # g4: full, thr=3
+            (14, 5.0), (24, 4.0), (34, 3.0), (44, 2.0),
+        ],
+        "k long, bal double",
+    )
+    grp_of = F.col("k") % 10
+    wg = W.partitionBy("grp").orderBy(F.col("bal").desc(), F.col("k"))
+    base_topk = (
+        base.select(grp_of.alias("grp"), "k", "bal")
+        .withColumn("rnk", F.row_number().over(wg))
+        .filter(F.col("rnk") <= TOPK_K)
+    )
+    thresholds = base_topk.groupBy("grp").agg(
+        F.min("bal").alias("thr"), F.count("*").alias("n_topk")
+    )
+    latest = spark.createDataFrame(
+        [
+            (40, 50.0, "u"),   # g0 non-member raised but still < thr -> safe
+            (51, 1.0, "c"),    # g1 under-filled -> any insert affects
+            (42, 35.0, "u"),   # g2 non-member crosses thr -> affects
+            (43, None, "d"),   # g3 non-member delete -> safe
+            (14, None, "d"),   # g4 member delete -> affects
+        ],
+        "k long, bal double, op string",
+    )
+    got = {
+        r["grp"]
+        for r in topk_affected_groups(base_topk, thresholds, latest, grp_of).collect()
+    }
+    assert got == {1, 2, 4}, got
