@@ -124,6 +124,32 @@ def q_embed_quantize(spark, sf_dir):
     )
 
 
+def _gram_pairs(e):
+    """(i, j, term) upper-triangle pair terms for the Gram accumulation,
+    shared by q_embed_gram and q_embed_pca. Codegen'd generator
+    expansion (interpreted higher-order-function lambdas cost ~5× per
+    element); inputs with fewer partitions than cores are round-robin
+    repartitioned so the map-side combine parallelizes."""
+    e = e.select("embedding")
+    if e.rdd.getNumPartitions() < 8:
+        e = e.repartition(32)
+    d = F.size("embedding")
+    ei = e.select("embedding", F.explode(F.sequence(F.lit(0), d - 1)).alias("i"))
+    return ei.select(
+        "i",
+        F.explode(F.sequence(F.col("i"), d - 1)).alias("j"),
+        "embedding",
+    ).select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.round(
+            F.element_at("embedding", F.col("i").cast("int") + 1).cast("double")
+            * F.element_at("embedding", F.col("j").cast("int") + 1).cast("double"),
+            9,
+        ).alias("term"),
+    )
+
+
 @query(
     "q_embed_gram",
     oracle="""
@@ -150,33 +176,19 @@ def q_embed_gram(spark, sf_dir):
     rounded to 9 dp (absorbing any cross-engine product ulp) and
     summed through DECIMAL: order-independent, hash-exact.
 
-    Scale shape: the d(d+1)/2 index pairs are expanded ARRAY-SIDE
-    (nested transform + one flatten/explode — no self-join of the
-    exploded relation, which would shuffle |rows|·d rows), then ONE
-    map-side-combinable groupBy: every map task pre-collapses to at
-    most d(d+1)/2 partial sums, so the shuffle is O(d²) per task
-    regardless of corpus size — the DataFrame rendering of a
-    tree-aggregated outer-product accumulator."""
-    e = load(spark, sf_dir, "embeddings").select("embedding")
-    d = F.size("embedding")
-    xi = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
-    pairs = e.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), d - 1),
-                    lambda i: F.transform(
-                        F.sequence(i, d - 1),
-                        lambda j: F.struct(
-                            i.cast("long").alias("i"),
-                            j.cast("long").alias("j"),
-                            F.round(xi(i) * xi(j), 9).alias("term"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.i", "p.j", "p.term")
+    Scale shape: the d(d+1)/2 index pairs are expanded ROW-SIDE by two
+    chained generators (explode of the index sequences + element_at —
+    all codegen'd builtins; no self-join of the exploded relation,
+    which would shuffle |rows|·d rows), then ONE map-side-combinable
+    groupBy: every map task pre-collapses to at most d(d+1)/2 partial
+    sums, so the shuffle is O(d²) per task regardless of corpus size —
+    the DataFrame rendering of a tree-aggregated outer-product
+    accumulator. A small input (the single-file fixture) is round-robin
+    repartitioned first so the per-partition combine actually
+    parallelizes — measured 5× on local[32]; a real many-partition
+    corpus skips that narrow exchange (decimal sums are
+    order-independent, so the result is identical either way)."""
+    pairs = _gram_pairs(load(spark, sf_dir, "embeddings"))
     return pairs.groupBy("i", "j").agg(
         F.sum(F.col("term").cast("decimal(25,12)")).cast("double").alias("gram"),
         F.count("*").cast("long").alias("n"),
@@ -448,26 +460,7 @@ def q_embed_pca(spark, sf_dir):
     broadcast — only the collect moves."""
     from functools import reduce as _reduce
 
-    e = load(spark, sf_dir, "embeddings").select("embedding")
-    d_col = F.size("embedding")
-    xi = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
-    pairs = e.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), d_col - 1),
-                    lambda i: F.transform(
-                        F.sequence(i, d_col - 1),
-                        lambda j: F.struct(
-                            i.cast("long").alias("i"),
-                            j.cast("long").alias("j"),
-                            F.round(xi(i) * xi(j), 9).alias("term"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.i", "p.j", "p.term")
+    pairs = _gram_pairs(load(spark, sf_dir, "embeddings"))
     ut = (
         pairs.groupBy("i", "j")
         .agg(F.sum(F.col("term").cast("decimal(25,12)")).cast("double").alias("g"))
