@@ -1017,8 +1017,13 @@ def q_stats_corr(spark, sf_dir):
 
     At 100 TB this is the only viable shape: the scan dominates, so
     all-pairs statistics must amortize into a single pass with
-    combiner-friendly state."""
-    li = load(spark, sf_dir, "lineitem")
+    combiner-friendly state. The small-fixture single-file input is
+    round-robin spread first (sources.tables.parallel) so the
+    constant-state partials use every core; a real many-partition
+    fact skips that exchange."""
+    from ..sources.tables import parallel
+
+    li = parallel(load(spark, sf_dir, "lineitem"))
     aggs = [F.count("*").cast("double").alias("n")]
     for c in _CORR_COLS:
         aggs.append(F.sum(F.col(c).cast("decimal(18,2)")).cast("double").alias(f"s_{c}"))

@@ -194,7 +194,11 @@ def q_sketch_cms(spark, sf_dir):
     one join, instead of a join per depth row. md5-derived cells keep
     DuckDB bit-identical.
     """
-    li = load(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    from ..sources.tables import parallel
+
+    li = parallel(
+        load(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    )
 
     cell_exprs = [F.expr(_cms_cell_sql(r, "k", "STRING")) for r in range(CMS_DEPTH)]
     sketch = (

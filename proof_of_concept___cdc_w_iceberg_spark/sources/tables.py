@@ -51,3 +51,15 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     the-lake endpoint (`init_for_test.py:66-79`)."""
     for t in tables or TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def parallel(df: DataFrame, n: int = 32, floor: int = 8) -> DataFrame:
+    """Round-robin repartition an input that arrived in fewer
+    partitions than ``floor`` (the small-fixture single-parquet-file
+    case) so a NARROW downstream pipeline — per-row expand + map-side
+    combine — actually uses the cores. A real many-partition table
+    skips the exchange entirely, so this never adds a shuffle at
+    scale; only use upstream of order-independent aggregation (exact
+    decimal sums, counts, min/max), where partitioning cannot change
+    the result."""
+    return df.repartition(n) if df.rdd.getNumPartitions() < floor else df
