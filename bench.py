@@ -150,6 +150,9 @@ BENCH_QUERIES = [
     "q_cdc_incremental_topk",
     "q_source_csv",
     "q_source_json",
+    # r06 additions: robust-stats aggregates (double rank-window pass).
+    "q_agg_mad",
+    "q_agg_winsorized",
 ]
 
 

@@ -22,6 +22,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import tempfile
 
@@ -430,11 +431,47 @@ def _index_write(sh, base: str, mode: str) -> None:
         os.path.join(base, "sizes"))
 
 
+def _write_manifest(base: str) -> None:
+    """Freeze the build's file set as the CORPUS SNAPSHOT: a manifest
+    listing the data files each subdir holds right now. Snapshot
+    consumers (the batch dedup trio, q_dedup_incremental's corpus
+    side) read THROUGH the manifest, so later ``band_index_apply``
+    appends stay invisible to them — the same files-of-a-snapshot
+    isolation an Iceberg table gives its readers (round-5 advice:
+    an apply against the shared base must not leak batch docs into
+    the corpus relations or stale the capped stage)."""
+    manifest = {}
+    for sub in ("shingles", "bands", "sizes"):
+        d = os.path.join(base, sub)
+        manifest[sub] = sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+    with open(os.path.join(base, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def _snapshot(spark, base: str, sub: str):
+    """Read one index relation AT THE BUILD SNAPSHOT (via the
+    manifest); falls back to a live dir read for bases without a
+    manifest (e.g. an index assembled purely by apply calls)."""
+    mpath = os.path.join(base, "_MANIFEST.json")
+    try:
+        with open(mpath) as f:
+            files = json.load(f)[sub]
+    except (OSError, ValueError, KeyError):
+        return spark.read.parquet(os.path.join(base, sub))
+    return spark.read.parquet(
+        *[os.path.join(base, sub, fname) for fname in files]
+    )
+
+
 def band_index_build(spark, sf_dir: str) -> str:
     """Materialize the corpus near-dup band index ONCE per sf_dir (the
     round-3 verdict's task: the batch path must not recompute corpus
     shingles/bands per run — a resident deployment maintains this as a
-    bucketed table via ``band_index_apply``). Returns the index dir."""
+    bucketed table via ``band_index_apply``). The build also freezes a
+    ``_MANIFEST.json`` snapshot of its file set for corpus-snapshot
+    consumers. Returns the index dir."""
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"dedup_band_index_{tag}")
     marker = os.path.join(base, "_INDEX_SUCCESS")
@@ -443,6 +480,7 @@ def band_index_build(spark, sf_dir: str) -> str:
         sh = doc_shingles(corpus)
         with persisted(sh):  # three writes consume it; scoped release
             _index_write(sh, base, "overwrite")
+        _write_manifest(base)
         with open(marker, "w") as f:
             f.write("ok")
     return base
@@ -451,7 +489,9 @@ def band_index_build(spark, sf_dir: str) -> str:
 def corpus_shingles(spark, sf_dir: str):
     """The corpus (doc_id, sh) relation READ FROM the materialized
     band index (built once per sf_dir by ``band_index_build``) instead
-    of re-tokenized per query. q_dedup_ngram / containment / fuzzy all
+    of re-tokenized per query — at the BUILD SNAPSHOT, so index
+    appends by ``band_index_apply`` never leak later docs into the
+    corpus relation. q_dedup_ngram / containment / fuzzy all
     consume the identical shingle relation; deriving it per query cost
     each of them a full corpus re-shingle (the round-4 bench showed the
     trio at 2-3× their round-3 times once the suite grew). At cluster
@@ -459,7 +499,7 @@ def corpus_shingles(spark, sf_dir: str):
     stage reads; content is byte-identical to ``doc_shingles(corpus)``,
     so the DuckDB oracles are unchanged."""
     base = band_index_build(spark, sf_dir)
-    return spark.read.parquet(os.path.join(base, "shingles"))
+    return _snapshot(spark, base, "shingles")
 
 
 def capped_shingles(spark, sf_dir: str):
@@ -467,10 +507,13 @@ def capped_shingles(spark, sf_dir: str):
     set sizes, materialized once per corpus — the shared stage-0 of
     the whole blocked near-dup trio (ngram / containment / fuzzy).
     The stop-shingle DF cap is a CORPUS-GLOBAL statistic, so unlike
-    the band index it is rebuilt on corpus refresh rather than
-    appended (a doc ingested later can push a shingle over the cap
-    retroactively); the batch trio always reads the full-corpus
-    build. Laid out by the self-join key ``sh``."""
+    the band index it is never appended (a doc ingested later can push
+    a shingle over the cap retroactively); its input is the band
+    index's immutable BUILD SNAPSHOT (``corpus_shingles`` reads via
+    the manifest), so ``band_index_apply`` appends can neither leak
+    batch docs into it nor stale it — it is simply a deterministic
+    derivation of the frozen corpus. Laid out by the self-join key
+    ``sh``."""
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"dedup_capped_{tag}")
     marker = os.path.join(base, "_CAPPED_SUCCESS")
@@ -499,7 +542,10 @@ def capped_shingles(spark, sf_dir: str):
 def band_index_apply(spark, base: str, new_docs) -> None:
     """Apply-style index maintenance: append the shingles, band
     buckets, and sizes of newly-ingested docs — O(|new docs|), the
-    same incremental contract as the CDC mirror apply. (Deletes would
+    same incremental contract as the CDC mirror apply. Appends extend
+    only the LIVE dir view; corpus-snapshot consumers (the batch
+    dedup trio, q_dedup_incremental's corpus side) keep reading the
+    build's ``_MANIFEST.json`` file set unchanged. (Deletes would
     be an anti-join rewrite of the touched doc_ids; not needed by the
     append-only corpus model here.)"""
     sh = doc_shingles(new_docs.select("doc_id", "text"))
@@ -578,9 +624,12 @@ def q_dedup_incremental(spark, sf_dir):
     and verification branches of the returned plan).
     """
     base = band_index_build(spark, sf_dir)
-    shc = spark.read.parquet(os.path.join(base, "shingles"))
-    bandc = spark.read.parquet(os.path.join(base, "bands"))
-    sizesc = spark.read.parquet(os.path.join(base, "sizes"))
+    # Corpus side at the BUILD SNAPSHOT (manifest file set): a
+    # concurrently-applied batch must not appear on the corpus side of
+    # its own dedup, or of any later batch's oracle-checked run.
+    shc = _snapshot(spark, base, "shingles")
+    bandc = _snapshot(spark, base, "bands")
+    sizesc = _snapshot(spark, base, "sizes")
 
     batch = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 13 == 5

@@ -676,9 +676,20 @@ MMR_POOL = 8       # stage-1 candidate pool (top-k by relevance)
 MMR_SELECT = 4     # diversified picks
 MMR_LAMBDA = 0.7   # relevance weight; 1-λ penalizes redundancy
 
+# Step score in EXACT decimal arithmetic: rel/sim are 6dp-rounded
+# doubles, so the decimal cast recovers the intended 6dp value exactly
+# and lam*rel - mu*maxsim is an exact 12dp decimal; the 6dp ROUND is
+# then deterministic HALF_UP in both DuckDB and the driver-side greedy
+# loop. Double products here (the pre-round-6 form) are the same
+# cross-engine ulp-drift class that failed q_herfindahl in r05.
 _MMR_STEP_SQL = """
     s{n} AS (
-        SELECT c.cand_id, ROUND({lam} * c.rel - {mu} * MAX(s.sim), 6) AS score
+        SELECT c.cand_id,
+               CAST(ROUND(CAST({lam} AS DECIMAL(8,6))
+                              * CAST(c.rel AS DECIMAL(18,6))
+                          - CAST({mu} AS DECIMAL(8,6))
+                              * CAST(MAX(s.sim) AS DECIMAL(18,6)), 6)
+                    AS DOUBLE) AS score
         FROM cand c JOIN sims s
           ON s.i = c.cand_id AND s.j IN (SELECT cand_id FROM sel{p})
         WHERE c.cand_id NOT IN (SELECT cand_id FROM sel{p})
@@ -786,8 +797,16 @@ def q_mmr_diversify(spark, sf_dir):
     pool = {r["cand_id"]: r["rel"] for r in cand.collect()}
     sims = {(r["i"], r["j"]): r["sim"] for r in sims_df.collect()}
 
-    def r6(x: float) -> float:
-        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    # Exact-decimal step score, mirroring the oracle's decimal-cast
+    # form bit-for-bit: rel/sim are 6dp-rounded doubles whose shortest
+    # repr IS the intended decimal, so lam*rel - mu*maxsim is exact at
+    # 12dp and the 6dp HALF_UP quantize matches DuckDB's decimal ROUND.
+    lam_d = Decimal(repr(MMR_LAMBDA))
+    mu_d = Decimal(repr(round(1 - MMR_LAMBDA, 6)))
+
+    def step_score(rv: float, max_sim: float) -> float:
+        s = lam_d * Decimal(repr(rv)) - mu_d * Decimal(repr(max_sim))
+        return float(s.quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
     selected: list[tuple[int, int, float]] = []
     chosen: list[int] = []
@@ -799,10 +818,7 @@ def q_mmr_diversify(spark, sf_dir):
             if not chosen:
                 score = rv  # first pick: pure relevance (already 6dp)
             else:
-                score = r6(
-                    MMR_LAMBDA * rv
-                    - round(1 - MMR_LAMBDA, 6) * max(sims[(cid, s)] for s in chosen)
-                )
+                score = step_score(rv, max(sims[(cid, s)] for s in chosen))
             if best is None or (score, -cid) > (best[1], -best[0]):
                 best = (cid, score)
         chosen.append(best[0])

@@ -1171,3 +1171,184 @@ def q_agg_gini(spark, sf_dir):
             F.lit(2.0) * swx / (n * sx) - (n + 1).cast("double") / n, 6
         ).alias("gini")
     ).select("o_orderpriority", F.col("n").cast("long").alias("n"), "gini")
+
+
+MAD_SQL = """
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, n, SUM(value) / COUNT(*) AS median
+        FROM ranked
+        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+        GROUP BY event_type, n
+    ),
+    devs AS (
+        SELECT r.event_type, m.n, m.median, ABS(r.value - m.median) AS dev,
+               row_number() OVER (PARTITION BY r.event_type
+                                  ORDER BY ABS(r.value - m.median), r.event_id)
+                   AS drn
+        FROM (SELECT event_type, value, event_id FROM events) r
+        JOIN med m ON m.event_type = r.event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, median,
+           SUM(dev) / COUNT(*) AS mad
+    FROM devs
+    WHERE drn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY event_type, n, median
+"""
+
+
+@query("q_agg_mad", oracle=MAD_SQL)
+def q_agg_mad(spark, sf_dir):
+    """Median absolute deviation per event type — the robust scale
+    estimate behind outlier gates (|x − med| > k·MAD survives the fat
+    tails that wreck z-scores; the quality-filter counterpart of
+    q_agg_trimmed's robust location). Two discrete-rank passes, no
+    engine median()/percentile() built-ins (their interpolation fp
+    differs across engines): the one-or-two middle rows are picked by
+    integer rank, and averaging ≤2 doubles is commutative, so every
+    emitted value is an exact IEEE chain both engines replay —
+    |x − med| is a single exact subtraction.
+
+    Scale shape: both rank windows partition on the GROUP key (each
+    group sorts its own slice — never a global sort), the median
+    relation re-joining the fact is tiny (|groups| rows, broadcast),
+    and the final aggregate reuses the window's hash keys. A single
+    giant group would switch to the two-pass histogram prune of
+    q_percentile_exact_dist."""
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / 2)
+    )
+    med = (
+        ranked.filter(mid)
+        .groupBy("event_type", "n")
+        .agg((F.sum("value") / F.count("*")).alias("median"))
+    )
+    devs = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("dev"),
+        "event_id",
+    )
+    dranked = devs.select(
+        "event_type",
+        "n",
+        "median",
+        "dev",
+        F.row_number().over(w.orderBy("dev", "event_id")).alias("drn"),
+    )
+    dmid = (F.col("drn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("drn") == F.floor((F.col("n") + 2) / 2)
+    )
+    return (
+        dranked.filter(dmid)
+        .groupBy("event_type", "n", "median")
+        .agg((F.sum("dev") / F.count("*")).alias("mad"))
+        .select(
+            "event_type", F.col("n").cast("long").alias("n"), "median", "mad"
+        )
+    )
+
+
+WINSOR_LO_DIV = 20  # p05 = rank ceil(n/20); p95 = rank ceil(19n/20)
+
+WINSOR_SQL = f"""
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    bounds AS (
+        SELECT o_orderpriority, n,
+               MAX(CASE WHEN rn = (n + {WINSOR_LO_DIV - 1}) // {WINSOR_LO_DIV}
+                        THEN o_totalprice END) AS p05,
+               MAX(CASE WHEN rn = ({WINSOR_LO_DIV - 1} * n + {WINSOR_LO_DIV - 1})
+                                      // {WINSOR_LO_DIV}
+                        THEN o_totalprice END) AS p95
+        FROM ranked GROUP BY o_orderpriority, n
+    )
+    SELECT o.o_orderpriority, CAST(b.n AS BIGINT) AS n, b.p05, b.p95,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, b.p05), b.p95)
+                               AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_winsorized
+    FROM orders o JOIN bounds b ON b.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority, b.n, b.p05, b.p95
+"""
+
+
+@query("q_agg_winsorized", oracle=WINSOR_SQL)
+def q_agg_winsorized(spark, sf_dir):
+    """Winsorized mean per priority class: clip to the discrete
+    [p05, p95] order statistics, then the usual exact-decimal mean —
+    the outlier-capped aggregate a metrics/training-mix pipeline
+    reports when trimming (q_agg_trimmed) throws away too much tail
+    mass. Percentile ranks are INTEGER arithmetic (ceil(n/20),
+    ceil(19n/20) via integer division) — never n*0.05, whose float
+    rounding can pick a different row right at a boundary; the clip
+    itself is pure comparison, so the summed values are 2dp prices
+    and the decimal sum is exact.
+
+    Scale shape: one group-partitioned rank window (distributed per
+    group), a |groups|-row bounds relation broadcast back onto the
+    fact scan, and a map-combined final aggregate — the same
+    single-Exchange template as q_agg_trimmed/q_agg_gini."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w.orderBy("o_totalprice", "o_orderkey")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    k_lo = F.floor((F.col("n") + (WINSOR_LO_DIV - 1)) / WINSOR_LO_DIV)
+    k_hi = F.floor(
+        ((WINSOR_LO_DIV - 1) * F.col("n") + (WINSOR_LO_DIV - 1)) / WINSOR_LO_DIV
+    )
+    bounds = ranked.groupBy("o_orderpriority", "n").agg(
+        F.max(F.when(F.col("rn") == k_lo, F.col("o_totalprice"))).alias("p05"),
+        F.max(F.when(F.col("rn") == k_hi, F.col("o_totalprice"))).alias("p95"),
+    )
+    clipped = o.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")).alias(
+            "cl"
+        ),
+    )
+    return (
+        clipped.groupBy("o_orderpriority", "n", "p05", "p95")
+        .agg(
+            F.round(
+                F.sum(F.col("cl").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_winsorized")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n"),
+            "p05",
+            "p95",
+            "mean_winsorized",
+        )
+    )

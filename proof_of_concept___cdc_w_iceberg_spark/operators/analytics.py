@@ -239,7 +239,13 @@ def q_herfindahl(spark, sf_dir):
         .agg(
             F.round(
                 F.sum((share * share).cast("decimal(38,18)")), 6
-            ).alias("hhi")
+            )
+            # Final-cast back to DOUBLE (registry.py convention): DuckDB's
+            # ROUND returns DOUBLE while Spark's decimal round stays
+            # DECIMAL(27,6) — the r05 driver hash failure was exactly this
+            # representation drift (values bit-match).
+            .cast("double")
+            .alias("hhi")
         )
     )
 
@@ -310,7 +316,7 @@ def q_orders_pareto(spark, sf_dir):
     )
     return past.groupBy("c_nationkey", "n_cust").agg(
         F.min("rn").alias("top_n"),
-        F.round(F.min("rn").cast("double") / F.col("n_cust").cast("double").cast("double"), 6).alias("top_frac"),
+        F.round(F.min("rn").cast("double") / F.col("n_cust").cast("double"), 6).alias("top_frac"),
     ).select(
         "c_nationkey",
         F.col("n_cust").cast("long").alias("n_customers"),

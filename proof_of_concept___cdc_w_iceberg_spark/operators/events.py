@@ -1327,14 +1327,21 @@ def q_funnel_latency(spark, sf_dir):
         .agg(F.min("c_ts_raw").alias("c_ts"))
     )
     delay = F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")
-    n_viewers = viewers.count()
-    return conv.agg(
-        F.lit(n_viewers).cast("long").alias("n_viewers"),
-        F.count("*").alias("n_converted"),
-        F.round(
-            F.sum(delay.cast("decimal(18,0)")).cast("double") / F.count("*"), 4
-        ).alias("avg_delay_s"),
-        F.max(delay).cast("long").alias("max_delay_s"),
+    # Viewer count stays relational (broadcast 1-row aggregate) so the
+    # query is fully lazy like every other registered plan — an eager
+    # .count() here would run a Spark job at plan-construction time and
+    # freeze the count into the plan as a literal.
+    nv = viewers.agg(F.count("*").cast("long").alias("n_viewers"))
+    return (
+        conv.agg(
+            F.count("*").alias("n_converted"),
+            F.round(
+                F.sum(delay.cast("decimal(18,0)")).cast("double") / F.count("*"), 4
+            ).alias("avg_delay_s"),
+            F.max(delay).cast("long").alias("max_delay_s"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select("n_viewers", "n_converted", "avg_delay_s", "max_delay_s")
     )
 
 

@@ -106,16 +106,22 @@ _loaded = False
 # the moment a ``CORRECTNESS_r{N}.json`` artifact lands in the repo
 # root, the order self-rotates --
 #
-#   1. oracle-backed queries with NO driver row yet (highest-risk
-#      families first: CDC composites guard the reference's core
-#      upsert semantics, then streaming / dedup / similarity / joins /
-#      TPC-H shapes, then the rest alphabetically);
-#   2. registered queries with no oracle (can only ever earn a
-#      rows-only row, so they must never displace hash-checkable
-#      queries from the window);
-#   3. already-checked queries, oldest green round first -- once full
+#   0. oracle-backed queries that NEED a (re)check: no driver row yet,
+#      or their LATEST row failed (hash/rows/schema mismatch, or an
+#      err) -- a failed row must re-enter the window the very next
+#      round so its fix re-earns the hash (round-5 verdict item 1).
+#      Highest-risk families first: CDC composites guard the
+#      reference's core upsert semantics, then streaming / dedup /
+#      similarity / joins / TPC-H shapes, then the rest alphabetically;
+#   1. no-oracle queries with NO row yet: they can earn a one-time
+#      rows-only row, but never displace hash-checkable queries that
+#      still need a slot;
+#   2. green oracle-backed queries, stalest round first -- once full
 #      coverage is reached the driver window degrades gracefully into
-#      a rolling regression sweep re-checking the stalest rows.
+#      a rolling regression sweep re-checking the stalest rows;
+#   3. no-oracle queries that already earned their rows-only row:
+#      a re-check can never upgrade them, so they sort behind every
+#      oracle-backed query forever (round-5 verdict item 2).
 #
 # Guarded by tests/test_registry_order.py.
 _RISK_PREFIX_ORDER = ("q_cdc_", "q_stream_", "q_dedup_", "q_sim_", "q_join_", "q_tpch_")
@@ -125,20 +131,46 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _driver_checked_rounds(repo_root: str | None = None) -> dict[str, int]:
-    """Map query name -> earliest round with a driver CORRECTNESS row.
+def _row_passed(row) -> bool:
+    """Whether one driver CORRECTNESS row counts as a success.
 
+    Rows-only rows (``err == 'no_oracle'``) pass when the query ran and
+    produced a row count. Oracle-backed rows pass only when every match
+    flag is true and there was no error -- ``hash_match=false`` (the
+    q_herfindahl r05 failure) is a FAIL even though rows/schema matched.
+    Unknown shapes count as passed so a format change can't loop a
+    query into the window forever.
+    """
+    if not isinstance(row, dict):
+        return True
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return (
+        row.get("err") is None
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is not False
+    )
+
+
+def _driver_ledger(repo_root: str | None = None) -> dict[str, dict]:
+    """Map query name -> ``{"first": int, "last": int, "ok": bool}``.
+
+    ``first``/``last`` are the earliest/latest rounds with a driver
+    CORRECTNESS row for the query; ``ok`` reflects the LATEST row only,
+    so a failure re-fronts the query even if an older round was green.
     Reads the ``CORRECTNESS_r{N}.json`` artifacts the external driver
     drops in the repo root after each round. Tolerant of a missing /
     unreadable repo root (e.g. when the package runs from the shipped
-    zip on a worker) -- ordering then simply falls back to group 1/2.
+    zip on a worker) -- ordering then simply falls back to group 0/1.
     """
-    rounds: dict[str, int] = {}
+    ledger: dict[str, dict] = {}
     root = repo_root if repo_root is not None else _repo_root()
     try:
-        fnames = sorted(os.listdir(root))
+        fnames = os.listdir(root)
     except OSError:
-        return rounds
+        return ledger
+    artifacts: list[tuple[int, dict]] = []
     for fname in fnames:
         if not (fname.startswith("CORRECTNESS_r") and fname.endswith(".json")):
             continue
@@ -151,9 +183,13 @@ def _driver_checked_rounds(repo_root: str | None = None) -> dict[str, int]:
             rnd = int(fname[len("CORRECTNESS_r") : -len(".json")])
         except ValueError:
             rnd = 0
-        for name in rows:
-            rounds.setdefault(name, rnd)
-    return rounds
+        artifacts.append((rnd, rows))
+    for rnd, rows in sorted(artifacts, key=lambda t: t[0]):
+        for name, row in rows.items():
+            entry = ledger.setdefault(name, {"first": rnd, "last": rnd, "ok": True})
+            entry["last"] = rnd
+            entry["ok"] = _row_passed(row)
+    return ledger
 
 
 def _family_rank(name: str) -> int:
@@ -163,13 +199,24 @@ def _family_rank(name: str) -> int:
     return len(_RISK_PREFIX_ORDER)
 
 
-def check_order(names, oracle_names, checked_rounds) -> list[str]:
-    """Pure ordering kernel (exposed for tests): see module comment."""
+def check_order(names, oracle_names, ledger) -> list[str]:
+    """Pure ordering kernel (exposed for tests): see module comment.
+
+    ``ledger`` maps name -> ``{"first", "last", "ok"}`` (from
+    ``_driver_ledger``); a bare int value is accepted as shorthand for
+    a green row earned that round.
+    """
 
     def key(n: str):
-        if n not in checked_rounds:
+        entry = ledger.get(n)
+        if isinstance(entry, int):
+            entry = {"first": entry, "last": entry, "ok": True}
+        if entry is None or not entry.get("ok", True):
+            # Never checked, or latest row failed: needs (re)verification.
             return (0 if n in oracle_names else 1, _family_rank(n), n)
-        return (2, checked_rounds[n], n)
+        if n not in oracle_names:
+            return (3, entry["last"], n)
+        return (2, entry["last"], n)
 
     return sorted(names, key=key)
 
@@ -190,7 +237,7 @@ def _load() -> None:
 
 def queries() -> dict[str, QueryFn]:
     _load()
-    order = check_order(_QUERIES, set(_ORACLES), _driver_checked_rounds())
+    order = check_order(_QUERIES, set(_ORACLES), _driver_ledger())
     return {name: _QUERIES[name] for name in order}
 
 

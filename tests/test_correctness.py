@@ -59,6 +59,23 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _numeric_repr(s: pd.Series) -> str | None:
+    """Classify a column's numeric representation BEFORE canonicalization.
+
+    The driver's value-hash is representation-sensitive: a Spark
+    DECIMAL column (pandas object of Decimal) hashes differently from
+    the oracle's DOUBLE even when every value matches — exactly the
+    q_herfindahl r05 failure. The local gate must catch that drift.
+    """
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if s.dtype == object and s.map(
+        lambda x: hasattr(x, "as_tuple"), na_action="ignore"
+    ).any():
+        return "decimal"
+    return None
+
+
 def _values_equal(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
@@ -80,6 +97,20 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert sorted(c.lower() for c in spark_pdf.columns) == sorted(
         c.lower() for c in duck_pdf.columns
     ), f"{name}: columns differ: {spark_pdf.columns} vs {duck_pdf.columns}"
+    # Representation gate (round-5 verdict item 5): a decimal column on
+    # one side vs a float column on the other fails the driver's hash
+    # even with bit-identical values — fail it locally too.
+    s_repr = {c.lower(): _numeric_repr(spark_pdf[c]) for c in spark_pdf.columns}
+    d_repr = {c.lower(): _numeric_repr(duck_pdf[c]) for c in duck_pdf.columns}
+    drift = [
+        (c, s_repr[c], d_repr[c])
+        for c in s_repr
+        if {s_repr[c], d_repr[c]} == {"float", "decimal"}
+    ]
+    assert not drift, (
+        f"{name}: decimal/float representation drift (driver hash would "
+        f"fail even if values match): {drift}"
+    )
     a = _canon(spark_pdf)
     b = _canon(duck_pdf)
     if len(a) == 0:

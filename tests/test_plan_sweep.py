@@ -74,6 +74,8 @@ NESTED_LOOP_OK = {
     "dup total, snapshot count)",
     "q_sketch_hll": "1-row harmonic-sum broadcast into the estimate; the "
     "register spine join is a 256-row broadcast",
+    "q_funnel_latency": "1-row viewer-count broadcast into the summary "
+    "(replaced the eager .count() so the plan stays lazy)",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))

@@ -1,0 +1,126 @@
+"""Round-6 regression tests: the q_herfindahl representation fix
+class, the MOR torn-publish self-heal, and plan laziness."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from proof_of_concept___cdc_w_iceberg_spark import registry
+
+QS = registry.queries()
+
+
+def test_herfindahl_emits_double(spark, sf_dir):
+    """The r05 driver failure: hhi left Spark as DECIMAL(27,6) while
+    the oracle's ROUND returned DOUBLE — values bit-matched, the hash
+    didn't. The final-cast convention is now load-bearing."""
+    df = QS["q_herfindahl"](spark, sf_dir)
+    assert dict(df.dtypes)["hhi"] == "double"
+
+
+def test_mor_torn_publish_self_heals(spark, sf_dir):
+    """A crash between a dir rename and its _SUCCESS marker leaves a
+    TORN published dir; the next caller must move it aside and
+    republish instead of consuming the torn copy forever."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.queries import _mor_paths
+
+    base, dels, delta = _mor_paths(spark, sf_dir)
+    n_delta = spark.read.parquet(delta).count()
+    # Plant the torn state: published delta loses its _SUCCESS marker
+    # AND its data files (a half-written dir), base/deletes stay whole.
+    os.remove(os.path.join(delta, "_SUCCESS"))
+    for f in os.listdir(delta):
+        os.remove(os.path.join(delta, f))
+    base2, dels2, delta2 = _mor_paths(spark, sf_dir)
+    assert (base2, dels2, delta2) == (base, dels, delta)
+    assert os.path.exists(os.path.join(delta2, "_SUCCESS")), (
+        "torn delta dir was not republished"
+    )
+    assert spark.read.parquet(delta2).count() == n_delta
+    # And the read-side merge built on the healed fixture still runs.
+    assert QS["q_cdc_merge_on_read"](spark, sf_dir).count() > 0
+
+
+def test_agg_mad_invariants(spark, sf_dir):
+    """MAD is nonnegative and never exceeds the group's max deviation;
+    at least half the group lies within [med-mad, med+mad] by the
+    median property (up to the discrete two-row average)."""
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    out = {r["event_type"]: r for r in QS["q_agg_mad"](spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events")
+    assert out
+    for et, r in out.items():
+        assert r["mad"] >= 0.0
+        grp = ev.filter(F.col("event_type") == et)
+        n_in = grp.filter(
+            F.abs(F.col("value") - F.lit(r["median"])) <= F.lit(r["mad"])
+        ).count()
+        assert n_in * 2 >= r["n"] - 1, f"{et}: MAD does not cover half the group"
+
+
+def test_agg_winsorized_invariants(spark, sf_dir):
+    """Clip bounds are real order statistics (p05 <= p95) and the
+    winsorized mean lies inside them."""
+    rows = QS["q_agg_winsorized"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p05"] <= r["p95"]
+        assert r["p05"] <= r["mean_winsorized"] <= r["p95"]
+
+
+def test_band_index_apply_invisible_to_corpus_snapshot(spark, sf_dir, tmp_path):
+    """Snapshot isolation for the shared band index: an apply-style
+    append must extend only the live dir view — corpus-snapshot
+    consumers (batch trio shingles, q_dedup_incremental's corpus side)
+    keep reading the build's manifest file set unchanged."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+        _snapshot,
+        band_index_apply,
+        band_index_build,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    base = band_index_build(spark, sf_dir)
+    copy = str(tmp_path / "index_copy")
+    shutil.copytree(base, copy)
+    before = {
+        sub: _snapshot(spark, copy, sub).count()
+        for sub in ("shingles", "bands", "sizes")
+    }
+    batch = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 17 == 3)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    band_index_apply(spark, copy, batch)
+    for sub in ("shingles", "bands", "sizes"):
+        live = spark.read.parquet(os.path.join(copy, sub)).count()
+        snap = _snapshot(spark, copy, sub).count()
+        assert snap == before[sub], f"{sub}: snapshot leaked appended docs"
+        assert live > snap, f"{sub}: append did not reach the live view"
+
+
+def test_funnel_latency_plan_is_lazy(spark, sf_dir):
+    """Registered queries are plans, not jobs: constructing
+    q_funnel_latency must not run a Spark job (the viewer count is a
+    broadcast 1-row aggregate, not an eager .count())."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    df = QS["q_funnel_latency"](spark, sf_dir)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    # Every spark.read.parquet costs one footer/schema job — that's
+    # construction overhead shared by ALL queries (the single load()
+    # here), NOT the bug. The old eager viewers.count() ran a full
+    # aggregation job on top; assert that never comes back.
+    assert len(after - before) <= 1, (
+        f"plan construction ran {len(after - before)} jobs — an eager "
+        "action snuck back in"
+    )
+    row = df.collect()[0]
+    assert row["n_viewers"] >= row["n_converted"] > 0
+    assert row["avg_delay_s"] >= 0.0 and row["max_delay_s"] >= 0

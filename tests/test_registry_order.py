@@ -3,13 +3,15 @@
 The external driver hash-checks only ``list(queries())[:50]`` per
 round, so registration order IS coverage policy. Since round 4 the
 order is COMPUTED from the ``CORRECTNESS_r*.json`` artifacts on disk
-(round-3 verdict item 1): never-driver-checked oracle-backed queries
-fill the window first, no-oracle queries never displace hash-checkable
-ones, and once coverage is complete the window becomes a rolling
-regression sweep re-checking the stalest green rows. These tests stay
-green no matter which round's artifacts are present — landing a new
-CORRECTNESS file rotates the order automatically instead of breaking
-the suite.
+(round-3 verdict item 1); since round 6 the ledger tracks the LATEST
+row per query so a failed row (hash mismatch / err) re-enters the
+window immediately (round-5 verdict items 1-2): queries needing a
+(re)check fill the window first, no-oracle queries may take a slot
+only while they have no row at all, and once coverage is complete the
+window becomes a rolling regression sweep re-checking the stalest
+green rows. These tests stay green no matter which round's artifacts
+are present — landing a new CORRECTNESS file rotates the order
+automatically instead of breaking the suite.
 """
 
 from __future__ import annotations
@@ -24,85 +26,195 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER_WINDOW = 50
 
 
-def _driver_checked() -> set[str]:
-    checked: set[str] = set()
-    for fname in sorted(os.listdir(_REPO)):
+def _scan_artifacts() -> dict[int, dict]:
+    out: dict[int, dict] = {}
+    for fname in os.listdir(_REPO):
         if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
+            rnd = int(fname[len("CORRECTNESS_r") : -len(".json")])
             with open(os.path.join(_REPO, fname)) as f:
-                checked.update(json.load(f))
-    return checked
+                out[rnd] = json.load(f)
+    return out
 
 
-def test_checked_rounds_reads_artifacts() -> None:
-    """registry's own artifact reader agrees with an independent scan."""
-    rounds = registry._driver_checked_rounds(_REPO)
-    assert set(rounds) == _driver_checked()
-    # Earliest-round attribution: any name present in r01 must map to 1.
-    r01 = os.path.join(_REPO, "CORRECTNESS_r01.json")
-    if os.path.exists(r01):
-        with open(r01) as f:
-            for name in json.load(f):
-                assert rounds[name] == 1
+def _needs_check(name: str, ledger: dict) -> bool:
+    entry = ledger.get(name)
+    return entry is None or not entry["ok"]
 
 
-def test_front_window_all_have_oracles() -> None:
-    """No-oracle queries can only earn rows-only driver rows, so they
-    must never hold a front-window slot while ANY oracle-backed query
-    (unchecked, or stale-green once coverage completes) could use it."""
+def test_ledger_reads_artifacts() -> None:
+    """registry's artifact reader agrees with an independent scan:
+    every name present, earliest-round attribution, latest-row ok."""
+    ledger = registry._driver_ledger(_REPO)
+    arts = _scan_artifacts()
+    every_name = {n for rows in arts.values() for n in rows}
+    assert set(ledger) == every_name
+    for name, entry in ledger.items():
+        rounds_with = sorted(r for r, rows in arts.items() if name in rows)
+        assert entry["first"] == rounds_with[0]
+        assert entry["last"] == rounds_with[-1]
+        assert entry["ok"] == registry._row_passed(arts[rounds_with[-1]][name])
+
+
+def test_row_passed_semantics() -> None:
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    hash_fail = dict(green, hash_match=False)  # the q_herfindahl r05 shape
+    errored = dict(green, err="boom", rows_match=None)
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 2, "oracle_rows": None, "err": "no_oracle"}
+    rows_only_dead = dict(rows_only, spark_rows=None)
+    assert registry._row_passed(green)
+    assert not registry._row_passed(hash_fail)
+    assert not registry._row_passed(errored)
+    assert registry._row_passed(rows_only)
+    assert not registry._row_passed(rows_only_dead)
+
+
+def test_front_window_no_oracle_only_while_rowless() -> None:
+    """No-oracle queries can only ever earn a one-time rows-only row:
+    they may hold a front-window slot ONLY while they have no driver
+    row at all; once earned, they sort behind every oracle-backed
+    query forever."""
     qs = list(registry.queries())
     oracles = registry.oracles()
-    n_oracle_backed = sum(1 for q in qs if q in oracles)
-    front = qs[: min(DRIVER_WINDOW, n_oracle_backed)]
-    missing = [q for q in front if q not in oracles]
-    assert not missing, f"front-window queries without oracle: {missing}"
+    ledger = registry._driver_ledger(_REPO)
+    front = qs[:DRIVER_WINDOW]
+    bad = [q for q in front if q not in oracles and q in ledger and ledger[q]["ok"]]
+    assert not bad, f"earned rows-only queries holding front slots: {bad}"
+    # And behind the front window they must never precede an
+    # oracle-backed query anywhere in the tail.
+    tail = qs[DRIVER_WINDOW:]
+    earned_seen = False
+    for q in tail:
+        if q not in oracles and q in ledger and ledger[q]["ok"]:
+            earned_seen = True
+        elif q in oracles and earned_seen:
+            raise AssertionError(
+                f"oracle-backed {q} sorts behind an earned rows-only query"
+            )
 
 
-def test_front_window_prioritizes_unchecked() -> None:
-    """While any oracle-backed query lacks a driver CORRECTNESS row, the
-    front window must not waste slots re-checking already-green ones."""
+def test_front_window_prioritizes_needy() -> None:
+    """While any oracle-backed query needs a (re)check — no row yet OR
+    latest row failed — the front window must not waste slots
+    re-checking green ones."""
     qs = list(registry.queries())
     oracles = registry.oracles()
-    checked = _driver_checked()
-    unchecked = [q for q in qs if q not in checked and q in oracles]
-    if not unchecked:
+    ledger = registry._driver_ledger(_REPO)
+    needy = [q for q in qs if q in oracles and _needs_check(q, ledger)]
+    if not needy:
         return  # full coverage achieved — rolling-regression order applies
     front = qs[:DRIVER_WINDOW]
-    wasted = [q for q in front if q in checked]
-    assert len(wasted) <= max(0, DRIVER_WINDOW - len(unchecked)), (
-        f"front window re-checks {wasted} while {len(unchecked)} queries "
-        "have never been driver-verified"
+    wasted = [q for q in front if not _needs_check(q, ledger)]
+    assert len(wasted) <= max(0, DRIVER_WINDOW - len(needy)), (
+        f"front window re-checks {wasted} while {len(needy)} queries "
+        "need driver (re)verification"
     )
 
 
-def test_checked_queries_order_stalest_first() -> None:
-    """Within the already-checked group, oldest green round comes first
-    so full-coverage mode degrades into a rolling regression sweep."""
-    qs = list(registry.queries())
-    rounds = registry._driver_checked_rounds(_REPO)
-    checked_in_order = [rounds[q] for q in qs if q in rounds]
-    assert checked_in_order == sorted(checked_in_order)
+def test_failed_rows_refront() -> None:
+    """A query whose LATEST driver row failed re-enters the front of
+    the order even though an older round may have been green — with
+    the real artifacts, q_herfindahl's r05 hash failure must put it in
+    the next round's window."""
+    ledger = registry._driver_ledger(_REPO)
+    if "q_herfindahl" in ledger and not ledger["q_herfindahl"]["ok"]:
+        qs = list(registry.queries())
+        assert "q_herfindahl" in qs[:DRIVER_WINDOW], (
+            "failed q_herfindahl row did not re-enter the driver window"
+        )
+    # Synthetic: green-then-failed sorts into group 0, ahead of green.
+    names = ["a_green", "b_failed", "c_new"]
+    oracle_names = set(names)
+    ledger = {
+        "a_green": {"first": 1, "last": 1, "ok": True},
+        "b_failed": {"first": 1, "last": 5, "ok": False},
+    }
+    got = registry.check_order(names, oracle_names, ledger)
+    assert got == ["b_failed", "c_new", "a_green"]
 
 
-def test_unchecked_risk_families_first() -> None:
-    """CDC composites guard the reference's core upsert semantics —
-    they must be the first unchecked names to reach the driver."""
+def test_green_oracle_queries_stalest_first() -> None:
+    """Within the green oracle-backed group, stalest LATEST round comes
+    first so full-coverage mode degrades into a rolling regression
+    sweep."""
     qs = list(registry.queries())
-    checked = _driver_checked()
     oracles = registry.oracles()
-    unchecked = [q for q in qs if q not in checked and q in oracles]
-    if not unchecked:
+    ledger = registry._driver_ledger(_REPO)
+    green_rounds = [
+        ledger[q]["last"]
+        for q in qs
+        if q in oracles and q in ledger and ledger[q]["ok"]
+    ]
+    assert green_rounds == sorted(green_rounds)
+
+
+def test_needy_risk_families_first() -> None:
+    """CDC composites guard the reference's core upsert semantics —
+    they must be the first needy names to reach the driver."""
+    qs = list(registry.queries())
+    oracles = registry.oracles()
+    ledger = registry._driver_ledger(_REPO)
+    needy = [q for q in qs if q in oracles and _needs_check(q, ledger)]
+    if not needy:
         return
-    cdc = [q for q in unchecked if q.startswith("q_cdc_")]
-    assert unchecked[: len(cdc)] == cdc, (
-        "unchecked CDC queries must lead the driver window"
+    cdc = [q for q in needy if q.startswith("q_cdc_")]
+    assert needy[: len(cdc)] == cdc, (
+        "needy CDC queries must lead the driver window"
     )
 
 
 def test_order_kernel_synthetic() -> None:
     """Pure-kernel check against a synthetic ledger: group order is
-    unchecked-oracle < no-oracle < checked(oldest first)."""
-    names = ["a_checked_r2", "b_checked_r1", "q_cdc_x", "q_text_y", "no_oracle_z"]
-    oracle_names = {"a_checked_r2", "b_checked_r1", "q_cdc_x", "q_text_y"}
-    checked = {"a_checked_r2": 2, "b_checked_r1": 1}
-    got = registry.check_order(names, oracle_names, checked)
-    assert got == ["q_cdc_x", "q_text_y", "no_oracle_z", "b_checked_r1", "a_checked_r2"]
+    needy-oracle < rowless-no-oracle < green-oracle(stalest first) <
+    earned-rows-only(last). Bare-int ledger values mean green."""
+    names = [
+        "a_checked_r2", "b_checked_r1", "q_cdc_x", "q_text_y",
+        "no_oracle_z", "no_oracle_earned", "q_failed_r3",
+    ]
+    oracle_names = {"a_checked_r2", "b_checked_r1", "q_cdc_x", "q_text_y",
+                    "q_failed_r3"}
+    ledger = {
+        "a_checked_r2": 2,  # legacy int shorthand
+        "b_checked_r1": {"first": 1, "last": 1, "ok": True},
+        "no_oracle_earned": {"first": 2, "last": 2, "ok": True},
+        "q_failed_r3": {"first": 3, "last": 3, "ok": False},
+    }
+    got = registry.check_order(names, oracle_names, ledger)
+    assert got == [
+        "q_cdc_x", "q_failed_r3", "q_text_y",  # group 0 (family rank, name)
+        "no_oracle_z",                          # group 1
+        "b_checked_r1", "a_checked_r2",         # group 2 stalest-first
+        "no_oracle_earned",                     # group 3
+    ]
+
+
+def test_r07_rolling_sweep_fronts_round1_rows() -> None:
+    """The coverage→regression transition (round-5 verdict item 10):
+    simulate full coverage — every query green, with a synthetic r06
+    greening everything still needy today — and assert the next window
+    fronts the stalest (round-1) rows."""
+    qs = registry.queries()
+    oracles = registry.oracles()
+    ledger = {
+        n: dict(e) for n, e in registry._driver_ledger(_REPO).items()
+    }
+    for q in qs:
+        if _needs_check(q, ledger):
+            ledger[q] = {"first": 6, "last": 6, "ok": True}
+        else:
+            ledger[q]["ok"] = True
+    order = registry.check_order(list(qs), set(oracles), ledger)
+    r1 = sorted(
+        q for q in qs
+        if q in oracles and ledger[q]["last"] == 1
+    )
+    if not r1:
+        return
+    front = order[: len(r1)]
+    assert sorted(front) == r1, (
+        "full-coverage window must front the round-1 (stalest) rows"
+    )
+    # Earned rows-only queries sit at the very back.
+    rows_only = [q for q in qs if q not in oracles]
+    assert order[-len(rows_only):] == sorted(rows_only, key=lambda n: (ledger[n]["last"], n))
