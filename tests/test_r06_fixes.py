@@ -62,6 +62,31 @@ def test_agg_mad_invariants(spark, sf_dir):
         assert n_in * 2 >= r["n"] - 1, f"{et}: MAD does not cover half the group"
 
 
+def test_agg_mad_degenerate_groups(spark, tmp_path):
+    """Single-row groups have MAD 0 and median == the value; two-row
+    groups average the pair exactly (commutative double add)."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.aggregates import q_agg_mad
+
+    df = spark.createDataFrame(
+        [
+            (1, "solo", 7.25),
+            (2, "pair", 1.0),
+            (3, "pair", 2.0),
+            (4, "tied", 5.0),
+            (5, "tied", 5.0),
+            (6, "tied", 5.0),
+        ],
+        "event_id long, event_type string, value double",
+    )
+    d = tmp_path / "edge"
+    d.mkdir()
+    df.write.parquet(str(d / "events.parquet"))
+    out = {r["event_type"]: r for r in q_agg_mad(spark, str(d)).collect()}
+    assert out["solo"]["median"] == 7.25 and out["solo"]["mad"] == 0.0
+    assert out["pair"]["median"] == 1.5 and out["pair"]["mad"] == 0.5
+    assert out["tied"]["median"] == 5.0 and out["tied"]["mad"] == 0.0
+
+
 def test_agg_winsorized_invariants(spark, sf_dir):
     """Clip bounds are real order statistics (p05 <= p95) and the
     winsorized mean lies inside them."""
