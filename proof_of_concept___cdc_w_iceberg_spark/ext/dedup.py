@@ -483,6 +483,13 @@ def band_index_build(spark, sf_dir: str) -> str:
         _write_manifest(base)
         with open(marker, "w") as f:
             f.write("ok")
+    elif not os.path.exists(os.path.join(base, "_MANIFEST.json")):
+        # Backfill: an index built before manifests existed is still a
+        # pure corpus build (appends only ever come later via
+        # band_index_apply), so freezing its current file set IS its
+        # build snapshot — without this, snapshot reads silently
+        # degrade to live-dir reads on stale caches.
+        _write_manifest(base)
     return base
 
 

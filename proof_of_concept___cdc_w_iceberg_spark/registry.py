@@ -143,6 +143,11 @@ def _row_passed(row) -> bool:
     """
     if not isinstance(row, dict):
         return True
+    if not ({"rows_match", "schema_match", "hash_match", "err", "spark_rows"} & set(row)):
+        # A dict in a future/renamed format is just as "unknown" as a
+        # non-dict — counting it failed would re-front every query
+        # forever the day the driver changes its row shape.
+        return True
     if row.get("err") == "no_oracle":
         return row.get("spark_rows") is not None
     return (

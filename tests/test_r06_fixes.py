@@ -129,6 +129,26 @@ def test_band_index_apply_invisible_to_corpus_snapshot(spark, sf_dir, tmp_path):
         assert live > snap, f"{sub}: append did not reach the live view"
 
 
+def test_band_index_manifest_backfilled_on_stale_cache(spark, sf_dir):
+    """An index dir built before manifests existed (marker present, no
+    _MANIFEST.json) must get its snapshot frozen on the next build call
+    — otherwise snapshot reads silently degrade to live-dir reads."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import band_index_build
+
+    base = band_index_build(spark, sf_dir)
+    mpath = os.path.join(base, "_MANIFEST.json")
+    os.remove(mpath)
+    assert band_index_build(spark, sf_dir) == base
+    assert os.path.exists(mpath), "stale cache did not get a manifest backfill"
+
+
+def test_row_passed_unknown_dict_format():
+    """A driver row in a future/renamed format must count as passed —
+    counting it failed would re-front every query forever."""
+    assert registry._row_passed({"status": "ok", "hash": "abc"})
+    assert registry._row_passed("weird")
+
+
 def test_funnel_latency_plan_is_lazy(spark, sf_dir):
     """Registered queries are plans, not jobs: constructing
     q_funnel_latency must not run a Spark job (the viewer count is a
