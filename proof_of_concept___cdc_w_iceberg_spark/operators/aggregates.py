@@ -1229,8 +1229,10 @@ def q_agg_mad(spark, sf_dir):
         F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
         F.count("*").over(w).alias("n"),
     )
-    mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
-        F.col("rn") == F.floor((F.col("n") + 2) / 2)
+    # TRUE integer division (Spark `div`, not FLOOR(double/2)): exact
+    # at any group size, matching DuckDB's BIGINT `//` bit-for-bit.
+    mid = (F.col("rn") == F.expr("(n + 1) div 2")) | (
+        F.col("rn") == F.expr("(n + 2) div 2")
     )
     med = (
         ranked.filter(mid)
@@ -1251,8 +1253,8 @@ def q_agg_mad(spark, sf_dir):
         "dev",
         F.row_number().over(w.orderBy("dev", "event_id")).alias("drn"),
     )
-    dmid = (F.col("drn") == F.floor((F.col("n") + 1) / 2)) | (
-        F.col("drn") == F.floor((F.col("n") + 2) / 2)
+    dmid = (F.col("drn") == F.expr("(n + 1) div 2")) | (
+        F.col("drn") == F.expr("(n + 2) div 2")
     )
     return (
         dranked.filter(dmid)
@@ -1318,9 +1320,10 @@ def q_agg_winsorized(spark, sf_dir):
         F.row_number().over(w.orderBy("o_totalprice", "o_orderkey")).alias("rn"),
         F.count("*").over(w).alias("n"),
     )
-    k_lo = F.floor((F.col("n") + (WINSOR_LO_DIV - 1)) / WINSOR_LO_DIV)
-    k_hi = F.floor(
-        ((WINSOR_LO_DIV - 1) * F.col("n") + (WINSOR_LO_DIV - 1)) / WINSOR_LO_DIV
+    # TRUE integer division (Spark `div`): exact at any group size.
+    k_lo = F.expr(f"(n + {WINSOR_LO_DIV - 1}) div {WINSOR_LO_DIV}")
+    k_hi = F.expr(
+        f"({WINSOR_LO_DIV - 1} * n + {WINSOR_LO_DIV - 1}) div {WINSOR_LO_DIV}"
     )
     bounds = ranked.groupBy("o_orderpriority", "n").agg(
         F.max(F.when(F.col("rn") == k_lo, F.col("o_totalprice"))).alias("p05"),

@@ -448,3 +448,22 @@ def test_dedup_trio_shares_one_materialized_stage(spark, sf_dir):
     f2 = {f for f in QS["q_dedup_containment"](spark, sf_dir).inputFiles()
           if "dedup_capped_" in f}
     assert f1 and f1 == f2
+
+
+def test_robust_stats_windows_are_partitioned_and_broadcast_back(spark, sf_dir):
+    """q_agg_mad / q_agg_winsorized: the rank windows must partition on
+    the group key (never a single-partition global sort) and the tiny
+    derived relation (medians / clip bounds) must come back via a
+    broadcast join, not a shuffle."""
+    for name in ("q_agg_mad", "q_agg_winsorized"):
+        plan = explain_str(QS[name](spark, sf_dir))
+        assert "Window" in plan, name
+        assert "SinglePartition" not in plan, (
+            f"{name}: a window collapsed to a single partition"
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+            f"{name}: per-group stats relation not broadcast back"
+        )
+        assert "SortMergeJoin" not in plan, (
+            f"{name}: tiny stats relation is shuffling the fact side"
+        )
