@@ -546,6 +546,92 @@ def capped_shingles(spark, sf_dir: str):
     )
 
 
+def capped_stage_apply(
+    sh_capped, sizes_capped, df_hist, new_sh, cap: int = MAX_DOCS_PER_SHINGLE
+):
+    """Incrementally maintain the DF-capped shingle stage for a batch
+    of newly-ingested docs — the apply-path counterpart of
+    ``band_index_apply`` for the stage ``capped_shingles`` builds.
+
+    The stop-shingle DF cap is a corpus-GLOBAL statistic, so a naive
+    refresh re-shingles the whole corpus per batch (O(corpus), the
+    round-4 regression all over again). But document counts are
+    append-monotone, so the cap set only ever SHRINKS: the exact delta
+    is (a) drop shingles the batch pushed over the cap — typically a
+    handful near the boundary — and (b) add the batch's own under-cap
+    shingles. Everything is O(|batch| + |boundary shingles|) plus one
+    co-partitioned merge of the DF histogram; the corpus shingle
+    relation is touched only by an anti-join on the (tiny, broadcast)
+    newly-over set, never re-derived.
+
+    Pure relational function: takes and returns DataFrames so callers
+    control persistence/layout —
+      ``sh_capped``     (doc_id, sh): current capped relation,
+      ``sizes_capped``  (doc_id, n_sh): current per-doc set sizes,
+      ``df_hist``       (sh, df): FULL pre-cap document-frequency
+                         histogram of everything already applied,
+      ``new_sh``        (doc_id, sh): the batch's shingles
+                         (``doc_shingles(new_docs)``).
+    Returns ``(sh_capped', sizes', df_hist')``; sizes are maintained by
+    DELTA (− per-doc counts of newly-over shingles, + batch per-doc
+    counts), never re-aggregated from the corpus relation, and every
+    output equals the full rebuild over corpus+batch (asserted in
+    tests/test_r06_fixes.py).
+
+    100 TB shape: the histogram merge shuffles |batch vocabulary| rows
+    onto the ``sh``-partitioned histogram; ``newly_over`` is broadcast
+    into the anti-join (bounded by the cap boundary, not the corpus);
+    batch admission is a broadcast semi-join against the updated
+    boundary. Nothing scans the corpus text."""
+    batch_df = new_sh.groupBy("sh").agg(F.count("*").alias("df_b"))
+    merged = (
+        df_hist.join(batch_df, "sh", "full_outer")
+        .select(
+            "sh",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("df_b"), F.lit(0))).alias("df"),
+            F.coalesce(F.col("df_b"), F.lit(0)).alias("df_b"),
+            F.coalesce(F.col("df"), F.lit(0)).alias("df_old"),
+        )
+    )
+    df_hist_new = merged.select("sh", "df")
+    # Shingles the batch pushed over the cap: were in the capped set,
+    # now out. Bounded by the cap boundary — broadcast.
+    newly_over = merged.filter(
+        (F.col("df_old") <= cap) & (F.col("df") > cap) & (F.col("df_old") > 0)
+    ).select("sh")
+    # Batch shingles admitted under the UPDATED cap.
+    under_cap = merged.filter((F.col("df") <= cap) & (F.col("df_b") > 0)).select("sh")
+    batch_keep = new_sh.join(F.broadcast(under_cap), "sh")
+    sh_capped_new = sh_capped.join(
+        F.broadcast(newly_over), "sh", "left_anti"
+    ).unionByName(batch_keep)
+    # Sizes by DELTA: corpus docs lose their newly-over shingle counts
+    # (only docs touching the cap boundary — bounded), batch docs gain
+    # their admitted counts; everyone else passes through the
+    # doc_id-co-partitioned merge untouched. Docs whose whole set went
+    # over-cap drop out (n_sh = 0), matching the rebuild semantics.
+    minus = (
+        sh_capped.join(F.broadcast(newly_over), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("d_minus"))
+    )
+    plus = batch_keep.groupBy("doc_id").agg(F.count("*").alias("d_plus"))
+    sizes_new = (
+        sizes_capped.join(minus, "doc_id", "full_outer")
+        .join(plus, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("n_sh"), F.lit(0))
+                - F.coalesce(F.col("d_minus"), F.lit(0))
+                + F.coalesce(F.col("d_plus"), F.lit(0))
+            ).alias("n_sh"),
+        )
+        .filter(F.col("n_sh") > 0)
+    )
+    return sh_capped_new, sizes_new, df_hist_new
+
+
 def band_index_apply(spark, base: str, new_docs) -> None:
     """Apply-style index maintenance: append the shingles, band
     buckets, and sizes of newly-ingested docs — O(|new docs|), the

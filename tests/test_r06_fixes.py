@@ -149,6 +149,83 @@ def test_row_passed_unknown_dict_format():
     assert registry._row_passed("weird")
 
 
+def test_capped_stage_apply_equals_full_rebuild(spark, sf_dir):
+    """Incremental capped-stage maintenance == full rebuild over
+    corpus+batch, including across TWO sequential batches (the apply
+    must compose) and across the cap boundary (shingles pushed over
+    the cap by a batch drop out of the corpus side too)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+        MAX_DOCS_PER_SHINGLE,
+        capped_stage_apply,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.ext.shingles import doc_shingles
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    # Plant a guaranteed cap-boundary crossing: `cap` corpus docs and 2
+    # batch docs all sharing one distinctive 5-gram, so its df sits AT
+    # the cap in the corpus and crosses it when batch2 applies.
+    cap = MAX_DOCS_PER_SHINGLE
+    boundary = spark.range(cap + 2).select(
+        (F.col("id") + 50_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("zq wq xq yq vq filler"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    docs = (
+        load(spark, sf_dir, "documents").select("doc_id", "text").unionByName(boundary)
+    )
+    real = F.col("doc_id") < 50_000_000
+    corpus = docs.filter(
+        ((F.col("doc_id") % 3 == 0) & real) | (F.col("doc_id") >= 50_000_000 + 2)
+    )
+    batch1 = docs.filter((F.col("doc_id") % 3 == 1) & real)
+    batch2 = docs.filter(
+        ((F.col("doc_id") % 3 == 2) & real)
+        | F.col("doc_id").between(50_000_000, 50_000_001)
+    )
+
+    def build(d):
+        sh = doc_shingles(d)
+        hist = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        capped = sh.join(
+            hist.filter(F.col("df") <= MAX_DOCS_PER_SHINGLE).select("sh"), "sh"
+        )
+        sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        return capped, sizes, hist
+
+    sh_c, sizes, hist = build(corpus)
+    sh_c, sizes, hist = capped_stage_apply(
+        sh_c, sizes, hist, doc_shingles(batch1)
+    )
+    sh_c = sh_c.persist()
+    sizes = sizes.persist()
+    hist = hist.persist()
+    sh_c, sizes, hist = capped_stage_apply(
+        sh_c, sizes, hist, doc_shingles(batch2)
+    )
+
+    want_sh, want_sizes, want_hist = build(docs)
+    for got, want, what in (
+        (sh_c, want_sh, "capped shingles"),
+        (sizes, want_sizes, "sizes"),
+        (hist, want_hist, "df histogram"),
+    ):
+        assert got.exceptAll(want).count() == 0, f"{what}: extra rows"
+        assert want.exceptAll(got).count() == 0, f"{what}: missing rows"
+    # The boundary case actually fired: at least one shingle crossed
+    # the cap between the corpus-only and full builds.
+    corpus_hist = doc_shingles(corpus).groupBy("sh").agg(F.count("*").alias("df"))
+    crossed = (
+        corpus_hist.filter(F.col("df") <= MAX_DOCS_PER_SHINGLE)
+        .join(
+            want_hist.filter(F.col("df") > MAX_DOCS_PER_SHINGLE).select("sh"), "sh"
+        )
+        .count()
+    )
+    assert crossed > 0, "fixture exercised no cap-boundary crossing"
+    spark.catalog.clearCache()
+
+
 def test_funnel_latency_plan_is_lazy(spark, sf_dir):
     """Registered queries are plans, not jobs: constructing
     q_funnel_latency must not run a Spark job (the viewer count is a
