@@ -1355,3 +1355,55 @@ def q_agg_winsorized(spark, sf_dir):
             "mean_winsorized",
         )
     )
+
+
+# --- discrete IQR (staged for registration next cycle as q_agg_iqr;
+# this cycle's driver window is exactly full).
+IQR_SQL = """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS p25,
+           MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN o_totalprice END) AS p75,
+           MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN o_totalprice END)
+             - MAX(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS iqr
+    FROM ranked
+    GROUP BY o_orderpriority, n
+"""
+
+
+def agg_iqr(spark, sf_dir):
+    """Interquartile range per group from DISCRETE order statistics
+    (p25/p75 at integer ranks ceil(n/4), ceil(3n/4) — true integer
+    division, no interpolation): the robust spread that pairs with
+    q_agg_mad's robust scale and feeds Tukey-fence outlier clipping.
+    IQR = p75 − p25 is one exact IEEE subtraction of two actual data
+    values, so results are bit-identical across engines.
+
+    One group-partitioned rank window feeding a map-combined
+    conditional aggregate — the q_agg_trimmed/q_agg_winsorized
+    single-Exchange template."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w.orderBy("o_totalprice", "o_orderkey")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    p25 = F.max(F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("o_totalprice")))
+    p75 = F.max(
+        F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("o_totalprice"))
+    )
+    return ranked.groupBy("o_orderpriority", "n").agg(
+        p25.alias("p25"), p75.alias("p75"), (p75 - p25).alias("iqr")
+    ).select(
+        "o_orderpriority", F.col("n").cast("long").alias("n"), "p25", "p75", "iqr"
+    )

@@ -540,3 +540,36 @@ def q_win_ratio_to_report(spark, sf_dir):
         "o_orderpriority",
         F.round(F.col("o_totalprice") / total, 8).alias("share"),
     )
+
+
+# --- percent_rank / cume_dist (staged for registration next cycle as
+# q_win_percent_rank; this cycle's driver window is exactly full).
+PCTRANK_SQL = """
+    SELECT user_id, event_id,
+           ROUND(percent_rank() OVER w, 8) AS pct_rank,
+           ROUND(cume_dist() OVER w, 8) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+"""
+
+
+def win_percent_rank(spark, sf_dir):
+    """Relative standing of every event within its user's value
+    distribution: percent_rank = (rank−1)/(n−1) and cume_dist =
+    |rows ≤ current|/n — the per-entity percentile features a
+    training-data pipeline derives before global normalization.
+
+    Both built-ins are rank arithmetic over one user-partitioned
+    ordered pass (a single Exchange on user_id; each partition sorts
+    its own slice): the divisions are single exact IEEE ops on
+    integers, identical across engines, and the unique (value,
+    event_id) ordering pins tie behavior. 8dp rounds only shorten the
+    printed repr — the quotients are already deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )

@@ -97,6 +97,72 @@ def test_agg_winsorized_invariants(spark, sf_dir):
         assert r["p05"] <= r["mean_winsorized"] <= r["p95"]
 
 
+def test_robust_outliers_matches_duckdb(spark, duck, sf_dir):
+    """The staged-for-r7 MAD outlier gate already passes the exact
+    oracle compare it will face once registered."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.quality import (
+        OUTLIERS_SQL,
+        robust_outliers,
+    )
+
+    got = (
+        robust_outliers(spark, sf_dir)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = duck.sql(OUTLIERS_SQL).df().sort_values("event_type").reset_index(drop=True)
+    want = want[got.columns]
+    assert got.equals(want.astype(got.dtypes.to_dict())), (
+        f"mismatch:\n{got}\nvs\n{want}"
+    )
+    assert (got["n_outliers"] <= got["n"]).all()
+
+
+def test_staged_percent_rank_matches_duckdb(spark, duck, sf_dir):
+    from proof_of_concept___cdc_w_iceberg_spark.operators.windows import (
+        PCTRANK_SQL,
+        win_percent_rank,
+    )
+
+    got = (
+        win_percent_rank(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.sql(PCTRANK_SQL)
+        .df()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)[got.columns]
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    assert got["pct_rank"].between(0, 1).all() and got["cume"].between(0, 1).all()
+
+
+def test_staged_iqr_matches_duckdb(spark, duck, sf_dir):
+    from proof_of_concept___cdc_w_iceberg_spark.operators.aggregates import (
+        IQR_SQL,
+        agg_iqr,
+    )
+
+    got = (
+        agg_iqr(spark, sf_dir)
+        .toPandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.sql(IQR_SQL)
+        .df()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)[got.columns]
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    assert (got["iqr"] >= 0).all() and (got["p25"] <= got["p75"]).all()
+
+
 def test_band_index_apply_invisible_to_corpus_snapshot(spark, sf_dir, tmp_path):
     """Snapshot isolation for the shared band index: an apply-style
     append must extend only the live dir view — corpus-snapshot
