@@ -825,6 +825,72 @@ def connected_components(nodes, pairs, max_rounds: int = 20):
     return labels
 
 
+def connected_components_apply(labels, new_edges):
+    """Incrementally maintain a connected-components labeling under
+    EDGE ADDITIONS — the dedup-cluster IVM step: a newly-ingested
+    batch contributes near-dup edges, and clusters must merge without
+    re-propagating over the corpus graph.
+
+    The key fact: existing components are already internally
+    connected, so a new edge (a, b) only ever merges WHOLE components
+    — the corpus-scale node graph collapses to a component-level graph
+    with |batch| edges. Pipeline: look up the endpoints' current
+    labels (one join of the batch against the labeling), run min-label
+    propagation on that TINY component graph (``connected_components``
+    reused — rounds bounded by the merge-chain diameter, relations
+    bounded by the batch), then relabel via one broadcast join against
+    the (bounded) old-comp → merged-comp map. Nodes unseen by any edge
+    pass through untouched; edge endpoints missing from ``labels``
+    (brand-new docs) enter as singletons first.
+
+    O(|batch| + merge-map) per apply; the corpus labeling is scanned
+    once and never shuffled. Staged for registration next cycle as
+    q_dedup_cluster_incremental (oracle: full recompute over the
+    union edge set); equivalence asserted in tests/test_r06_fixes.py
+    across sequential batches with cross-batch merges."""
+    ends = (
+        new_edges.select(F.col("id_a").alias("node"))
+        .unionByName(new_edges.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    # Brand-new nodes become singleton components before merging.
+    newcomers = ends.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("comp")
+    )
+    full = labels.unionByName(newcomers)
+    la = full.select(F.col("node").alias("id_a"), F.col("comp").alias("comp_a"))
+    lb = full.select(F.col("node").alias("id_b"), F.col("comp").alias("comp_b"))
+    comp_edges = (
+        new_edges.join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("comp_a") != F.col("comp_b"))
+        .select(F.col("comp_a").alias("id_a"), F.col("comp_b").alias("id_b"))
+        .distinct()
+    )
+    comp_nodes = (
+        comp_edges.select(F.col("id_a").alias("node"))
+        .unionByName(comp_edges.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    # Materialize the merge map to ROWS (bounded: ≤ 2·|batch| entries)
+    # and relabel via a literal broadcast relation. This is also the
+    # lineage cut that makes sequential applies composable — keeping
+    # the map as a plan chains each apply's iterative loop into the
+    # next one's, and the compounding logical plan OOMs the driver
+    # after a handful of batches.
+    mm_rows = connected_components(comp_nodes, comp_edges).collect()
+    if not mm_rows:
+        return full
+    merge_map = new_edges.sparkSession.createDataFrame(
+        [(int(r["node"]), int(r["comp"])) for r in mm_rows],
+        "comp long, merged long",
+    )
+    return (
+        full.join(F.broadcast(merge_map), "comp", "left")
+        .select("node", F.coalesce("merged", "comp").alias("comp"))
+    )
+
+
 @query("q_dedup_cluster", oracle=DEDUP_CLUSTER_SQL)
 def q_dedup_cluster(spark, sf_dir):
     """Transitive dedup clustering: connected components over the

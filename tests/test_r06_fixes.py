@@ -119,6 +119,42 @@ def test_robust_outliers_matches_duckdb(spark, duck, sf_dir):
     assert (got["n_outliers"] <= got["n"]).all()
 
 
+def test_components_apply_equals_full_recompute(spark):
+    """Incremental connected-components under edge additions == full
+    recompute, including chains that merge components ACROSS earlier
+    batches and brand-new nodes arriving as edge endpoints."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+        connected_components,
+        connected_components_apply,
+    )
+
+    nodes = spark.range(12).select(F.col("id").alias("node"))
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    b1 = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (8, 9)], "id_a long, id_b long"
+    )
+    # batch 2: merges {1,2}+{3,4} via 2-3, chains {5,6} to {8,9} via
+    # 6-8, and introduces node 20 (absent from labels) attached to 9.
+    b2 = spark.createDataFrame(
+        [(2, 3), (6, 8), (9, 20)], "id_a long, id_b long"
+    )
+    labels = connected_components_apply(labels, b1).persist()
+    labels = connected_components_apply(labels, b2)
+
+    all_nodes = nodes.unionByName(
+        spark.createDataFrame([(20,)], "node long")
+    )
+    want = connected_components(all_nodes, b1.unionByName(b2))
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    exp = {r["node"]: r["comp"] for r in want.collect()}
+    assert got == exp
+    # Spot invariants: one component for {1,2,3,4}, one for {5,6,8,9,20}.
+    assert len({got[1], got[2], got[3], got[4]}) == 1
+    assert len({got[5], got[6], got[8], got[9], got[20]}) == 1
+    assert got[0] == 0 and got[7] == 7 and got[10] == 10
+    spark.catalog.clearCache()
+
+
 def test_staged_percent_rank_matches_duckdb(spark, duck, sf_dir):
     from proof_of_concept___cdc_w_iceberg_spark.operators.windows import (
         PCTRANK_SQL,
