@@ -592,6 +592,12 @@ def capped_stage_apply(
             F.coalesce(F.col("df_b"), F.lit(0)).alias("df_b"),
             F.coalesce(F.col("df"), F.lit(0)).alias("df_old"),
         )
+        # Plan-scoped persist (repo convention — consumers release via
+        # clearCache / unpersist after materializing): five lazy
+        # branches of the three outputs read this corpus-vocabulary
+        # merge, and without the cache each materialization re-runs
+        # the full-outer join, paying the apply's dominant cost 5x.
+        .persist()
     )
     df_hist_new = merged.select("sh", "df")
     # Shingles the batch pushed over the cap: were in the capped set,
@@ -800,6 +806,7 @@ def connected_components(nodes, pairs, max_rounds: int = 20):
         .persist()
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("comp")).persist()
+    changed = 0
     for _ in range(max_rounds):
         prop = edges.join(
             labels, edges.a == labels.node
@@ -822,6 +829,16 @@ def connected_components(nodes, pairs, max_rounds: int = 20):
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # A silent cutoff would freeze non-converged labels into any
+        # incremental consumer (connected_components_apply) and corrupt
+        # every later apply — fail loud instead.
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds the cap); raise max_rounds or "
+            "switch to the large-star/small-star form"
+        )
     return labels
 
 
@@ -878,7 +895,9 @@ def connected_components_apply(labels, new_edges):
     # the map as a plan chains each apply's iterative loop into the
     # next one's, and the compounding logical plan OOMs the driver
     # after a handful of batches.
-    mm_rows = connected_components(comp_nodes, comp_edges).collect()
+    cc = connected_components(comp_nodes, comp_edges)
+    mm_rows = cc.collect()
+    cc.unpersist()  # one leaked cache per apply otherwise
     if not mm_rows:
         return full
     merge_map = new_edges.sparkSession.createDataFrame(

@@ -228,38 +228,18 @@ def q_anon_kanonymity(spark, sf_dir):
 # --- MAD-based robust outlier gate (staged for registration next
 # verification cycle as q_quality_outliers; the current cycle's driver
 # window is exactly full — see tests/test_registry_order.py policy).
+# Median+MAD come from q_agg_mad / MAD_SQL verbatim — one definition,
+# two consumers, so a tie-break fix there changes both in lockstep.
 MZ_K = 0.6745  # normal-consistency constant for the modified z-score
 MZ_T = 3.5     # Iglewicz-Hoaglin outlier threshold
 
-OUTLIERS_SQL = f"""
-    WITH ranked AS (
-        SELECT event_type, value,
-               row_number() OVER (PARTITION BY event_type
-                                  ORDER BY value, event_id) AS rn,
-               COUNT(*) OVER (PARTITION BY event_type) AS n
-        FROM events
-    ),
-    med AS (
-        SELECT event_type, n, SUM(value) / COUNT(*) AS median
-        FROM ranked
-        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
-        GROUP BY event_type, n
-    ),
-    devs AS (
-        SELECT r.event_type, m.n, m.median, ABS(r.value - m.median) AS dev,
-               row_number() OVER (PARTITION BY r.event_type
-                                  ORDER BY ABS(r.value - m.median), r.event_id)
-                   AS drn
-        FROM (SELECT event_type, value, event_id FROM events) r
-        JOIN med m ON m.event_type = r.event_type
-    ),
-    mad AS (
-        SELECT event_type, n, median, SUM(dev) / COUNT(*) AS mad
-        FROM devs
-        WHERE drn IN ((n + 1) // 2, (n + 2) // 2)
-        GROUP BY event_type, n, median
-    )
-    SELECT e.event_type, CAST(m.n AS BIGINT) AS n, m.median, m.mad,
+
+def _outliers_sql() -> str:
+    from .aggregates import MAD_SQL
+
+    return f"""
+    WITH mad AS ({MAD_SQL})
+    SELECT e.event_type, m.n, m.median, m.mad,
            CAST(SUM(CASE
                 WHEN m.mad = 0 THEN CASE WHEN e.value <> m.median THEN 1 ELSE 0 END
                 WHEN ABS({MZ_K} * (e.value - m.median) / m.mad) > {MZ_T} THEN 1
@@ -269,8 +249,11 @@ OUTLIERS_SQL = f"""
 """
 
 
+OUTLIERS_SQL = _outliers_sql()
+
+
 def robust_outliers(spark, sf_dir):
-    """Modified z-score outlier gate (Iglewicz–Hoaglin): flag events
+    """Modified z-score outlier gate (Iglewicz-Hoaglin): flag events
     whose |{MZ_K}·(x − med)/MAD| exceeds {MZ_T} — the robust quality
     filter that survives the fat tails wrecking mean/σ z-scores (the
     train-data cleaning counterpart of q_win_zscore's rolling gate).
@@ -278,52 +261,15 @@ def robust_outliers(spark, sf_dir):
     "any value off the median", keeping constant-plus-spike groups
     detectable.
 
-    Same two discrete-rank passes as q_agg_mad (each window partitions
-    on the group key; the med/MAD relation broadcasts back onto the
-    fact scan), then ONE map-combined conditional count — the scoring
-    comparison is a short exact IEEE chain, deterministic across
-    engines. Scale state: O(1) per group."""
-    from pyspark.sql import Window
-    from ..sources.tables import load
+    The (event_type, n, median, mad) relation IS q_agg_mad's output —
+    composed, not re-derived — broadcast onto one more events scan
+    feeding a map-combined conditional count; the scoring comparison
+    is a short exact IEEE chain, deterministic across engines. Scale
+    state: O(1) per group."""
+    from .aggregates import q_agg_mad
 
-    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
-    w = Window.partitionBy("event_type")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w.orderBy("value", "event_id")).alias("rn"),
-        F.count("*").over(w).alias("n"),
-    )
-    mid = (F.col("rn") == F.expr("(n + 1) div 2")) | (
-        F.col("rn") == F.expr("(n + 2) div 2")
-    )
-    med = (
-        ranked.filter(mid)
-        .groupBy("event_type", "n")
-        .agg((F.sum("value") / F.count("*")).alias("median"))
-    )
-    devs = ev.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "n",
-        "median",
-        F.abs(F.col("value") - F.col("median")).alias("dev"),
-        "event_id",
-    )
-    dranked = devs.select(
-        "event_type",
-        "n",
-        "median",
-        "dev",
-        F.row_number().over(w.orderBy("dev", "event_id")).alias("drn"),
-    )
-    dmid = (F.col("drn") == F.expr("(n + 1) div 2")) | (
-        F.col("drn") == F.expr("(n + 2) div 2")
-    )
-    mad = (
-        dranked.filter(dmid)
-        .groupBy("event_type", "n", "median")
-        .agg((F.sum("dev") / F.count("*")).alias("mad"))
-    )
+    mad = q_agg_mad(spark, sf_dir)
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
     is_out = F.when(
         F.col("mad") == 0.0, (F.col("value") != F.col("median")).cast("int")
     ).otherwise(
@@ -335,11 +281,5 @@ def robust_outliers(spark, sf_dir):
         ev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "n", "median", "mad")
         .agg(F.sum(is_out).cast("long").alias("n_outliers"))
-        .select(
-            "event_type",
-            F.col("n").cast("long").alias("n"),
-            "median",
-            "mad",
-            "n_outliers",
-        )
+        .select("event_type", "n", "median", "mad", "n_outliers")
     )
