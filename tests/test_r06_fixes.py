@@ -119,6 +119,78 @@ def test_robust_outliers_matches_duckdb(spark, duck, sf_dir):
     assert (got["n_outliers"] <= got["n"]).all()
 
 
+def _union_find(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id canonicalization
+    return {x: find(x) for x in range(n)}
+
+
+def test_components_logn_matches_union_find_on_random_graphs(spark):
+    """Large-star/small-star == a pure-Python union-find ground truth
+    on seeded random graphs (multi-component, self-loops filtered,
+    duplicate edges), plus one cross-check against min-label
+    propagation on a shallow graph."""
+    import random
+
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+        connected_components,
+        connected_components_logn,
+    )
+
+    rng = random.Random(406)
+    for trial in range(8):
+        n = rng.randint(2, 40)
+        n_edges = rng.randint(0, n)
+        raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)]
+        nodes = spark.range(n).select(F.col("id").alias("node"))
+        pairs = spark.createDataFrame(raw or [(0, 0)], "id_a long, id_b long")
+        want = _union_find(n, [e for e in raw if e[0] != e[1]])
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components_logn(nodes, pairs).collect()
+        }
+        assert got == want, f"trial {trial} (n={n}, edges={raw})"
+        spark.catalog.clearCache()
+    # Shallow graph: both Spark forms agree with each other too.
+    nodes = spark.range(8).select(F.col("id").alias("node"))
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5), (6, 5)], "id_a long, id_b long"
+    )
+    a = {r["node"]: r["comp"] for r in connected_components(nodes, pairs).collect()}
+    b = {r["node"]: r["comp"] for r in connected_components_logn(nodes, pairs).collect()}
+    assert a == b == _union_find(8, [(0, 1), (1, 2), (4, 5), (6, 5)])
+    spark.catalog.clearCache()
+
+
+def test_components_logn_deep_path(spark):
+    """A 120-node path has diameter 119 — label propagation's default
+    20-round cap can't finish it, the log-round form must (and both
+    ends collapse to node 0)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+        connected_components_logn,
+    )
+
+    n = 120
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["comp"] for r in connected_components_logn(nodes, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+    spark.catalog.clearCache()
+
+
 def test_components_apply_equals_full_recompute(spark):
     """Incremental connected-components under edge additions == full
     recompute, including chains that merge components ACROSS earlier
