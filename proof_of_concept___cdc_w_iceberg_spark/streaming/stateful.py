@@ -210,3 +210,87 @@ def value_cumsum_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- gap sessionizer with EVENT-TIME TIMEOUT ---------------------------
+#
+# The third stateful shape (after latest-image and running-sum): state
+# that must close ITSELF when the stream goes quiet. A session ends
+# either inline (a successor event arrives past the gap) or via
+# GroupStateTimeout.EventTimeTimeout when the watermark passes
+# last_event + gap — the mechanism session_window uses internally,
+# exposed here as arbitrary state so the operator can carry custom
+# per-session accumulators (counts here; a real pipeline adds whatever
+# the window API can't express). Semantics match batch q_sessionize
+# bit-for-bit on closed sessions: a strict > gap starts a new session,
+# equal-to-gap continues.
+#
+# Scale: one (start, last, n) triple per ACTIVE session per user —
+# state is bounded by concurrent users, not history; closed sessions
+# leave the store immediately (inline) or at watermark (timeout).
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, mirrors q_sessionize
+SESSION_STATE_SCHEMA = "start LONG, last LONG, n LONG"  # epoch micros
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _session_row(key, start_us: int, last_us: int, n: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [int(n)],
+        }
+    )
+
+
+def session_state_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    """Fold one user's batch events into the active session; emit every
+    session CLOSED this batch (inline gap breaks, or the event-time
+    timeout when the watermark passed last+gap)."""
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield _session_row(key, start_us, last_us, n)
+        return
+    cur = list(state.get) if state.exists else None
+    for pdf in pdfs:
+        for ts in sorted(pdf["ts"]):
+            ts_us = pd.Timestamp(ts).value // 1_000
+            if cur is None:
+                cur = [ts_us, ts_us, 1]
+            elif ts_us - cur[1] > SESSION_GAP_US:
+                yield _session_row(key, cur[0], cur[1], cur[2])
+                cur = [ts_us, ts_us, 1]
+            else:
+                cur[1] = max(cur[1], ts_us)
+                cur[2] += 1
+    if cur is not None:
+        state.update(tuple(cur))
+        # Close at watermark > last + gap (epoch MILLIS for the API).
+        state.setTimeoutTimestamp(cur[1] // 1_000 + SESSION_GAP_US // 1_000)
+
+
+def session_stream(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """Wire the sessionizer over a (streaming) events frame with
+    columns (user_id, ts). Event-time timeouts require a watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            session_state_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -541,3 +541,61 @@ def test_stateful_cumsum_topk_matches_batch(spark, sf_dir):
     expected = queries()["q_stream_topk"](spark, sf_dir)
     assert got_topk.exceptAll(expected).count() == 0
     assert expected.exceptAll(got_topk).count() == 0
+
+
+def test_stateful_sessionizer_matches_batch(spark, sf_dir):
+    """The event-time-timeout sessionizer: every emitted session is
+    bit-equal to a batch q_sessionize session, and every NON-final
+    session per user (those the batch closes with a successor) is
+    emitted — via inline gap breaks or the watermark timeout."""
+    from proof_of_concept___cdc_w_iceberg_spark.registry import queries
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.stateful import (
+        session_stream,
+    )
+
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    # Time-ordered file chunks -> the watermark advances batch over
+    # batch, so quiet users' sessions time out mid-stream. (Global
+    # window is fine here: this builds a small test fixture, not a
+    # registered plan.)
+    chunked = ev.withColumn("_b", F.ntile(4).over(Window.orderBy("ts")))
+    src = tempfile.mkdtemp(prefix="stream_sessions_")
+    chunked.write.partitionBy("_b").mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/_b=*")
+    )
+    out = session_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessionizer_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessionizer_test").collect()
+    }
+    batch = queries()["q_sessionize"](spark, sf_dir).collect()
+    allb = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch
+    }
+    last_seq = {}
+    for r in batch:
+        last_seq[r["user_id"]] = max(last_seq.get(r["user_id"], 0), r["session_seq"])
+    non_final = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch
+        if r["session_seq"] < last_seq[r["user_id"]]
+    }
+    assert got, "sessionizer emitted nothing"
+    assert got <= allb, f"emitted sessions not in batch: {sorted(got - allb)[:3]}"
+    assert non_final <= got, (
+        f"non-final sessions missing: {sorted(non_final - got)[:3]}"
+    )
