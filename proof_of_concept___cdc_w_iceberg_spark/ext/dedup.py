@@ -816,7 +816,9 @@ def connected_components(nodes, pairs, max_rounds: int = 20):
     changed = 0
     for rnd in range(max_rounds):
         if rnd and rnd % 5 == 0:
-            labels = labels.localCheckpoint(eager=True)
+            cp = labels.localCheckpoint(eager=True)
+            labels.unpersist()  # release the pre-checkpoint cache entry
+            labels = cp
         prop = edges.join(
             labels, edges.a == labels.node
         ).select(F.col("b").alias("node"), F.col("comp"))
@@ -887,6 +889,7 @@ def connected_components_logn(nodes, pairs, max_rounds: int = 40):
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_n = edges.count()
     for _ in range(max_rounds):
         # Large-star: m per neighborhood (including u), link neighbors > u.
         nb = edges.groupBy("u").agg(F.min("v").alias("mn"))
@@ -917,10 +920,11 @@ def connected_components_logn(nodes, pairs, max_rounds: int = 40):
             .unionByName(new_edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
             .localCheckpoint(eager=True)
         )
+        n_new = new_sym.count()
         stable = (
-            new_sym.count() == edges.count()
-            and new_sym.exceptAll(edges).limit(1).count() == 0
+            n_new == prev_n and new_sym.exceptAll(edges).limit(1).count() == 0
         )
+        prev_n = n_new
         edges = new_sym
         if stable:
             break
@@ -928,12 +932,14 @@ def connected_components_logn(nodes, pairs, max_rounds: int = 40):
         raise RuntimeError(
             f"large-star/small-star did not stabilize in {max_rounds} rounds"
         )
-    # Star-closed: every node's min neighbor IS its component min.
+    # Star-closed: every node's min neighbor IS its component min. The
+    # FULL outer join keeps edge endpoints absent from ``nodes`` too,
+    # matching connected_components' behavior on that input class.
     comp = edges.groupBy("u").agg(F.min("v").alias("mn")).select(
         F.col("u").alias("node"),
         F.least(F.col("u"), F.col("mn")).alias("comp"),
     )
-    return nodes.join(comp, "node", "left").select(
+    return nodes.join(comp, "node", "full").select(
         "node", F.coalesce("comp", "node").alias("comp")
     )
 

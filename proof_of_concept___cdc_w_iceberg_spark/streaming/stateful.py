@@ -256,24 +256,42 @@ def session_state_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
                      state: GroupState) -> Iterator[pd.DataFrame]:
     """Fold one user's batch events into the active session; emit every
     session CLOSED this batch (inline gap breaks, or the event-time
-    timeout when the watermark passed last+gap)."""
+    timeout when the watermark passed last+gap).
+
+    The fold is order-dependent, and a large group arrives as MULTIPLE
+    Arrow chunks with no cross-chunk ordering — so drain every chunk
+    and sort ONCE before folding (sorting per chunk silently merges
+    sessions the moment a group exceeds arrow.maxRecordsPerBatch).
+
+    Lateness contract: with watermark '0 seconds' closed sessions are
+    bit-equal to batch q_sessionize. Under allowed lateness, a late
+    event within gap of the active session's START extends it backward
+    (start lowered, count bumped); later-than-gap stragglers can't
+    re-open already-emitted history, so they emit immediately as
+    best-effort singleton sessions."""
     if state.hasTimedOut:
         start_us, last_us, n = state.get
         state.remove()
         yield _session_row(key, start_us, last_us, n)
         return
     cur = list(state.get) if state.exists else None
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
-            ts_us = pd.Timestamp(ts).value // 1_000
-            if cur is None:
-                cur = [ts_us, ts_us, 1]
-            elif ts_us - cur[1] > SESSION_GAP_US:
-                yield _session_row(key, cur[0], cur[1], cur[2])
-                cur = [ts_us, ts_us, 1]
-            else:
-                cur[1] = max(cur[1], ts_us)
-                cur[2] += 1
+    all_ts = sorted(
+        pd.Timestamp(ts).value // 1_000 for pdf in pdfs for ts in pdf["ts"]
+    )
+    for ts_us in all_ts:
+        if cur is None:
+            cur = [ts_us, ts_us, 1]
+        elif ts_us - cur[1] > SESSION_GAP_US:
+            yield _session_row(key, cur[0], cur[1], cur[2])
+            cur = [ts_us, ts_us, 1]
+        elif cur[0] - ts_us > SESSION_GAP_US:
+            # Straggler older than the whole active session: history is
+            # already emitted, so it can only stand alone.
+            yield _session_row(key, ts_us, ts_us, 1)
+        else:
+            cur[0] = min(cur[0], ts_us)
+            cur[1] = max(cur[1], ts_us)
+            cur[2] += 1
     if cur is not None:
         state.update(tuple(cur))
         # Close at watermark > last + gap (epoch MILLIS for the API).

@@ -173,6 +173,23 @@ def test_components_logn_matches_union_find_on_random_graphs(spark):
     spark.catalog.clearCache()
 
 
+def test_components_forms_agree_on_unseen_endpoints(spark):
+    """Edge endpoints absent from the node relation surface in BOTH
+    forms (the simple propagation generates them; the star form keeps
+    them via its full outer join)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+        connected_components,
+        connected_components_logn,
+    )
+
+    nodes = spark.createDataFrame([(0,)], "node long")
+    pairs = spark.createDataFrame([(0, 5)], "id_a long, id_b long")
+    a = {r["node"]: r["comp"] for r in connected_components(nodes, pairs).collect()}
+    b = {r["node"]: r["comp"] for r in connected_components_logn(nodes, pairs).collect()}
+    assert a == b == {0: 0, 5: 0}
+    spark.catalog.clearCache()
+
+
 def test_components_logn_deep_path(spark):
     """A 120-node path has diameter 119 — label propagation's default
     20-round cap can't finish it, the log-round form must (and both

@@ -557,16 +557,25 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
     # Time-ordered file chunks -> the watermark advances batch over
-    # batch, so quiet users' sessions time out mid-stream. (Global
-    # window is fine here: this builds a small test fixture, not a
-    # registered plan.)
-    chunked = ev.withColumn("_b", F.ntile(4).over(Window.orderBy("ts")))
+    # batch, so quiet users' sessions time out mid-stream. Chunks are
+    # written as SEQUENTIAL single-file appends (with an mtime gap) so
+    # FileStreamSource's oldest-first ordering provably processes them
+    # chronologically — a single partitioned write gives near-identical
+    # mtimes, and a tie flip would fast-forward the watermark and drop
+    # the earlier chunks as late. (Global window is fine here: this
+    # builds a small test fixture, not a registered plan.)
+    chunked = ev.withColumn("_b", F.ntile(4).over(Window.orderBy("ts"))).persist()
     src = tempfile.mkdtemp(prefix="stream_sessions_")
-    chunked.write.partitionBy("_b").mode("overwrite").parquet(src)
+    for i in range(1, 5):
+        chunked.filter(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mtimes even on coarse filesystems
+    chunked.unpersist()
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
         .option("maxFilesPerTrigger", 1)
-        .parquet(src + "/_b=*")
+        .parquet(src)
     )
     out = session_stream(stream)
     q = (
