@@ -1407,3 +1407,56 @@ def agg_iqr(spark, sf_dir):
     ).select(
         "o_orderpriority", F.col("n").cast("long").alias("n"), "p25", "p75", "iqr"
     )
+
+
+# --- Theil T inequality index (staged for registration next cycle as
+# q_agg_theil; this cycle's driver window is exactly full).
+THEIL_SQL = """
+    WITH mu AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS mu
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, m.n,
+           ROUND(CAST(SUM(CAST(ROUND(
+                     (o.o_totalprice / m.mu) * ln(o.o_totalprice / m.mu), 10)
+                 AS DECIMAL(30,10))) AS DOUBLE) / m.n, 6) AS theil_t
+    FROM orders o JOIN mu m ON m.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority, m.n
+"""
+
+
+def agg_theil(spark, sf_dir):
+    """Theil T inequality index per priority class — the decomposable
+    entropy-based concentration measure (complements q_agg_gini's rank
+    form; Theil additionally splits into within/between-group terms, so
+    a spend cube can attribute inequality to segments).
+    T = (1/n)·Σ (x/μ)·ln(x/μ) with μ the exact-decimal mean.
+
+    Cross-engine determinism follows the q_text_entropy/lm_score
+    pattern: each log term is rounded to 10 dp (absorbing any last-ulp
+    libm difference) and summed through DECIMAL(30,10) so addition is
+    order-independent; μ is an exact decimal mean, so x/μ is an
+    identical double chain. One map-combined mean aggregate, a
+    |groups|-row broadcast back onto the fact scan, one map-combined
+    term sum — the q_agg_gini single-Exchange template."""
+    o = load(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    mu = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+    )
+    r = F.col("o_totalprice") / F.col("mu")
+    term = F.round(r * F.log(r), 10).cast("decimal(30,10)")
+    return (
+        o.join(F.broadcast(mu), "o_orderpriority")
+        .groupBy("o_orderpriority", "n")
+        .agg(
+            F.round(F.sum(term).cast("double") / F.col("n"), 6).alias("theil_t")
+        )
+        .select("o_orderpriority", F.col("n").cast("long").alias("n"), "theil_t")
+    )

@@ -266,6 +266,29 @@ def test_staged_percent_rank_matches_duckdb(spark, duck, sf_dir):
     assert got["pct_rank"].between(0, 1).all() and got["cume"].between(0, 1).all()
 
 
+def test_staged_theil_matches_duckdb(spark, duck, sf_dir):
+    from proof_of_concept___cdc_w_iceberg_spark.operators.aggregates import (
+        THEIL_SQL,
+        agg_theil,
+    )
+
+    got = (
+        agg_theil(spark, sf_dir)
+        .toPandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.sql(THEIL_SQL)
+        .df()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)[got.columns]
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # Theil T is nonnegative and zero only under perfect equality.
+    assert (got["theil_t"] >= 0).all()
+
+
 def test_staged_iqr_matches_duckdb(spark, duck, sf_dir):
     from proof_of_concept___cdc_w_iceberg_spark.operators.aggregates import (
         IQR_SQL,
