@@ -460,3 +460,52 @@ def test_funnel_latency_plan_is_lazy(spark, sf_dir):
     row = df.collect()[0]
     assert row["n_viewers"] >= row["n_converted"] > 0
     assert row["avg_delay_s"] >= 0.0 and row["max_delay_s"] >= 0
+
+
+def test_staged_changefeed_matches_duckdb_and_roundtrips(spark, duck, sf_dir):
+    """The staged snapshot changefeed: exact SQL parity, plus the
+    defining round-trip law — applying the feed to the old snapshot
+    reproduces the new mirror exactly."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.apply import (
+        apply_changes,
+        mirror_diff,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.queries import (
+        CHANGEFEED_SQL,
+        cdc_changefeed,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.cdc_fixtures import (
+        changelog,
+    )
+
+    feed = cdc_changefeed(spark, sf_dir).persist()
+    got = (
+        feed.toPandas().sort_values(["k", "op"]).reset_index(drop=True)
+    )
+    want = (
+        duck.sql(CHANGEFEED_SQL).df().sort_values(["k", "op"]).reset_index(drop=True)
+    )[got.columns]
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    assert set(got["op"]) <= {"c", "u", "d"} and len(got) > 0
+    # Round trip: old + feed == new.
+    ch = changelog(spark, sf_dir)
+    old = ch.filter(F.col("op") == "r").select("k", "name", "bal")
+    events = feed.select(
+        "k",
+        F.col("after_name").alias("name"),
+        F.col("after_bal").alias("bal"),
+        "op",
+        F.lit(1).alias("ts_ms"),
+        F.lit(1).alias("off"),
+    )
+    rebuilt = apply_changes(old, events, ["k"])
+    w = __import__("pyspark").sql.Window.partitionBy("k").orderBy(
+        F.col("ts_ms").desc(), F.col("off").desc()
+    )
+    new = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("k", "name", "bal")
+    )
+    assert mirror_diff(rebuilt, new).count() == 0
+    feed.unpersist()
