@@ -115,43 +115,6 @@ def evolve_schema(target: DataFrame, changes: DataFrame) -> DataFrame:
     return out
 
 
-def changefeed(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
-    """Keyed snapshot diff — the INVERSE of the CDC apply: regenerate
-    the change events a consumer needs to move ``old`` -> ``new``
-    (Delta CDF / Iceberg changelog-view semantics, derived from state
-    instead of captured from a log). Emits one row per changed key:
-    op 'c'/'u'/'d' with before_*/after_* images; unchanged keys emit
-    nothing (null-safe column compare).
-
-    One co-partitioned full-outer join on the key plus a row-local
-    classification — at 100 TB this is the standard snapshot-diff
-    shuffle, prunable to touched partitions when both snapshots share
-    a partition layout. Staged for registration next cycle as
-    q_cdc_changefeed (oracle: the same diff in SQL over the changelog
-    fixture); round-trip (apply(old, changefeed) == new) asserted in
-    tests/test_r06_fixes.py."""
-    data_cols = [c for c in new.columns if c not in keys]
-    o = old.select(
-        *keys, *[F.col(c).alias(f"before_{c}") for c in data_cols]
-    ).withColumn("_has_b", F.lit(True))
-    n = new.select(
-        *keys, *[F.col(c).alias(f"after_{c}") for c in data_cols]
-    ).withColumn("_has_a", F.lit(True))
-    j = o.join(n, keys, "full_outer")
-    has_b = F.coalesce(F.col("_has_b"), F.lit(False))
-    has_a = F.coalesce(F.col("_has_a"), F.lit(False))
-    changed = F.lit(False)
-    for c in data_cols:
-        changed = changed | ~F.col(f"before_{c}").eqNullSafe(F.col(f"after_{c}"))
-    op = (
-        F.when(~has_b, F.lit("c")).when(~has_a, F.lit("d")).otherwise(F.lit("u"))
-    )
-    return (
-        j.filter(~has_b | ~has_a | changed)
-        .select(
-            op.alias("op"),
-            *keys,
-            *[f"before_{c}" for c in data_cols],
-            *[f"after_{c}" for c in data_cols],
-        )
-    )
+# NOTE: the keyed snapshot diff lives in cdc/diff.py (table_changes) —
+# one definition, null-safe keys, property-tested round-trip law; pass
+# images="both" for the Delta-CDF before/after shape.

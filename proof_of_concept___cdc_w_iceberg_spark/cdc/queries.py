@@ -1523,39 +1523,49 @@ def q_cdc_checksum(spark, sf_dir):
 
 # --- keyed snapshot changefeed (staged for registration next cycle as
 # q_cdc_changefeed; this cycle's driver window is exactly full).
+# NULL-SAFE join and marker-based presence, mirroring diff.py's
+# table_changes exactly (key nullability must never classify a
+# NULL-keyed unchanged row as c+d).
 CHANGEFEED_SQL = f"""
     WITH changes AS ({CHANGELOG_SQL}),
-    new_m AS ({mirror_cte('SELECT * FROM changes')}),
-    old_m AS (SELECT k, name, bal FROM changes WHERE op = 'r')
+    new_m AS (SELECT *, TRUE AS _in_n FROM ({mirror_cte('SELECT * FROM changes')})),
+    old_m AS (SELECT k, name, bal, TRUE AS _in_o FROM changes WHERE op = 'r')
     SELECT
-        CASE WHEN o.k IS NULL THEN 'c'
-             WHEN n.k IS NULL THEN 'd'
+        CASE WHEN o._in_o IS NULL THEN 'c'
+             WHEN n._in_n IS NULL THEN 'd'
              ELSE 'u' END AS op,
         COALESCE(n.k, o.k) AS k,
         o.name AS before_name, o.bal AS before_bal,
         n.name AS after_name, n.bal AS after_bal
-    FROM old_m o FULL OUTER JOIN new_m n ON n.k = o.k
-    WHERE o.k IS NULL OR n.k IS NULL
+    FROM old_m o FULL OUTER JOIN new_m n ON n.k IS NOT DISTINCT FROM o.k
+    WHERE o._in_o IS NULL OR n._in_n IS NULL
        OR o.name IS DISTINCT FROM n.name
        OR o.bal IS DISTINCT FROM n.bal
 """
 
 
 def cdc_changefeed(spark, sf_dir):
-    """Query form of ``cdc.apply.changefeed`` over the changelog
-    fixture: diff the initial snapshot (op='r' images) against the
-    fully-applied mirror — the change events a downstream consumer
-    replays to catch up, derived from state (Delta CDF / Iceberg
-    changelog-view shape) instead of captured from a log. See
-    ``changefeed`` for the scale notes; oracle = CHANGEFEED_SQL."""
-    from .apply import changefeed
+    """Delta-CDF-shaped changefeed over the changelog fixture: diff
+    the initial snapshot (op='r' images) against the fully-applied
+    mirror into c/u/d events with before/after images — the change
+    set a downstream consumer replays to catch up, derived from state
+    (Iceberg changelog-view semantics) instead of captured from a log.
+    The diff itself is ``cdc.diff.table_changes(images="both")`` (one
+    definition, null-safe keys, property-tested round-trip law); the
+    mirror is the canonical ``compact_latest`` primitive. Oracle =
+    CHANGEFEED_SQL."""
+    from .diff import table_changes
 
     ch = changelog(spark, sf_dir)
     old = ch.filter(F.col("op") == "r").select("k", "name", "bal")
-    w = Window.partitionBy("k").orderBy(F.col("ts_ms").desc(), F.col("off").desc())
-    new = (
-        ch.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
-        .select("k", "name", "bal")
+    new = compact_latest(ch, ["k"]).filter(F.col("op") != "d").select(
+        "k", "name", "bal"
     )
-    return changefeed(old, new, ["k"])
+    return table_changes(old, new, ["k"], images="both").select(
+        "op",
+        "k",
+        "before_name",
+        "before_bal",
+        F.col("name").alias("after_name"),
+        F.col("bal").alias("after_bal"),
+    )

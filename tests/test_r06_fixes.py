@@ -487,7 +487,10 @@ def test_staged_changefeed_matches_duckdb_and_roundtrips(spark, duck, sf_dir):
     )[got.columns]
     assert got.equals(want.astype(got.dtypes.to_dict()))
     assert set(got["op"]) <= {"c", "u", "d"} and len(got) > 0
-    # Round trip: old + feed == new.
+    # Round trip: old + feed == new (compact_latest is the canonical
+    # mirror primitive — no inline re-implementation).
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.apply import compact_latest
+
     ch = changelog(spark, sf_dir)
     old = ch.filter(F.col("op") == "r").select("k", "name", "bal")
     events = feed.select(
@@ -499,13 +502,8 @@ def test_staged_changefeed_matches_duckdb_and_roundtrips(spark, duck, sf_dir):
         F.lit(1).alias("off"),
     )
     rebuilt = apply_changes(old, events, ["k"])
-    w = __import__("pyspark").sql.Window.partitionBy("k").orderBy(
-        F.col("ts_ms").desc(), F.col("off").desc()
-    )
-    new = (
-        ch.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
-        .select("k", "name", "bal")
+    new = compact_latest(ch, ["k"]).filter(F.col("op") != "d").select(
+        "k", "name", "bal"
     )
     assert mirror_diff(rebuilt, new).count() == 0
     feed.unpersist()
