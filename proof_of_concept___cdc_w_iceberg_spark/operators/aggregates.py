@@ -1460,3 +1460,67 @@ def agg_theil(spark, sf_dir):
         )
         .select("o_orderpriority", F.col("n").cast("long").alias("n"), "theil_t")
     )
+
+
+# --- exact weighted median (staged for registration next cycle as
+# q_agg_weighted_median; this cycle's driver window is exactly full).
+WMEDIAN_SQL = """
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS DECIMAL(18,2)) AS w,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                   OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_w,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                   OVER (PARTITION BY l_returnflag) AS tot_w
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(tot_w AS DOUBLE) AS total_weight,
+           MIN(l_extendedprice) AS weighted_median
+    FROM ranked
+    WHERE 2 * cum_w >= tot_w
+    GROUP BY l_returnflag, tot_w
+"""
+
+
+def agg_weighted_median(spark, sf_dir):
+    """Exact weight-weighted median: the smallest value whose running
+    weight reaches half the group's total — the quantity-weighted
+    median price here, and at 100 TB the token-weighted length/quality
+    median a corpus report wants (doc-count medians over-represent
+    short docs).
+
+    The threshold test is PURE DECIMAL: running and total weights are
+    exact decimal window sums and the half-point compare is
+    ``2·cum_w >= tot_w`` — integer-scaled decimal arithmetic, no
+    division anywhere, so there is no rounding boundary for engines to
+    disagree on. One group-partitioned ordered window pass (each group
+    sorts its own slice) + a MIN aggregate on the same keys — the
+    q_win_median template with weights."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_returnflag")
+    wo = w.orderBy("l_extendedprice", "l_orderkey", "l_linenumber").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wd = F.col("l_quantity").cast("decimal(18,2)")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(wd).over(wo).alias("cum_w"),
+        F.sum(wd).over(w).alias("tot_w"),
+    )
+    return (
+        ranked.filter(F.lit(2) * F.col("cum_w") >= F.col("tot_w"))
+        .groupBy("l_returnflag", "tot_w")
+        .agg(F.min("l_extendedprice").alias("weighted_median"))
+        .select(
+            "l_returnflag",
+            F.col("tot_w").cast("double").alias("total_weight"),
+            "weighted_median",
+        )
+    )

@@ -507,3 +507,39 @@ def test_staged_changefeed_matches_duckdb_and_roundtrips(spark, duck, sf_dir):
     )
     assert mirror_diff(rebuilt, new).count() == 0
     feed.unpersist()
+
+
+def test_staged_weighted_median_matches_duckdb(spark, duck, sf_dir):
+    from proof_of_concept___cdc_w_iceberg_spark.operators.aggregates import (
+        WMEDIAN_SQL,
+        agg_weighted_median,
+    )
+
+    got = (
+        agg_weighted_median(spark, sf_dir)
+        .toPandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.sql(WMEDIAN_SQL)
+        .df()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)[got.columns]
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # The weighted median splits the weight: each side holds <= half.
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    for r in got.itertuples(index=False):
+        below = (
+            li.filter(
+                (F.col("l_returnflag") == r.l_returnflag)
+                & (F.col("l_extendedprice") < r.weighted_median)
+            )
+            .agg(F.sum("l_quantity"))
+            .first()[0]
+            or 0.0
+        )
+        assert below * 2 <= r.total_weight + 1e-6
