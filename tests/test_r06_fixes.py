@@ -528,18 +528,29 @@ def test_staged_weighted_median_matches_duckdb(spark, duck, sf_dir):
         .reset_index(drop=True)[got.columns]
     )
     assert got.equals(want.astype(got.dtypes.to_dict()))
-    # The weighted median splits the weight: each side holds <= half.
+    # The weighted median splits the weight BOTH ways (exact decimal
+    # sums — the operator's own weight definition — so no epsilon):
+    # strictly-below weight <= half, and strictly-above weight < half
+    # (the median row itself pushes the cumulative past the midpoint).
     from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
 
     li = load(spark, sf_dir, "lineitem")
+    wd = F.col("l_quantity").cast("decimal(18,2)")
     for r in got.itertuples(index=False):
-        below = (
-            li.filter(
-                (F.col("l_returnflag") == r.l_returnflag)
-                & (F.col("l_extendedprice") < r.weighted_median)
-            )
-            .agg(F.sum("l_quantity"))
+        grp = li.filter(F.col("l_returnflag") == r.l_returnflag)
+        below = float(
+            grp.filter(F.col("l_extendedprice") < r.weighted_median)
+            .agg(F.sum(wd))
             .first()[0]
-            or 0.0
+            or 0
         )
-        assert below * 2 <= r.total_weight + 1e-6
+        above = float(
+            grp.filter(F.col("l_extendedprice") > r.weighted_median)
+            .agg(F.sum(wd))
+            .first()[0]
+            or 0
+        )
+        assert below * 2 <= r.total_weight, "lower side exceeds half"
+        assert above * 2 < r.total_weight, (
+            "upper side holds at least half — median is an under-estimate"
+        )
