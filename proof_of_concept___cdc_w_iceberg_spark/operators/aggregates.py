@@ -1524,3 +1524,47 @@ def agg_weighted_median(spark, sf_dir):
             "weighted_median",
         )
     )
+
+
+# --- deterministic group mode (staged for registration next cycle as
+# q_agg_mode; this cycle's driver window is exactly full).
+MODE_SQL = """
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_value, n AS mode_count
+    FROM counts WHERE rn = 1
+"""
+
+
+def agg_mode(spark, sf_dir):
+    """Deterministic MODE per group — the most frequent category with
+    an explicit value tie-break (engine mode() built-ins break ties
+    arbitrarily, which is un-oracle-able and irreproducible across
+    runs): count per (group, value), rank by (count DESC, value), keep
+    rank 1. The categorical-profile staple next to the numeric
+    robust-stats family.
+
+    Scale shape: ONE map-combined count aggregate (state = distinct
+    (group, value) pairs, bounded by the category domain), then a rank
+    window over that already-tiny counts relation — the heavy table is
+    touched once, the window never sees raw rows."""
+    o = load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_value"),
+            F.col("n").alias("mode_count"),
+        )
+    )

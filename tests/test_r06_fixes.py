@@ -554,3 +554,36 @@ def test_staged_weighted_median_matches_duckdb(spark, duck, sf_dir):
         assert above * 2 < r.total_weight, (
             "upper side holds at least half — median is an under-estimate"
         )
+
+
+def test_staged_mode_matches_duckdb(spark, duck, sf_dir):
+    from proof_of_concept___cdc_w_iceberg_spark.operators.aggregates import (
+        MODE_SQL,
+        agg_mode,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    got = (
+        agg_mode(spark, sf_dir)
+        .toPandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    want = (
+        duck.sql(MODE_SQL)
+        .df()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)[got.columns]
+    )
+    assert got.equals(want.astype(got.dtypes.to_dict()))
+    # Independent invariant: the mode count really is the max count.
+    o = load(spark, sf_dir, "orders")
+    for r in got.itertuples(index=False):
+        top = (
+            o.filter(F.col("o_orderstatus") == r.o_orderstatus)
+            .groupBy("o_orderpriority")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert r.mode_count == top
