@@ -153,6 +153,16 @@ BENCH_QUERIES = [
     # r06 additions: robust-stats aggregates (double rank-window pass).
     "q_agg_mad",
     "q_agg_winsorized",
+    # r07 additions: the drained staging queue — robust stats, window
+    # ranks, quality gate, changefeed, and the two dedup IVM paths.
+    "q_agg_iqr",
+    "q_agg_theil",
+    "q_agg_weighted_median",
+    "q_win_percent_rank",
+    "q_quality_outliers",
+    "q_cdc_changefeed",
+    "q_dedup_capped_incremental",
+    "q_dedup_cluster_incremental",
 ]
 
 

@@ -1521,8 +1521,7 @@ def q_cdc_checksum(spark, sf_dir):
     )
 
 
-# --- keyed snapshot changefeed (staged for registration next cycle as
-# q_cdc_changefeed; this cycle's driver window is exactly full).
+# --- keyed snapshot changefeed (staged r6, registered r7).
 # NULL-SAFE join and marker-based presence, mirroring diff.py's
 # table_changes exactly (key nullability must never classify a
 # NULL-keyed unchanged row as c+d).
@@ -1544,7 +1543,8 @@ CHANGEFEED_SQL = f"""
 """
 
 
-def cdc_changefeed(spark, sf_dir):
+@query("q_cdc_changefeed", oracle=CHANGEFEED_SQL)
+def q_cdc_changefeed(spark, sf_dir):
     """Delta-CDF-shaped changefeed over the changelog fixture: diff
     the initial snapshot (op='r' images) against the fully-applied
     mirror into c/u/d events with before/after images — the change

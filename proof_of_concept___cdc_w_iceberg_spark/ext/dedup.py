@@ -475,7 +475,13 @@ def band_index_build(spark, sf_dir: str) -> str:
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"dedup_band_index_{tag}")
     marker = os.path.join(base, "_INDEX_SUCCESS")
-    if not os.path.exists(marker):
+    # A marker without a manifest is a PRE-manifest cache — and there
+    # is no way to tell whether ``band_index_apply`` already appended
+    # to it in an earlier process, so freezing its live file set would
+    # bake those batch docs into the "build snapshot" (the exact leak
+    # the manifest exists to prevent; round-6 advice). Rebuild from the
+    # corpus instead: the overwrite drops any appended files.
+    if not (os.path.exists(marker) and os.path.exists(os.path.join(base, "_MANIFEST.json"))):
         corpus = load(spark, sf_dir, "documents").select("doc_id", "text")
         sh = doc_shingles(corpus)
         with persisted(sh):  # three writes consume it; scoped release
@@ -483,13 +489,6 @@ def band_index_build(spark, sf_dir: str) -> str:
         _write_manifest(base)
         with open(marker, "w") as f:
             f.write("ok")
-    elif not os.path.exists(os.path.join(base, "_MANIFEST.json")):
-        # Backfill: an index built before manifests existed is still a
-        # pure corpus build (appends only ever come later via
-        # band_index_apply), so freezing its current file set IS its
-        # build snapshot — without this, snapshot reads silently
-        # degrade to live-dir reads on stale caches.
-        _write_manifest(base)
     return base
 
 
@@ -592,12 +591,16 @@ def capped_stage_apply(
             F.coalesce(F.col("df_b"), F.lit(0)).alias("df_b"),
             F.coalesce(F.col("df"), F.lit(0)).alias("df_old"),
         )
-        # Plan-scoped persist (repo convention — consumers release via
-        # clearCache / unpersist after materializing): five lazy
-        # branches of the three outputs read this corpus-vocabulary
-        # merge, and without the cache each materialization re-runs
-        # the full-outer join, paying the apply's dominant cost 5x.
-        .persist()
+        # Eager localCheckpoint, not persist(): five lazy branches of
+        # the three outputs read this corpus-vocabulary merge (without
+        # it each materialization re-runs the full-outer join, paying
+        # the apply's dominant cost 5x), and sequential applies — the
+        # intended IVM usage — must neither accumulate one leaked
+        # cache entry per batch (round-6 advice) nor chain each
+        # batch's logical plan into the next (checkpoint blocks are
+        # GC-released with the DataFrame; the lineage cut is the same
+        # discipline as the CC engines').
+        .localCheckpoint(eager=True)
     )
     df_hist_new = merged.select("sh", "df")
     # Shingles the batch pushed over the cap: were in the capped set,
@@ -767,6 +770,56 @@ def q_dedup_incremental(spark, sf_dir):
         .filter(jac >= JACCARD_T)
         .select("new_id", "match_id", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# Full-rebuild oracle for the incrementally-maintained capped stage:
+# shingle everything, histogram, keep under-cap shingles, size per doc.
+# The incremental apply is proven equal to this rebuild across
+# cap-boundary crossings in tests/test_r06_fixes.py.
+CAPPED_INCR_SQL = f"""
+    WITH sh AS ({DOC_SHINGLES_SQL}),
+    hist AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY sh),
+    capped AS (
+        SELECT s.doc_id, s.sh FROM sh s JOIN hist h ON h.sh = s.sh
+        WHERE h.df <= {MAX_DOCS_PER_SHINGLE}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+    FROM capped GROUP BY doc_id
+"""
+
+
+@query("q_dedup_capped_incremental", oracle=CAPPED_INCR_SQL)
+def q_dedup_capped_incremental(spark, sf_dir):
+    """Incremental maintenance of the DF-capped shingle stage: build
+    the stage over 2/3 of the corpus, then ``capped_stage_apply`` the
+    remaining third as an arriving batch and return the maintained
+    per-doc capped set sizes. The oracle is the FULL REBUILD over
+    corpus+batch — the defining IVM contract (apply == rebuild), which
+    the cap makes non-trivial: the stop-shingle cap is a corpus-GLOBAL
+    statistic, so the batch retroactively evicts corpus shingles it
+    pushes over the cap (reference semantic: incremental-only
+    processing, connect-sqlserver-source.json:14 — a resident pipeline
+    must never re-derive the corpus per batch).
+
+    Scale shape (the whole point): per-batch cost is
+    O(|batch| + |cap-boundary shingles|) — one co-partitioned DF
+    histogram merge, broadcast anti-join of the (tiny) newly-over set,
+    delta-maintained sizes. The corpus text is never re-shingled."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 1)
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+    # Stage-0 build over the corpus (in a deployment this is the
+    # materialized ``capped_shingles`` relation); checkpointed so the
+    # three stage relations share one shingle materialization.
+    sh = doc_shingles(corpus).localCheckpoint(eager=True)
+    hist = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sh_c = sh.join(
+        hist.filter(F.col("df") <= MAX_DOCS_PER_SHINGLE).select("sh"), "sh"
+    )
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    new_sh = doc_shingles(batch).localCheckpoint(eager=True)
+    _, sizes_new, _ = capped_stage_apply(sh_c, sizes, hist, new_sh)
+    return sizes_new.select("doc_id", F.col("n_sh").cast("long").alias("n_sh"))
 
 
 DEDUP_CLUSTER_SQL = f"""
@@ -963,10 +1016,10 @@ def connected_components_apply(labels, new_edges):
     (brand-new docs) enter as singletons first.
 
     O(|batch| + merge-map) per apply; the corpus labeling is scanned
-    once and never shuffled. Staged for registration next cycle as
-    q_dedup_cluster_incremental (oracle: full recompute over the
-    union edge set); equivalence asserted in tests/test_r06_fixes.py
-    across sequential batches with cross-batch merges."""
+    once and never shuffled. Registered as q_dedup_cluster_incremental
+    (oracle: full recompute over the union edge set); equivalence
+    asserted in tests/test_r06_fixes.py across sequential batches with
+    cross-batch merges."""
     ends = (
         new_edges.select(F.col("id_a").alias("node"))
         .unionByName(new_edges.select(F.col("id_b").alias("node")))
@@ -985,6 +1038,15 @@ def connected_components_apply(labels, new_edges):
         .filter(F.col("comp_a") != F.col("comp_b"))
         .select(F.col("comp_a").alias("id_a"), F.col("comp_b").alias("id_b"))
         .distinct()
+        # Lineage cut BEFORE propagation: the component graph is
+        # bounded (≤|batch| edges) but its PLAN embeds the batch's
+        # pair-generation pipeline ~3× (new_edges once, la/lb via the
+        # newcomers branch twice), and the CC loop re-references it
+        # per round — serialized tasks grow ~6·rounds × that plan and
+        # OOM the driver on deep pair pipelines (observed with the
+        # ngram verify tail as the edge source). Checkpointing the
+        # tiny relation makes every loop-round plan flat.
+        .localCheckpoint(eager=True)
     )
     comp_nodes = (
         comp_edges.select(F.col("id_a").alias("node"))
@@ -1037,6 +1099,41 @@ def q_dedup_cluster(spark, sf_dir):
         F.col("comp").alias("component"),
         F.when(F.col("comp") == F.col("node"), F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("is_canonical"),
+    )
+
+
+@query("q_dedup_cluster_incremental", oracle=DEDUP_CLUSTER_SQL)
+def q_dedup_cluster_incremental(spark, sf_dir):
+    """Incrementally-maintained dedup clustering: the near-dup pair
+    graph arrives as TWO batches and ``connected_components_apply``
+    merges whole components per batch instead of re-propagating over
+    the corpus graph — the IVM twin of q_dedup_cluster, whose oracle
+    (full recursive-CTE transitive closure over the union edge set)
+    this query must still match exactly. Exercises the cross-batch
+    merge path: a batch-2 edge can fuse components that were each
+    assembled by batch 1.
+
+    Scale shape: per batch, one join of |batch| edges against the
+    labeling, min-label propagation on a component graph of ≤2·|batch|
+    nodes (bounded collect, documented in the engine), one broadcast
+    relabel. The corpus labeling is never shuffled; localCheckpoint
+    between applies cuts the compounding logical plan (the analyzer-
+    OOM lesson encoded in both CC engines)."""
+    pairs = q_dedup_ngram(spark, sf_dir).select("id_a", "id_b")
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    with persisted(pairs):
+        b1 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
+        b2 = pairs.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
+        labels = connected_components_apply(labels, b1).localCheckpoint(eager=True)
+        labels = connected_components_apply(labels, b2).localCheckpoint(eager=True)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component"),
+        F.when(F.col("comp") == F.col("node"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_canonical"),
     )
 
 

@@ -1357,8 +1357,7 @@ def q_agg_winsorized(spark, sf_dir):
     )
 
 
-# --- discrete IQR (staged for registration next cycle as q_agg_iqr;
-# this cycle's driver window is exactly full).
+# --- discrete IQR (staged r6, registered r7).
 IQR_SQL = """
     WITH ranked AS (
         SELECT o_orderpriority, o_totalprice,
@@ -1377,7 +1376,8 @@ IQR_SQL = """
 """
 
 
-def agg_iqr(spark, sf_dir):
+@query("q_agg_iqr", oracle=IQR_SQL)
+def q_agg_iqr(spark, sf_dir):
     """Interquartile range per group from DISCRETE order statistics
     (p25/p75 at integer ranks ceil(n/4), ceil(3n/4) — true integer
     division, no interpolation): the robust spread that pairs with
@@ -1409,8 +1409,7 @@ def agg_iqr(spark, sf_dir):
     )
 
 
-# --- Theil T inequality index (staged for registration next cycle as
-# q_agg_theil; this cycle's driver window is exactly full).
+# --- Theil T inequality index (staged r6, registered r7).
 THEIL_SQL = """
     WITH mu AS (
         SELECT o_orderpriority,
@@ -1428,7 +1427,8 @@ THEIL_SQL = """
 """
 
 
-def agg_theil(spark, sf_dir):
+@query("q_agg_theil", oracle=THEIL_SQL)
+def q_agg_theil(spark, sf_dir):
     """Theil T inequality index per priority class — the decomposable
     entropy-based concentration measure (complements q_agg_gini's rank
     form; Theil additionally splits into within/between-group terms, so
@@ -1462,8 +1462,7 @@ def agg_theil(spark, sf_dir):
     )
 
 
-# --- exact weighted median (staged for registration next cycle as
-# q_agg_weighted_median; this cycle's driver window is exactly full).
+# --- exact weighted median (staged r6, registered r7).
 WMEDIAN_SQL = """
     WITH ranked AS (
         SELECT l_returnflag, l_extendedprice,
@@ -1486,7 +1485,8 @@ WMEDIAN_SQL = """
 """
 
 
-def agg_weighted_median(spark, sf_dir):
+@query("q_agg_weighted_median", oracle=WMEDIAN_SQL)
+def q_agg_weighted_median(spark, sf_dir):
     """Exact weight-weighted median: the smallest value whose running
     weight reaches half the group's total — the quantity-weighted
     median price here, and at 100 TB the token-weighted length/quality
@@ -1522,49 +1522,5 @@ def agg_weighted_median(spark, sf_dir):
             "l_returnflag",
             F.col("tot_w").cast("double").alias("total_weight"),
             "weighted_median",
-        )
-    )
-
-
-# --- deterministic group mode (staged for registration next cycle as
-# q_agg_mode; this cycle's driver window is exactly full).
-MODE_SQL = """
-    WITH counts AS (
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               row_number() OVER (PARTITION BY o_orderstatus
-                                  ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
-        FROM orders
-        GROUP BY o_orderstatus, o_orderpriority
-    )
-    SELECT o_orderstatus, o_orderpriority AS mode_value, n AS mode_count
-    FROM counts WHERE rn = 1
-"""
-
-
-def agg_mode(spark, sf_dir):
-    """Deterministic MODE per group — the most frequent category with
-    an explicit value tie-break (engine mode() built-ins break ties
-    arbitrarily, which is un-oracle-able and irreproducible across
-    runs): count per (group, value), rank by (count DESC, value), keep
-    rank 1. The categorical-profile staple next to the numeric
-    robust-stats family.
-
-    Scale shape: ONE map-combined count aggregate (state = distinct
-    (group, value) pairs, bounded by the category domain), then a rank
-    window over that already-tiny counts relation — the heavy table is
-    touched once, the window never sees raw rows."""
-    o = load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
-    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        F.col("n").desc(), F.col("o_orderpriority")
-    )
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_orderstatus",
-            F.col("o_orderpriority").alias("mode_value"),
-            F.col("n").alias("mode_count"),
         )
     )

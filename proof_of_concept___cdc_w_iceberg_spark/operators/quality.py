@@ -225,9 +225,7 @@ def q_anon_kanonymity(spark, sf_dir):
     )
 
 
-# --- MAD-based robust outlier gate (staged for registration next
-# verification cycle as q_quality_outliers; the current cycle's driver
-# window is exactly full — see tests/test_registry_order.py policy).
+# --- MAD-based robust outlier gate (staged r6, registered r7).
 # Median+MAD come from q_agg_mad / MAD_SQL verbatim — one definition,
 # two consumers, so a tie-break fix there changes both in lockstep.
 MZ_K = 0.6745  # normal-consistency constant for the modified z-score
@@ -252,7 +250,8 @@ def _outliers_sql() -> str:
 OUTLIERS_SQL = _outliers_sql()
 
 
-def robust_outliers(spark, sf_dir):
+@query("q_quality_outliers", oracle=OUTLIERS_SQL)
+def q_quality_outliers(spark, sf_dir):
     """Modified z-score outlier gate (Iglewicz-Hoaglin): flag events
     whose |{MZ_K}·(x − med)/MAD| exceeds {MZ_T} — the robust quality
     filter that survives the fat tails wrecking mean/σ z-scores (the

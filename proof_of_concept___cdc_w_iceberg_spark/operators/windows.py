@@ -542,8 +542,7 @@ def q_win_ratio_to_report(spark, sf_dir):
     )
 
 
-# --- percent_rank / cume_dist (staged for registration next cycle as
-# q_win_percent_rank; this cycle's driver window is exactly full).
+# --- percent_rank / cume_dist (staged r6, registered r7).
 PCTRANK_SQL = """
     SELECT user_id, event_id,
            ROUND(percent_rank() OVER w, 8) AS pct_rank,
@@ -553,7 +552,8 @@ PCTRANK_SQL = """
 """
 
 
-def win_percent_rank(spark, sf_dir):
+@query("q_win_percent_rank", oracle=PCTRANK_SQL)
+def q_win_percent_rank(spark, sf_dir):
     """Relative standing of every event within its user's value
     distribution: percent_rank = (rank−1)/(n−1) and cume_dist =
     |rows ≤ current|/n — the per-entity percentile features a

@@ -102,11 +102,11 @@ def test_robust_outliers_matches_duckdb(spark, duck, sf_dir):
     oracle compare it will face once registered."""
     from proof_of_concept___cdc_w_iceberg_spark.operators.quality import (
         OUTLIERS_SQL,
-        robust_outliers,
+        q_quality_outliers,
     )
 
     got = (
-        robust_outliers(spark, sf_dir)
+        q_quality_outliers(spark, sf_dir)
         .toPandas()
         .sort_values("event_type")
         .reset_index(drop=True)
@@ -247,11 +247,11 @@ def test_components_apply_equals_full_recompute(spark):
 def test_staged_percent_rank_matches_duckdb(spark, duck, sf_dir):
     from proof_of_concept___cdc_w_iceberg_spark.operators.windows import (
         PCTRANK_SQL,
-        win_percent_rank,
+        q_win_percent_rank,
     )
 
     got = (
-        win_percent_rank(spark, sf_dir)
+        q_win_percent_rank(spark, sf_dir)
         .toPandas()
         .sort_values(["user_id", "event_id"])
         .reset_index(drop=True)
@@ -269,11 +269,11 @@ def test_staged_percent_rank_matches_duckdb(spark, duck, sf_dir):
 def test_staged_theil_matches_duckdb(spark, duck, sf_dir):
     from proof_of_concept___cdc_w_iceberg_spark.operators.aggregates import (
         THEIL_SQL,
-        agg_theil,
+        q_agg_theil,
     )
 
     got = (
-        agg_theil(spark, sf_dir)
+        q_agg_theil(spark, sf_dir)
         .toPandas()
         .sort_values("o_orderpriority")
         .reset_index(drop=True)
@@ -292,11 +292,11 @@ def test_staged_theil_matches_duckdb(spark, duck, sf_dir):
 def test_staged_iqr_matches_duckdb(spark, duck, sf_dir):
     from proof_of_concept___cdc_w_iceberg_spark.operators.aggregates import (
         IQR_SQL,
-        agg_iqr,
+        q_agg_iqr,
     )
 
     got = (
-        agg_iqr(spark, sf_dir)
+        q_agg_iqr(spark, sf_dir)
         .toPandas()
         .sort_values("o_orderpriority")
         .reset_index(drop=True)
@@ -472,13 +472,13 @@ def test_staged_changefeed_matches_duckdb_and_roundtrips(spark, duck, sf_dir):
     )
     from proof_of_concept___cdc_w_iceberg_spark.cdc.queries import (
         CHANGEFEED_SQL,
-        cdc_changefeed,
+        q_cdc_changefeed,
     )
     from proof_of_concept___cdc_w_iceberg_spark.sources.cdc_fixtures import (
         changelog,
     )
 
-    feed = cdc_changefeed(spark, sf_dir).persist()
+    feed = q_cdc_changefeed(spark, sf_dir).persist()
     got = (
         feed.toPandas().sort_values(["k", "op"]).reset_index(drop=True)
     )
@@ -512,11 +512,11 @@ def test_staged_changefeed_matches_duckdb_and_roundtrips(spark, duck, sf_dir):
 def test_staged_weighted_median_matches_duckdb(spark, duck, sf_dir):
     from proof_of_concept___cdc_w_iceberg_spark.operators.aggregates import (
         WMEDIAN_SQL,
-        agg_weighted_median,
+        q_agg_weighted_median,
     )
 
     got = (
-        agg_weighted_median(spark, sf_dir)
+        q_agg_weighted_median(spark, sf_dir)
         .toPandas()
         .sort_values("l_returnflag")
         .reset_index(drop=True)
@@ -554,36 +554,3 @@ def test_staged_weighted_median_matches_duckdb(spark, duck, sf_dir):
         assert above * 2 < r.total_weight, (
             "upper side holds at least half — median is an under-estimate"
         )
-
-
-def test_staged_mode_matches_duckdb(spark, duck, sf_dir):
-    from proof_of_concept___cdc_w_iceberg_spark.operators.aggregates import (
-        MODE_SQL,
-        agg_mode,
-    )
-    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
-
-    got = (
-        agg_mode(spark, sf_dir)
-        .toPandas()
-        .sort_values("o_orderstatus")
-        .reset_index(drop=True)
-    )
-    want = (
-        duck.sql(MODE_SQL)
-        .df()
-        .sort_values("o_orderstatus")
-        .reset_index(drop=True)[got.columns]
-    )
-    assert got.equals(want.astype(got.dtypes.to_dict()))
-    # Independent invariant: the mode count really is the max count.
-    o = load(spark, sf_dir, "orders")
-    for r in got.itertuples(index=False):
-        top = (
-            o.filter(F.col("o_orderstatus") == r.o_orderstatus)
-            .groupBy("o_orderpriority")
-            .count()
-            .agg(F.max("count"))
-            .first()[0]
-        )
-        assert r.mode_count == top
