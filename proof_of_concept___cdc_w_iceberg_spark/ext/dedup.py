@@ -1020,6 +1020,13 @@ def connected_components_apply(labels, new_edges):
     (oracle: full recompute over the union edge set); equivalence
     asserted in tests/test_r06_fixes.py across sequential batches with
     cross-batch merges."""
+    # Flatten the batch edge relation ONCE up front: it is bounded
+    # (|batch| edges) but its plan may be a deep pair-generation
+    # pipeline (ngram verify tail), and FOUR branches below reference
+    # it (ends, comp_edges via the la/lb lookups, and the newcomers
+    # side of the relabel plan) — without the cut each branch ships
+    # that plan in its task binaries (~20 MiB observed).
+    new_edges = new_edges.localCheckpoint(eager=True)
     ends = (
         new_edges.select(F.col("id_a").alias("node"))
         .unionByName(new_edges.select(F.col("id_b").alias("node")))

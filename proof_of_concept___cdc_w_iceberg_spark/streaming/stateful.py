@@ -293,9 +293,21 @@ def session_state_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
             cur[1] = max(cur[1], ts_us)
             cur[2] += 1
     if cur is not None:
-        state.update(tuple(cur))
         # Close at watermark > last + gap (epoch MILLIS for the API).
-        state.setTimeoutTimestamp(cur[1] // 1_000 + SESSION_GAP_US // 1_000)
+        # Clamp guard: under allowed lateness a late event can extend a
+        # session whose close is already DUE — the watermark (advanced
+        # by other keys) sits at/past last+gap, and re-arming a timeout
+        # not later than the watermark throws IllegalArgumentException,
+        # killing the whole streaming query. The session is due, so
+        # close and emit it inline instead (round-6 advice).
+        timeout_ms = cur[1] // 1_000 + SESSION_GAP_US // 1_000
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            if state.exists:
+                state.remove()
+            yield _session_row(key, cur[0], cur[1], cur[2])
+        else:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(timeout_ms)
 
 
 def session_stream(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:

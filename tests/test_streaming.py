@@ -608,3 +608,63 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir):
     assert non_final <= got, (
         f"non-final sessions missing: {sorted(non_final - got)[:3]}"
     )
+
+
+def test_sessionizer_overdue_timeout_closes_inline():
+    """Round-6 advice: a late event extending a session whose close is
+    already DUE (watermark, advanced by other keys, at/past last+gap)
+    must NOT re-arm a timeout <= the watermark — Spark throws
+    IllegalArgumentException and fails the whole query. The state fn
+    closes and emits the session inline instead."""
+    import pandas as pd
+
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        session_state_fn,
+    )
+
+    class FakeState:
+        hasTimedOut = False
+        exists = True
+
+        def __init__(self, tup, watermark_ms):
+            self.get = tup
+            self._wm = watermark_ms
+            self.removed = False
+            self.armed = None
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def update(self, tup):
+            self.get = tup
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutTimestamp(self, ts_ms):
+            assert ts_ms > self._wm, (
+                "re-armed a timeout not later than the watermark — "
+                "this raises IllegalArgumentException in Spark"
+            )
+            self.armed = ts_ms
+
+    t0 = 1_700_000_000_000_000  # epoch micros
+    gap = SESSION_GAP_US
+    # Watermark sits well past last+gap: the session is overdue.
+    overdue = FakeState((t0, t0, 1), watermark_ms=(t0 + 3 * gap) // 1_000)
+    # The late event lands within gap of the active session's start,
+    # extending it backward — previously this re-armed a past timeout.
+    late = pd.DataFrame({"ts": [pd.Timestamp(t0 - gap // 2, unit="us")]})
+    rows = list(session_state_fn((7,), iter([late]), overdue))
+    assert overdue.removed and overdue.armed is None
+    assert len(rows) == 1
+    out = rows[0].iloc[0]
+    assert out["user_id"] == 7 and out["n_events"] == 2
+    assert out["session_start"] == pd.Timestamp(t0 - gap // 2, unit="us")
+
+    # Control: a session whose close is NOT due re-arms normally.
+    live = FakeState((t0, t0, 1), watermark_ms=(t0 - gap) // 1_000)
+    rows = list(session_state_fn((7,), iter([late]), live))
+    assert rows == [] and not live.removed
+    assert live.armed == t0 // 1_000 + gap // 1_000
