@@ -910,8 +910,13 @@ def connected_components_logn(nodes, pairs, max_rounds: int = 40):
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") — the O(log n)-
     round form the simple min-label propagation's docstring defers to
-    for deep components. Each round is two grouped transforms over the
-    edge relation:
+    for deep components. DELIBERATELY library-only (r7 decision, per
+    the r6 verdict): its output is property-tested identical to
+    q_dedup_cluster's engine, so a driver row would spend a sweep slot
+    hash-checking an alternate engine instead of a distinct semantic —
+    it stays the documented deep-graph escape hatch, covered by the
+    equivalence/chain/convergence tests in tests/test_r06_fixes.py.
+    Each round is two grouped transforms over the edge relation:
 
       large-star: every node u links each STRICTLY GREATER neighbor to
         m = min(N(u) ∪ {u}) — long tails collapse toward small ids
