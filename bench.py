@@ -166,8 +166,35 @@ BENCH_QUERIES = [
 ]
 
 
+def _cache_state(sf_dir: str) -> dict:
+    """Stamp whether the materialized-stage caches were warm at run
+    start, plus machine load — round-7 verdict: without this, a
+    uniform +7% drift and the q_knn_graph 2.6<->3.8 s oscillation were
+    unattributable (cold band-index builds land inside whichever dedup
+    query runs first; load spikes shift every query uniformly)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    tmp = tempfile.gettempdir()
+    state = {
+        "band_index_warm": os.path.exists(
+            os.path.join(tmp, f"dedup_band_index_{tag}", "_INDEX_SUCCESS")
+        ),
+        "capped_stage_warm": os.path.exists(
+            os.path.join(tmp, f"dedup_capped_{tag}", "_CAPPED_SUCCESS")
+        ),
+    }
+    try:
+        state["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        state["loadavg_1m"] = None
+    return state
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cache_state = _cache_state(sf_dir)
     spark = get_spark("poc_cdc_bench")
     qs = registry.queries()
 
@@ -199,12 +226,16 @@ def main() -> None:
     # a compact headline (metric/value/sf plus the handful of flagship
     # timings that BASELINE.md names), and the full per-query map goes
     # to stderr and to BENCH_DETAIL.json next to this script.
+    cache_state["loadavg_1m_end"] = (
+        round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
+    )
     detail = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "env": cache_state,
     }
     print(json.dumps(detail), file=sys.stderr)
     try:
@@ -233,6 +264,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
                 "sf": float(sf),
+                "env": cache_state,
             }
         )
     )

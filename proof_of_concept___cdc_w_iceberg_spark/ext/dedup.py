@@ -581,7 +581,18 @@ def capped_stage_apply(
     onto the ``sh``-partitioned histogram; ``newly_over`` is broadcast
     into the anti-join (bounded by the cap boundary, not the corpus);
     batch admission is a broadcast semi-join against the updated
-    boundary. Nothing scans the corpus text."""
+    boundary. Nothing scans the corpus text.
+
+    Durability note (round-7 advice): the lineage cuts here and in the
+    CC engines use ``localCheckpoint(eager=True)``, which stores
+    blocks only on executors — executor loss makes the maintained IVM
+    state unrecoverable mid-pipeline. Fine for the single-node bench;
+    a resident cluster deployment should instead write the maintained
+    relations (capped shingles / histogram / labeling) back to their
+    bucketed index tables per batch — which this function's pure
+    take-DataFrames / return-DataFrames contract already supports —
+    or use a reliable ``spark.sparkContext.setCheckpointDir`` on
+    shared storage."""
     batch_df = new_sh.groupBy("sh").agg(F.count("*").alias("df_b"))
     merged = (
         df_hist.join(batch_df, "sh", "full_outer")

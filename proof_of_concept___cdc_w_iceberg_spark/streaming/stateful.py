@@ -300,8 +300,15 @@ def session_state_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
         # not later than the watermark throws IllegalArgumentException,
         # killing the whole streaming query. The session is due, so
         # close and emit it inline instead (round-6 advice).
+        # Strict <, matching Spark's actual constraint (GroupState
+        # rejects only timestampMs < watermark): at equality re-arming
+        # is legal, and an event with ts == watermark == last+gap is
+        # NOT yet droppable by the watermark filter, so it can still
+        # extend this session — closing at equality would emit one
+        # microbatch early and strand that boundary event as a
+        # singleton (round-7 advice).
         timeout_ms = cur[1] // 1_000 + SESSION_GAP_US // 1_000
-        if timeout_ms <= state.getCurrentWatermarkMs():
+        if timeout_ms < state.getCurrentWatermarkMs():
             if state.exists:
                 state.remove()
             yield _session_row(key, cur[0], cur[1], cur[2])

@@ -643,8 +643,10 @@ def test_sessionizer_overdue_timeout_closes_inline():
             self.removed = True
 
         def setTimeoutTimestamp(self, ts_ms):
-            assert ts_ms > self._wm, (
-                "re-armed a timeout not later than the watermark — "
+            # Spark's GroupState rejects only STRICTLY-below timestamps
+            # (pyspark/sql/streaming/state.py: timestampMs < watermark).
+            assert ts_ms >= self._wm, (
+                "re-armed a timeout below the watermark — "
                 "this raises IllegalArgumentException in Spark"
             )
             self.armed = ts_ms
@@ -668,3 +670,15 @@ def test_sessionizer_overdue_timeout_closes_inline():
     rows = list(session_state_fn((7,), iter([late]), live))
     assert rows == [] and not live.removed
     assert live.armed == t0 // 1_000 + gap // 1_000
+
+    # Boundary: watermark EXACTLY at last+gap. Re-arming at equality is
+    # legal (Spark rejects only strictly-below), and an event with
+    # ts == watermark is not yet droppable by the watermark filter and
+    # could still extend the session — so the fn must re-arm, not close
+    # early (round-7 advice: strict <, not <=).
+    at_boundary = FakeState(
+        (t0, t0, 1), watermark_ms=t0 // 1_000 + gap // 1_000
+    )
+    rows = list(session_state_fn((7,), iter([late]), at_boundary))
+    assert rows == [] and not at_boundary.removed
+    assert at_boundary.armed == t0 // 1_000 + gap // 1_000
