@@ -106,9 +106,12 @@ def q_graph_pagerank(spark, sf_dir):
         )
         .agg(F.count("*").alias("w"))
     )
+    # outw is |nodes|-scale (one row per src nation) — broadcast it so
+    # the transition matrix never shuffles for the normalization join
+    # (pre-AQE stats on an aggregate are unknown → SMJ otherwise).
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     p = (
-        edges.join(outw, "src")
+        edges.join(F.broadcast(outw), "src")
         .select("src", "dst", (F.col("w").cast("double") / F.col("ow")).alias("p"))
         .persist()
     )
@@ -124,7 +127,11 @@ def q_graph_pagerank(spark, sf_dir):
             F.sum(F.col("m").cast("decimal(38,18)")).alias("mass")
         )
         rank = (
-            nation.join(inmass, nation.n_nationkey == inmass.dst, "left")
+            # inmass is the rank vector (|nodes| rows) — broadcast the
+            # RIGHT side of the left join (the only side a left-outer
+            # may broadcast); without the hint each iteration plans an
+            # SMJ on a 25-row relation (unknown aggregate stats).
+            nation.join(F.broadcast(inmass), nation.n_nationkey == inmass.dst, "left")
             .crossJoin(F.broadcast(nn))
             .select(
                 F.col("n_nationkey").alias("v"),
