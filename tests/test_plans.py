@@ -337,6 +337,12 @@ def test_pagerank_edges_persisted_rank_broadcast(spark, sf_dir):
     plan = explain_str(QS["q_graph_pagerank"](spark, sf_dir))
     assert plan.count("InMemoryTableScan") >= 3
     assert "CartesianProduct" not in plan
+    # r8: the normalization join (|nodes|-row out-weights) and each
+    # iteration's in-mass left join (|nodes|-row rank vector) carry
+    # explicit broadcast hints — no node-scale relation may plan a
+    # sort-merge join (aggregate stats are unknown pre-AQE, and AQE
+    # was observed not converting these).
+    assert "SortMergeJoin" not in plan
 
 
 def test_dpp_prunes_fact_partitions(spark, sf_dir):
