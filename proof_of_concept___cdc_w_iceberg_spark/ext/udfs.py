@@ -229,14 +229,24 @@ def q_udf_cogrouped(spark, sf_dir):
     built-in join expresses. The oracle is the same as-of semantics as
     a correlated LIMIT 1 subquery. At scale this is two co-partitioned
     exchanges and |users| independent kernels — no driver collection,
-    no cross join."""
-    ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
-    )
+    no cross join.
+
+    The two sides MUST come from independent scans (two load() calls),
+    never two filters of one DataFrame: a self-cogroup shares attribute
+    ids across sides, Spark's dedup-right then re-ids the right child,
+    and the function expression keeps referencing the old (left-owned)
+    ids — so column pruning strips every non-grouping column from the
+    right side the moment ANY operator sits above the cogroup (count,
+    select, filter; a bare collect is the only safe shape). The kernel
+    then receives purchases as a key-only frame and dies on KeyError
+    'ts' (observed on Spark 4.1.2; regression-gated in
+    tests/test_r08_fixes.py)."""
+    clicks = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "ts", "event_id", "value")
+    purchases = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id")
     return (
         clicks.groupBy("user_id")
         .cogroup(purchases.groupBy("user_id"))

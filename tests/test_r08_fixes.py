@@ -1,0 +1,73 @@
+"""Round-8 regression gates.
+
+The round-8 plan audit ran every registered query under ``.count()``
+(bench-shaped consumption) instead of the driver's ``.collect()`` and
+exposed a Spark 4.1.2 hazard in cogrouped applyInPandas: when both
+sides of the cogroup are filters of ONE scan, the sides share
+attribute ids, dedup-right re-ids the right child, and column pruning
+then strips every non-grouping column from the right side as soon as
+any operator sits above the node. These tests pin the fixed behavior.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from proof_of_concept___cdc_w_iceberg_spark import registry
+
+QS = registry.queries()
+
+
+def test_cogrouped_survives_count_and_projection(spark, sf_dir):
+    """q_udf_cogrouped must work under EVERY consumption shape, not
+    just the driver's full collect: count() and a narrow projection
+    both triggered the right-side pruning before the fix (the kernel
+    received purchases as a key-only frame -> KeyError 'ts')."""
+    df = QS["q_udf_cogrouped"](spark, sf_dir)
+    n_full = len(df.toPandas())
+    assert df.count() == n_full
+    assert df.select("purchase_id").count() == n_full
+    got = df.filter(F.col("last_click_value").isNotNull()).count()
+    assert 0 < got <= n_full
+
+
+def test_self_cogroup_pruning_hazard_still_present_upstream(spark, sf_dir):
+    """Canary for the UPSTREAM Spark behavior the fix routes around.
+
+    If this starts failing (i.e. the self-cogroup shape stops losing
+    the right side's data columns), the Spark version has fixed
+    dedup-right + column pruning for FlatMapCoGroupsInPandas and
+    q_udf_cogrouped may go back to sharing one scan. Until then the
+    two-scan form is load-bearing, not style.
+    """
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    registry._ship_package(spark)
+    ev = load(spark, sf_dir, "events")  # ONE scan, both sides
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def probe(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": l["user_id"].head(0), "ok": []}).astype(
+            {"user_id": "int64", "ok": "int64"}
+        ) if "ts" in r.columns else pd.DataFrame(
+            {"user_id": [-1], "ok": [0]}
+        ).astype({"user_id": "int64", "ok": "int64"})
+
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(probe, "user_id long, ok long")
+    )
+    # Under count(), the hazard delivers a right frame WITHOUT 'ts':
+    # the probe emits one sentinel row per group. If Spark fixes the
+    # pruning, 'ts' survives and the probe emits nothing.
+    pruned_groups = out.count()
+    assert pruned_groups > 0, (
+        "self-cogroup right-side pruning no longer reproduces — Spark "
+        "fixed it; q_udf_cogrouped's two-scan workaround can be retired"
+    )
