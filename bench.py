@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "q_cdc_changefeed",
     "q_dedup_capped_incremental",
     "q_dedup_cluster_incremental",
+    # r08 addition: span-level exact-substring dedup (positioned-gram
+    # shuffle + interval-union window; linear in corpus tokens).
+    "q_dedup_substr",
 ]
 
 

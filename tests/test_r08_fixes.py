@@ -71,3 +71,60 @@ def test_self_cogroup_pruning_hazard_still_present_upstream(spark, sf_dir):
         "self-cogroup right-side pruning no longer reproduces — Spark "
         "fixed it; q_udf_cogrouped's two-scan workaround can be retired"
     )
+
+
+def test_substr_dedup_overlap_union_and_edges(spark):
+    """q_dedup_substr's engine on constructed corpora: overlapping
+    duplicated windows must merge into ONE span counted once (union,
+    not sum); sub-W docs pass through whole; a fully-unique doc
+    reports zero; and a doc repeated verbatim is 100% duplicated."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+        SUBSTR_W,
+        substr_span_report,
+    )
+
+    w = SUBSTR_W
+    # 12 tokens shared by docs 1 and 2 -> every one of the 12-w+1
+    # windows is duplicated and they all overlap: exactly one span of
+    # 12 tokens, never (12-w+1)*w.
+    shared = " ".join(f"s{i}" for i in range(12))
+    uniq1 = " ".join(f"a{i}" for i in range(w))
+    uniq2 = " ".join(f"b{i}" for i in range(w))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq1} {shared}"),
+            (2, f"{shared} {uniq2}"),
+            (3, "tiny doc"),  # < w tokens: no windows at all
+            (4, " ".join(f"u{i}" for i in range(20))),  # fully unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in substr_span_report(docs).collect()}
+    assert got[1]["dup_spans"] == 1 and got[1]["dup_tokens"] == 12
+    assert got[1]["kept_tokens"] == got[1]["n_tokens"] - 12
+    assert got[2]["dup_spans"] == 1 and got[2]["dup_tokens"] == 12
+    assert got[3] == {
+        "doc_id": 3, "n_tokens": 2, "dup_spans": 0,
+        "dup_tokens": 0, "kept_tokens": 2,
+    }
+    assert got[4]["dup_spans"] == 0 and got[4]["kept_tokens"] == 20
+
+    # Verbatim repeat: both copies fully duplicated, zero kept.
+    rep = " ".join(f"r{i}" for i in range(15))
+    docs2 = spark.createDataFrame(
+        [(1, rep), (2, rep)], "doc_id long, text string"
+    )
+    for r in substr_span_report(docs2).collect():
+        assert r["dup_tokens"] == 15 and r["kept_tokens"] == 0
+
+    # Two DISJOINT duplicated regions in one doc stay two spans.
+    sh1 = " ".join(f"x{i}" for i in range(w))
+    sh2 = " ".join(f"y{i}" for i in range(w))
+    gap = " ".join(f"g{i}" for i in range(3))
+    docs3 = spark.createDataFrame(
+        [(1, f"{sh1} {gap} {sh2}"), (2, sh1), (3, sh2)],
+        "doc_id long, text string",
+    )
+    got3 = {r["doc_id"]: r.asDict() for r in substr_span_report(docs3).collect()}
+    assert got3[1]["dup_spans"] == 2 and got3[1]["dup_tokens"] == 2 * w
+    assert got3[1]["kept_tokens"] == 3
