@@ -1537,10 +1537,20 @@ SUBSTR_DEDUP_SQL = f"""
 """
 
 
-def substr_span_report(docs, w: int = SUBSTR_W):
+def substr_span_report(docs, w: int = SUBSTR_W, hashed: bool = False):
     """(doc_id, text) -> per-doc duplicated-span report (the engine of
     q_dedup_substr, factored out so invariant tests can drive it with
-    constructed corpora). See the query docstring for semantics."""
+    constructed corpora). See the query docstring for semantics.
+
+    ``hashed=True`` is the 100 TB transport form: the duplication
+    shuffle keys on ``xxhash64(gram)`` (8 bytes) instead of the
+    W-token STRING (~60 bytes at W=8, ~400 at the paper's W=50) —
+    shuffle bytes drop ~8-50× with identical span output up to 64-bit
+    hash collisions (~none below 2^32 distinct grams per the birthday
+    bound; a corpus-scale run shards the histogram anyway). The
+    registered query keeps the string form so the DuckDB oracle
+    compares end to end; equivalence of the two forms is asserted in
+    tests/test_r08_fixes.py."""
     tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     nt = tok.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
     idx = F.sequence(F.lit(1), F.size("toks") - (w - 1))
@@ -1548,7 +1558,9 @@ def substr_span_report(docs, w: int = SUBSTR_W):
         idx,
         lambda i: F.struct(
             (i - 1).cast("long").alias("start"),
-            F.array_join(F.slice(F.col("toks"), i, w), " ").alias("gram"),
+            F.xxhash64(F.array_join(F.slice(F.col("toks"), i, w), " ")).alias("gram")
+            if hashed
+            else F.array_join(F.slice(F.col("toks"), i, w), " ").alias("gram"),
         ),
     )
     grams = (

@@ -128,3 +128,17 @@ def test_substr_dedup_overlap_union_and_edges(spark):
     got3 = {r["doc_id"]: r.asDict() for r in substr_span_report(docs3).collect()}
     assert got3[1]["dup_spans"] == 2 and got3[1]["dup_tokens"] == 2 * w
     assert got3[1]["kept_tokens"] == 3
+
+
+def test_substr_dedup_hashed_transport_equivalent(spark, sf_dir):
+    """The xxhash64-keyed shuffle form (the 100 TB transport path) must
+    produce the exact span report the string-keyed form does on the
+    fixture corpus — proving the scale optimization is semantics-free
+    here (64-bit collisions are negligible below 2^32 grams)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import substr_span_report
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = substr_span_report(docs, hashed=False)
+    b = substr_span_report(docs, hashed=True)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
