@@ -1506,8 +1506,10 @@ SUBSTR_DEDUP_SQL = f"""
         WHERE c > 1
     ),
     isl AS (
+        -- STRICT >: a window starting exactly at the previous running
+        -- end TOUCHES it — one contiguous duplicated region, one span.
         SELECT doc_id, start,
-               CASE WHEN start >= COALESCE(
+               CASE WHEN start > COALESCE(
                    MAX(start + {SUBSTR_W}) OVER (
                        PARTITION BY doc_id ORDER BY start
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -1587,10 +1589,15 @@ def substr_span_report(docs, w: int = SUBSTR_W, hashed: bool = False):
     )
     spans = (
         dup.withColumn(
+            # Strict >: touching windows (start == previous running
+            # end) are one contiguous duplicated region — merge, don't
+            # split (caught by the hypothesis reference test: the
+            # corpus "a b a a b a" at W=3 duplicates [0,3) and [3,6)
+            # and must report ONE 6-token span).
             "brk",
             F.when(
                 F.col("start")
-                >= F.coalesce(F.max(F.col("start") + w).over(prev), F.lit(0)),
+                > F.coalesce(F.max(F.col("start") + w).over(prev), F.lit(0)),
                 1,
             ).otherwise(0),
         )

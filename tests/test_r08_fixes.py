@@ -142,3 +142,75 @@ def test_substr_dedup_hashed_transport_equivalent(spark, sf_dir):
     a = substr_span_report(docs, hashed=False)
     b = substr_span_report(docs, hashed=True)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def _substr_reference(corpus: dict[int, list[str]], w: int):
+    """Brute-force Python reference for the span report: enumerate
+    every W-window, count occurrences corpus-wide, mark duplicated
+    positions, take the per-doc union, and count maximal runs."""
+    from collections import Counter
+
+    occ = Counter(
+        tuple(toks[i : i + w])
+        for toks in corpus.values()
+        for i in range(len(toks) - w + 1)
+    )
+    out = {}
+    for doc_id, toks in corpus.items():
+        covered = set()
+        for i in range(len(toks) - w + 1):
+            if occ[tuple(toks[i : i + w])] > 1:
+                covered.update(range(i, i + w))
+        spans = 0
+        prev = None
+        for p in sorted(covered):
+            if prev is None or p != prev + 1:
+                spans += 1
+            prev = p
+        out[doc_id] = (len(toks), spans, len(covered), len(toks) - len(covered))
+    return out
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # Tiny alphabet + short docs force heavy window collisions — the
+    # regime where interval-union vs naive-sum diverge.
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=14),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(token_lists=corpus_strategy)
+    def test_substr_dedup_matches_reference_semantics(spark, token_lists):
+        """substr_span_report == the brute-force reference for ANY
+        corpus (random short docs over a 3-letter alphabet: repeated
+        windows inside one doc, across docs, zero-window docs)."""
+        from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+            substr_span_report,
+        )
+
+        w = 3  # small W so tiny docs still produce windows
+        corpus = {i: toks for i, toks in enumerate(token_lists)}
+        docs = spark.createDataFrame(
+            [(i, " ".join(toks) if toks else "") for i, toks in corpus.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"],
+                          r["kept_tokens"])
+            for r in substr_span_report(docs, w=w).collect()
+        }
+        # Empty text tokenizes to [''] on both engines: one token.
+        want = _substr_reference(
+            {i: (toks if toks else [""]) for i, toks in corpus.items()}, w
+        )
+        assert got == want
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
