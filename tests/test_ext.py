@@ -136,15 +136,18 @@ def test_dedup_cluster_releases_loop_persists(spark, sf_dir):
     spark.catalog.clearCache()
     QS["q_dedup_cluster"](spark, sf_dir).collect()
     # getPersistentRDDs also counts localCheckpoint blocks from EARLIER
-    # tests (IVM queries) that release only when their Python-side
-    # DataFrames are GC'd and py4j flushes finalizers — force that and
-    # retry briefly so suite ordering can't flake this assertion.
+    # tests (IVM queries): their Python refs are gone, but the blocks
+    # release only when the JVM's ContextCleaner sees the RDDs become
+    # weakly reachable — i.e. after a JVM GC, which a 16g heap may not
+    # run for minutes. Force both GCs and retry so suite ordering
+    # can't flake this assertion.
     import gc
     import time
 
     n_cached = None
     for _ in range(8):
         gc.collect()
+        spark.sparkContext._jvm.System.gc()
         n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
         if n_cached <= 3:
             break
