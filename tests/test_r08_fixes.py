@@ -214,3 +214,23 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_substr_dedup_at_paper_window_width(spark):
+    """The pipeline is W-agnostic (docstring claim): at the paper's
+    W=50, a 60-token region shared by two long docs yields exactly one
+    60-token span each; the unique remainders survive."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import substr_span_report
+
+    shared = " ".join(f"s{i}" for i in range(60))
+    u1 = " ".join(f"a{i}" for i in range(40))
+    u2 = " ".join(f"b{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, f"{u1} {shared}"), (2, f"{shared} {u2}")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in substr_span_report(docs, w=50).collect()}
+    for d in (1, 2):
+        assert got[d]["dup_spans"] == 1
+        assert got[d]["dup_tokens"] == 60
+        assert got[d]["kept_tokens"] == 40
