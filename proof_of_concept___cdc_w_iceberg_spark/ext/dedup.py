@@ -473,6 +473,35 @@ def _snapshot(spark, base: str, sub: str):
     )
 
 
+def _cache_tag(sf_dir: str) -> str:
+    """Per-corpus cache tag shared by every materialized dedup stage."""
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+
+
+def band_index_dir(sf_dir: str) -> str:
+    """Directory holding the materialized band index for ``sf_dir``."""
+    return os.path.join(tempfile.gettempdir(), f"dedup_band_index_{_cache_tag(sf_dir)}")
+
+
+def band_index_marker(sf_dir: str) -> str:
+    """Success marker whose existence means the band index is warm.
+
+    Exported (with ``capped_stage_marker``) so external consumers —
+    bench.py's env stamp — probe the REAL cache layout instead of
+    re-deriving paths that could silently drift (round-8 advice)."""
+    return os.path.join(band_index_dir(sf_dir), "_INDEX_SUCCESS")
+
+
+def capped_stage_dir(sf_dir: str) -> str:
+    """Directory holding the materialized DF-capped shingle stage."""
+    return os.path.join(tempfile.gettempdir(), f"dedup_capped_{_cache_tag(sf_dir)}")
+
+
+def capped_stage_marker(sf_dir: str) -> str:
+    """Success marker whose existence means the capped stage is warm."""
+    return os.path.join(capped_stage_dir(sf_dir), "_CAPPED_SUCCESS")
+
+
 def band_index_build(spark, sf_dir: str) -> str:
     """Materialize the corpus near-dup band index ONCE per sf_dir (the
     round-3 verdict's task: the batch path must not recompute corpus
@@ -480,9 +509,8 @@ def band_index_build(spark, sf_dir: str) -> str:
     bucketed table via ``band_index_apply``). The build also freezes a
     ``_MANIFEST.json`` snapshot of its file set for corpus-snapshot
     consumers. Returns the index dir."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"dedup_band_index_{tag}")
-    marker = os.path.join(base, "_INDEX_SUCCESS")
+    base = band_index_dir(sf_dir)
+    marker = band_index_marker(sf_dir)
     # A marker without a manifest is a PRE-manifest cache — and there
     # is no way to tell whether ``band_index_apply`` already appended
     # to it in an earlier process, so freezing its live file set would
@@ -528,9 +556,8 @@ def capped_shingles(spark, sf_dir: str):
     batch docs into it nor stale it — it is simply a deterministic
     derivation of the frozen corpus. Laid out by the self-join key
     ``sh``."""
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"dedup_capped_{tag}")
-    marker = os.path.join(base, "_CAPPED_SUCCESS")
+    base = capped_stage_dir(sf_dir)
+    marker = capped_stage_marker(sf_dir)
     if not os.path.exists(marker):
         sh = corpus_shingles(spark, sf_dir)
         df_cap = (
