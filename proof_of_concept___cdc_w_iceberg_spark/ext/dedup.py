@@ -618,16 +618,17 @@ def capped_stage_apply(
     batch admission is a broadcast semi-join against the updated
     boundary. Nothing scans the corpus text.
 
-    Durability note (round-7 advice): the lineage cuts here and in the
-    CC engines use ``localCheckpoint(eager=True)``, which stores
-    blocks only on executors — executor loss makes the maintained IVM
-    state unrecoverable mid-pipeline. Fine for the single-node bench;
-    a resident cluster deployment should instead write the maintained
-    relations (capped shingles / histogram / labeling) back to their
-    bucketed index tables per batch — which this function's pure
-    take-DataFrames / return-DataFrames contract already supports —
-    or use a reliable ``spark.sparkContext.setCheckpointDir`` on
-    shared storage."""
+    Durability (round-7 advice -> round-9 API): the lineage cuts here
+    and in the CC engines use ``localCheckpoint(eager=True)``, which
+    stores blocks only on executors — executor loss makes the
+    maintained IVM state unrecoverable mid-pipeline. Fine for the
+    single-node bench; a resident deployment calls ``cycle_state``
+    (below) at every batch boundary to write the maintained relations
+    (capped shingles / histogram) to epoch-committed index tables and
+    feed the storage-backed re-reads into the next apply —
+    ``load_state`` recovers the latest committed epoch after a crash.
+    Apply-over-cycled-state == full rebuild is asserted in
+    tests/test_r08_durability.py."""
     batch_df = new_sh.groupBy("sh").agg(F.count("*").alias("df_b"))
     merged = (
         df_hist.join(batch_df, "sh", "full_outer")
@@ -685,6 +686,102 @@ def capped_stage_apply(
         .filter(F.col("n_sh") > 0)
     )
     return sh_capped_new, sizes_new, df_hist_new
+
+
+# ---------------------------------------------------------------------------
+# Durable IVM state (round-9: the executor-loss answer as executable API).
+#
+# ``capped_stage_apply`` / ``connected_components_apply`` cut lineage with
+# localCheckpoint(eager=True) — executor-local blocks, unrecoverable on
+# executor loss. The resident-deployment contract is: at every batch
+# boundary, write the maintained relations to their index tables and
+# re-read them (a storage-backed lineage cut ≡ process restart). These
+# helpers make that contract callable instead of prose:
+#
+#     state = cycle_state(base, {"labels": labels})      # per batch
+#     ...crash/restart...
+#     state = load_state(spark, base, ["labels"])        # latest epoch
+#
+# Epochs are write-new-then-commit: each save lands in base/epoch=N+1 and
+# only becomes visible once its _STATE_SUCCESS marker is written, so a
+# crash mid-save can never corrupt the recoverable state (same snapshot
+# idea as the band index's _MANIFEST.json; on a real cluster the same
+# shape maps onto Iceberg snapshot commits — reference
+# connect-iceberg-sink.json:15-16 — or any atomic-rename filesystem).
+# ---------------------------------------------------------------------------
+
+
+def state_epochs(base: str) -> list[int]:
+    """Committed state epochs under ``base`` (ascending); uncommitted
+    (marker-less) epoch dirs — crashed saves — are invisible."""
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        if not n.startswith("epoch="):
+            continue
+        try:
+            e = int(n.split("=", 1)[1])
+        except ValueError:
+            continue
+        if os.path.exists(os.path.join(base, n, "_STATE_SUCCESS")):
+            out.append(e)
+    return sorted(out)
+
+
+def save_state(base: str, relations: dict) -> int:
+    """Durably save maintained IVM relations as a NEW committed epoch.
+
+    Writes every ``name -> DataFrame`` to ``base/epoch=N/name`` (N =
+    latest committed epoch + 1), then commits the epoch by writing its
+    ``_STATE_SUCCESS`` marker. Returns N. Never touches prior epochs,
+    so a reader of epoch N-1 is never invalidated mid-batch."""
+    epochs = state_epochs(base)
+    nxt = (epochs[-1] + 1) if epochs else 0
+    edir = os.path.join(base, f"epoch={nxt}")
+    for name, df in relations.items():
+        df.write.mode("overwrite").parquet(os.path.join(edir, name))
+    with open(os.path.join(edir, "_STATE_SUCCESS"), "w") as f:
+        f.write("ok")
+    return nxt
+
+
+def load_state(spark, base: str, names, epoch: int | None = None) -> dict:
+    """Load maintained IVM relations from the latest committed epoch
+    (or an explicit one) — the restart-recovery path. Returns
+    ``{name: DataFrame}`` with storage-backed (flat) lineage."""
+    if epoch is None:
+        epochs = state_epochs(base)
+        if not epochs:
+            raise FileNotFoundError(f"no committed state epoch under {base}")
+        epoch = epochs[-1]
+    edir = os.path.join(base, f"epoch={epoch}")
+    return {n: spark.read.parquet(os.path.join(edir, n)) for n in names}
+
+
+def cycle_state(base: str, relations: dict) -> dict:
+    """THE batch-boundary durability cut: save ``relations`` as a new
+    epoch and return their storage-backed re-reads. Feed the returned
+    DataFrames into the next ``*_apply`` call; after a process or
+    executor loss, ``load_state`` recovers exactly this state.
+    Equivalence of apply-over-cycled-state with a full rebuild is
+    asserted in tests/test_r08_durability.py (which calls this)."""
+    spark = next(iter(relations.values())).sparkSession
+    epoch = save_state(base, relations)
+    return load_state(spark, base, list(relations), epoch)
+
+
+def prune_state(base: str, keep: int = 2) -> None:
+    """Drop all but the newest ``keep`` committed epochs (and any
+    uncommitted debris older than them) — bounded storage for a
+    resident pipeline; keep >= 2 preserves one rollback target."""
+    import shutil
+
+    epochs = state_epochs(base)
+    for e in epochs[:-keep] if keep > 0 else epochs:
+        shutil.rmtree(os.path.join(base, f"epoch={e}"), ignore_errors=True)
 
 
 def band_index_apply(spark, base: str, new_docs) -> None:
@@ -1070,7 +1167,10 @@ def connected_components_apply(labels, new_edges):
     once and never shuffled. Registered as q_dedup_cluster_incremental
     (oracle: full recompute over the union edge set); equivalence
     asserted in tests/test_r06_fixes.py across sequential batches with
-    cross-batch merges."""
+    cross-batch merges. Resident deployments durably cut the labeling's
+    lineage between applies with ``cycle_state`` / recover it after a
+    crash with ``load_state`` (see the durable-IVM-state section above;
+    exercised in tests/test_r08_durability.py)."""
     # Flatten the batch edge relation ONCE up front: it is bounded
     # (|batch| edges) but its plan may be a deep pair-generation
     # pipeline (ngram verify tail), and FOUR branches below reference
