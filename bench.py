@@ -204,9 +204,12 @@ def _prev_timings() -> dict[str, float]:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
         with open(path) as f:
-            q = json.load(f).get("queries", {})
+            doc = json.load(f)
+        # A non-dict top level (array/string artifact) must degrade to
+        # {} like any other garbage, not crash on .get.
+        q = doc.get("queries", {}) if isinstance(doc, dict) else {}
         return {k: float(v) for k, v in q.items()}
-    except (OSError, ValueError, TypeError):
+    except (OSError, ValueError, TypeError, AttributeError):
         return {}
 
 
@@ -247,7 +250,9 @@ def main() -> None:
     for name in BENCH_QUERIES:
         dt = _time_query(spark, qs, name, sf_dir)
         p = prev.get(name)
-        if p and p > 0 and max(dt / p, p / dt) > MOVER_RATIO:
+        # dt is rounded to 3 decimals — a sub-0.5ms query rounds to
+        # 0.0 and would divide-by-zero in the ratio.
+        if p and p > 0 and dt > 0 and max(dt / p, p / dt) > MOVER_RATIO:
             dt2 = _time_query(spark, qs, name, sf_dir)
             kept = min(dt, dt2)
             reruns[name] = {"prev": p, "runs": [dt, dt2], "kept": kept}

@@ -628,7 +628,10 @@ def capped_stage_apply(
     feed the storage-backed re-reads into the next apply —
     ``load_state`` recovers the latest committed epoch after a crash.
     Apply-over-cycled-state == full rebuild is asserted in
-    tests/test_r08_durability.py."""
+    tests/test_r08_durability.py
+    (test_capped_stage_apply_survives_state_cycle, which cycles all
+    three maintained relations through ``cycle_state`` before every
+    apply)."""
     batch_df = new_sh.groupBy("sh").agg(F.count("*").alias("df_b"))
     merged = (
         df_hist.join(batch_df, "sh", "full_outer")
@@ -736,11 +739,19 @@ def save_state(base: str, relations: dict) -> int:
 
     Writes every ``name -> DataFrame`` to ``base/epoch=N/name`` (N =
     latest committed epoch + 1), then commits the epoch by writing its
-    ``_STATE_SUCCESS`` marker. Returns N. Never touches prior epochs,
-    so a reader of epoch N-1 is never invalidated mid-batch."""
+    ``_STATE_SUCCESS`` marker. Returns N. Never touches prior
+    COMMITTED epochs, so a reader of epoch N-1 is never invalidated
+    mid-batch. If a CRASHED save left an uncommitted ``epoch=N`` dir,
+    it is cleared first — otherwise its stale relation dirs would
+    become visible as part of the new epoch the moment our marker
+    lands, breaking the crash-can-never-corrupt guarantee (round-9
+    advice; asserted in tests/test_r08_durability.py)."""
+    import shutil
+
     epochs = state_epochs(base)
     nxt = (epochs[-1] + 1) if epochs else 0
     edir = os.path.join(base, f"epoch={nxt}")
+    shutil.rmtree(edir, ignore_errors=True)
     for name, df in relations.items():
         df.write.mode("overwrite").parquet(os.path.join(edir, name))
     with open(os.path.join(edir, "_STATE_SUCCESS"), "w") as f:
@@ -767,21 +778,45 @@ def cycle_state(base: str, relations: dict) -> dict:
     DataFrames into the next ``*_apply`` call; after a process or
     executor loss, ``load_state`` recovers exactly this state.
     Equivalence of apply-over-cycled-state with a full rebuild is
-    asserted in tests/test_r08_durability.py (which calls this)."""
+    asserted in tests/test_r08_durability.py
+    (test_capped_stage_apply_survives_state_cycle and
+    test_components_apply_survives_state_cycle, which drive both
+    apply engines through this at every batch boundary); the commit
+    semantics (uncommitted epochs invisible, crashed-save debris
+    cleared, prune keeps a rollback target) are exercised there
+    directly."""
     spark = next(iter(relations.values())).sparkSession
     epoch = save_state(base, relations)
     return load_state(spark, base, list(relations), epoch)
 
 
 def prune_state(base: str, keep: int = 2) -> None:
-    """Drop all but the newest ``keep`` committed epochs (and any
-    uncommitted debris older than them) — bounded storage for a
-    resident pipeline; keep >= 2 preserves one rollback target."""
+    """Drop all but the newest ``keep`` committed epochs, plus any
+    uncommitted (marker-less) debris OLDER than the oldest kept one —
+    bounded storage for a resident pipeline; keep >= 2 preserves one
+    rollback target. Newer marker-less dirs are left alone: they may
+    be a save in flight (and ``save_state`` clears its own target
+    anyway)."""
     import shutil
 
     epochs = state_epochs(base)
-    for e in epochs[:-keep] if keep > 0 else epochs:
-        shutil.rmtree(os.path.join(base, f"epoch={e}"), ignore_errors=True)
+    kept = epochs[-keep:] if keep > 0 else []
+    if keep > 0 and not kept:
+        return  # nothing committed yet; don't touch an in-flight save
+    floor = kept[0] if kept else None  # None (keep=0): drop everything
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return
+    for n in names:
+        if not n.startswith("epoch="):
+            continue
+        try:
+            e = int(n.split("=", 1)[1])
+        except ValueError:
+            continue
+        if floor is None or e < floor:
+            shutil.rmtree(os.path.join(base, n), ignore_errors=True)
 
 
 def band_index_apply(spark, base: str, new_docs) -> None:

@@ -71,3 +71,25 @@ def test_prev_timings_tolerant():
     prev = bench._prev_timings()
     assert isinstance(prev, dict)
     assert all(isinstance(v, float) for v in prev.values())
+
+
+def test_prev_timings_non_dict_artifact(monkeypatch, tmp_path):
+    # Round-9 advice: a BENCH_DETAIL.json whose top level is a JSON
+    # array/string raised AttributeError on .get despite the 'never
+    # raises' claim above. Point the loader at such artifacts.
+    import os
+
+    fake = tmp_path / "BENCH_DETAIL.json"
+    real_join = os.path.join
+
+    def fake_join(*parts):
+        if parts[-1] == "BENCH_DETAIL.json":
+            return str(fake)
+        return real_join(*parts)
+
+    monkeypatch.setattr(bench.os.path, "join", fake_join)
+    for garbage in ('["not", "a", "dict"]', '"str"', "3.5", "{bad json"):
+        fake.write_text(garbage)
+        assert bench._prev_timings() == {}
+    fake.write_text('{"queries": {"q": 1.5}}')
+    assert bench._prev_timings() == {"q": 1.5}
