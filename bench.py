@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     # r08 addition: span-level exact-substring dedup (positioned-gram
     # shuffle + interval-union window; linear in corpus tokens).
     "q_dedup_substr",
+    "q_dedup_substr_rewrite",
 ]
 
 

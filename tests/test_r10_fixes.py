@@ -1,0 +1,118 @@
+"""Round-10 fixes: the q_dedup_substr stop-gram DF cap as real code
+(r8/r9 verdict carry: the hot-gram hazard was prose at scale) and the
+ExactSubstr REMOVAL step (substr_rewrite / q_dedup_substr_rewrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+    SUBSTR_MAX_GRAM_DF,
+    SUBSTR_W,
+    substr_rewrite,
+    substr_span_report,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _boiler_corpus(spark, n_docs=12):
+    """Every doc opens with the same W-token boilerplate header (a
+    degenerate gram: corpus frequency n_docs) followed by a unique
+    tail; docs 0 and 1 additionally share a genuine W-token duplicate
+    in their tails (frequency 2 — under any sane cap)."""
+    boiler = " ".join(f"h{i}" for i in range(SUBSTR_W))
+    pair = " ".join(f"p{i}" for i in range(SUBSTR_W))
+    rows = []
+    for d in range(n_docs):
+        tail = pair if d < 2 else " ".join(f"u{d}x{i}" for i in range(SUBSTR_W))
+        rows.append((d, f"{boiler} {tail}"))
+    return _docs(spark, rows)
+
+
+def test_stop_gram_cap_excludes_degenerate_grams(spark):
+    docs = _boiler_corpus(spark)
+    # Cap below the boilerplate's corpus frequency (12): the header
+    # gram is a stop-gram — only the genuine 2x duplicate marks spans.
+    # (Grams STRADDLING the header/tail boundary have frequency 1 for
+    # d >= 2 and 2 for the pair docs, so capped output is: pair docs
+    # lose everything from the first straddling dup gram on; others
+    # report nothing.)
+    capped = {
+        r["doc_id"]: r
+        for r in substr_span_report(docs, max_gram_df=5).collect()
+    }
+    for d in range(2, 12):
+        assert capped[d]["dup_tokens"] == 0, "stop-gram leaked into spans"
+        assert capped[d]["kept_tokens"] == capped[d]["n_tokens"]
+    # The under-cap genuine duplicate is still caught in docs 0/1:
+    # every gram they carry occurs twice (boiler, straddle, pair) but
+    # only the boiler-only grams are over cap -> the duplicated span
+    # starts at the first straddling gram (start 1) and runs to the
+    # end (2W tokens total, span [1, 2W)).
+    for d in (0, 1):
+        assert capped[d]["dup_spans"] == 1
+        assert capped[d]["dup_tokens"] == 2 * SUBSTR_W - 1
+
+    # Default cap (fixture-safe): never fires -> the header itself is
+    # a corpus-wide duplicate and every doc is fully covered.
+    uncapped = {
+        r["doc_id"]: r
+        for r in substr_span_report(docs, max_gram_df=SUBSTR_MAX_GRAM_DF).collect()
+    }
+    for d in (0, 1):
+        assert uncapped[d]["dup_tokens"] == 2 * SUBSTR_W
+        assert uncapped[d]["kept_tokens"] == 0
+    for d in range(2, 12):
+        assert uncapped[d]["dup_tokens"] == SUBSTR_W
+        assert uncapped[d]["kept_tokens"] == SUBSTR_W
+    spark.catalog.clearCache()
+
+
+def test_rewrite_matches_report_and_reconstructs(spark):
+    docs = _docs(
+        spark,
+        [
+            # 'a0..a7' duplicated between 0 and 1 (head of 0, tail of 1)
+            (0, " ".join(f"a{i}" for i in range(SUBSTR_W)) + " tail0 tail1"),
+            (1, "head0 head1 " + " ".join(f"a{i}" for i in range(SUBSTR_W))),
+            (2, "short doc"),
+            # fully duplicated pair
+            (3, " ".join(f"b{i}" for i in range(SUBSTR_W))),
+            (4, " ".join(f"b{i}" for i in range(SUBSTR_W))),
+        ],
+    )
+    got = {r["doc_id"]: r for r in substr_rewrite(docs).collect()}
+    assert got[0]["kept_text"] == "tail0 tail1"
+    assert got[1]["kept_text"] == "head0 head1"
+    assert got[2]["kept_text"] == "short doc"  # < W tokens: untouched
+    assert got[3]["kept_text"] == "" and got[3]["kept_tokens"] == 0
+    assert got[4]["kept_text"] == "" and got[4]["kept_tokens"] == 0
+
+    # kept_tokens must agree with the report's accounting, and
+    # kept_text's token count must equal kept_tokens.
+    rep = {r["doc_id"]: r for r in substr_span_report(docs).collect()}
+    for d, r in got.items():
+        assert r["kept_tokens"] == rep[d]["kept_tokens"]
+        n = len(r["kept_text"].split()) if r["kept_text"] else 0
+        assert n == r["kept_tokens"]
+    spark.catalog.clearCache()
+
+
+def test_rewrite_respects_stop_gram_cap(spark):
+    docs = _boiler_corpus(spark)
+    got = {
+        r["doc_id"]: r for r in substr_rewrite(docs, max_gram_df=5).collect()
+    }
+    boiler = " ".join(f"h{i}" for i in range(SUBSTR_W))
+    for d in range(2, 12):
+        # Header is a stop-gram -> untouched.
+        assert got[d]["kept_text"].startswith(boiler)
+        assert got[d]["kept_tokens"] == 2 * SUBSTR_W
+    for d in (0, 1):
+        # Span [1, 2W): only the header's first token survives.
+        assert got[d]["kept_text"] == "h0"
+    spark.catalog.clearCache()
