@@ -116,3 +116,61 @@ def test_rewrite_respects_stop_gram_cap(spark):
         # Span [1, 2W): only the header's first token survives.
         assert got[d]["kept_text"] == "h0"
     spark.catalog.clearCache()
+
+
+def _rewrite_reference(corpus: dict[int, list[str]], w: int):
+    """Brute-force Python reference for the REMOVAL step: mark every
+    position covered by a corpus-duplicated W-window, keep the rest."""
+    from collections import Counter
+
+    occ = Counter(
+        tuple(toks[i : i + w])
+        for toks in corpus.values()
+        for i in range(len(toks) - w + 1)
+    )
+    out = {}
+    for doc_id, toks in corpus.items():
+        covered = set()
+        for i in range(len(toks) - w + 1):
+            if occ[tuple(toks[i : i + w])] > 1:
+                covered.update(range(i, i + w))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        out[doc_id] = (len(kept), " ".join(kept))
+    return out
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=14),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(token_lists=corpus_strategy)
+    def test_substr_rewrite_matches_reference_semantics(spark, token_lists):
+        """substr_rewrite == the brute-force removal reference for ANY
+        corpus in the heavy-collision regime (3-letter alphabet)."""
+        w = 3
+        corpus = {i: toks for i, toks in enumerate(token_lists)}
+        docs = _docs(
+            spark,
+            [(i, " ".join(toks) if toks else "") for i, toks in corpus.items()],
+        )
+        got = {
+            r["doc_id"]: (r["kept_tokens"], r["kept_text"])
+            for r in substr_rewrite(docs, w=w).collect()
+        }
+        # Empty text tokenizes to [''] on both engines: one token.
+        want = _rewrite_reference(
+            {i: (toks if toks else [""]) for i, toks in corpus.items()}, w
+        )
+        assert got == want
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
