@@ -174,3 +174,31 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_substr_plan_has_no_gram_window_partition(spark, sf_dir):
+    """Plan gate for the r10 restructure: duplication scoring must be
+    a gram-keyed HASH AGGREGATE (map-side combinable histogram), and
+    every window in the plan must partition by doc_id — a window
+    partitioned by gram is the unbounded hot-partition hazard the
+    restructure removed."""
+    from proof_of_concept___cdc_w_iceberg_spark import registry
+
+    for name in ("q_dedup_substr", "q_dedup_substr_rewrite"):
+        df = registry.queries()[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        specs = [
+            seg.split(",")[0]
+            for seg in plan.split("windowspecdefinition(")[1:]
+        ]
+        assert specs, f"{name}: span merge windows missing from plan"
+        for s in specs:
+            assert s.strip().startswith("doc_id#"), (
+                f"{name}: window partitioned by {s!r}, not doc_id"
+            )
+        assert "windowspecdefinition(gram" not in plan
+        # The histogram: a hash aggregate keyed on gram.
+        assert "hashaggregate(keys=[gram#" in plan.lower().replace(" ", ""), (
+            f"{name}: gram histogram aggregate missing"
+        )
+    spark.catalog.clearCache()
