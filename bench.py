@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     # shuffle + interval-union window; linear in corpus tokens).
     "q_dedup_substr",
     "q_dedup_substr_rewrite",
+    "q_dedup_substr_incremental",
 ]
 
 

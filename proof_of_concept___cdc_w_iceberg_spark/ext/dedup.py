@@ -1643,9 +1643,14 @@ _SUBSTR_GRAM_SQL = " || ' ' || ".join(
     f"toks[i+{j}]" for j in range(SUBSTR_W)
 )
 
-SUBSTR_DEDUP_SQL = f"""
+def _substr_report_sql(docs_sql: str) -> str:
+    """The ExactSubstr per-doc span-report chain over an arbitrary
+    (doc_id, text) relation — shared by the batch oracle (corpus only)
+    and the incremental oracle (corpus ∪ replayed batch, which must
+    equal a full rebuild over both)."""
+    return f"""
     WITH tok AS (
-        SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+        SELECT doc_id, {TOKENS_SQL} AS toks FROM ({docs_sql})
     ),
     nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM tok),
     grams AS (
@@ -1701,6 +1706,18 @@ SUBSTR_DEDUP_SQL = f"""
 """
 
 
+SUBSTR_DEDUP_SQL = _substr_report_sql("SELECT doc_id, text FROM documents")
+
+# Incremental twin: the report over corpus ∪ replayed batch — what the
+# maintained state must equal after one apply.
+SUBSTR_INCR_SQL = _substr_report_sql(f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {_BATCH_OFF} AS doc_id, text
+    FROM documents WHERE doc_id % 13 = 5
+""")
+
+
 SUBSTR_MAX_GRAM_DF = 1000  # stop-gram cap: a W-gram occurring in more
 # corpus positions than this is degenerate boilerplate (whitespace
 # runs, license headers) and is EXCLUDED from duplication marking —
@@ -1709,6 +1726,69 @@ SUBSTR_MAX_GRAM_DF = 1000  # stop-gram cap: a W-gram occurring in more
 # default never fires there and the registered oracle (which has no
 # cap) still compares end to end; the cap path is exercised on a
 # constructed degenerate corpus in tests/test_r10_fixes.py.
+
+
+def _tokenized(docs):
+    """(tok, nt): token arrays and per-doc token counts."""
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    nt = tok.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return tok, nt
+
+
+def _positioned_grams(tok, w: int, hashed: bool):
+    """(doc_id, start, gram): every W-token window with its 0-based
+    start position — LINEAR in corpus tokens."""
+    idx = F.sequence(F.lit(1), F.size("toks") - (w - 1))
+    gram_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("start"),
+            F.xxhash64(F.array_join(F.slice(F.col("toks"), i, w), " ")).alias("gram")
+            if hashed
+            else F.array_join(F.slice(F.col("toks"), i, w), " ").alias("gram"),
+        ),
+    )
+    return (
+        tok.filter(F.size("toks") >= w)
+        .select("doc_id", F.explode(gram_structs).alias("g"))
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+    )
+
+
+def _dup_to_spans(dup, w: int):
+    """(doc_id, start) duplicated window positions -> maximal merged
+    spans (doc_id, isle, s, e) via one per-doc ordered window pass."""
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dup.withColumn(
+            # Strict >: touching windows (start == previous running
+            # end) are one contiguous duplicated region — merge, don't
+            # split (caught by the hypothesis reference test: the
+            # corpus "a b a a b a" at W=3 duplicates [0,3) and [3,6)
+            # and must report ONE 6-token span).
+            "brk",
+            F.when(
+                F.col("start")
+                > F.coalesce(F.max(F.col("start") + w).over(prev), F.lit(0)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("isle", F.sum("brk").over(cum))
+        .groupBy("doc_id", "isle")
+        .agg(
+            F.min("start").alias("s"),
+            (F.max("start") + w).alias("e"),
+        )
+    )
 
 
 def substr_spans(
@@ -1730,23 +1810,8 @@ def substr_spans(
     side (``1 < c <= max_gram_df``, i.e. genuinely-duplicated
     non-stop grams) is small enough that AQE broadcasts it at fixture
     scale and skew-splits it beyond."""
-    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    nt = tok.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
-    idx = F.sequence(F.lit(1), F.size("toks") - (w - 1))
-    gram_structs = F.transform(
-        idx,
-        lambda i: F.struct(
-            (i - 1).cast("long").alias("start"),
-            F.xxhash64(F.array_join(F.slice(F.col("toks"), i, w), " ")).alias("gram")
-            if hashed
-            else F.array_join(F.slice(F.col("toks"), i, w), " ").alias("gram"),
-        ),
-    )
-    grams = (
-        tok.filter(F.size("toks") >= w)
-        .select("doc_id", F.explode(gram_structs).alias("g"))
-        .select("doc_id", F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
-    )
+    tok, nt = _tokenized(docs)
+    grams = _positioned_grams(tok, w, hashed)
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("c"))
@@ -1754,38 +1819,7 @@ def substr_spans(
         .select("gram")
     )
     dup = grams.join(dup_grams, "gram").select("doc_id", "start")
-    prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("start")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = (
-        Window.partitionBy("doc_id")
-        .orderBy("start")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    spans = (
-        dup.withColumn(
-            # Strict >: touching windows (start == previous running
-            # end) are one contiguous duplicated region — merge, don't
-            # split (caught by the hypothesis reference test: the
-            # corpus "a b a a b a" at W=3 duplicates [0,3) and [3,6)
-            # and must report ONE 6-token span).
-            "brk",
-            F.when(
-                F.col("start")
-                > F.coalesce(F.max(F.col("start") + w).over(prev), F.lit(0)),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("isle", F.sum("brk").over(cum))
-        .groupBy("doc_id", "isle")
-        .agg(
-            F.min("start").alias("s"),
-            (F.max("start") + w).alias("e"),
-        )
-    )
-    return tok, nt, spans
+    return tok, nt, _dup_to_spans(dup, w)
 
 
 def substr_span_report(
@@ -1809,19 +1843,7 @@ def substr_span_report(
     tests/test_r08_fixes.py. ``max_gram_df`` is the stop-gram cap
     (see ``substr_spans``)."""
     tok, nt, spans = substr_spans(docs, w, hashed, max_gram_df)
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("dup_spans"),
-        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
-    )
-    return nt.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
-        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
-        (F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0)))
-        .cast("long")
-        .alias("kept_tokens"),
-    )
+    return _substr_report_tail(nt, _spans_to_per_doc(spans))
 
 
 @query("q_dedup_substr", oracle=SUBSTR_DEDUP_SQL)
@@ -1983,3 +2005,161 @@ def q_dedup_substr_rewrite(spark, sf_dir):
     return substr_rewrite(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+def _substr_report_tail(nt, per_doc):
+    """Assemble the report from token counts + per-doc span stats."""
+    return nt.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        (F.col("n_tokens") - F.coalesce("dup_tokens", F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+def _spans_to_per_doc(spans):
+    return spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dup_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+    )
+
+
+def substr_state_build(
+    docs,
+    w: int = SUBSTR_W,
+    hashed: bool = False,
+    max_gram_df: int = SUBSTR_MAX_GRAM_DF,
+):
+    """Initial maintained state for INCREMENTAL ExactSubstr:
+    ``(grams, hist, report)`` —
+      ``grams``  (doc_id, start, gram): the positioned-gram index
+                 relation (at rest: bucketed by ``gram``, the probe
+                 key of every apply),
+      ``hist``   (gram, df): the corpus gram histogram,
+      ``report`` the per-doc span report (``substr_span_report``
+                 output, the queryable result).
+    Pure relational (callers own persistence/layout; ``cycle_state``
+    persists all three between applies)."""
+    tok, nt = _tokenized(docs)
+    grams = _positioned_grams(tok, w, hashed)
+    hist = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    dup_keys = hist.filter(
+        (F.col("df") > 1) & (F.col("df") <= max_gram_df)
+    ).select("gram")
+    dup = grams.join(dup_keys, "gram").select("doc_id", "start")
+    report = _substr_report_tail(nt, _spans_to_per_doc(_dup_to_spans(dup, w)))
+    return grams, hist, report
+
+
+def substr_state_apply(
+    grams,
+    hist,
+    report,
+    new_docs,
+    w: int = SUBSTR_W,
+    hashed: bool = False,
+    max_gram_df: int = SUBSTR_MAX_GRAM_DF,
+):
+    """Incrementally maintain the ExactSubstr state for a batch of
+    newly-ingested docs (doc_ids disjoint from the corpus) — the span
+    rung's counterpart of ``capped_stage_apply``. Returns
+    ``(grams', hist', report')`` equal to a full rebuild over
+    corpus ∪ batch (asserted in tests/test_r10_fixes.py; the
+    registered q_dedup_substr_incremental oracle is the rebuild SQL).
+
+    The retroactive effect is the whole point: one new occurrence can
+    flip a corpus gram from unique to duplicated (or push it over the
+    stop-gram cap), changing the spans of corpus docs that were final
+    long ago. The delta is exact and bounded:
+      1. histogram merge — one full-outer join co-partitioned on
+         ``gram``, shuffling |batch vocabulary| rows (eager
+         localCheckpoint: three consumers, sequential applies must
+         not chain lineage — same discipline as capped_stage_apply);
+      2. ``changed`` = grams whose dup status flipped (unique<->dup
+         or dup<->over-cap). A gram's df only moves if the batch
+         touched it, so |changed| <= |batch vocabulary| — broadcast;
+      3. affected docs = corpus docs carrying a changed gram (one
+         broadcast probe into the gram-bucketed index) ∪ the batch's
+         docs; spans are recomputed ONLY for those — O(|affected|
+         gram rows), never a corpus rescan (corpus token counts are
+         reused from the prior report, so affected corpus docs'
+         TEXT is never touched);
+      4. everyone else's report rows pass through by anti-join.
+    """
+    btok, b_nt = _tokenized(new_docs)
+    bg = _positioned_grams(btok, w, hashed)
+    bh = bg.groupBy("gram").agg(F.count("*").alias("df_b"))
+    merged = (
+        hist.join(bh, "gram", "full_outer")
+        .select(
+            "gram",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("df_b"), F.lit(0))
+            ).alias("df"),
+            F.coalesce(F.col("df"), F.lit(0)).alias("df_old"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hist_new = merged.select("gram", "df")
+
+    def _is_dup(c):
+        return (c > 1) & (c <= max_gram_df)
+
+    changed = merged.filter(
+        _is_dup(F.col("df_old")) != _is_dup(F.col("df"))
+    ).select("gram")
+    affected = (
+        grams.join(F.broadcast(changed), "gram")
+        .select("doc_id")
+        .unionByName(new_docs.select("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # 3 consumers; keep applies flat
+    )
+    grams_new = grams.unionByName(bg)
+    dup_keys = hist_new.filter(_is_dup(F.col("df"))).select("gram")
+    a_dup = (
+        grams_new.join(affected, "doc_id")
+        .join(dup_keys, "gram")
+        .select("doc_id", "start")
+    )
+    a_nt = (
+        report.select("doc_id", "n_tokens")
+        .unionByName(b_nt)
+        .join(affected, "doc_id")
+    )
+    new_rows = _substr_report_tail(
+        a_nt, _spans_to_per_doc(_dup_to_spans(a_dup, w))
+    )
+    report_new = report.join(affected, "doc_id", "left_anti").unionByName(
+        new_rows
+    )
+    return grams_new, hist_new, report_new
+
+
+@query("q_dedup_substr_incremental", oracle=SUBSTR_INCR_SQL)
+def q_dedup_substr_incremental(spark, sf_dir):
+    """Incrementally-maintained ExactSubstr: build the positioned-gram
+    index + histogram + report over the corpus, then apply a batch
+    (every 13th doc replayed under a new id — planted exact text
+    dups, so previously-unique corpus grams flip to duplicated
+    RETROACTIVELY) and return the maintained report. Oracle = the
+    full rebuild over corpus ∪ batch, so the apply==rebuild law is
+    hash-checked end to end, not just unit-tested. Completes the IVM
+    column of the dedup ladder: doc-level (band index apply), shingle
+    stage (capped apply), cluster (components apply), and now the
+    span rung. Scale shape in ``substr_state_apply``'s docstring."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    grams, hist, report = substr_state_build(docs)
+    # The corpus-state prefix is persisted exactly once (it feeds the
+    # histogram merge, the affected probe, and the recompute) — at
+    # rest these are the index tables cycle_state writes per batch.
+    grams = grams.persist()
+    batch = docs.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + _BATCH_OFF).alias("doc_id"), "text"
+    )
+    _, _, report_new = substr_state_apply(grams, hist, report, batch)
+    return report_new

@@ -202,3 +202,87 @@ def test_substr_plan_has_no_gram_window_partition(spark, sf_dir):
             f"{name}: gram histogram aggregate missing"
         )
     spark.catalog.clearCache()
+
+
+def _state_frames_equal(got, want, what):
+    assert got.exceptAll(want).count() == 0, f"{what}: extra rows"
+    assert want.exceptAll(got).count() == 0, f"{what}: missing rows"
+
+
+def test_substr_state_apply_equals_rebuild(spark, tmp_path):
+    """The span rung's IVM law: sequential applies over epoch-cycled
+    state == one full rebuild, including the RETROACTIVE flip (a batch
+    doc makes a previously-unique corpus gram duplicated)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+        cycle_state,
+        substr_state_apply,
+        substr_state_build,
+    )
+
+    w = 3
+    corpus = _docs(
+        spark,
+        [
+            (0, "a b c d e"),          # duplicated by batch1's doc 100
+            (1, "f g h i j"),          # duplicated by batch2's doc 101
+            (2, "k l m n o"),          # never duplicated
+            (3, "x"),                  # < w tokens
+        ],
+    )
+    b1 = _docs(spark, [(100, "a b c d e")])
+    b2 = _docs(spark, [(101, "f g h i j"), (102, "p q r s t")])
+
+    grams, hist, report = substr_state_build(corpus, w=w)
+    base = str(tmp_path / "substr_state")
+    for batch in (b1, b2):
+        st = cycle_state(base, {"grams": grams, "hist": hist, "report": report})
+        grams, hist, report = st["grams"], st["hist"], st["report"]
+        grams, hist, report = substr_state_apply(grams, hist, report, batch, w=w)
+
+    all_docs = corpus.unionByName(b1).unionByName(b2)
+    wg, wh, wr = substr_state_build(all_docs, w=w)
+    _state_frames_equal(grams, wg, "grams")
+    _state_frames_equal(hist, wh, "hist")
+    _state_frames_equal(report, wr, "report")
+
+    # Spot-check the retroactive semantics: docs 0/1 were span-free at
+    # build time and are now fully duplicated.
+    rows = {r["doc_id"]: r for r in report.collect()}
+    for d in (0, 1, 100, 101):
+        assert rows[d]["dup_tokens"] == 5 and rows[d]["kept_tokens"] == 0
+    for d in (2, 3, 102):
+        assert rows[d]["dup_tokens"] == 0
+    spark.catalog.clearCache()
+
+
+def test_substr_state_apply_cap_crossing(spark):
+    """A batch occurrence pushing a gram OVER the stop-gram cap must
+    retroactively SHRINK corpus spans — and still equal the rebuild."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+        substr_state_apply,
+        substr_state_build,
+    )
+
+    w, cap = 3, 2
+    # 'c0 c1 c2' occurs twice in the corpus (df=2 <= cap: a real dup),
+    # a third time in the batch (df=3 > cap: becomes a stop-gram).
+    corpus = _docs(
+        spark, [(0, "c0 c1 c2 u0"), (1, "u1 c0 c1 c2"), (2, "v0 v1 v2 v3")]
+    )
+    batch = _docs(spark, [(100, "c0 c1 c2 w0")])
+
+    _, _, before = substr_state_build(corpus, w=w, max_gram_df=cap)
+    brows = {r["doc_id"]: r for r in before.collect()}
+    assert brows[0]["dup_tokens"] == 3 and brows[1]["dup_tokens"] == 3
+
+    g, h, r = substr_state_build(corpus, w=w, max_gram_df=cap)
+    g, h, r = substr_state_apply(g, h, r, batch, w=w, max_gram_df=cap)
+    wg, wh, wr = substr_state_build(
+        corpus.unionByName(batch), w=w, max_gram_df=cap
+    )
+    _state_frames_equal(r, wr, "report")
+    _state_frames_equal(h, wh, "hist")
+    arows = {r_["doc_id"]: r_ for r_ in r.collect()}
+    for d in (0, 1, 100):  # the shared gram is now over-cap: no spans
+        assert arows[d]["dup_tokens"] == 0
+    spark.catalog.clearCache()
