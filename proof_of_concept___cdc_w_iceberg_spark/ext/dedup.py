@@ -2082,11 +2082,15 @@ def substr_state_apply(
          or dup<->over-cap). A gram's df only moves if the batch
          touched it, so |changed| <= |batch vocabulary| — broadcast;
       3. affected docs = corpus docs carrying a changed gram (one
-         broadcast probe into the gram-bucketed index) ∪ the batch's
-         docs; spans are recomputed ONLY for those — O(|affected|
-         gram rows), never a corpus rescan (corpus token counts are
-         reused from the prior report, so affected corpus docs'
-         TEXT is never touched);
+         broadcast probe into the gram-keyed index; at rest the index
+         is bucketed AND sorted by ``gram``, so parquet min/max
+         row-group stats prune the probe to the changed grams'
+         neighborhoods instead of scanning the whole relation — the
+         same layout argument as the band index) ∪ the batch's docs;
+         spans are recomputed ONLY for those — O(|affected| gram
+         rows), never a corpus rescan (corpus token counts are reused
+         from the prior report, so affected corpus docs' TEXT is
+         never touched);
       4. everyone else's report rows pass through by anti-join.
     """
     btok, b_nt = _tokenized(new_docs)
