@@ -215,6 +215,67 @@ def _prev_timings() -> dict[str, float]:
         return {}
 
 
+def _load_history() -> list[dict]:
+    """Rolling per-run timing snapshots from BENCH_HISTORY.json.
+
+    Round-10 verdict item 2: a per-round rerun-vs-PREV check cannot see
+    slow monotonic drift (the r10 suite ran +9.6% over r9 on identical
+    source). The history file keeps the last few full per-query maps so
+    each run can compare its kept times against the MINIMUM over the
+    last 3 snapshots — a floor that machine noise can only raise, never
+    lower — and report sustained movers in the final JSON line."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.json"
+    )
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        if not isinstance(doc, list):
+            return []
+        return [s for s in doc if isinstance(s, dict) and isinstance(s.get("queries"), dict)]
+    except (OSError, ValueError):
+        return []
+
+
+def _append_history(history: list[dict], timings: dict[str, float], total: float) -> None:
+    history = history + [{"label": "latest", "total": total, "queries": timings}]
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.json"
+    )
+    try:
+        with open(path, "w") as f:
+            json.dump(history[-6:], f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+
+# A kept time more than 1.5x above its 3-snapshot historical floor is a
+# sustained mover: either a real regression (plan change) or drift the
+# machine has held for multiple rounds — both belong in the JSON line.
+DRIFT_RATIO = 1.5
+
+
+def _drift_report(history: list[dict], timings: dict[str, float]) -> list[dict]:
+    window = history[-3:]
+    out = []
+    for name, dt in timings.items():
+        floors = [
+            float(s["queries"][name])
+            for s in window
+            if isinstance(s["queries"].get(name), (int, float))
+            and float(s["queries"][name]) > 0
+        ]
+        if not floors or dt <= 0:
+            continue
+        floor = min(floors)
+        if dt / floor > DRIFT_RATIO:
+            out.append(
+                {"q": name, "kept": dt, "floor_3run": floor, "ratio": round(dt / floor, 2)}
+            )
+    out.sort(key=lambda e: -e["ratio"])
+    return out
+
+
 def _time_query(spark, qs, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = qs[name](spark, sf_dir)
@@ -238,6 +299,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cache_state = _cache_state(sf_dir)
     prev = _prev_timings()
+    history = _load_history()
     spark = get_spark("poc_cdc_bench")
     qs = registry.queries()
 
@@ -266,6 +328,8 @@ def main() -> None:
         timings[name] = dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    drift = _drift_report(history, timings)
+    _append_history(history, timings, total)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver captures only the stdout TAIL: with 99+ queries the
@@ -283,6 +347,7 @@ def main() -> None:
         "sf": float(sf),
         "env": cache_state,
         "reruns": reruns,
+        "drift": drift,
     }
     print(json.dumps(detail), file=sys.stderr)
     try:
@@ -310,6 +375,11 @@ def main() -> None:
                 "queries": headline_queries,
                 "n_queries": len(timings),
                 "n_reruns": len(reruns),
+                # Sustained movers vs the 3-snapshot floor (name: ratio);
+                # capped so the stdout line stays inside the driver's
+                # tail capture even on a pathologically noisy box.
+                "drift": {e["q"]: e["ratio"] for e in drift[:15]},
+                "n_drift": len(drift),
                 "detail": "BENCH_DETAIL.json",
                 "sf": float(sf),
                 "env": cache_state,

@@ -93,3 +93,67 @@ def test_prev_timings_non_dict_artifact(monkeypatch, tmp_path):
         assert bench._prev_timings() == {}
     fake.write_text('{"queries": {"q": 1.5}}')
     assert bench._prev_timings() == {"q": 1.5}
+
+
+def test_drift_report_flags_sustained_movers():
+    # Round-10 verdict item 2: a kept time >1.5x above its minimum over
+    # the last 3 snapshots must surface in the JSON line; the floor is
+    # the MIN so one noisy historical run can only raise it.
+    history = [
+        {"label": "a", "queries": {"q_x": 2.0, "q_y": 1.0}},
+        {"label": "b", "queries": {"q_x": 3.5, "q_y": 1.1}},
+        {"label": "c", "queries": {"q_x": 2.4, "q_y": 0.9}},
+    ]
+    drift = bench._drift_report(history, {"q_x": 3.2, "q_y": 1.2})
+    assert [e["q"] for e in drift] == ["q_x"]
+    assert drift[0]["floor_3run"] == 2.0
+    assert drift[0]["ratio"] == 1.6
+
+
+def test_drift_report_only_last_three_snapshots():
+    # An old fast snapshot outside the 3-run window must not set the
+    # floor — drift is judged against the recent regime only.
+    history = [
+        {"label": "ancient", "queries": {"q_x": 0.1}},
+        {"label": "a", "queries": {"q_x": 2.0}},
+        {"label": "b", "queries": {"q_x": 2.1}},
+        {"label": "c", "queries": {"q_x": 2.2}},
+    ]
+    assert bench._drift_report(history, {"q_x": 2.5}) == []
+
+
+def test_drift_report_tolerates_garbage():
+    # Missing queries, zero floors, and zero kept times must all be
+    # skipped, never raise or divide by zero.
+    history = [{"label": "a", "queries": {"q_x": 0.0, "q_y": "nan?"}}]
+    assert bench._drift_report(history, {"q_x": 1.0, "q_y": 1.0, "q_z": 1.0}) == []
+
+
+def test_load_history_tolerant(monkeypatch, tmp_path):
+    # Non-list / unreadable / malformed history degrades to [] so the
+    # bench never dies on its own artifact.
+    import json
+
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    assert bench._load_history() == []
+    (tmp_path / "BENCH_HISTORY.json").write_text(json.dumps({"not": "a list"}))
+    assert bench._load_history() == []
+    (tmp_path / "BENCH_HISTORY.json").write_text(
+        json.dumps([{"label": "ok", "queries": {"q_x": 1.0}}, {"bad": True}])
+    )
+    assert bench._load_history() == [{"label": "ok", "queries": {"q_x": 1.0}}]
+
+
+def test_append_history_trims_to_six(monkeypatch, tmp_path):
+    import json
+
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    history = [{"label": str(i), "queries": {}} for i in range(7)]
+    bench._append_history(history, {"q_x": 1.0}, 1.0)
+    with open(tmp_path / "BENCH_HISTORY.json") as f:
+        saved = json.load(f)
+    assert len(saved) == 6
+    assert saved[-1]["label"] == "latest"
+    assert saved[0]["label"] == "2"
