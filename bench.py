@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "q_dedup_substr",
     "q_dedup_substr_rewrite",
     "q_dedup_substr_incremental",
+    # r11 addition: mergeable bottom-k quantile sketch (one-pass
+    # TakeOrdered heap-merge + bounded read-out).
+    "q_sketch_quantile",
 ]
 
 

@@ -327,3 +327,188 @@ def q_sketch_hll(spark, sf_dir):
         F.round(est, 4).alias("est"),
         F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
     )
+
+
+# --- mergeable quantile sketch (bottom-k hash sample) ----------------
+#
+# Completes the sketch column next to membership (bloom), frequency
+# (CMS), and cardinality (HLL): one-pass MERGEABLE quantiles, the
+# standard companion to q_percentile_exact_dist at 100 TB — the exact
+# two-phase method re-scans one bucket per target, while the sketch is
+# built in a single pass, merges across partitions/days/tables, and
+# answers every quantile after the fact.
+#
+# Design (KLL/t-digest shape, but hash-deterministic so a SQL oracle
+# can replay it bit-for-bit): a bottom-k-by-hash sample (KMV/bottom-k
+# sketch, Cohen & Kaplan) over row-unique keys. md5 gives every row a
+# deterministic uniform rank in [0,1); keeping the k smallest-hash
+# rows IS a uniform k-sample of the stream, and the q-quantile
+# estimate is the ceil(q*k)-th order statistic of the sample. The
+# state is k (value, hash) pairs; merge = union then re-take the
+# bottom k by hash — an idempotent, commutative, associative monoid
+# (law asserted in tests/test_r11_ops.py), so per-partition sketches
+# combine exactly like HLL's register-wise max. Sample error is the
+# DKW bound O(sqrt(ln(1/d)/k)) on rank, ~1.9% rank error at k=1024 —
+# surfaced in-band as rel_err against the exact order statistic, the
+# same honesty contract as q_sketch_hll's n_exact/est/rel_err.
+
+KQ_K = 1024                      # sketch size (rows kept)
+KQ_TARGETS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+# Row-unique sample key: (l_orderkey, l_linenumber) is the lineitem
+# PK, so hashes are collision-managed and the bottom-k boundary is
+# never a tie — both engines select the identical sample set.
+_KQ_HASH = (
+    "md5('kq|' || CAST(l_orderkey AS {vc}) || '|' "
+    "|| CAST(l_linenumber AS {vc}))"
+)
+
+KQ_SKETCH_SQL = f"""
+    WITH stream AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+               {_KQ_HASH.format(vc="VARCHAR")} AS h
+        FROM lineitem
+    ),
+    samp AS (SELECT v, h FROM stream ORDER BY h LIMIT {KQ_K}),
+    sord AS (
+        SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+               COUNT(*) OVER () AS kk
+        FROM samp
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM stream),
+    eord AS (
+        SELECT v, row_number() OVER (ORDER BY v) AS rn FROM stream
+    ),
+    spine AS (
+        SELECT CAST(q AS DOUBLE) AS q
+        FROM (VALUES {", ".join(f"({q})" for q in KQ_TARGETS)}) t(q)
+    ),
+    est AS (
+        SELECT s.q, o.v AS est, o.kk
+        FROM spine s JOIN sord o
+          ON o.rn = CAST(CEIL(s.q * o.kk) AS BIGINT)
+    ),
+    ex AS (
+        SELECT s.q, e.v AS exact_v
+        FROM spine s, nn, eord e
+        WHERE e.rn = CAST(CEIL(s.q * nn.n) AS BIGINT)
+    )
+    SELECT est.q, est.est, ex.exact_v,
+           ROUND(ABS(est.est - ex.exact_v) / ex.exact_v, 4) AS rel_err,
+           CAST(est.kk AS BIGINT) AS k_sample,
+           nn.n AS n_stream
+    FROM est JOIN ex ON est.q = ex.q, nn
+"""
+
+
+def kq_sample(df, k: int = KQ_K):
+    """Bottom-k-by-hash sketch state over a (v, h) relation: the k
+    rows with the smallest hash. ``orderBy(h).limit(k)`` plans as
+    TakeOrderedAndProject — each task keeps a k-row heap and the
+    driver merges |tasks| k-row partials, so no stage ever sorts more
+    than its own partition and the shuffle carries k rows per task at
+    most: the map-combine shape that makes the sketch one-pass at
+    100 TB. Merge law: kq_sample(A ∪ B) == kq_sample(kq_sample(A) ∪
+    kq_sample(B)) — asserted in tests/test_r11_ops.py."""
+    return df.orderBy("h").limit(k)
+
+
+def _kq_exact_ranks(spark, li, targets, n):
+    """Exact ceil(q*n)-th order statistics of column ``v`` via the
+    two-phase bucket-count method (q_percentile_exact_dist,
+    operators/aggregates.py — same driver-bounded state: 1 stats row
+    + 64 bucket counts; phase 2 re-scans ONLY the target's bucket
+    behind a pushed-down range predicate). Returns {q: value}."""
+    import math as _math
+
+    buckets = 64
+    lo, hi = li.agg(F.min("v"), F.max("v")).first()
+    width = (hi - lo) / buckets or 1.0
+    bucket = F.least(
+        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(buckets - 1).cast("long"),
+    )
+    counts = dict(
+        (r["b"], r["cnt"])
+        for r in li.groupBy(bucket.alias("b")).agg(F.count("*").alias("cnt")).collect()
+    )
+    out = {}
+    for q in targets:
+        k = int(_math.ceil(q * n))
+        cum = 0
+        for b in range(buckets):
+            c = counts.get(b, 0)
+            if cum + c >= k:
+                break
+            cum += c
+        offset = k - cum
+        b_lo = lo + (b - 1) * width
+        b_hi = hi if b >= buckets - 2 else lo + (b + 2) * width
+        in_bucket = li.filter(
+            (F.col("v") >= F.lit(b_lo)) & (F.col("v") <= F.lit(b_hi)) & (bucket == b)
+        )
+        out[q] = in_bucket.orderBy("v").limit(offset).agg(F.max("v")).first()[0]
+    return out
+
+
+@query("q_sketch_quantile", oracle=KQ_SKETCH_SQL)
+def q_sketch_quantile(spark, sf_dir):
+    """Mergeable quantile sketch (bottom-k hash sample) over
+    l_extendedprice, with the exact order statistic and relative
+    error in-band per target quantile.
+
+    The sketch build is ONE pass: TakeOrderedAndProject keeps a
+    k=1024-row heap per task and merges partials — the same
+    partial-aggregate shape as HLL's register MAX, and the merge is a
+    monoid (union → re-take bottom k), so day-level / table-level
+    sketches combine without re-scanning (law in tests). The
+    quantile read-out is a row_number over the BOUNDED k-row sample
+    (never the stream — the only full-relation rank pass lives in the
+    oracle), joined to a 5-row broadcast quantile spine. Exact values
+    for the error column come from the bucket-count two-phase method,
+    not a global sort. Everything after md5 is arithmetic both
+    engines execute identically, so est/exact/rel_err hash-match."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.md5(
+            F.concat(
+                F.lit("kq|"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("h"),
+    )
+    samp = kq_sample(li)
+    # Both windows range over the k-row sketch state itself (bounded
+    # by construction), not the stream.
+    sord = samp.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "h")).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("kk"),
+    )
+    n = li.count()
+    exact = _kq_exact_ranks(spark, li, KQ_TARGETS, n)
+    spine = spark.createDataFrame(
+        [(float(q), float(exact[q])) for q in KQ_TARGETS], "q double, exact_v double"
+    )
+    est = sord.join(
+        F.broadcast(spine),
+        F.col("rn") == F.ceil(F.col("q") * F.col("kk")),
+    )
+    return est.select(
+        "q",
+        F.col("v").alias("est"),
+        "exact_v",
+        F.round(F.abs(F.col("v") - F.col("exact_v")) / F.col("exact_v"), 4).alias(
+            "rel_err"
+        ),
+        F.col("kk").cast("long").alias("k_sample"),
+        F.lit(n).cast("long").alias("n_stream"),
+    )

@@ -76,6 +76,8 @@ NESTED_LOOP_OK = {
     "register spine join is a 256-row broadcast",
     "q_funnel_latency": "1-row viewer-count broadcast into the summary "
     "(replaced the eager .count() so the plan stays lazy)",
+    "q_sketch_quantile": "5-row quantile-target spine broadcast joined to "
+    "the bounded k-row sample on a computed rank (theta by construction)",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))
