@@ -1643,6 +1643,19 @@ _SUBSTR_GRAM_SQL = " || ' ' || ".join(
     f"toks[i+{j}]" for j in range(SUBSTR_W)
 )
 
+SUBSTR_MAX_GRAM_DF = 1000  # stop-gram cap: a W-gram occurring in more
+# corpus positions than this is degenerate boilerplate (whitespace
+# runs, license headers) and is EXCLUDED from duplication marking —
+# the span analogue of the shingle stage's MAX_DOCS_PER_SHINGLE. The
+# cap is threaded into the registered oracles' dup filters too
+# (r10 advice: with an uncapped oracle, conformance silently depended
+# on the fixture's max gram DF — measured 4 at sf0.1 — staying under
+# the cap; now both engines apply the identical filter on ANY corpus,
+# and the cap path itself is oracle-checked on a constructed
+# degenerate corpus in tests/test_r11_ops.py as well as unit-tested
+# in tests/test_r10_fixes.py).
+
+
 def _substr_report_sql(docs_sql: str) -> str:
     """The ExactSubstr per-doc span-report chain over an arbitrary
     (doc_id, text) relation — shared by the batch oracle (corpus only)
@@ -1670,7 +1683,7 @@ def _substr_report_sql(docs_sql: str) -> str:
         SELECT doc_id, start
         FROM (SELECT doc_id, start,
                      COUNT(*) OVER (PARTITION BY gram) AS c FROM grams)
-        WHERE c > 1
+        WHERE c > 1 AND c <= {SUBSTR_MAX_GRAM_DF}
     ),
     isl AS (
         -- STRICT >: a window starting exactly at the previous running
@@ -1716,16 +1729,6 @@ SUBSTR_INCR_SQL = _substr_report_sql(f"""
     SELECT doc_id + {_BATCH_OFF} AS doc_id, text
     FROM documents WHERE doc_id % 13 = 5
 """)
-
-
-SUBSTR_MAX_GRAM_DF = 1000  # stop-gram cap: a W-gram occurring in more
-# corpus positions than this is degenerate boilerplate (whitespace
-# runs, license headers) and is EXCLUDED from duplication marking —
-# the span analogue of the shingle stage's MAX_DOCS_PER_SHINGLE. The
-# fixtures' max gram frequency is 4 (measured at sf0.1), so the
-# default never fires there and the registered oracle (which has no
-# cap) still compares end to end; the cap path is exercised on a
-# constructed degenerate corpus in tests/test_r10_fixes.py.
 
 
 def _tokenized(docs):
@@ -1902,7 +1905,7 @@ SUBSTR_REWRITE_SQL = f"""
         SELECT doc_id, start
         FROM (SELECT doc_id, start,
                      COUNT(*) OVER (PARTITION BY gram) AS c FROM grams)
-        WHERE c > 1
+        WHERE c > 1 AND c <= {SUBSTR_MAX_GRAM_DF}
     ),
     isl AS (
         SELECT doc_id, start,
@@ -2062,6 +2065,7 @@ def substr_state_apply(
     w: int = SUBSTR_W,
     hashed: bool = False,
     max_gram_df: int = SUBSTR_MAX_GRAM_DF,
+    check_disjoint: bool = True,
 ):
     """Incrementally maintain the ExactSubstr state for a batch of
     newly-ingested docs (doc_ids disjoint from the corpus) — the span
@@ -2080,19 +2084,46 @@ def substr_state_apply(
          not chain lineage — same discipline as capped_stage_apply);
       2. ``changed`` = grams whose dup status flipped (unique<->dup
          or dup<->over-cap). A gram's df only moves if the batch
-         touched it, so |changed| <= |batch vocabulary| — broadcast;
+         touched it, so |changed| <= |batch vocabulary| — small for
+         normal ingest batches, but NOT driver-bounded (r10 advice:
+         a forced broadcast here was an unconditional driver-memory
+         hazard on a huge batch), so the join is left unhinted and
+         AQE picks broadcast vs shuffle from the measured size;
       3. affected docs = corpus docs carrying a changed gram (one
-         broadcast probe into the gram-keyed index; at rest the index
-         is bucketed AND sorted by ``gram``, so parquet min/max
+         equi-probe into the gram-keyed index; at rest the index is
+         bucketed AND sorted by ``gram``, so parquet min/max
          row-group stats prune the probe to the changed grams'
-         neighborhoods instead of scanning the whole relation — the
-         same layout argument as the band index) ∪ the batch's docs;
-         spans are recomputed ONLY for those — O(|affected| gram
-         rows), never a corpus rescan (corpus token counts are reused
-         from the prior report, so affected corpus docs' TEXT is
-         never touched);
+         neighborhoods instead of scanning the whole relation —
+         measured in SCALING.md "r11 addendum — at-rest gram-index
+         probe pruning") ∪ the batch's docs; spans are recomputed
+         ONLY for those — O(|affected| gram rows), never a corpus
+         rescan (corpus token counts are reused from the prior
+         report, so affected corpus docs' TEXT is never touched);
       4. everyone else's report rows pass through by anti-join.
+
+    ``check_disjoint`` (default on) enforces the correctness
+    precondition that batch doc_ids are new: a colliding batch would
+    otherwise silently yield two report rows per colliding doc (the
+    anti-join removes the old row only for recomputed docs, the union
+    re-adds both). The guard is one bounded probe — batch ids against
+    the report's doc_id spine (one row per corpus doc, far smaller
+    than the gram index) — and raises ``ValueError`` listing a sample
+    of colliding ids. Callers that already guarantee disjointness
+    (e.g. a monotonically-assigned ingest id) can pass False to keep
+    the apply action-free.
     """
+    if check_disjoint:
+        clash = (
+            report.select("doc_id")
+            .join(new_docs.select("doc_id").distinct(), "doc_id")
+            .take(3)
+        )
+        if clash:
+            raise ValueError(
+                "substr_state_apply: batch doc_ids collide with corpus "
+                f"state (sample: {[r['doc_id'] for r in clash]}); "
+                "incremental apply requires disjoint ids"
+            )
     btok, b_nt = _tokenized(new_docs)
     bg = _positioned_grams(btok, w, hashed)
     bh = bg.groupBy("gram").agg(F.count("*").alias("df_b"))
@@ -2117,7 +2148,7 @@ def substr_state_apply(
         _is_dup(F.col("df_old")) != _is_dup(F.col("df"))
     ).select("gram")
     affected = (
-        grams.join(F.broadcast(changed), "gram")
+        grams.join(changed, "gram")
         .select("doc_id")
         .unionByName(new_docs.select("doc_id"))
         .distinct()
@@ -2158,10 +2189,15 @@ def q_dedup_substr_incremental(spark, sf_dir):
     span rung. Scale shape in ``substr_state_apply``'s docstring."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     grams, hist, report = substr_state_build(docs)
-    # The corpus-state prefix is persisted exactly once (it feeds the
-    # histogram merge, the affected probe, and the recompute) — at
-    # rest these are the index tables cycle_state writes per batch.
-    grams = grams.persist()
+    # The corpus gram index is materialized exactly once (it feeds the
+    # affected probe and the recompute) — at rest these are the index
+    # tables cycle_state writes per batch. localCheckpoint, not
+    # persist(): checkpoint blocks are released when the plan is
+    # garbage-collected, while a persist() entry outlives the query in
+    # a long session unless every consumer remembers clearCache (r10
+    # advice: the 136-query bench loop leaked one cached dataset per
+    # invocation) — same discipline as the other IVM applies.
+    grams = grams.localCheckpoint(eager=True)
     batch = docs.filter(F.col("doc_id") % 13 == 5).select(
         (F.col("doc_id") + _BATCH_OFF).alias("doc_id"), "text"
     )

@@ -96,3 +96,81 @@ def test_sketch_quantile_output_contract(spark, sf_dir):
     exacts = [rows[q]["exact_v"] for q in qs]
     assert ests == sorted(ests)
     assert exacts == sorted(exacts)
+
+
+# --- r10-advice closures on the ExactSubstr engine -------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substr_apply_rejects_colliding_batch(spark, tmp_path):
+    """The disjoint-ids precondition is ENFORCED, not just documented
+    (r10 advice): a batch reusing a corpus doc_id raises instead of
+    silently emitting two report rows for that doc."""
+    import pytest as _pytest
+
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+        substr_state_apply,
+        substr_state_build,
+    )
+
+    corpus = _docs(spark, [(0, "a b c d e"), (1, "f g h i j")])
+    grams, hist, report = substr_state_build(corpus, w=3)
+    colliding = _docs(spark, [(1, "a b c d e")])
+    with _pytest.raises(ValueError, match="collide"):
+        substr_state_apply(grams, hist, report, colliding, w=3)
+    # opt-out for callers that guarantee disjointness themselves
+    g2, h2, r2 = substr_state_apply(
+        grams, hist, report, colliding, w=3, check_disjoint=False
+    )
+    assert r2.schema is not None  # plan builds action-free
+    # and a genuinely disjoint batch passes the default guard
+    ok = _docs(spark, [(100, "a b c d e")])
+    _, _, r3 = substr_state_apply(grams, hist, report, ok, w=3)
+    rows = {r["doc_id"]: r for r in r3.collect()}
+    assert rows[0]["dup_tokens"] == 5 and rows[100]["dup_tokens"] == 5
+    spark.catalog.clearCache()
+
+
+def test_substr_cap_is_oracle_checked_on_degenerate_corpus(spark):
+    """The stop-gram cap is now threaded into the oracle SQL (r10
+    advice: the registered conformance silently depended on the
+    fixture's max gram DF staying under the cap). Prove the coupling
+    on a corpus where the cap FIRES: engine and DuckDB oracle must
+    agree that the over-cap boilerplate header marks no spans while
+    the under-cap genuine duplicate still does."""
+    import duckdb
+
+    from proof_of_concept___cdc_w_iceberg_spark.ext import dedup as dd
+
+    n_docs, cap = 12, 5
+    boiler = " ".join(f"h{i}" for i in range(dd.SUBSTR_W))
+    pair = " ".join(f"p{i}" for i in range(dd.SUBSTR_W))
+    rows = [
+        (d, f"{boiler} {pair}" if d < 2 else
+            f"{boiler} " + " ".join(f"u{d}x{i}" for i in range(dd.SUBSTR_W)))
+        for d in range(n_docs)
+    ]
+    spark_out = sorted(
+        tuple(r) for r in dd.substr_span_report(
+            _docs(spark, rows), max_gram_df=cap
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("degen", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = dd._substr_report_sql("SELECT doc_id, text FROM degen").replace(
+        f"c <= {dd.SUBSTR_MAX_GRAM_DF}", f"c <= {cap}"
+    )
+    duck_out = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    con.close()
+    assert spark_out == duck_out
+    # the cap actually fired: boiler-only docs are span-free
+    by_id = {t[0]: t for t in spark_out}
+    assert by_id[5][2] == 0  # (doc_id, n_tokens, dup_spans, ...)
+    assert by_id[0][2] >= 1
+    spark.catalog.clearCache()
