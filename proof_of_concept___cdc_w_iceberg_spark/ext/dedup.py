@@ -2089,16 +2089,24 @@ def substr_state_apply(
          a forced broadcast here was an unconditional driver-memory
          hazard on a huge batch), so the join is left unhinted and
          AQE picks broadcast vs shuffle from the measured size;
-      3. affected docs = corpus docs carrying a changed gram (one
-         equi-probe into the gram-keyed index; at rest the index is
-         bucketed AND sorted by ``gram``, so parquet min/max
-         row-group stats prune the probe to the changed grams'
-         neighborhoods instead of scanning the whole relation —
-         measured in SCALING.md "r11 addendum — at-rest gram-index
-         probe pruning") ∪ the batch's docs; spans are recomputed
-         ONLY for those — O(|affected| gram rows), never a corpus
-         rescan (corpus token counts are reused from the prior
-         report, so affected corpus docs' TEXT is never touched);
+      3. affected docs = corpus docs carrying a changed gram. The
+         in-session form is an equi-join into the gram-keyed index;
+         against the AT-REST index use ``substr_index_write`` +
+         ``substr_index_probe``: the index is written range-
+         partitioned and sorted by ``gram`` so each parquet row
+         group covers a narrow contiguous gram range, and the probe
+         pushes the changed set as a parquet In predicate — row
+         groups whose [min,max] miss every key are skipped entirely.
+         MEASURED, not argued (SCALING.md "r11 addendum — at-rest
+         gram-index probe pruning"): a one-doc batch against the
+         sf0.1 index read 12.9% of index rows on the sorted layout
+         vs 100% on a shuffled one; pruning pays off when |changed|
+         ≪ |row groups| and needs the keys as pushed PREDICATES (a
+         plain join probe row-group-prunes nothing on parquet) ∪
+         the batch's docs; spans are recomputed ONLY for those —
+         O(|affected| gram rows), never a corpus rescan (corpus
+         token counts are reused from the prior report, so affected
+         corpus docs' TEXT is never touched);
       4. everyone else's report rows pass through by anti-join.
 
     ``check_disjoint`` (default on) enforces the correctness
@@ -2173,6 +2181,43 @@ def substr_state_apply(
         new_rows
     )
     return grams_new, hist_new, report_new
+
+
+def substr_index_write(grams, path: str, n_files: int = 512):
+    """Write the positioned-gram index in its at-rest layout: range-
+    partitioned and sorted by ``gram``, so every parquet row group
+    covers a narrow contiguous slice of gram space and carries tight
+    min/max statistics. This is what makes ``substr_index_probe``'s
+    point lookups skip row groups (measured in SCALING.md "r11
+    addendum"); a hash-shuffled layout gives every row group the full
+    gram range and prunes nothing. ``n_files`` trades parallelism
+    against stat granularity — at 100 TB the natural unit is one file
+    per (bucket, ingest epoch) with the same in-file sort."""
+    (
+        grams.repartitionByRange(n_files, "gram")
+        .sortWithinPartitions("gram")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def substr_index_probe(spark, path: str, changed_grams):
+    """Point-probe the at-rest gram index for rows carrying any of
+    ``changed_grams`` (a driver-side list — the caller decides the
+    probe is small enough to collect; for larger change sets use the
+    in-session join in ``substr_state_apply``). The keys are pushed
+    as a parquet In predicate: Spark's default
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` (10) rewrites
+    bigger IN-lists to a [min,max] range check, which skips nothing
+    for scattered keys — so the threshold is raised above the probe
+    size for this read. Row groups whose stats miss every key are
+    never decoded (asserted via scan metrics in
+    tests/test_r11_ops.py)."""
+    keys = list(changed_grams)
+    spark.conf.set(
+        "spark.sql.parquet.pushdown.inFilterThreshold", str(max(len(keys) + 1, 10))
+    )
+    return spark.read.parquet(path).filter(F.col("gram").isin(keys))
 
 
 @query("q_dedup_substr_incremental", oracle=SUBSTR_INCR_SQL)

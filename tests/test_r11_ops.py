@@ -174,3 +174,64 @@ def test_substr_cap_is_oracle_checked_on_degenerate_corpus(spark):
     assert by_id[5][2] == 0  # (doc_id, n_tokens, dup_spans, ...)
     assert by_id[0][2] >= 1
     spark.catalog.clearCache()
+
+
+def _scan_output_rows(df) -> int:
+    """Rows emitted by the parquet scan node of an EXECUTED DataFrame
+    — with row-group pruning this is (groups read) x (rows/group),
+    strictly less than the relation size when groups were skipped."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if "Scan" not in leaf.nodeName():
+            continue
+        m = leaf.metrics()
+        it = m.keys().iterator()
+        while it.hasNext():
+            k = it.next()
+            if k == "numOutputRows":
+                return m.apply(k).value()
+    raise AssertionError("no scan node with numOutputRows found")
+
+
+def test_substr_index_probe_prunes_row_groups(spark, sf_dir, tmp_path):
+    """The at-rest layout claim as exercised code (r10 verdict item:
+    the one scale claim without a measurement behind it): the sorted
+    index's parquet min/max stats must let a small pushed IN probe
+    skip most row groups, while the identical probe over a
+    hash-shuffled layout decodes the whole relation."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import dedup as dd
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok, _ = dd._tokenized(docs)
+    grams = dd._positioned_grams(tok, dd.SUBSTR_W, False)
+    total = grams.count()
+
+    sorted_path = str(tmp_path / "idx_sorted")
+    shuffled_path = str(tmp_path / "idx_shuffled")
+    dd.substr_index_write(grams, sorted_path, n_files=64)
+    grams.repartition(64).write.mode("overwrite").parquet(shuffled_path)
+
+    # 3 scattered probe keys — a tiny changed set, the probe regime
+    # (|changed| << |row groups|) where stats pruning can act
+    keys = [
+        r["gram"]
+        for r in grams.select("gram").distinct().orderBy(F.crc32("gram")).limit(3).collect()
+    ]
+    probed = _scan_output_rows(dd.substr_index_probe(spark, sorted_path, keys))
+    full = _scan_output_rows(
+        spark.read.parquet(shuffled_path).filter(F.col("gram").isin(keys))
+    )
+    assert full == total, "shuffled layout should decode everything"
+    assert probed < total * 0.5, (
+        f"sorted layout decoded {probed}/{total} rows — row groups not pruned"
+    )
+    # the probe returns the right rows either way
+    assert sorted(
+        r["doc_id"] for r in dd.substr_index_probe(spark, sorted_path, keys).collect()
+    ) == sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(shuffled_path).filter(F.col("gram").isin(keys)).collect()
+    )
