@@ -168,9 +168,11 @@ BENCH_QUERIES = [
     "q_dedup_substr",
     "q_dedup_substr_rewrite",
     "q_dedup_substr_incremental",
-    # r11 addition: mergeable bottom-k quantile sketch (one-pass
-    # TakeOrdered heap-merge + bounded read-out).
+    # r11 additions: mergeable bottom-k quantile sketch (one-pass
+    # TakeOrdered heap-merge + bounded read-out) and the theta/KMV
+    # set-operation sketch (distinct union/overlap on sketches).
     "q_sketch_quantile",
+    "q_sketch_theta",
 ]
 
 

@@ -512,3 +512,197 @@ def q_sketch_quantile(spark, sf_dir):
         F.col("kk").cast("long").alias("k_sample"),
         F.lit(n).cast("long").alias("n_stream"),
     )
+
+
+# --- theta/KMV set-operation sketch ----------------------------------
+#
+# The sketch family's set-algebra member: bloom answers "is x in S",
+# HLL answers "|S|", the bottom-k quantile sketch answers "value at
+# rank q" — this answers |A ∪ B| and |A ∩ B| WITHOUT co-scanning A and
+# B, the audience-overlap / cross-table-distinct question that at
+# 100 TB is otherwise a giant distinct join. KMV/theta estimator
+# (Bar-Yossef et al.'s distinct-elements sketch; the Datasketches
+# "theta" production shape): hash every key to a uniform u32, keep
+# the k smallest DISTINCT hash values per stream. theta = the k-th
+# smallest (the sketch's inclusion threshold, 2^32 when the stream
+# has fewer than k distinct keys — then the sketch is the exact key
+# set); |S| ≈ (#hashes < theta) * 2^32 / theta. Because the SAME
+# hash function sketches every stream, set ops happen ON THE SKETCHES:
+# theta_AB = min(theta_A, theta_B), union counts distinct sketch
+# hashes < theta_AB, intersection counts hashes in BOTH sketches
+# < theta_AB — both estimates use the same (count / theta-fraction)
+# formula, and both degrade gracefully to EXACT when the streams are
+# smaller than k. Deterministic end to end (md5 via the portable hex
+# decode), so the oracle replays every estimate bit-for-bit.
+
+THETA_K = 256
+_THETA_SPACE = float(1 << 32)
+
+
+def _theta_hash_sql(key: str, vc: str = "VARCHAR") -> str:
+    return _hex_u32_sql(f"md5('th|' || CAST({key} AS {vc}))")
+
+
+def _theta_stream_sql(year: int) -> str:
+    return (
+        "SELECT DISTINCT o_custkey AS k FROM orders "
+        f"WHERE EXTRACT(year FROM o_orderdate) = {year}"
+    )
+
+
+THETA_SKETCH_SQL = f"""
+    WITH a_keys AS ({_theta_stream_sql(1995)}),
+    b_keys AS ({_theta_stream_sql(1996)}),
+    a_h AS (SELECT {_theta_hash_sql("k")} AS h FROM a_keys),
+    b_h AS (SELECT {_theta_hash_sql("k")} AS h FROM b_keys),
+    sk_a AS (SELECT h FROM a_h ORDER BY h LIMIT {THETA_K}),
+    sk_b AS (SELECT h FROM b_h ORDER BY h LIMIT {THETA_K}),
+    th_a AS (SELECT CASE WHEN COUNT(*) < {THETA_K}
+                         THEN CAST({1 << 32} AS BIGINT)
+                         ELSE CAST(MAX(h) AS BIGINT) END AS theta FROM sk_a),
+    th_b AS (SELECT CASE WHEN COUNT(*) < {THETA_K}
+                         THEN CAST({1 << 32} AS BIGINT)
+                         ELSE CAST(MAX(h) AS BIGINT) END AS theta FROM sk_b),
+    th_u AS (SELECT LEAST(th_a.theta, th_b.theta) AS theta FROM th_a, th_b),
+    est_a AS (SELECT CAST(COUNT(*) AS DOUBLE) * {_THETA_SPACE}
+                     / CAST(th_a.theta AS DOUBLE) AS est
+              FROM sk_a, th_a WHERE h < th_a.theta GROUP BY th_a.theta),
+    est_b AS (SELECT CAST(COUNT(*) AS DOUBLE) * {_THETA_SPACE}
+                     / CAST(th_b.theta AS DOUBLE) AS est
+              FROM sk_b, th_b WHERE h < th_b.theta GROUP BY th_b.theta),
+    est_u AS (SELECT CAST(COUNT(DISTINCT h) AS DOUBLE) * {_THETA_SPACE}
+                     / CAST(th_u.theta AS DOUBLE) AS est
+              FROM (SELECT h FROM sk_a UNION SELECT h FROM sk_b) u, th_u
+              WHERE h < th_u.theta GROUP BY th_u.theta),
+    est_i AS (SELECT CAST(COUNT(*) AS DOUBLE) * {_THETA_SPACE}
+                     / CAST(th_u.theta AS DOUBLE) AS est
+              FROM sk_a JOIN sk_b USING (h), th_u
+              WHERE h < th_u.theta GROUP BY th_u.theta),
+    ex_a AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM a_keys),
+    ex_b AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM b_keys),
+    ex_i AS (SELECT CAST(COUNT(*) AS BIGINT) AS v
+             FROM a_keys JOIN b_keys USING (k)),
+    ex_u AS (SELECT ex_a.v + ex_b.v - ex_i.v AS v FROM ex_a, ex_b, ex_i)
+    SELECT 'distinct_a' AS measure, ROUND(est_a.est, 4) AS est,
+           ex_a.v AS exact_v,
+           ROUND(ABS(est_a.est - ex_a.v) / ex_a.v, 4) AS rel_err
+    FROM est_a, ex_a
+    UNION ALL
+    SELECT 'distinct_b', ROUND(est_b.est, 4), ex_b.v,
+           ROUND(ABS(est_b.est - ex_b.v) / ex_b.v, 4) FROM est_b, ex_b
+    UNION ALL
+    SELECT 'union', ROUND(est_u.est, 4), ex_u.v,
+           ROUND(ABS(est_u.est - ex_u.v) / ex_u.v, 4) FROM est_u, ex_u
+    UNION ALL
+    SELECT 'intersection', ROUND(est_i.est, 4), ex_i.v,
+           ROUND(ABS(est_i.est - ex_i.v) / ex_i.v, 4) FROM est_i, ex_i
+"""
+
+
+def _theta_sketch(df_h, k: int = THETA_K):
+    """Bottom-k distinct-hash sketch state over an (h) relation —
+    same TakeOrdered heap-merge shape as ``kq_sample`` (no global
+    sort; the distinct is the only shuffle and carries hashes, not
+    keys). Merge/union law asserted in tests/test_r11_ops.py."""
+    return df_h.select("h").distinct().orderBy("h").limit(k)
+
+
+def _theta_of(sk, k: int = THETA_K):
+    """1-row inclusion threshold: k-th smallest hash, or the full
+    hash space when the stream held fewer than k distinct keys (the
+    sketch is then exact)."""
+    return sk.agg(
+        F.when(F.count("*") < k, F.lit(1 << 32))
+        .otherwise(F.max("h"))
+        .cast("long")
+        .alias("theta")
+    )
+
+
+def _theta_est(cnt_df, theta_col: str):
+    return (
+        F.col("cnt").cast("double")
+        * F.lit(_THETA_SPACE)
+        / F.col(theta_col).cast("double")
+    )
+
+
+@query("q_sketch_theta", oracle=THETA_SKETCH_SQL)
+def q_sketch_theta(spark, sf_dir):
+    """Theta/KMV set-operation sketch: distinct customers active in
+    1995 vs 1996, their union, and their overlap — estimated from two
+    k=256-row sketches instead of a cross-year distinct join, with
+    the exact answers and relative errors in-band.
+
+    Plan shape: each stream is distinct→TakeOrdered (bottom-k heap
+    per task, k rows per partial — the HLL/quantile-sketch combine
+    discipline); every downstream relation is ≤ k rows or 1 row, so
+    the set algebra itself costs nothing. The same md5 hash sketches
+    both streams, which is what makes intersection-on-sketches valid;
+    thresholds degrade to the full hash space (estimates become
+    exact) when a stream has fewer than k distinct keys — both
+    regimes deterministic, both oracle-replayed."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+
+    def stream(year):
+        keys = (
+            o.filter(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+        return keys, keys.select(
+            F.expr(_theta_hash_sql("k", "STRING")).alias("h")
+        )
+
+    a_keys, a_h = stream(1995)
+    b_keys, b_h = stream(1996)
+    sk_a, sk_b = _theta_sketch(a_h), _theta_sketch(b_h)
+    th_a, th_b = _theta_of(sk_a), _theta_of(sk_b)
+    th_u = (
+        th_a.crossJoin(th_b.withColumnRenamed("theta", "theta_b"))
+        .select(F.least("theta", "theta_b").alias("theta"))
+    )
+
+    def below(sk, th):
+        return (
+            sk.crossJoin(F.broadcast(th))
+            .filter(F.col("h") < F.col("theta"))
+            .groupBy("theta")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    est_a = below(sk_a, th_a).select(_theta_est(None, "theta").alias("est"))
+    est_b = below(sk_b, th_b).select(_theta_est(None, "theta").alias("est"))
+    est_u = below(
+        sk_a.unionByName(sk_b).distinct(), th_u
+    ).select(_theta_est(None, "theta").alias("est"))
+    est_i = below(sk_a.join(sk_b, "h"), th_u).select(
+        _theta_est(None, "theta").alias("est")
+    )
+
+    ex_a = a_keys.agg(F.count("*").cast("long").alias("v"))
+    ex_b = b_keys.agg(F.count("*").cast("long").alias("v"))
+    ex_i = a_keys.join(b_keys, "k").agg(F.count("*").cast("long").alias("v"))
+    ex_u = (
+        ex_a.withColumnRenamed("v", "va")
+        .crossJoin(ex_b.withColumnRenamed("v", "vb"))
+        .crossJoin(ex_i.withColumnRenamed("v", "vi"))
+        .select((F.col("va") + F.col("vb") - F.col("vi")).alias("v"))
+    )
+
+    def row(name, est, ex):
+        return est.crossJoin(F.broadcast(ex)).select(
+            F.lit(name).alias("measure"),
+            F.round("est", 4).alias("est"),
+            F.col("v").alias("exact_v"),
+            F.round(F.abs(F.col("est") - F.col("v")) / F.col("v"), 4).alias(
+                "rel_err"
+            ),
+        )
+
+    return (
+        row("distinct_a", est_a, ex_a)
+        .unionByName(row("distinct_b", est_b, ex_b))
+        .unionByName(row("union", est_u, ex_u))
+        .unionByName(row("intersection", est_i, ex_i))
+    )

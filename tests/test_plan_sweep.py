@@ -78,6 +78,8 @@ NESTED_LOOP_OK = {
     "(replaced the eager .count() so the plan stays lazy)",
     "q_sketch_quantile": "5-row quantile-target spine broadcast joined to "
     "the bounded k-row sample on a computed rank (theta by construction)",
+    "q_sketch_theta": "1-row threshold/exact-stat broadcasts into the "
+    "bounded k-row sketch relations — the set algebra runs on <=k rows",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))

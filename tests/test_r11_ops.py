@@ -235,3 +235,87 @@ def test_substr_index_probe_prunes_row_groups(spark, sf_dir, tmp_path):
         r["doc_id"]
         for r in spark.read.parquet(shuffled_path).filter(F.col("gram").isin(keys)).collect()
     )
+
+
+# --- theta/KMV set-operation sketch ----------------------------------
+
+
+def test_theta_sketch_union_law(spark, sf_dir):
+    """Theta sketches are mergeable: sketch(A ∪ B) == re-sketch of
+    (sketch(A) ∪ sketch(B)) — union-on-sketches needs no raw data."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        THETA_K,
+        _theta_hash_sql,
+        _theta_sketch,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+
+    def hashes(year):
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+            .select(F.expr(_theta_hash_sql("k", "STRING")).alias("h"))
+        )
+
+    a, b = hashes(1995), hashes(1996)
+    direct = sorted(r["h"] for r in _theta_sketch(a.unionByName(b)).collect())
+    merged = sorted(
+        r["h"]
+        for r in _theta_sketch(
+            _theta_sketch(a).unionByName(_theta_sketch(b))
+        ).collect()
+    )
+    assert direct == merged
+    assert len(direct) <= THETA_K
+
+
+def test_theta_sketch_exact_regime(spark, sf_dir):
+    """Streams smaller than k: theta = full hash space and every
+    estimate is EXACT — rel_err must be 0.0 on all four measures at
+    sf0.001 (each year has <256 distinct customers)."""
+    rows = {r["measure"]: r for r in QS["q_sketch_theta"](spark, sf_dir).collect()}
+    assert set(rows) == {"distinct_a", "distinct_b", "union", "intersection"}
+    for m, r in rows.items():
+        assert r["rel_err"] == 0.0, (m, r)
+        assert r["est"] == float(r["exact_v"]), (m, r)
+    # inclusion-exclusion sanity on the exact values
+    assert (
+        rows["union"]["exact_v"]
+        == rows["distinct_a"]["exact_v"]
+        + rows["distinct_b"]["exact_v"]
+        - rows["intersection"]["exact_v"]
+    )
+
+
+def test_theta_sketch_estimation_regime(spark):
+    """Above k distinct keys the estimator engages: build a synthetic
+    pair of streams with known overlap, check estimates land within
+    the sketch's error budget (~4/sqrt(k) is a generous 4-sigma)."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        THETA_K,
+        _theta_hash_sql,
+        _theta_of,
+        _theta_sketch,
+    )
+
+    # A = 0..3999, B = 2000..5999 -> |A|=|B|=4000, |A∩B|=2000, |A∪B|=6000
+    a = spark.range(0, 4000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("k"))
+    ah = a.select(F.expr(_theta_hash_sql("k", "STRING")).alias("h"))
+    bh = b.select(F.expr(_theta_hash_sql("k", "STRING")).alias("h"))
+    sk_a, sk_b = _theta_sketch(ah), _theta_sketch(bh)
+    theta_a = _theta_of(sk_a).first()["theta"]
+    theta_b = _theta_of(sk_b).first()["theta"]
+    assert theta_a < (1 << 32) and theta_b < (1 << 32)
+    theta_u = min(theta_a, theta_b)
+    space = float(1 << 32)
+    tol = 4.0 / (THETA_K ** 0.5)  # ~25% at k=256
+    n_a = sk_a.filter(F.col("h") < theta_a).count()
+    est_a = n_a * space / theta_a
+    assert abs(est_a - 4000) / 4000 < tol
+    inter = sk_a.join(sk_b, "h").filter(F.col("h") < theta_u).count()
+    est_i = inter * space / theta_u
+    assert abs(est_i - 2000) / 2000 < tol
