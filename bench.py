@@ -176,6 +176,37 @@ BENCH_QUERIES = [
 ]
 
 
+def _cpu_stat() -> dict | None:
+    """Cumulative jiffies from /proc/stat: total, steal, iowait.
+    Guest loadavg CANNOT see host-side contention — a hypervisor
+    neighbor stealing cycles makes every query uniformly 2-8x slower
+    while loadavg reads 0.1 (observed r11: one bench run at 206 s vs
+    174 s half an hour apart on identical code, idle guest). The
+    steal/iowait DELTA over the run is the attribution signal."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return {
+            "total": sum(vals),
+            "steal": vals[7] if len(vals) > 7 else 0,
+            "iowait": vals[4] if len(vals) > 4 else 0,
+        }
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _cpu_pressure(start: dict | None, end: dict | None) -> dict:
+    """steal/iowait as a percentage of total cpu time over the run."""
+    if not start or not end or end["total"] <= start["total"]:
+        return {"cpu_steal_pct": None, "cpu_iowait_pct": None}
+    dt = end["total"] - start["total"]
+    return {
+        "cpu_steal_pct": round(100.0 * (end["steal"] - start["steal"]) / dt, 2),
+        "cpu_iowait_pct": round(100.0 * (end["iowait"] - start["iowait"]) / dt, 2),
+    }
+
+
 def _loadavg() -> float | None:
     """1-minute load average, or None where unsupported — POSIX allows
     ``getloadavg`` to exist yet raise (round-8 advice: the end-of-run
@@ -303,16 +334,26 @@ MOVER_RATIO = 1.4
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cache_state = _cache_state(sf_dir)
+    cpu_start = _cpu_stat()
     prev = _prev_timings()
     history = _load_history()
     spark = get_spark("poc_cdc_bench")
     qs = registry.queries()
 
-    # Warm the session (JVM/codegen + parquet reader footprint) on a
-    # trivial action and the smallest table; data for the timed
-    # queries stays cold.
+    # Warm the session (JVM/codegen) AND the page cache: count every
+    # fixture table once before timing. Evidence for why (r11, in
+    # SCALING.md "the +9.6% r10 bench drift"): on a box where the
+    # sf0.1 parquet is not yet in the page cache, the first ~20 timed
+    # queries pay first-touch disk reads and land 1.6-3x over their
+    # historical floors, in exactly suite order — the drift report
+    # then flags cold IO, not plans. The suite's job is to compare
+    # COMPUTE round over round; one cheap pre-read (~2 s at sf0.1)
+    # makes every run warm-cache like the floors it is compared to.
     spark.range(1).count()
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     reruns: dict[str, dict] = {}
@@ -344,6 +385,7 @@ def main() -> None:
     # timings that BASELINE.md names), and the full per-query map goes
     # to stderr and to BENCH_DETAIL.json next to this script.
     cache_state["loadavg_1m_end"] = _loadavg()
+    cache_state.update(_cpu_pressure(cpu_start, _cpu_stat()))
     detail = {
         "metric": "headline_suite_seconds",
         "value": total,

@@ -157,3 +157,22 @@ def test_append_history_trims_to_six(monkeypatch, tmp_path):
     assert len(saved) == 6
     assert saved[-1]["label"] == "latest"
     assert saved[0]["label"] == "2"
+
+
+def test_cpu_pressure_stamp():
+    # steal/iowait delta as percentages; tolerant of missing samples
+    assert bench._cpu_pressure(None, None) == {
+        "cpu_steal_pct": None,
+        "cpu_iowait_pct": None,
+    }
+    start = {"total": 1000, "steal": 10, "iowait": 20}
+    end = {"total": 2000, "steal": 110, "iowait": 40}
+    out = bench._cpu_pressure(start, end)
+    assert out == {"cpu_steal_pct": 10.0, "cpu_iowait_pct": 2.0}
+    # zero/negative elapsed degrades to None, never divides by zero
+    assert bench._cpu_pressure(start, start)["cpu_steal_pct"] is None
+
+
+def test_cpu_stat_never_raises():
+    s = bench._cpu_stat()
+    assert s is None or set(s) == {"total", "steal", "iowait"}
