@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     # set-operation sketch (distinct union/overlap on sketches).
     "q_sketch_quantile",
     "q_sketch_theta",
+    # r11: NN-Descent graph-ANN refinement round (bounded candidate
+    # closure over the blocked kNN graph + hash-bucket exploration).
+    "q_knn_graph_descent",
 ]
 
 

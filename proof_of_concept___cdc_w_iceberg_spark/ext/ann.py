@@ -1,0 +1,198 @@
+"""Graph-based ANN refinement — NN-Descent (r11).
+
+Closes the one deliberate gap the r10 verdict named in the similarity
+family: a graph-based ANN step. HNSW itself is a pointer-chasing
+in-memory structure with no faithful relational rendering, but the
+*graph refinement* idea underneath it — Dong et al. 2011, "Efficient
+K-Nearest Neighbor Graph Construction for Generic Similarity
+Measures" (NN-Descent) — is join-shaped: a neighbor of my neighbor is
+likely my neighbor. One refinement round over a blocked kNN graph is:
+
+  1. init: the cell-blocked kNN edges (ext/similarity.py::q_knn_graph
+     — exact within a cell, blind across cells) UNION a deterministic
+     "random" graph (md5-hash buckets of ~8 vectors, first R in-bucket
+     peers per node) that supplies the cross-cell exploration edges
+     the paper gets from random initialization;
+  2. candidates: join the undirected neighbor relation with itself on
+     the pivot node — (a,b),(b,c) → candidate (a,c);
+  3. re-rank: score current ∪ candidate pairs once, keep top-k per
+     source.
+
+Per-node candidate count is bounded by (2·(K+R))² — constant, so the
+round costs O(N·(K+R)²·d) at any corpus size, embarrassingly
+partition-parallel, with no iteration-count blowup (each extra round
+is the same bounded join). Recall is monotone non-decreasing vs the
+blocked graph (the candidate pool is a superset; an exact edge is
+displaced only by strictly closer neighbors) — asserted against the
+exact numpy all-pairs graph in tests/test_r11_ops.py, alongside the
+cross-cell-discovery property the blocked graph structurally lacks.
+
+Determinism (hash-check contract): cosines are the sequential-fold
+chains both engines execute bit-identically (DOT_SQL/SQNORM_SQL),
+bucket routing is the portable md5→u32 decode, and every top-k ties on
+the neighbor id — so the DuckDB oracle replays the refinement exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.sketches import _hex_u32_sql
+from ..registry import query
+from ..sources.tables import load
+from .similarity import DOT_SQL, KNN_K, SQNORM_SQL, _dot, _sqnorm
+
+NND_BUCKET = 8  # target random-bucket size (paper: random init pool)
+NND_R = 3       # random-init neighbors kept per node
+
+
+def _nnd_bucket_sql(vc: str) -> str:
+    return _hex_u32_sql(f"md5('nnd|' || CAST(vec_id AS {vc}))")
+
+
+KNN_DESCENT_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {SQNORM_SQL.format(a='embedding')} AS sq
+        FROM embeddings
+    ),
+    nb AS (SELECT CAST(CEIL(COUNT(*) / {NND_BUCKET}.0) AS BIGINT) AS b FROM e),
+    rb AS (
+        SELECT vec_id, {_nnd_bucket_sql('VARCHAR')} % nb.b AS rb
+        FROM e, nb
+    ),
+    cell_ranked AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                            / sqrt(a.sq * b.sq) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    cell_edges AS (SELECT src, dst FROM cell_ranked WHERE rn <= {KNN_K}),
+    rnd_ranked AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY b.vec_id) AS rn
+        FROM rb a JOIN rb b ON a.rb = b.rb AND a.vec_id <> b.vec_id
+    ),
+    rnd_edges AS (SELECT src, dst FROM rnd_ranked WHERE rn <= {NND_R}),
+    e0 AS (SELECT src, dst FROM cell_edges
+           UNION SELECT src, dst FROM rnd_edges),
+    u AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    cand AS (
+        SELECT DISTINCT u1.src, u2.dst
+        FROM u u1 JOIN u u2 ON u1.dst = u2.src AND u1.src <> u2.dst
+    ),
+    pairs AS (SELECT src, dst FROM u UNION SELECT src, dst FROM cand),
+    ranked AS (
+        SELECT p.src, p.dst,
+               {DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+                   / sqrt(ea.sq * eb.sq) AS cosine,
+               row_number() OVER (
+                   PARTITION BY p.src
+                   ORDER BY {DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+                            / sqrt(ea.sq * eb.sq) DESC, p.dst) AS rn
+        FROM pairs p
+        JOIN e ea ON ea.vec_id = p.src
+        JOIN e eb ON eb.vec_id = p.dst
+    )
+    SELECT src, dst, ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
+def nnd_candidate_pairs(e, n_vecs: int):
+    """(src, dst) pair relation after one NN-Descent round: init edges
+    (cell kNN ∪ hash-bucket random graph, both directions) plus their
+    neighbor-of-neighbor closure — every pair the re-rank scores.
+    Bounded: ≤ (2·(K+R))² candidates per node by construction."""
+    b_cnt = max(1, math.ceil(n_vecs / NND_BUCKET))
+
+    b = e.select(
+        F.col("label").alias("b_label"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sq").alias("b_sq"),
+    )
+    w_cell = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst")
+    )
+    cell_edges = (
+        e.join(b, (F.col("label") == F.col("b_label")) & (F.col("vec_id") != F.col("dst")))
+        .select(
+            F.col("vec_id").alias("src"),
+            "dst",
+            (_dot(F.col("embedding"), F.col("b_emb")) / F.sqrt(F.col("sq") * F.col("b_sq"))).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= KNN_K)
+        .select("src", "dst")
+    )
+
+    rb = e.select(
+        "vec_id",
+        (F.expr(_nnd_bucket_sql("STRING")) % b_cnt).alias("rb"),
+    )
+    rb2 = rb.select(F.col("vec_id").alias("dst"), F.col("rb").alias("rb2"))
+    w_rnd = Window.partitionBy("src").orderBy("dst")
+    rnd_edges = (
+        rb.join(rb2, (F.col("rb") == F.col("rb2")) & (F.col("vec_id") != F.col("dst")))
+        .select(F.col("vec_id").alias("src"), "dst")
+        .withColumn("rn", F.row_number().over(w_rnd))
+        .filter(F.col("rn") <= NND_R)
+        .select("src", "dst")
+    )
+
+    e0 = cell_edges.unionByName(rnd_edges).distinct()
+    u = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    u2 = u.select(F.col("src").alias("pivot"), F.col("dst").alias("c_dst"))
+    cand = (
+        u.join(u2, F.col("dst") == F.col("pivot"))
+        .filter(F.col("src") != F.col("c_dst"))
+        .select("src", F.col("c_dst").alias("dst"))
+        .distinct()
+    )
+    return u.unionByName(cand).distinct()
+
+
+@query("q_knn_graph_descent", oracle=KNN_DESCENT_SQL)
+def q_knn_graph_descent(spark, sf_dir):
+    """One NN-Descent refinement round over the blocked kNN graph —
+    the graph-ANN member of the similarity family (module docstring
+    for the algorithm and scale shape). Returns the refined graph in
+    q_knn_graph's schema; recall vs the exact graph is monotone
+    non-decreasing and, unlike the blocked graph, cross-cell edges
+    are reachable (via the hash-bucket exploration edges). The one
+    driver-side action is the corpus count (sizes the random-bucket
+    modulus — 1 long)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    pairs = nnd_candidate_pairs(e, e.count())
+    ea = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("a_emb"), F.col("sq").alias("a_sq"))
+    eb = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("b_emb"), F.col("sq").alias("b_sq"))
+    scored = (
+        pairs.join(ea, "src")
+        .join(eb, "dst")
+        .select(
+            "src",
+            "dst",
+            (_dot(F.col("a_emb"), F.col("b_emb")) / F.sqrt(F.col("a_sq") * F.col("b_sq"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "src", "dst", F.round("cosine", 6).alias("cosine"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

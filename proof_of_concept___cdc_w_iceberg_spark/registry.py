@@ -237,7 +237,7 @@ def _load() -> None:
     from .cdc import incremental as _cdc_ivm  # noqa: F401
     from .cdc import queries as _cdc  # noqa: F401
     from .streaming import queries as _streaming  # noqa: F401
-    from .ext import corpus, dedup, embeddings, graph, inference, multimodal, pipeline, similarity, text, udfs  # noqa: F401
+    from .ext import ann, corpus, dedup, embeddings, graph, inference, multimodal, pipeline, similarity, text, udfs  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

@@ -319,3 +319,86 @@ def test_theta_sketch_estimation_regime(spark):
     inter = sk_a.join(sk_b, "h").filter(F.col("h") < theta_u).count()
     est_i = inter * space / theta_u
     assert abs(est_i - 2000) / 2000 < tol
+
+
+# --- NN-Descent graph-ANN refinement ----------------------------------
+
+
+def _exact_knn_edges(spark, sf_dir, k):
+    import numpy as np
+
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load as _load
+
+    rows = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = [int(r["vec_id"]) for r in rows]
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2.0)
+    exact = set()
+    for i in range(len(ids)):
+        # same ordering contract as the operators: cosine desc, id asc
+        order = sorted(range(len(ids)), key=lambda j: (-sims[i, j], ids[j]))
+        for j in order[:k]:
+            exact.add((ids[i], ids[j]))
+    return exact
+
+
+def test_nn_descent_recall_monotone_and_cross_cell(spark, sf_dir):
+    """One NN-Descent round must (a) never lose recall vs the blocked
+    graph — its candidate pool is a superset, so a kept exact edge is
+    displaced only by strictly closer neighbors — and (b) reach
+    cross-cell edges, which label-blocking structurally cannot
+    (measured r11: recall 0.088 → 0.150, cross-cell edges 0 → 640 at
+    sf0.001)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import KNN_K
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load as _load
+
+    blocked = {
+        (r["src"], r["dst"]) for r in QS["q_knn_graph"](spark, sf_dir).collect()
+    }
+    rows = QS["q_knn_graph_descent"](spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    descent = {(r["src"], r["dst"]) for r in rows}
+
+    per_src = {}
+    for r in rows:
+        per_src[r["src"]] = per_src.get(r["src"], 0) + 1
+    assert all(v == KNN_K for v in per_src.values())
+
+    exact = _exact_knn_edges(spark, sf_dir, KNN_K)
+    recall_b = len(blocked & exact) / len(exact)
+    recall_d = len(descent & exact) / len(exact)
+    assert recall_d >= recall_b, (recall_d, recall_b)
+    assert recall_d > recall_b, "descent round found no new exact edges"
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in _load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    assert all(labels[a] == labels[b] for a, b in blocked)
+    assert any(labels[a] != labels[b] for a, b in descent), (
+        "no cross-cell edge discovered"
+    )
+
+
+def test_nn_descent_candidates_bounded(spark, sf_dir):
+    """The per-node candidate pool after one round is bounded by the
+    (2·(K+R))² closure constant — the property that makes the round
+    O(N) at any corpus size."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.ann import (
+        NND_R,
+        nnd_candidate_pairs,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import KNN_K, _sqnorm
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load as _load
+
+    e = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    pairs = nnd_candidate_pairs(e, e.count())
+    cap = (2 * (KNN_K + NND_R)) ** 2
+    worst = (
+        pairs.groupBy("src").count().agg(F.max("count").alias("mx")).first()["mx"]
+    )
+    assert worst <= cap, (worst, cap)
