@@ -176,6 +176,9 @@ BENCH_QUERIES = [
     # r11: NN-Descent graph-ANN refinement round (bounded candidate
     # closure over the blocked kNN graph + hash-bucket exploration).
     "q_knn_graph_descent",
+    # r11: streaming sketch maintenance (merge law as the foreachBatch
+    # state transition; oracle = one-shot build).
+    "q_stream_sketch",
 ]
 
 

@@ -492,3 +492,95 @@ def q_stream_topk(spark, sf_dir):
         .filter(F.col("rn") <= STREAM_TOPK_K)
         .select("event_type", "user_id", "total", F.col("rn").cast("long").alias("rn"))
     )
+
+
+# --- streaming sketch maintenance (r11) ------------------------------
+
+STREAM_SKETCH_TARGETS = (0.5, 0.9, 0.99)
+
+STREAM_SKETCH_SQL = f"""
+    WITH stream AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               md5('skq|' || CAST(event_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    samp AS (SELECT v, h FROM stream ORDER BY h LIMIT 256),
+    sord AS (
+        SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+               COUNT(*) OVER () AS kk
+        FROM samp
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM stream),
+    spine AS (
+        SELECT CAST(q AS DOUBLE) AS q
+        FROM (VALUES {", ".join(f"({q})" for q in STREAM_SKETCH_TARGETS)}) t(q)
+    )
+    SELECT s.q, o.v AS est, CAST(o.kk AS BIGINT) AS k_sample, nn.n AS n_stream
+    FROM spine s
+    JOIN sord o ON o.rn = CAST(CEIL(s.q * o.kk) AS BIGINT), nn
+"""
+
+
+@query("q_stream_sketch", oracle=STREAM_SKETCH_SQL)
+def q_stream_sketch(spark, sf_dir):
+    """Streaming quantile-sketch maintenance: the event stream arrives
+    as three micro-batches; per batch the state update is
+
+        state' = bottom_k(state ∪ bottom_k(batch))
+
+    — the q_sketch_quantile merge law (operators/sketches.py) used as
+    the FOREACHBATCH state transition, k=256 rows of state total, no
+    raw-event retention. The registered oracle is the ONE-SHOT sketch
+    over the whole stream, so the driver's hash check proves the
+    streaming-maintenance law (apply == rebuild) end to end — the same
+    contract as q_dedup_substr_incremental, here for the sketch
+    family. State rows are localCheckpointed per batch (lineage stays
+    flat however many batches arrive — the IVM discipline). Read-out:
+    p50/p90/p99 from the bounded final state. The live readStream
+    twin of the batch-split loop is exercised in
+    tests/test_streaming.py."""
+    from ..operators.sketches import kq_sample
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v"),
+        F.md5(
+            F.concat(F.lit("skq|"), F.col("event_id").cast("string"))
+        ).alias("h"),
+        "event_id",
+    )
+    k = 256
+    state = ev.select("v", "h").limit(0)
+    n_stream = 0
+    for lo, hi in [(0, 300), (301, 700), (701, 10_000_000)]:
+        batch = ev.filter(F.col("event_id").between(lo, hi)).select("v", "h")
+        n_stream += batch.count()
+        state = kq_sample(
+            state.unionByName(kq_sample(batch, k=k)), k=k
+        ).localCheckpoint(eager=True)
+
+    from pyspark.sql import Window
+
+    sord = state.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "h")).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("kk"),
+    )
+    spine = spark.createDataFrame(
+        [(float(q),) for q in STREAM_SKETCH_TARGETS], "q double"
+    )
+    return (
+        sord.join(
+            F.broadcast(spine),
+            F.col("rn") == F.ceil(F.col("q") * F.col("kk")),
+        )
+        .select(
+            "q",
+            F.col("v").alias("est"),
+            F.col("kk").cast("long").alias("k_sample"),
+            F.lit(n_stream).cast("long").alias("n_stream"),
+        )
+    )

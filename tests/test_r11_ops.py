@@ -402,3 +402,92 @@ def test_nn_descent_candidates_bounded(spark, sf_dir):
         pairs.groupBy("src").count().agg(F.max("count").alias("mx")).first()["mx"]
     )
     assert worst <= cap, (worst, cap)
+
+
+# --- streaming sketch maintenance -------------------------------------
+
+
+def test_stream_sketch_split_invariance(spark, sf_dir):
+    """The maintained sketch state must be independent of HOW the
+    stream was micro-batched (merge-law corollary): two different
+    batchings and the one-shot build all yield the identical k-row
+    state."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import kq_sample
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v"),
+        F.md5(F.concat(F.lit("skq|"), F.col("event_id").cast("string"))).alias("h"),
+        "event_id",
+    )
+    k = 256
+
+    def maintained(splits):
+        state = ev.select("v", "h").limit(0)
+        for lo, hi in splits:
+            batch = ev.filter(F.col("event_id").between(lo, hi)).select("v", "h")
+            state = kq_sample(
+                state.unionByName(kq_sample(batch, k=k)), k=k
+            ).localCheckpoint(eager=True)
+        return sorted((r["v"], r["h"]) for r in state.collect())
+
+    one_shot = sorted(
+        (r["v"], r["h"]) for r in kq_sample(ev.select("v", "h"), k=k).collect()
+    )
+    assert maintained([(0, 300), (301, 700), (701, 10_000_000)]) == one_shot
+    assert maintained([(0, 100), (101, 10_000_000)]) == one_shot
+    spark.catalog.clearCache()
+
+
+def test_stream_sketch_live_readstream_twin(spark, sf_dir):
+    """q_stream_sketch's docstring contract: the SAME state transition
+    under a real readStream + foreachBatch (multiple micro-batches via
+    maxFilesPerTrigger) ends with the identical k-row sketch state as
+    the one-shot build."""
+    import shutil
+    import tempfile
+
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import kq_sample
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v"),
+        F.md5(F.concat(F.lit("skq|"), F.col("event_id").cast("string"))).alias("h"),
+        "event_id",
+    )
+    k = 256
+    src = tempfile.mkdtemp(prefix="stream_sketch_")
+    try:
+        ev.withColumn("_b", (F.col("event_id") % 3).cast("int")).write.partitionBy(
+            "_b"
+        ).mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("v double, h string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src + "/_b=*")
+        )
+        holder = {"state": ev.select("v", "h").limit(0), "batches": 0}
+
+        def step(batch_df, _bid):
+            holder["state"] = kq_sample(
+                holder["state"].unionByName(kq_sample(batch_df, k=k)), k=k
+            ).localCheckpoint(eager=True)
+            holder["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", src + "_ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        assert holder["batches"] >= 2, "stream collapsed to one micro-batch"
+        got = sorted((r["v"], r["h"]) for r in holder["state"].collect())
+        want = sorted(
+            (r["v"], r["h"]) for r in kq_sample(ev.select("v", "h"), k=k).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(src + "_ckpt", ignore_errors=True)
+    spark.catalog.clearCache()
