@@ -619,7 +619,8 @@ def _theta_of(sk, k: int = THETA_K):
     )
 
 
-def _theta_est(cnt_df, theta_col: str):
+def _theta_est(theta_col: str):
+    """count-below-threshold scaled back to the full hash space."""
     return (
         F.col("cnt").cast("double")
         * F.lit(_THETA_SPACE)
@@ -671,13 +672,13 @@ def q_sketch_theta(spark, sf_dir):
             .agg(F.count("*").alias("cnt"))
         )
 
-    est_a = below(sk_a, th_a).select(_theta_est(None, "theta").alias("est"))
-    est_b = below(sk_b, th_b).select(_theta_est(None, "theta").alias("est"))
+    est_a = below(sk_a, th_a).select(_theta_est("theta").alias("est"))
+    est_b = below(sk_b, th_b).select(_theta_est("theta").alias("est"))
     est_u = below(
         sk_a.unionByName(sk_b).distinct(), th_u
-    ).select(_theta_est(None, "theta").alias("est"))
+    ).select(_theta_est("theta").alias("est"))
     est_i = below(sk_a.join(sk_b, "h"), th_u).select(
-        _theta_est(None, "theta").alias("est")
+        _theta_est("theta").alias("est")
     )
 
     ex_a = a_keys.agg(F.count("*").cast("long").alias("v"))
