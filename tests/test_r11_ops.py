@@ -491,3 +491,90 @@ def test_stream_sketch_live_readstream_twin(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(src + "_ckpt", ignore_errors=True)
     spark.catalog.clearCache()
+
+
+# --- property-based laws for the r11 sketches -------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _keys_strategy = st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(keys=_keys_strategy, n_shards=st.integers(min_value=1, max_value=4), k=st.sampled_from([1, 3, 8]))
+    def test_kq_sample_merge_law_property(spark, keys, n_shards, k):
+        """bottom-k(∪ shards) == bottom-k(∪ bottom-k(shard)) for ANY
+        key set, ANY sharding, ANY k — including k larger than the
+        stream (degenerate sketch = the stream itself)."""
+        from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import kq_sample
+
+        df = spark.createDataFrame(
+            [(float(x), f"h{x:06d}") for x in keys], "v double, h string"
+        )
+        shards = [df.filter(F.crc32("h") % n_shards == i) for i in range(n_shards)]
+        merged = shards[0]
+        for s in shards[1:]:
+            merged = merged.unionByName(s)
+        resketch = shards[0].limit(0)
+        for s in shards:
+            resketch = resketch.unionByName(kq_sample(s, k=k))
+        got = sorted((r["v"], r["h"]) for r in kq_sample(resketch, k=k).collect())
+        want = sorted((r["v"], r["h"]) for r in kq_sample(merged, k=k).collect())
+        assert got == want
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(
+        a_keys=st.lists(st.integers(0, 400), min_size=1, max_size=40, unique=True),
+        b_keys=st.lists(st.integers(0, 400), min_size=1, max_size=40, unique=True),
+    )
+    def test_theta_exact_regime_property(spark, a_keys, b_keys):
+        """Below-k streams: the theta estimates equal the true distinct
+        counts EXACTLY — for any pair of key sets, including disjoint,
+        nested, and identical ones."""
+        from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+            THETA_K,
+            _theta_hash_sql,
+            _theta_of,
+            _theta_sketch,
+        )
+
+        assert len(a_keys) < THETA_K and len(b_keys) < THETA_K
+
+        def sketch(keys):
+            df = spark.createDataFrame([(x,) for x in keys], "k long")
+            return _theta_sketch(
+                df.select(F.expr(_theta_hash_sql("k", "STRING")).alias("h"))
+            )
+
+        sk_a, sk_b = sketch(a_keys), sketch(b_keys)
+        th_a = _theta_of(sk_a).first()["theta"]
+        th_b = _theta_of(sk_b).first()["theta"]
+        assert th_a == (1 << 32) and th_b == (1 << 32)
+        space = float(1 << 32)
+        est_a = sk_a.count() * space / th_a
+        est_i = sk_a.join(sk_b, "h").count() * space / min(th_a, th_b)
+        assert est_a == len(set(a_keys))
+        assert est_i == len(set(a_keys) & set(b_keys))
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
