@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     # r11: streaming sketch maintenance (merge law as the foreachBatch
     # state transition; oracle = one-shot build).
     "q_stream_sketch",
+    # r11: per-group quantile sketch (single-Exchange windowed form).
+    "q_sketch_quantile_grouped",
 ]
 
 

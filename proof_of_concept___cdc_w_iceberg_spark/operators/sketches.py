@@ -707,3 +707,141 @@ def q_sketch_theta(spark, sf_dir):
         .unionByName(row("union", est_u, ex_u))
         .unionByName(row("intersection", est_i, ex_i))
     )
+
+
+# --- per-group quantile sketch ----------------------------------------
+#
+# The grouped form of q_sketch_quantile — per-tenant / per-partition
+# percentiles, the shape the 100 TB pipeline actually asks for ("p99
+# by customer segment"). Different physical skeleton on purpose: the
+# global sketch is a TakeOrdered heap-merge; the grouped one is ONE
+# Exchange on the group key and then nothing but windows sharing that
+# partitioning — per-group bottom-k by hash (the sample), per-group
+# value rank over the sample (the read-out), and per-group value rank
+# over the stream (the in-band exact). No driver action, no bounded
+# collect, no global anything: every stage is per-group parallel, so
+# the plan is unchanged at any group count.
+
+KQG_K = 256
+KQG_TARGETS = (0.5, 0.9)
+
+KQG_SKETCH_SQL = f"""
+    WITH stream AS (
+        SELECT o_orderpriority AS grp,
+               CAST(o_totalprice AS DOUBLE) AS v,
+               md5('kqg|' || CAST(o_orderkey AS VARCHAR)) AS h
+        FROM orders
+    ),
+    samp AS (
+        SELECT grp, v, h
+        FROM (SELECT grp, v, h,
+                     row_number() OVER (PARTITION BY grp ORDER BY h) AS hr
+              FROM stream)
+        WHERE hr <= {KQG_K}
+    ),
+    sord AS (
+        SELECT grp, v,
+               row_number() OVER (PARTITION BY grp ORDER BY v, h) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS kk
+        FROM samp
+    ),
+    eord AS (
+        SELECT grp, v,
+               row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM stream
+    ),
+    spine AS (
+        SELECT CAST(q AS DOUBLE) AS q
+        FROM (VALUES {", ".join(f"({q})" for q in KQG_TARGETS)}) t(q)
+    ),
+    est AS (
+        SELECT s.q, o.grp, o.v AS est, o.kk
+        FROM spine s JOIN sord o
+          ON o.rn = CAST(CEIL(s.q * o.kk) AS BIGINT)
+    ),
+    ex AS (
+        SELECT s.q, e.grp, e.v AS exact_v, e.n
+        FROM spine s JOIN eord e
+          ON e.rn = CAST(CEIL(s.q * e.n) AS BIGINT)
+    )
+    SELECT est.grp, est.q, est.est, ex.exact_v,
+           ROUND(ABS(est.est - ex.exact_v) / ex.exact_v, 4) AS rel_err,
+           CAST(est.kk AS BIGINT) AS k_sample,
+           CAST(ex.n AS BIGINT) AS n_group
+    FROM est JOIN ex ON est.grp = ex.grp AND est.q = ex.q
+"""
+
+
+@query("q_sketch_quantile_grouped", oracle=KQG_SKETCH_SQL)
+def q_sketch_quantile_grouped(spark, sf_dir):
+    """Per-group mergeable quantile sketch: p50/p90 of order value per
+    order priority, from a k=256-per-group bottom-k hash sample, with
+    the exact per-group order statistics and relative errors in-band
+    (section comment above for why the physical shape differs from the
+    global sketch).
+
+    ONE scan, ONE Exchange on the group key (asserted against the
+    plan in tests/test_r11_ops.py): the hash rank (sample membership),
+    the sample's value rank, the stream's value rank, and both group
+    counts are all windows over the same partitioning — the sample
+    rank is a conditional running count (sampled rows preceding me in
+    (v, h) order), which is exactly row_number over the sample without
+    ever splitting the flow. The read-out is ONE join against the
+    2-row broadcast quantile spine (an OR of the sample-rank and
+    exact-rank picks) folded by a |groups|·|targets|-row pivot
+    aggregate, so the stream is scanned, shuffled, and windowed
+    exactly once."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.md5(
+            F.concat(F.lit("kqg|"), F.col("o_orderkey").cast("string"))
+        ).alias("h"),
+    )
+    w_h = Window.partitionBy("grp").orderBy("h")
+    w_g = Window.partitionBy("grp")
+    w_run = (
+        Window.partitionBy("grp")
+        .orderBy("v", "h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_ev = Window.partitionBy("grp").orderBy("v", "h")
+    sampled = F.when(F.col("hr") <= KQG_K, 1).otherwise(0)
+    ranked = (
+        o.withColumn("hr", F.row_number().over(w_h))
+        .withColumn("rn_s", F.sum(sampled).over(w_run))
+        .withColumn("rn_e", F.row_number().over(w_ev))
+        .withColumn("n", F.count("*").over(w_g))
+        .withColumn("kk", F.sum(sampled).over(w_g))
+    )
+    spine = spark.createDataFrame(
+        [(float(q),) for q in KQG_TARGETS], "q double"
+    )
+    is_est = (F.col("hr") <= KQG_K) & (
+        F.col("rn_s") == F.ceil(F.col("q") * F.col("kk"))
+    )
+    is_ex = F.col("rn_e") == F.ceil(F.col("q") * F.col("n"))
+    picks = ranked.join(F.broadcast(spine), is_est | is_ex)
+    return (
+        picks.groupBy("grp", "q")
+        .agg(
+            F.max(F.when(is_est, F.col("v"))).alias("est"),
+            F.max(F.when(is_ex, F.col("v"))).alias("exact_v"),
+            F.max("kk").cast("long").alias("k_sample"),
+            F.max("n").cast("long").alias("n_group"),
+        )
+        .select(
+            "grp",
+            "q",
+            "est",
+            "exact_v",
+            F.round(
+                F.abs(F.col("est") - F.col("exact_v")) / F.col("exact_v"), 4
+            ).alias("rel_err"),
+            "k_sample",
+            "n_group",
+        )
+    )

@@ -82,6 +82,9 @@ NESTED_LOOP_OK = {
     "bounded k-row sketch relations — the set algebra runs on <=k rows",
     "q_stream_sketch": "3-row quantile-target spine broadcast joined to "
     "the bounded k-row sketch state on a computed rank",
+    "q_sketch_quantile_grouped": "2-row quantile-target spine broadcast "
+    "joined on the OR of the sample-rank/exact-rank picks (theta by "
+    "construction; the stream side is shuffled exactly once, on grp)",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))

@@ -578,3 +578,73 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+# --- per-group quantile sketch ----------------------------------------
+
+
+def test_grouped_sketch_single_exchange_plan(spark, sf_dir):
+    """The grouped sketch's scale claim as a plan gate: ONE parquet
+    scan and ONE Exchange on the group key feed all four windows and
+    the pivot read-out (the final (grp, q) aggregate is satisfied by
+    the grp partitioning — grp is a subset of its keys)."""
+    import re
+
+    plan = explain_str(QS["q_sketch_quantile_grouped"](spark, sf_dir))
+    # the formatted explain names each node in the tree AND in the
+    # details section — count detail entries, one per physical node
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"hashpartitioning\(grp", plan)) >= 1
+    assert "SinglePartition" not in plan
+
+
+def test_grouped_sketch_output_contract(spark, sf_dir):
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        KQG_K,
+        KQG_TARGETS,
+    )
+
+    rows = QS["q_sketch_quantile_grouped"](spark, sf_dir).collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    # every group reports every target
+    for grp, rs in by_grp.items():
+        assert sorted(r["q"] for r in rs) == sorted(KQG_TARGETS)
+        for r in rs:
+            assert r["k_sample"] == min(KQG_K, r["n_group"])
+            assert r["est"] > 0 and r["exact_v"] > 0
+            assert r["rel_err"] < 0.25, (grp, r)
+
+
+def test_grouped_sketch_per_group_merge_law(spark, sf_dir):
+    """The per-group sample is the bottom-k of each group's hashes —
+    so per-group sketches of two arbitrary shards re-sketch to the
+    whole group's sketch (the same monoid as the global sketch, one
+    instance per group)."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import KQG_K
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load as _load
+
+    o = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.md5(F.concat(F.lit("kqg|"), F.col("o_orderkey").cast("string"))).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("h")
+
+    def sketch(df):
+        return (
+            df.withColumn("hr", F.row_number().over(w))
+            .filter(F.col("hr") <= KQG_K)
+            .select("grp", "h")
+        )
+
+    full = sorted((r["grp"], r["h"]) for r in sketch(o).collect())
+    shards = [o.filter(F.crc32("h") % 2 == i) for i in range(2)]
+    merged = sorted(
+        (r["grp"], r["h"])
+        for r in sketch(sketch(shards[0]).unionByName(sketch(shards[1]))).collect()
+    )
+    assert merged == full
