@@ -243,17 +243,21 @@ def _cache_state(sf_dir: str) -> dict:
     }
 
 
-def _prev_timings() -> dict[str, float]:
+def _prev_timings(sf: float) -> dict[str, float]:
     """Per-query timings from the PREVIOUS run's BENCH_DETAIL.json (the
     on-disk artifact this run is about to overwrite). Used to spot
-    round-over-round movers worth a de-noising rerun."""
+    round-over-round movers worth a de-noising rerun. Only a same-sf
+    artifact is comparable — a smoke run at another scale would flag
+    every query as a mover and double the suite's runtime on reruns."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
         with open(path) as f:
             doc = json.load(f)
         # A non-dict top level (array/string artifact) must degrade to
         # {} like any other garbage, not crash on .get.
-        q = doc.get("queries", {}) if isinstance(doc, dict) else {}
+        if not isinstance(doc, dict) or float(doc.get("sf", 0.1)) != sf:
+            return {}
+        q = doc.get("queries", {})
         return {k: float(v) for k, v in q.items()}
     except (OSError, ValueError, TypeError, AttributeError):
         return {}
@@ -281,14 +285,28 @@ def _load_history() -> list[dict]:
         return []
 
 
-def _append_history(history: list[dict], timings: dict[str, float], total: float) -> None:
-    history = history + [{"label": "latest", "total": total, "queries": timings}]
+def _append_history(
+    history: list[dict], timings: dict[str, float], total: float, sf: float
+) -> None:
+    history = history + [
+        {"label": "latest", "total": total, "queries": timings, "sf": sf}
+    ]
+    # Retention is per scale: a smoke run at another sf must neither
+    # feed the floors (filtered at load) nor push the driver-scale
+    # snapshots out of the rolling window here.
+    kept_rev: list[dict] = []
+    counts: dict[float, int] = {}
+    for s in reversed(history):
+        key = float(s.get("sf", 0.1))
+        if counts.get(key, 0) < 6:
+            kept_rev.append(s)
+            counts[key] = counts.get(key, 0) + 1
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.json"
     )
     try:
         with open(path, "w") as f:
-            json.dump(history[-6:], f, indent=1, sort_keys=True)
+            json.dump(list(reversed(kept_rev)), f, indent=1, sort_keys=True)
     except OSError:
         pass
 
@@ -297,6 +315,15 @@ def _append_history(history: list[dict], timings: dict[str, float], total: float
 # sustained mover: either a real regression (plan change) or drift the
 # machine has held for multiple rounds — both belong in the JSON line.
 DRIFT_RATIO = 1.5
+
+
+def _history_at_sf(history: list[dict], sf: float) -> list[dict]:
+    """Only same-scale snapshots are comparable: an sf0.01 smoke run
+    appended to sf0.1 history would LOWER every floor ~10x and flag
+    the whole next driver run as drift (found r12 while smoke-testing
+    the settle gate). Legacy snapshots without an sf stamp are treated
+    as the driver's default scale (0.1) — that is what recorded them."""
+    return [s for s in history if float(s.get("sf", 0.1)) == sf]
 
 
 def _drift_report(history: list[dict], timings: dict[str, float]) -> list[dict]:
@@ -339,12 +366,52 @@ def _time_query(spark, qs, name: str, sf_dir: str) -> float:
 MOVER_RATIO = 1.4
 
 
+def _settle_gate() -> dict:
+    """Loadavg settle gate (r11 verdict: the driver bench started at
+    loadavg 11.88 and produced an 8-row drift list that was pure CPU
+    contention). The bench's job is comparing COMPUTE round over
+    round, so a contended start must either wait out the contention
+    or be flagged IN the artifact before it pollutes the
+    BENCH_HISTORY floors. Polls 1-min loadavg until it drops under
+    ~cores/4 (the regime every historical floor was recorded in) or
+    the wait budget runs out; the artifact's env block then carries
+    the gate verdict either way. The bench must run ALONE — this gate
+    enforces the rule mechanically instead of by convention."""
+    threshold = max(4.0, (os.cpu_count() or 8) / 4.0)
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_S", "120"))
+    start = _loadavg()
+    waited = 0.0
+    la = start
+    while la is not None and la > threshold and waited < budget_s:
+        time.sleep(5.0)
+        waited += 5.0
+        la = _loadavg()
+    contended = la is not None and la > threshold
+    if contended:
+        print(
+            f"# WARNING: loadavg {la} still > settle threshold "
+            f"{threshold} after {waited:.0f}s — timings will include "
+            "external CPU contention; drift vs historical floors is "
+            "not attributable to plans",
+            file=sys.stderr,
+        )
+    return {
+        "settle_threshold": threshold,
+        "settle_waited_s": waited,
+        "loadavg_at_gate": start,
+        "loadavg_after_gate": la,
+        "contended": bool(contended),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cache_state = _cache_state(sf_dir)
+    cache_state["settle_gate"] = _settle_gate()
     cpu_start = _cpu_stat()
-    prev = _prev_timings()
-    history = _load_history()
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    prev = _prev_timings(sf)
+    history = _history_at_sf(_load_history(), sf)
     spark = get_spark("poc_cdc_bench")
     qs = registry.queries()
 
@@ -358,10 +425,14 @@ def main() -> None:
     # COMPUTE round over round; one cheap pre-read (~2 s at sf0.1)
     # makes every run warm-cache like the floors it is compared to.
     spark.range(1).count()
-    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import TABLES
+    # Warm through load(), not raw spark.read.parquet: load() owns the
+    # TIMESTAMP(NANOS) handling for events.parquet, and a raw read of
+    # a nanos-stamped fixture crashes the whole bench at warm-up
+    # before any timing (r11 advice).
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import TABLES, load
 
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        load(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     reruns: dict[str, dict] = {}
@@ -383,9 +454,9 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     drift = _drift_report(history, timings)
-    _append_history(history, timings, total)
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Re-read the raw history for the append: other-scale snapshots
+    # are filtered for COMPARISON but must survive on disk.
+    _append_history(_load_history(), timings, total, sf)
     # The driver captures only the stdout TAIL: with 99+ queries the
     # full per-query map outgrew it and BENCH_r04.json landed with
     # parsed:null (round-4 verdict item 1). So the FINAL stdout line is

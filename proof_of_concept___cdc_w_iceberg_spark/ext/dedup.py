@@ -21,6 +21,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
@@ -2206,18 +2207,22 @@ def substr_index_probe(spark, path: str, changed_grams):
     ``changed_grams`` (a driver-side list — the caller decides the
     probe is small enough to collect; for larger change sets use the
     in-session join in ``substr_state_apply``). The keys are pushed
-    as a parquet In predicate: Spark's default
-    ``spark.sql.parquet.pushdown.inFilterThreshold`` (10) rewrites
-    bigger IN-lists to a [min,max] range check, which skips nothing
-    for scattered keys — so the threshold is raised above the probe
-    size for this read. Row groups whose stats miss every key are
-    never decoded (asserted via scan metrics in
-    tests/test_r11_ops.py)."""
+    as an OR-of-equals predicate rather than ``isin``: Spark's
+    parquet translation rewrites IN-lists longer than
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` (10) to a
+    [min,max] range check, which skips nothing for scattered keys,
+    and raising that conf here would leak a session-global setting
+    past the probe (r11 advice). An Or(Eq, Eq, ...) chain translates
+    key-exact at any probe size with no session state touched — same
+    row-group pruning, asserted via scan metrics in
+    tests/test_r11_ops.py."""
     keys = list(changed_grams)
-    spark.conf.set(
-        "spark.sql.parquet.pushdown.inFilterThreshold", str(max(len(keys) + 1, 10))
+    if not keys:
+        return spark.read.parquet(path).filter(F.lit(False))
+    pred = functools.reduce(
+        lambda a, b: a | b, [F.col("gram") == k for k in keys]
     )
-    return spark.read.parquet(path).filter(F.col("gram").isin(keys))
+    return spark.read.parquet(path).filter(pred)
 
 
 @query("q_dedup_substr_incremental", oracle=SUBSTR_INCR_SQL)

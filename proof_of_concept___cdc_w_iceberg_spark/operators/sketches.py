@@ -564,20 +564,29 @@ THETA_SKETCH_SQL = f"""
                          THEN CAST({1 << 32} AS BIGINT)
                          ELSE CAST(MAX(h) AS BIGINT) END AS theta FROM sk_b),
     th_u AS (SELECT LEAST(th_a.theta, th_b.theta) AS theta FROM th_a, th_b),
-    est_a AS (SELECT CAST(COUNT(*) AS DOUBLE) * {_THETA_SPACE}
-                     / CAST(th_a.theta AS DOUBLE) AS est
-              FROM sk_a, th_a WHERE h < th_a.theta GROUP BY th_a.theta),
-    est_b AS (SELECT CAST(COUNT(*) AS DOUBLE) * {_THETA_SPACE}
-                     / CAST(th_b.theta AS DOUBLE) AS est
-              FROM sk_b, th_b WHERE h < th_b.theta GROUP BY th_b.theta),
-    est_u AS (SELECT CAST(COUNT(DISTINCT h) AS DOUBLE) * {_THETA_SPACE}
-                     / CAST(th_u.theta AS DOUBLE) AS est
-              FROM (SELECT h FROM sk_a UNION SELECT h FROM sk_b) u, th_u
-              WHERE h < th_u.theta GROUP BY th_u.theta),
-    est_i AS (SELECT CAST(COUNT(*) AS DOUBLE) * {_THETA_SPACE}
-                     / CAST(th_u.theta AS DOUBLE) AS est
-              FROM sk_a JOIN sk_b USING (h), th_u
-              WHERE h < th_u.theta GROUP BY th_u.theta),
+    -- each est_* is anchored FROM th_* (always 1 row) with the
+    -- qualifying-hash count as a scalar subquery, so a zero-count
+    -- regime yields est=0 instead of dropping the measure row —
+    -- mirrors the Spark side's left-join (r11 advice)
+    est_a AS (SELECT CAST((SELECT COUNT(*) FROM sk_a, th_a
+                           WHERE h < th_a.theta) AS DOUBLE)
+                     * {_THETA_SPACE} / CAST(th_a.theta AS DOUBLE) AS est
+              FROM th_a),
+    est_b AS (SELECT CAST((SELECT COUNT(*) FROM sk_b, th_b
+                           WHERE h < th_b.theta) AS DOUBLE)
+                     * {_THETA_SPACE} / CAST(th_b.theta AS DOUBLE) AS est
+              FROM th_b),
+    est_u AS (SELECT CAST((SELECT COUNT(DISTINCT h)
+                           FROM (SELECT h FROM sk_a
+                                 UNION SELECT h FROM sk_b) u, th_u
+                           WHERE h < th_u.theta) AS DOUBLE)
+                     * {_THETA_SPACE} / CAST(th_u.theta AS DOUBLE) AS est
+              FROM th_u),
+    est_i AS (SELECT CAST((SELECT COUNT(*)
+                           FROM sk_a JOIN sk_b USING (h), th_u
+                           WHERE h < th_u.theta) AS DOUBLE)
+                     * {_THETA_SPACE} / CAST(th_u.theta AS DOUBLE) AS est
+              FROM th_u),
     ex_a AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM a_keys),
     ex_b AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM b_keys),
     ex_i AS (SELECT CAST(COUNT(*) AS BIGINT) AS v
@@ -665,11 +674,19 @@ def q_sketch_theta(spark, sf_dir):
     )
 
     def below(sk, th):
-        return (
+        # Left-join the qualifying-hash count back onto the (always
+        # 1-row) threshold relation: a regime with ZERO hashes below
+        # theta (e.g. 'intersection' on disjoint streams) must still
+        # emit its measure row as est=0, not vanish from the 4-row
+        # output contract (r11 advice — the bare groupBy dropped it).
+        cnt = (
             sk.crossJoin(F.broadcast(th))
             .filter(F.col("h") < F.col("theta"))
             .groupBy("theta")
             .agg(F.count("*").alias("cnt"))
+        )
+        return th.join(cnt, "theta", "left").select(
+            "theta", F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt")
         )
 
     est_a = below(sk_a, th_a).select(_theta_est("theta").alias("est"))
@@ -692,13 +709,16 @@ def q_sketch_theta(spark, sf_dir):
     )
 
     def row(name, est, ex):
+        # try_divide: the zero-count regime (now emitted instead of
+        # dropped) has exact_v=0 — rel_err degrades to NULL exactly
+        # like DuckDB's divide-by-zero instead of raising under ANSI.
         return est.crossJoin(F.broadcast(ex)).select(
             F.lit(name).alias("measure"),
             F.round("est", 4).alias("est"),
             F.col("v").alias("exact_v"),
-            F.round(F.abs(F.col("est") - F.col("v")) / F.col("v"), 4).alias(
-                "rel_err"
-            ),
+            F.round(
+                F.try_divide(F.abs(F.col("est") - F.col("v")), F.col("v")), 4
+            ).alias("rel_err"),
         )
 
     return (

@@ -551,8 +551,18 @@ def q_stream_sketch(spark, sf_dir):
     k = 256
     state = ev.select("v", "h").limit(0)
     n_stream = 0
-    for lo, hi in [(0, 300), (301, 700), (701, 10_000_000)]:
-        batch = ev.filter(F.col("event_id").between(lo, hi)).select("v", "h")
+    # Open-ended first/last predicates: every event lands in exactly
+    # one batch whatever the fixture's id range (r11 advice: a closed
+    # [701, 10M] tail silently dropped out-of-range ids while the
+    # oracle covered the whole stream). The split itself is arbitrary
+    # — the merge law makes the final state split-invariant.
+    splits = [
+        F.col("event_id") <= 300,
+        F.col("event_id").between(301, 700),
+        F.col("event_id") >= 701,
+    ]
+    for cond in splits:
+        batch = ev.filter(cond).select("v", "h")
         n_stream += batch.count()
         state = kq_sample(
             state.unionByName(kq_sample(batch, k=k)), k=k

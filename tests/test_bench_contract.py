@@ -68,7 +68,7 @@ def test_loadavg_never_raises():
 def test_prev_timings_tolerant():
     # Missing/garbage artifact -> {} (never raises); the real artifact,
     # when present, parses to name->seconds floats.
-    prev = bench._prev_timings()
+    prev = bench._prev_timings(0.1)
     assert isinstance(prev, dict)
     assert all(isinstance(v, float) for v in prev.values())
 
@@ -90,9 +90,9 @@ def test_prev_timings_non_dict_artifact(monkeypatch, tmp_path):
     monkeypatch.setattr(bench.os.path, "join", fake_join)
     for garbage in ('["not", "a", "dict"]', '"str"', "3.5", "{bad json"):
         fake.write_text(garbage)
-        assert bench._prev_timings() == {}
+        assert bench._prev_timings(0.1) == {}
     fake.write_text('{"queries": {"q": 1.5}}')
-    assert bench._prev_timings() == {"q": 1.5}
+    assert bench._prev_timings(0.1) == {"q": 1.5}
 
 
 def test_drift_report_flags_sustained_movers():
@@ -151,11 +151,12 @@ def test_append_history_trims_to_six(monkeypatch, tmp_path):
 
     monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
     history = [{"label": str(i), "queries": {}} for i in range(7)]
-    bench._append_history(history, {"q_x": 1.0}, 1.0)
+    bench._append_history(history, {"q_x": 1.0}, 1.0, 0.1)
     with open(tmp_path / "BENCH_HISTORY.json") as f:
         saved = json.load(f)
     assert len(saved) == 6
     assert saved[-1]["label"] == "latest"
+    assert saved[-1]["sf"] == 0.1
     assert saved[0]["label"] == "2"
 
 
@@ -176,3 +177,70 @@ def test_cpu_pressure_stamp():
 def test_cpu_stat_never_raises():
     s = bench._cpu_stat()
     assert s is None or set(s) == {"total", "steal", "iowait"}
+
+
+def test_settle_gate_stamp_fields(monkeypatch):
+    # Uncontended regime: gate returns immediately with the full
+    # stamp and contended=False (r11 verdict: a driver bench that
+    # starts at loadavg ~12 must be flagged before it pollutes the
+    # BENCH_HISTORY floors).
+    monkeypatch.setattr(bench, "_loadavg", lambda: 0.5)
+    g = bench._settle_gate()
+    assert g["contended"] is False
+    assert g["settle_waited_s"] == 0.0
+    assert g["loadavg_at_gate"] == 0.5
+    assert g["settle_threshold"] >= 4.0
+
+
+def test_settle_gate_contended_flags_and_bounds_wait(monkeypatch):
+    # Permanently-contended regime: the gate must give up within the
+    # wait budget and stamp contended=True rather than spin forever.
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SETTLE_S", "0")
+    monkeypatch.setattr(bench, "_loadavg", lambda: 99.0)
+    g = bench._settle_gate()
+    assert g["contended"] is True
+    assert g["settle_waited_s"] == 0.0
+    assert g["loadavg_after_gate"] == 99.0
+
+
+def test_history_scale_isolation(tmp_path, monkeypatch):
+    # An sf0.01 smoke run must neither feed the sf0.1 floors (it
+    # would lower them ~10x and flag the whole next driver run as
+    # drift) nor push driver-scale snapshots out of the rolling
+    # window (found r12 while smoke-testing the settle gate).
+    legacy = {"label": "r9", "total": 100.0, "queries": {"q": 1.0}}  # no sf stamp
+    tenth = {"label": "r10", "total": 90.0, "queries": {"q": 0.9}, "sf": 0.1}
+    smoke = {"label": "smoke", "total": 5.0, "queries": {"q": 0.05}, "sf": 0.01}
+    hist = [legacy, tenth, smoke]
+    # comparison: legacy snapshots count as the driver's 0.1 scale
+    assert bench._history_at_sf(hist, 0.1) == [legacy, tenth]
+    assert bench._history_at_sf(hist, 0.01) == [smoke]
+    # drift vs same-scale floors only: 0.9s vs min(1.0, 0.9) is quiet,
+    # while the polluted floor (0.05) would have flagged ratio 18x
+    assert bench._drift_report(bench._history_at_sf(hist, 0.1), {"q": 0.95}) == []
+
+    # retention: appending 7 sf0.1 runs keeps 6 of them AND the smoke
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda _p: str(tmp_path / "bench.py")
+    )
+    h = hist
+    for i in range(7):
+        bench._append_history(h, {"q": 1.0 + i}, 10.0, 0.1)
+        import json as _json
+
+        with open(tmp_path / "BENCH_HISTORY.json") as f:
+            h = _json.load(f)
+    assert sum(1 for s in h if float(s.get("sf", 0.1)) == 0.1) == 6
+    assert sum(1 for s in h if float(s.get("sf", 0.1)) == 0.01) == 1
+
+
+def test_prev_timings_ignores_other_scale(tmp_path, monkeypatch):
+    import json as _json
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda _p: str(tmp_path / "bench.py")
+    )
+    with open(tmp_path / "BENCH_DETAIL.json", "w") as f:
+        _json.dump({"queries": {"q": 0.05}, "sf": 0.01}, f)
+    assert bench._prev_timings(0.1) == {}
+    assert bench._prev_timings(0.01) == {"q": 0.05}
