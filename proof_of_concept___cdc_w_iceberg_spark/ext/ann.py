@@ -106,11 +106,10 @@ KNN_DESCENT_SQL = f"""
 """
 
 
-def nnd_candidate_pairs(e, n_vecs: int):
-    """(src, dst) pair relation after one NN-Descent round: init edges
-    (cell kNN ∪ hash-bucket random graph, both directions) plus their
-    neighbor-of-neighbor closure — every pair the re-rank scores.
-    Bounded: ≤ (2·(K+R))² candidates per node by construction."""
+def _nnd_init_edges(e, n_vecs: int):
+    """Directed init edges for round 1: the cell-blocked kNN graph ∪
+    the deterministic hash-bucket exploration graph (the paper's
+    random initialization, rendered portable)."""
     b_cnt = max(1, math.ceil(n_vecs / NND_BUCKET))
 
     b = e.select(
@@ -148,10 +147,21 @@ def nnd_candidate_pairs(e, n_vecs: int):
         .select("src", "dst")
     )
 
-    e0 = cell_edges.unionByName(rnd_edges).distinct()
-    u = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return cell_edges.unionByName(rnd_edges).distinct()
+
+
+def _nnd_symmetrize(g):
+    """Undirected view of a directed edge set — the paper scans both
+    forward and reverse neighbor lists for candidates."""
+    return g.unionByName(
+        g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
+
+
+def _nnd_expand(u):
+    """One neighbor-of-neighbor closure over an undirected edge set:
+    (a,b),(b,c) -> candidate (a,c), plus the edges themselves — every
+    pair one refinement round scores."""
     u2 = u.select(F.col("src").alias("pivot"), F.col("dst").alias("c_dst"))
     cand = (
         u.join(u2, F.col("dst") == F.col("pivot"))
@@ -160,6 +170,79 @@ def nnd_candidate_pairs(e, n_vecs: int):
         .distinct()
     )
     return u.unionByName(cand).distinct()
+
+
+def _nnd_rerank(pairs, e):
+    """Score a (src, dst) pair relation once and keep the top-k per
+    source — the round's single re-rank, partitioned on the join's
+    own src keying (no extra Exchange beyond the window's)."""
+    ea = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("a_emb"),
+        F.col("sq").alias("a_sq"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sq").alias("b_sq"),
+    )
+    scored = (
+        pairs.join(ea, "src")
+        .join(eb, "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                _dot(F.col("a_emb"), F.col("b_emb"))
+                / F.sqrt(F.col("a_sq") * F.col("b_sq"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select(
+            "src", "dst", F.round("cosine", 6).alias("cosine"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def nnd_candidate_pairs(e, n_vecs: int):
+    """(src, dst) pair relation after one NN-Descent round: init edges
+    (cell kNN ∪ hash-bucket random graph, both directions) plus their
+    neighbor-of-neighbor closure — every pair the re-rank scores.
+    Bounded: ≤ (2·(K+R))² candidates per node by construction."""
+    return _nnd_expand(_nnd_symmetrize(_nnd_init_edges(e, n_vecs)))
+
+
+def nnd_rounds(e, n_vecs: int, rounds: int):
+    """ITERATED NN-Descent — the paper's actual loop (Dong et al.
+    2011 §2.2), not just one step: starting from the init graph,
+    each round symmetrizes the current top-k graph, closes it one
+    neighbor-of-neighbor hop, and re-ranks. Per-round recall vs the
+    exact graph is monotone non-decreasing — every src keeps its
+    current out-neighbors in the candidate pool, so a held exact
+    edge is displaced only by a strictly closer neighbor (law
+    property-tested in tests/test_r12_ops.py).
+
+    Scale shape: each round is the same bounded equi-join pipeline —
+    O(N·(K+R)²·d), linear in N — and intermediate graphs are
+    localCheckpointed (N·k rows, eager) so the lineage stays one
+    round deep however many rounds run: the IVM discipline, without
+    which the analyzer re-plans a 2^rounds plan tree. Returns the
+    final graph in q_knn_graph's (src, dst, cosine, rn) schema."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    g = _nnd_init_edges(e, n_vecs)
+    ranked = None
+    for i in range(rounds):
+        ranked = _nnd_rerank(_nnd_expand(_nnd_symmetrize(g)), e)
+        g = ranked.select("src", "dst")
+        if i < rounds - 1:
+            g = g.localCheckpoint(eager=True)
+    return ranked
 
 
 @query("q_knn_graph_descent", oracle=KNN_DESCENT_SQL)
@@ -175,24 +258,4 @@ def q_knn_graph_descent(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
     )
-    pairs = nnd_candidate_pairs(e, e.count())
-    ea = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("a_emb"), F.col("sq").alias("a_sq"))
-    eb = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("b_emb"), F.col("sq").alias("b_sq"))
-    scored = (
-        pairs.join(ea, "src")
-        .join(eb, "dst")
-        .select(
-            "src",
-            "dst",
-            (_dot(F.col("a_emb"), F.col("b_emb")) / F.sqrt(F.col("a_sq") * F.col("b_sq"))).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KNN_K)
-        .select(
-            "src", "dst", F.round("cosine", 6).alias("cosine"),
-            F.col("rn").cast("long").alias("rn"),
-        )
-    )
+    return nnd_rounds(e, e.count(), rounds=1)
