@@ -404,12 +404,33 @@ def _settle_gate() -> dict:
     }
 
 
+def _parse_sf(sf_dir: str) -> float:
+    """Scale factor for history keying — display metadata, not a knob.
+
+    Tolerates any SPARK_GRAFT_SF_DIR layout (r12 advice: a dir not
+    ending in sf<number>, e.g. /data/tpch_parquet, must not crash
+    startup). SPARK_GRAFT_SF overrides; else parse the dir's trailing
+    sf<number>; else warn and fall back to 0.1."""
+    try:
+        return float(
+            os.environ.get("SPARK_GRAFT_SF")
+            or sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        )
+    except ValueError:
+        print(
+            f"bench: cannot parse scale factor from {sf_dir!r}; "
+            "assuming sf=0.1 (set SPARK_GRAFT_SF to override)",
+            file=sys.stderr,
+        )
+        return 0.1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cache_state = _cache_state(sf_dir)
     cache_state["settle_gate"] = _settle_gate()
     cpu_start = _cpu_stat()
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    sf = _parse_sf(sf_dir)
     prev = _prev_timings(sf)
     history = _history_at_sf(_load_history(), sf)
     spark = get_spark("poc_cdc_bench")

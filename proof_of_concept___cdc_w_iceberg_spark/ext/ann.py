@@ -53,7 +53,40 @@ def _nnd_bucket_sql(vc: str) -> str:
     return _hex_u32_sql(f"md5('nnd|' || CAST(vec_id AS {vc}))")
 
 
-KNN_DESCENT_SQL = f"""
+def _knn_descent_sql(rounds: int) -> str:
+    """DuckDB oracle for ``nnd_rounds(e, n, rounds)`` — the loop
+    unrolled into one CTE chain per round: g0 is the init graph, and
+    round i symmetrizes g{i-1}, closes it one hop, and re-ranks to
+    g{i}. Each CTE mirrors its DataFrame stage 1:1 (_nnd_symmetrize /
+    _nnd_expand / _nnd_rerank), so the driver hash check replays the
+    paper's actual iteration, not just one step."""
+    one_round = """
+    u{i} AS (SELECT src, dst FROM g{p}
+             UNION SELECT dst AS src, src AS dst FROM g{p}),
+    cand{i} AS (
+        SELECT DISTINCT u1.src, u2.dst
+        FROM u{i} u1 JOIN u{i} u2 ON u1.dst = u2.src AND u1.src <> u2.dst
+    ),
+    pairs{i} AS (SELECT src, dst FROM u{i}
+                 UNION SELECT src, dst FROM cand{i}),
+    ranked{i} AS (
+        SELECT p.src, p.dst,
+               {dot} / sqrt(ea.sq * eb.sq) AS cosine,
+               row_number() OVER (
+                   PARTITION BY p.src
+                   ORDER BY {dot} / sqrt(ea.sq * eb.sq) DESC, p.dst) AS rn
+        FROM pairs{i} p
+        JOIN e ea ON ea.vec_id = p.src
+        JOIN e eb ON eb.vec_id = p.dst
+    ),
+    g{i} AS (SELECT src, dst FROM ranked{i} WHERE rn <= {k})"""
+    dot = DOT_SQL.format(a="ea.embedding", b="eb.embedding")
+    body = "".join(
+        ("," if i > 1 else "")
+        + one_round.format(i=i, p=i - 1 if i > 1 else 0, dot=dot, k=KNN_K)
+        for i in range(1, rounds + 1)
+    )
+    return f"""
     WITH e AS (
         SELECT vec_id, label, embedding,
                {SQNORM_SQL.format(a='embedding')} AS sq
@@ -81,29 +114,15 @@ KNN_DESCENT_SQL = f"""
         FROM rb a JOIN rb b ON a.rb = b.rb AND a.vec_id <> b.vec_id
     ),
     rnd_edges AS (SELECT src, dst FROM rnd_ranked WHERE rn <= {NND_R}),
-    e0 AS (SELECT src, dst FROM cell_edges
-           UNION SELECT src, dst FROM rnd_edges),
-    u AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
-    cand AS (
-        SELECT DISTINCT u1.src, u2.dst
-        FROM u u1 JOIN u u2 ON u1.dst = u2.src AND u1.src <> u2.dst
-    ),
-    pairs AS (SELECT src, dst FROM u UNION SELECT src, dst FROM cand),
-    ranked AS (
-        SELECT p.src, p.dst,
-               {DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
-                   / sqrt(ea.sq * eb.sq) AS cosine,
-               row_number() OVER (
-                   PARTITION BY p.src
-                   ORDER BY {DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
-                            / sqrt(ea.sq * eb.sq) DESC, p.dst) AS rn
-        FROM pairs p
-        JOIN e ea ON ea.vec_id = p.src
-        JOIN e eb ON eb.vec_id = p.dst
-    )
+    g0 AS (SELECT src, dst FROM cell_edges
+           UNION SELECT src, dst FROM rnd_edges),{body}
     SELECT src, dst, ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rn
-    FROM ranked WHERE rn <= {KNN_K}
+    FROM ranked{rounds} WHERE rn <= {KNN_K}
 """
+
+
+KNN_DESCENT_SQL = _knn_descent_sql(1)
+KNN_DESCENT2_SQL = _knn_descent_sql(2)
 
 
 def _nnd_init_edges(e, n_vecs: int):
@@ -225,7 +244,8 @@ def nnd_rounds(e, n_vecs: int, rounds: int):
     exact graph is monotone non-decreasing — every src keeps its
     current out-neighbors in the candidate pool, so a held exact
     edge is displaced only by a strictly closer neighbor (law
-    property-tested in tests/test_r12_ops.py).
+    property-tested across rounds 1..3, exercising the
+    localCheckpoint branch, in tests/test_r13_ops.py).
 
     Scale shape: each round is the same bounded equi-join pipeline —
     O(N·(K+R)²·d), linear in N — and intermediate graphs are
@@ -259,3 +279,21 @@ def q_knn_graph_descent(spark, sf_dir):
         "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
     )
     return nnd_rounds(e, e.count(), rounds=1)
+
+
+@query("q_knn_graph_descent2", oracle=KNN_DESCENT2_SQL)
+def q_knn_graph_descent2(spark, sf_dir):
+    """TWO NN-Descent refinement rounds — the iterated loop the paper
+    actually runs (Dong et al. 2011 §2.2), driver-hash-checked against
+    the 2-round unrolled oracle so the loop body (symmetrize the
+    round-1 TOP-K graph, not the init graph; re-close; re-rank) and
+    the localCheckpoint lineage cut between rounds are verified end to
+    end, not just the rounds=1 degenerate case. recall(2) >= recall(1)
+    vs the exact graph is asserted in tests/test_r13_ops.py. Scale
+    shape: identical per-round bounded equi-join pipeline as
+    q_knn_graph_descent — O(N·(K+R)²·d) per round, lineage held flat
+    by the eager checkpoint (N·k rows) between rounds."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    return nnd_rounds(e, e.count(), rounds=2)

@@ -21,7 +21,6 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import json
 import os
@@ -2212,17 +2211,26 @@ def substr_index_probe(spark, path: str, changed_grams):
     ``spark.sql.parquet.pushdown.inFilterThreshold`` (10) to a
     [min,max] range check, which skips nothing for scattered keys,
     and raising that conf here would leak a session-global setting
-    past the probe (r11 advice). An Or(Eq, Eq, ...) chain translates
-    key-exact at any probe size with no session state touched — same
-    row-group pruning, asserted via scan metrics in
-    tests/test_r11_ops.py."""
+    past the probe (r11 advice). Instead: OR together ``isin()``
+    chunks of <=10 keys — each chunk is below the threshold so it
+    translates to a key-exact parquet In, and the chunks combine in
+    a BALANCED Or tree (pairwise reduce), so Catalyst analyzes an
+    O(log n)-deep boolean expression rather than the O(n)-deep
+    left-fold that degrades analysis and risks JVM stack overflow on
+    thousand-key probes (r12 advice). Same row-group pruning,
+    asserted via scan metrics in tests/test_r11_ops.py."""
     keys = list(changed_grams)
     if not keys:
         return spark.read.parquet(path).filter(F.lit(False))
-    pred = functools.reduce(
-        lambda a, b: a | b, [F.col("gram") == k for k in keys]
-    )
-    return spark.read.parquet(path).filter(pred)
+    chunks = [
+        F.col("gram").isin(keys[i : i + 10]) for i in range(0, len(keys), 10)
+    ]
+    while len(chunks) > 1:  # pairwise reduce -> balanced Or tree
+        chunks = [
+            chunks[i] | chunks[i + 1] if i + 1 < len(chunks) else chunks[i]
+            for i in range(0, len(chunks), 2)
+        ]
+    return spark.read.parquet(path).filter(chunks[0])
 
 
 @query("q_dedup_substr_incremental", oracle=SUBSTR_INCR_SQL)

@@ -592,19 +592,22 @@ THETA_SKETCH_SQL = f"""
     ex_i AS (SELECT CAST(COUNT(*) AS BIGINT) AS v
              FROM a_keys JOIN b_keys USING (k)),
     ex_u AS (SELECT ex_a.v + ex_b.v - ex_i.v AS v FROM ex_a, ex_b, ex_i)
+    -- NULLIF: pin rel_err's 0/0 -> NULL contract (matching Spark
+    -- try_divide) independent of the DuckDB version's division
+    -- semantics (>=1.1 defaults to IEEE NaN for 0/0; r12 advice)
     SELECT 'distinct_a' AS measure, ROUND(est_a.est, 4) AS est,
            ex_a.v AS exact_v,
-           ROUND(ABS(est_a.est - ex_a.v) / ex_a.v, 4) AS rel_err
+           ROUND(ABS(est_a.est - ex_a.v) / NULLIF(ex_a.v, 0), 4) AS rel_err
     FROM est_a, ex_a
     UNION ALL
     SELECT 'distinct_b', ROUND(est_b.est, 4), ex_b.v,
-           ROUND(ABS(est_b.est - ex_b.v) / ex_b.v, 4) FROM est_b, ex_b
+           ROUND(ABS(est_b.est - ex_b.v) / NULLIF(ex_b.v, 0), 4) FROM est_b, ex_b
     UNION ALL
     SELECT 'union', ROUND(est_u.est, 4), ex_u.v,
-           ROUND(ABS(est_u.est - ex_u.v) / ex_u.v, 4) FROM est_u, ex_u
+           ROUND(ABS(est_u.est - ex_u.v) / NULLIF(ex_u.v, 0), 4) FROM est_u, ex_u
     UNION ALL
     SELECT 'intersection', ROUND(est_i.est, 4), ex_i.v,
-           ROUND(ABS(est_i.est - ex_i.v) / ex_i.v, 4) FROM est_i, ex_i
+           ROUND(ABS(est_i.est - ex_i.v) / NULLIF(ex_i.v, 0), 4) FROM est_i, ex_i
 """
 
 

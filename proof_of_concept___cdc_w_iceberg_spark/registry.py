@@ -126,6 +126,25 @@ _loaded = False
 # Guarded by tests/test_registry_order.py.
 _RISK_PREFIX_ORDER = ("q_cdc_", "q_stream_", "q_dedup_", "q_sim_", "q_join_", "q_tpch_")
 
+# Behavior-modified-since-last-check pins (r12 verdict): a green ledger
+# row earned by OLD code is not evidence about the current code. Map a
+# query name to the round its registered behavior last changed; any
+# ledger row from an EARLIER round is treated as "needs re-check"
+# (group 0) until the driver re-hashes it. Self-clearing: once a
+# CORRECTNESS_r{N}.json with N >= the pinned round lands, the normal
+# rolling order resumes — entries here never need manual removal, only
+# addition whenever a registered query's output or routing changes.
+_MODIFIED_IN_ROUND: dict[str, int] = {
+    # r12 touched these after their r11 green rows: theta's output
+    # contract (zero-count regime emits est=0), stream_sketch's
+    # batch-split predicates (open-ended first/last), and descent's
+    # routing (now through nnd_rounds). r13 re-touches theta
+    # (NULLIF oracle guard) and descent (shared 2-round plumbing).
+    "q_sketch_theta": 13,
+    "q_stream_sketch": 12,
+    "q_knn_graph_descent": 13,
+}
+
 
 def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -204,20 +223,27 @@ def _family_rank(name: str) -> int:
     return len(_RISK_PREFIX_ORDER)
 
 
-def check_order(names, oracle_names, ledger) -> list[str]:
+def check_order(names, oracle_names, ledger, modified=None) -> list[str]:
     """Pure ordering kernel (exposed for tests): see module comment.
 
     ``ledger`` maps name -> ``{"first", "last", "ok"}`` (from
     ``_driver_ledger``); a bare int value is accepted as shorthand for
-    a green row earned that round.
+    a green row earned that round. ``modified`` maps name -> round of
+    last behavior change (defaults to ``_MODIFIED_IN_ROUND``): a green
+    row OLDER than that round is stale evidence and re-fronts the
+    query exactly like a missing row.
     """
+    if modified is None:
+        modified = _MODIFIED_IN_ROUND
 
     def key(n: str):
         entry = ledger.get(n)
         if isinstance(entry, int):
             entry = {"first": entry, "last": entry, "ok": True}
-        if entry is None or not entry.get("ok", True):
-            # Never checked, or latest row failed: needs (re)verification.
+        stale = entry is not None and entry.get("last", 0) < modified.get(n, 0)
+        if entry is None or stale or not entry.get("ok", True):
+            # Never checked, checked before the last behavior change,
+            # or latest row failed: needs (re)verification.
             return (0 if n in oracle_names else 1, _family_rank(n), n)
         if n not in oracle_names:
             return (3, entry["last"], n)

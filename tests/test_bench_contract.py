@@ -244,3 +244,16 @@ def test_prev_timings_ignores_other_scale(tmp_path, monkeypatch):
         _json.dump({"queries": {"q": 0.05}, "sf": 0.01}, f)
     assert bench._prev_timings(0.1) == {}
     assert bench._prev_timings(0.01) == {"q": 0.05}
+
+
+def test_parse_sf_layouts(monkeypatch):
+    """r12 advice: arbitrary SPARK_GRAFT_SF_DIR layouts must not crash
+    startup — parse sf<number> suffixes, honor the SPARK_GRAFT_SF
+    override, and fall back to 0.1 with a warning otherwise."""
+    monkeypatch.delenv("SPARK_GRAFT_SF", raising=False)
+    assert bench._parse_sf("/root/testdata/sf0.1") == 0.1
+    assert bench._parse_sf("/root/testdata/sf0.01/") == 0.01
+    assert bench._parse_sf("/data/tpch_sf1_parquet") == 0.1  # fallback
+    assert bench._parse_sf("/data/no_marker_here") == 0.1    # fallback
+    monkeypatch.setenv("SPARK_GRAFT_SF", "2.5")
+    assert bench._parse_sf("/data/no_marker_here") == 2.5

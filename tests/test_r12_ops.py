@@ -1,6 +1,8 @@
-"""Round-12 additions: advice-fix regressions (theta 4-row contract in
-the zero-count regime) and the new ops (iterated NN-Descent, streaming
-theta maintenance)."""
+"""Round-12 advice-fix regression: the theta 4-row contract in the
+zero-count regime (disjoint streams must emit est=0, not drop the row).
+The iterated NN-Descent and streaming-theta tests the r12 plan promised
+live in tests/test_r13_ops.py (r12 verdict: this docstring claimed them
+before they existed — corrected)."""
 
 from __future__ import annotations
 

@@ -41,7 +41,11 @@ def _scan_artifacts() -> dict[int, dict]:
 
 def _needs_check(name: str, ledger: dict) -> bool:
     entry = ledger.get(name)
-    return entry is None or not entry["ok"]
+    if entry is None or not entry["ok"]:
+        return True
+    # r12 verdict: a green row earned BEFORE the query's last behavior
+    # change is stale evidence — the registry re-fronts it.
+    return entry["last"] < registry._MODIFIED_IN_ROUND.get(name, 0)
 
 
 def test_ledger_reads_artifacts() -> None:
@@ -147,9 +151,38 @@ def test_green_oracle_queries_stalest_first() -> None:
     green_rounds = [
         ledger[q]["last"]
         for q in qs
-        if q in oracles and q in ledger and ledger[q]["ok"]
+        if q in oracles and q in ledger and not _needs_check(q, ledger)
     ]
     assert green_rounds == sorted(green_rounds)
+
+
+def test_modified_since_check_refronts() -> None:
+    """A green row earned before the query's last behavior change must
+    re-front it (r12 verdict item 1): the three r12-modified queries
+    sort into the driver window until a newer CORRECTNESS row lands,
+    then drop back into the rolling order automatically."""
+    # Synthetic kernel check: modified round > last green round → group
+    # 0; a re-check at/after the modified round clears the pin.
+    names = ["a_modified", "b_green", "c_recleared"]
+    ledger = {
+        "a_modified": {"first": 5, "last": 11, "ok": True},
+        "b_green": {"first": 5, "last": 10, "ok": True},
+        "c_recleared": {"first": 5, "last": 13, "ok": True},
+    }
+    modified = {"a_modified": 12, "c_recleared": 12}
+    got = registry.check_order(names, set(names), ledger, modified=modified)
+    assert got == ["a_modified", "b_green", "c_recleared"]
+    # Live: every pinned query whose latest row predates its pin round
+    # must hold a front-window slot right now.
+    qs = list(registry.queries())
+    live_ledger = registry._driver_ledger(_REPO)
+    for name, rnd in registry._MODIFIED_IN_ROUND.items():
+        entry = live_ledger.get(name)
+        if entry is not None and entry["ok"] and entry["last"] >= rnd:
+            continue  # pin already cleared by a newer driver row
+        assert name in qs[:DRIVER_WINDOW], (
+            f"behavior-modified {name} (pinned r{rnd}) missing from window"
+        )
 
 
 def test_needy_risk_families_first() -> None:
