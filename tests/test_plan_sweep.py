@@ -80,6 +80,8 @@ NESTED_LOOP_OK = {
     "the bounded k-row sample on a computed rank (theta by construction)",
     "q_sketch_theta": "1-row threshold/exact-stat broadcasts into the "
     "bounded k-row sketch relations — the set algebra runs on <=k rows",
+    "q_stream_theta": "same theta_readout tail as q_sketch_theta (1-row "
+    "threshold/exact-stat broadcasts over <=k-row maintained sketches)",
     "q_stream_sketch": "3-row quantile-target spine broadcast joined to "
     "the bounded k-row sketch state on a computed rank",
     "q_sketch_quantile_grouped": "2-row quantile-target spine broadcast "

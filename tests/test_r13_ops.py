@@ -126,3 +126,68 @@ def test_knn_graph_descent2_matches_oracle(spark, sf_dir, duck):
     for g, w in zip(got, want):
         assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (g, w)
         assert g[2] == pytest.approx(w[2], abs=1e-9), (g, w)
+
+
+# --- streaming theta maintenance ---------------------------------------
+
+
+def test_stream_theta_live_readstream_twin(spark, sf_dir):
+    """q_stream_theta's docstring contract: the SAME per-batch state
+    transition (theta_stream_apply) under a real readStream +
+    foreachBatch ends with both year-sketches identical to the
+    one-shot builds — union-on-sketches as live streaming state."""
+    import shutil
+    import tempfile
+
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        _theta_sketch,
+        theta_order_stream,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.queries import (
+        theta_stream_apply,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    src = tempfile.mkdtemp(prefix="stream_theta_")
+    try:
+        o.withColumn("_b", (F.col("o_orderkey") % 3).cast("int")).write.partitionBy(
+            "_b"
+        ).mode("overwrite").parquet(src)
+        stream = (
+            # schema from the written files (fixture stamps are INT96
+            # timestamps, not dates — hardcoding `date` fails the scan)
+            spark.readStream.schema(spark.read.parquet(src + "/_b=*").schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src + "/_b=*")
+        )
+        empty = o.select(
+            F.md5(F.col("o_custkey").cast("string")).alias("h")
+        ).limit(0)
+        holder = {"a": empty, "b": empty, "batches": 0}
+
+        def step(batch_df, _bid):
+            holder["a"], holder["b"] = theta_stream_apply(
+                holder["a"], holder["b"], batch_df
+            )
+            holder["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", src + "_ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        assert holder["batches"] >= 2, "stream collapsed to one micro-batch"
+        for year, state in ((1995, holder["a"]), (1996, holder["b"])):
+            _, h = theta_order_stream(o, year)
+            want = sorted(r["h"] for r in _theta_sketch(h).collect())
+            got = sorted(r["h"] for r in state.collect())
+            assert got == want, year
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(src + "_ckpt", ignore_errors=True)
+    spark.catalog.clearCache()
