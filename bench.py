@@ -181,6 +181,16 @@ BENCH_QUERIES = [
     "q_stream_sketch",
     # r11: per-group quantile sketch (single-Exchange windowed form).
     "q_sketch_quantile_grouped",
+    # r13: the iterated NN-Descent loop (rounds=2 — two bounded
+    # closure+re-rank pipelines with a lineage cut between them) and
+    # streaming theta maintenance (KMV merge law per micro-batch).
+    "q_knn_graph_descent2",
+    "q_stream_theta",
+    # r13: the rest of the streaming sketch-maintenance column
+    # (cell-sum / register-max / position-union monoids per batch).
+    "q_stream_cms",
+    "q_stream_hll",
+    "q_stream_bloom",
 ]
 
 

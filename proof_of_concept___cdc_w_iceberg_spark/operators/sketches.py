@@ -63,9 +63,7 @@ def _bloom_pos_sql(i: int, key: str, vc: str = "VARCHAR") -> str:
     return f"({_hex_slice_sql(h, 4 * i + 1, 4)} % {BLOOM_M})"
 
 
-@query(
-    "q_join_bloom",
-    oracle=f"""
+BLOOM_JOIN_SQL = f"""
         WITH dim AS (
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         ),
@@ -89,8 +87,39 @@ def _bloom_pos_sql(i: int, key: str, vc: str = "VARCHAR") -> str:
                CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM survived o JOIN dim d ON o.o_custkey = d.c_custkey
         GROUP BY o.o_orderpriority
-    """,
-)
+"""
+
+
+def bloom_positions(dim, key: str):
+    """Occupied-position relation (pos) of the m-bit Bloom set over a
+    dimension key column — ≤ m distinct rows however many keys
+    qualify; SET-UNION-mergeable (a Bloom bitset merges by OR), which
+    is what the streaming twin exploits."""
+    bloom = None
+    for i in range(BLOOM_K):
+        part = dim.select(F.expr(_bloom_pos_sql(i, key, "STRING")).alias("pos"))
+        bloom = part if bloom is None else bloom.unionByName(part)
+    return bloom.distinct()  # ≤ m rows: constant-size broadcast
+
+
+def bloom_reduce_join(o, dim, bloom):
+    """Fact reduction through the occupied-position relation (k
+    broadcast semi-joins) followed by the exact join that removes
+    false positives, aggregated to the per-priority report. Shared by
+    the one-shot build and the streaming-maintenance twin."""
+    survived = o
+    for i in range(BLOOM_K):
+        survived = survived.withColumn("_p", F.expr(_bloom_pos_sql(i, "o_custkey", "STRING"))).join(
+            F.broadcast(bloom), F.col("_p") == F.col("pos"), "left_semi"
+        ).drop("_p")
+    return (
+        survived.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("sum_price"))
+    )
+
+
+@query("q_join_bloom", oracle=BLOOM_JOIN_SQL)
 def q_join_bloom(spark, sf_dir):
     """Bloom-filter semi-join reduction (runtime-filter shape).
 
@@ -110,27 +139,7 @@ def q_join_bloom(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-
-    def pos(i: int, key: str):
-        return F.expr(_bloom_pos_sql(i, key, "STRING")).alias("pos")
-
-    bloom = None
-    for i in range(BLOOM_K):
-        part = dim.select(pos(i, "c_custkey"))
-        bloom = part if bloom is None else bloom.unionByName(part)
-    bloom = bloom.distinct()  # ≤ m rows: constant-size broadcast
-
-    survived = o
-    for i in range(BLOOM_K):
-        survived = survived.withColumn("_p", F.expr(_bloom_pos_sql(i, "o_custkey", "STRING"))).join(
-            F.broadcast(bloom), F.col("_p") == F.col("pos"), "left_semi"
-        ).drop("_p")
-
-    return (
-        survived.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("sum_price"))
-    )
+    return bloom_reduce_join(o, dim, bloom_positions(dim, "c_custkey"))
 
 
 CMS_DEPTH = 4
@@ -145,9 +154,7 @@ def _cms_cell_sql(row: int, key: str, vc: str = "VARCHAR") -> str:
     return _hex_slice_sql(h, 2 * row + 1, 2)
 
 
-@query(
-    "q_sketch_cms",
-    oracle=f"""
+CMS_SKETCH_SQL = f"""
         WITH stream AS (SELECT l_suppkey AS k FROM lineitem),
         cells AS (
             {' UNION ALL '.join(
@@ -173,8 +180,47 @@ def _cms_cell_sql(row: int, key: str, vc: str = "VARCHAR") -> str:
             FROM est
         )
         SELECT k, est_cnt, exact_cnt FROM ranked WHERE rn <= {CMS_TOPN}
-    """,
-)
+"""
+
+
+def cms_cell_exprs():
+    """The d per-key (row, cell) coordinate expressions."""
+    return [F.expr(_cms_cell_sql(r, "k", "STRING")) for r in range(CMS_DEPTH)]
+
+
+def cms_sketch(li):
+    """depth×width count grid over a (k) stream — ≤ d·w rows, built in
+    one map-combinable pass; cell-wise SUM-mergeable (counts are a
+    monoid), which is what the streaming twin exploits."""
+    return (
+        li.select(F.posexplode(F.array(*cms_cell_exprs())).alias("r", "c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_topk(sketch, keys):
+    """Heavy-hitter read-out: probe each candidate key's d cells with
+    ONE broadcast (r, c) equi-join against the ≤ d·w-row sketch, min
+    per key, fully-ordered top-N. Shared by the one-shot build and the
+    streaming-maintenance twin."""
+    probe = keys.select(
+        "k", "exact_cnt", F.posexplode(F.array(*cms_cell_exprs())).alias("r", "c")
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["r", "c"], "inner")
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("cnt").alias("min_cnt"))
+        .select(
+            "k",
+            F.col("min_cnt").cast("long").alias("est_cnt"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        )
+    )
+    return est.orderBy(F.col("est_cnt").desc(), F.col("k")).limit(CMS_TOPN)
+
+
+@query("q_sketch_cms", oracle=CMS_SKETCH_SQL)
 def q_sketch_cms(spark, sf_dir):
     """Count-min-sketch heavy hitters over the lineitem supplier stream.
 
@@ -199,31 +245,10 @@ def q_sketch_cms(spark, sf_dir):
     li = parallel(
         load(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
     )
-
-    cell_exprs = [F.expr(_cms_cell_sql(r, "k", "STRING")) for r in range(CMS_DEPTH)]
-    sketch = (
-        li.select(F.posexplode(F.array(*cell_exprs)).alias("r", "c"))
-        .groupBy("r", "c")
-        .agg(F.count("*").alias("cnt"))
-    )
-
     keys = li.groupBy("k").agg(F.count("*").alias("exact_cnt"))
-    probe = keys.select(
-        "k", "exact_cnt", F.posexplode(F.array(*cell_exprs)).alias("r", "c")
-    )
-    est = (
-        probe.join(F.broadcast(sketch), ["r", "c"], "inner")
-        .groupBy("k", "exact_cnt")
-        .agg(F.min("cnt").alias("min_cnt"))
-        .select(
-            "k",
-            F.col("min_cnt").cast("long").alias("est_cnt"),
-            F.col("exact_cnt").cast("long").alias("exact_cnt"),
-        )
-    )
     # Fully-ordered top-N with a key tiebreaker -> TakeOrderedAndProject
     # (per-partition heads merged on the driver, no single-task sort).
-    return est.orderBy(F.col("est_cnt").desc(), F.col("k")).limit(CMS_TOPN)
+    return cms_topk(cms_sketch(li), keys)
 
 
 HLL_B = 8                 # 2^8 = 256 registers
@@ -281,10 +306,45 @@ def _hll_oracle(stream_sql: str, key: str) -> str:
     """
 
 
-@query(
-    "q_sketch_hll",
-    oracle=_hll_oracle("SELECT o_orderkey AS k FROM orders", "k"),
-)
+HLL_SKETCH_SQL = _hll_oracle("SELECT o_orderkey AS k FROM orders", "k")
+
+
+def hll_regs(df_k):
+    """Sparse register relation (j, m) over a (k) stream — ≤ 2^B rows,
+    one map-combined MAX aggregate; register-wise MAX-mergeable (max
+    is a monoid), which is what the streaming twin exploits."""
+    bucket, rho = _hll_fields_sql("k", "STRING")
+    return (
+        df_k.select(F.expr(bucket).alias("j"), F.expr(rho).alias("r"))
+        .groupBy("j")
+        .agg(F.max("r").alias("m"))
+    )
+
+
+def hll_readout(spark, regs, exact_src):
+    """(n_exact, est, rel_err) from a register relation plus the exact
+    stream for the in-band error column. Shared by the one-shot build
+    and the streaming-maintenance twin — identical harmonic-mean
+    arithmetic (DECIMAL(38,30)-exact 2^-m sum) either way."""
+    spine = spark.range(HLL_M).select(F.col("id").alias("j"))
+    full_regs = spine.join(F.broadcast(regs), "j", "left").select(
+        "j", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    z = full_regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m")).cast("decimal(38,30)"))
+        .cast("double")
+        .alias("isum")
+    )
+    exact = exact_src.agg(F.countDistinct("k").alias("n_exact"))
+    est = F.expr(_HLL_ALPHA) * HLL_M * HLL_M / F.col("isum")
+    return exact.crossJoin(F.broadcast(z)).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(est, 4).alias("est"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
+    )
+
+
+@query("q_sketch_hll", oracle=HLL_SKETCH_SQL)
 def q_sketch_hll(spark, sf_dir):
     """Portable HyperLogLog distinct-count — built from first
     principles so the sketch itself is cross-engine exact (unlike
@@ -305,28 +365,7 @@ def q_sketch_hll(spark, sf_dir):
     # the raw-estimate regime (n >= 2.5m; below that, production HLLs
     # switch to linear counting -- out of scope for the portability demo)
     o = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
-    bucket, rho = _hll_fields_sql("k", "STRING")
-    regs = (
-        o.select(F.expr(bucket).alias("j"), F.expr(rho).alias("r"))
-        .groupBy("j")
-        .agg(F.max("r").alias("m"))
-    )
-    spine = spark.range(HLL_M).select(F.col("id").alias("j"))
-    full_regs = spine.join(F.broadcast(regs), "j", "left").select(
-        "j", F.coalesce("m", F.lit(0)).alias("m")
-    )
-    z = full_regs.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("m")).cast("decimal(38,30)"))
-        .cast("double")
-        .alias("isum")
-    )
-    exact = o.agg(F.countDistinct("k").alias("n_exact"))
-    est = F.expr(_HLL_ALPHA) * HLL_M * HLL_M / F.col("isum")
-    return exact.crossJoin(F.broadcast(z)).select(
-        F.col("n_exact").cast("long").alias("n_exact"),
-        F.round(est, 4).alias("est"),
-        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_err"),
-    )
+    return hll_readout(spark, hll_regs(o), o)
 
 
 # --- mergeable quantile sketch (bottom-k hash sample) ----------------

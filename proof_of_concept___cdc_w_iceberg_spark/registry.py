@@ -143,6 +143,12 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "q_sketch_theta": 13,
     "q_stream_sketch": 12,
     "q_knn_graph_descent": 13,
+    # r13 routed these through shared build/read-out helpers so the
+    # new streaming twins reuse them (plan-identical refactor, but the
+    # honest policy is: routing changed -> re-earn the hash).
+    "q_sketch_cms": 13,
+    "q_sketch_hll": 13,
+    "q_join_bloom": 13,
 }
 
 

@@ -670,3 +670,151 @@ def q_stream_theta(spark, sf_dir):
     a_keys, _ = theta_order_stream(o, 1995)
     b_keys, _ = theta_order_stream(o, 1996)
     return theta_readout(state_a, state_b, a_keys, b_keys)
+
+
+# --- streaming CMS / HLL / Bloom maintenance (r13) ---------------------
+#
+# Completes the streaming column of the sketch matrix: every mergeable
+# sketch in operators/sketches.py now has a maintenance twin whose
+# registered oracle is the ONE-SHOT build, so each driver hash check
+# proves that sketch's apply == rebuild law end to end:
+#
+#   quantile  q_stream_sketch  state' = bottom_k(state ∪ bottom_k(b))
+#   theta     q_stream_theta   state' = bottom_k_distinct(state ∪ sk(b))
+#   frequency q_stream_cms     state' = cell-wise SUM(state ∪ grid(b))
+#   cardinality q_stream_hll   state' = register-wise MAX(state ∪ regs(b))
+#   membership q_stream_bloom  state' = set-UNION(state ∪ positions(b))
+#
+# Each transition is the sketch's monoid applied as a foreachBatch
+# step over bounded state (≤ d·w / 2^B / m rows), localCheckpointed
+# per batch so lineage stays flat at any batch count. exact_* columns
+# in the read-outs are the in-band audit, computed one-shot from the
+# full stream (verification, not maintained state).
+
+
+from ..operators.sketches import (  # noqa: E402 — section-local, no cycle
+    BLOOM_JOIN_SQL,
+    CMS_SKETCH_SQL,
+    HLL_SKETCH_SQL,
+)
+
+
+def cms_stream_apply(state, batch_k):
+    """state' = cell-wise sum of the grid so far and the batch's grid
+    — counts are a monoid, so the merged grid equals the one-shot
+    grid over the concatenated stream."""
+    from ..operators.sketches import cms_sketch
+
+    merged = (
+        state.unionByName(cms_sketch(batch_k))
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return merged.localCheckpoint(eager=True)
+
+
+@query("q_stream_cms", oracle=CMS_SKETCH_SQL)
+def q_stream_cms(spark, sf_dir):
+    """Streaming count-min maintenance: the lineitem supplier stream
+    arrives as three micro-batches (open-ended l_orderkey splits);
+    per batch the ≤ d·w-row grid advances via cms_stream_apply. The
+    oracle is the ONE-SHOT q_sketch_cms build, so the hash check
+    proves the cell-sum merge law end to end; read-out is the shared
+    cms_topk probe. Live readStream twin: tests/test_r13_ops.py."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_orderkey"
+    )
+    state = (
+        li.select(F.lit(0).alias("r"), F.lit(0).cast("bigint").alias("c"))
+        .limit(0)
+        .select("r", "c", F.lit(0).cast("bigint").alias("cnt"))
+    )
+    for cond in (
+        F.col("l_orderkey") <= 20_000,
+        F.col("l_orderkey").between(20_001, 40_000),
+        F.col("l_orderkey") >= 40_001,
+    ):
+        state = cms_stream_apply(state, li.filter(cond).select("k"))
+
+    from ..operators.sketches import cms_topk
+
+    keys = li.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+    return cms_topk(state, keys)
+
+
+def hll_stream_apply(state, batch_k):
+    """state' = register-wise max of the registers so far and the
+    batch's registers — max is a monoid, so the merged relation
+    equals the one-shot registers over the concatenated stream."""
+    from ..operators.sketches import hll_regs
+
+    merged = (
+        state.unionByName(hll_regs(batch_k))
+        .groupBy("j")
+        .agg(F.max("m").alias("m"))
+    )
+    return merged.localCheckpoint(eager=True)
+
+
+@query("q_stream_hll", oracle=HLL_SKETCH_SQL)
+def q_stream_hll(spark, sf_dir):
+    """Streaming HyperLogLog maintenance: the orders key stream
+    arrives as three micro-batches; per batch the ≤ 2^B-row register
+    relation advances via hll_stream_apply. Oracle = the ONE-SHOT
+    q_sketch_hll build — the hash check proves the register-max merge
+    law end to end; read-out is the shared hll_readout (identical
+    DECIMAL(38,30) harmonic-mean arithmetic). Live readStream twin:
+    tests/test_r13_ops.py."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    state = o.select(
+        F.lit(0).cast("bigint").alias("j"), F.lit(0).cast("int").alias("m")
+    ).limit(0)
+    for cond in (
+        F.col("k") <= 20_000,
+        F.col("k").between(20_001, 40_000),
+        F.col("k") >= 40_001,
+    ):
+        state = hll_stream_apply(state, o.filter(cond))
+
+    from ..operators.sketches import hll_readout
+
+    return hll_readout(spark, state, o)
+
+
+def bloom_stream_apply(state, batch_dim, key: str):
+    """state' = set union of the occupied positions so far and the
+    batch's positions — a Bloom bitset merges by OR, rendered as
+    distinct-union on the ≤ m-row position relation."""
+    from ..operators.sketches import bloom_positions
+
+    merged = state.unionByName(bloom_positions(batch_dim, key)).distinct()
+    return merged.localCheckpoint(eager=True)
+
+
+@query("q_stream_bloom", oracle=BLOOM_JOIN_SQL)
+def q_stream_bloom(spark, sf_dir):
+    """Streaming Bloom runtime-filter maintenance: the qualifying
+    dimension (BUILDING customers) arrives as three micro-batches —
+    the dimension-side pattern of a long-running pipeline whose
+    runtime filter must stay current as the dim table grows. Per
+    batch the ≤ m-row occupied-position relation advances via
+    bloom_stream_apply; oracle = the ONE-SHOT q_join_bloom build, so
+    the hash check proves the bitset OR-merge law end to end through
+    the full reduce-then-exact-join read-out. Live readStream twin:
+    tests/test_r13_ops.py."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    state = spark.range(0).select(F.col("id").cast("bigint").alias("pos"))
+    for cond in (
+        F.col("c_custkey") <= 500,
+        F.col("c_custkey").between(501, 1000),
+        F.col("c_custkey") >= 1001,
+    ):
+        state = bloom_stream_apply(state, dim.filter(cond), "c_custkey")
+
+    from ..operators.sketches import bloom_reduce_join
+
+    return bloom_reduce_join(o, dim, state)

@@ -74,6 +74,9 @@ NESTED_LOOP_OK = {
     "dup total, snapshot count)",
     "q_sketch_hll": "1-row harmonic-sum broadcast into the estimate; the "
     "register spine join is a 256-row broadcast",
+    "q_stream_hll": "same hll_readout tail as q_sketch_hll (1-row "
+    "harmonic-sum broadcast; 256-row register spine) over maintained "
+    "registers",
     "q_funnel_latency": "1-row viewer-count broadcast into the summary "
     "(replaced the eager .count() so the plan stays lazy)",
     "q_sketch_quantile": "5-row quantile-target spine broadcast joined to "

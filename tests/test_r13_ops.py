@@ -1,7 +1,8 @@
 """Round-13 additions: the iterated NN-Descent property test its r12
 docstring promised (recall monotone over rounds, localCheckpoint branch
-exercised), the registered 2-round descent query, streaming theta-sketch
-maintenance (apply == rebuild), and the chunked-isin probe regression.
+exercised), the registered 2-round descent query, the streaming
+sketch-maintenance column (theta/CMS/HLL/Bloom apply == rebuild, each
+with a live readStream twin), and the chunked-isin probe regression.
 """
 
 from __future__ import annotations
@@ -187,6 +188,92 @@ def test_stream_theta_live_readstream_twin(spark, sf_dir):
             want = sorted(r["h"] for r in _theta_sketch(h).collect())
             got = sorted(r["h"] for r in state.collect())
             assert got == want, year
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(src + "_ckpt", ignore_errors=True)
+    spark.catalog.clearCache()
+
+
+# --- streaming CMS / HLL / Bloom maintenance ---------------------------
+
+
+@pytest.mark.parametrize("which", ["cms", "hll", "bloom"])
+def test_stream_sketch_family_live_readstream_twins(spark, sf_dir, which):
+    """The r13 maintenance twins' docstring contract: each sketch's
+    monoid transition (cell-sum / register-max / position-union) under
+    a real readStream + foreachBatch ends with state identical to the
+    one-shot build over the whole stream."""
+    import shutil
+    import tempfile
+
+    from proof_of_concept___cdc_w_iceberg_spark.operators import sketches as sk
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+    from proof_of_concept___cdc_w_iceberg_spark.streaming import queries as sq
+
+    if which == "cms":
+        src_df = load(spark, sf_dir, "lineitem").select(
+            F.col("l_suppkey").alias("k"), F.col("l_orderkey").alias("bkey")
+        )
+        init = lambda: (
+            src_df.select(
+                F.lit(0).alias("r"),
+                F.lit(0).cast("bigint").alias("c"),
+                F.lit(0).cast("bigint").alias("cnt"),
+            ).limit(0)
+        )
+        apply_fn = lambda st, b: sq.cms_stream_apply(st, b.select("k"))
+        one_shot = lambda: sk.cms_sketch(src_df.select("k"))
+        key_cols = ("r", "c", "cnt")
+    elif which == "hll":
+        src_df = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"), F.col("o_orderkey").alias("bkey")
+        )
+        init = lambda: src_df.select(
+            F.lit(0).cast("bigint").alias("j"), F.lit(0).cast("int").alias("m")
+        ).limit(0)
+        apply_fn = lambda st, b: sq.hll_stream_apply(st, b.select("k"))
+        one_shot = lambda: sk.hll_regs(src_df.select("k"))
+        key_cols = ("j", "m")
+    else:
+        src_df = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey", F.col("c_custkey").alias("bkey"))
+        )
+        init = lambda: spark.range(0).select(F.col("id").cast("bigint").alias("pos"))
+        apply_fn = lambda st, b: sq.bloom_stream_apply(
+            st, b.select("c_custkey"), "c_custkey"
+        )
+        one_shot = lambda: sk.bloom_positions(src_df, "c_custkey")
+        key_cols = ("pos",)
+
+    src = tempfile.mkdtemp(prefix=f"stream_{which}_")
+    try:
+        src_df.withColumn("_b", (F.col("bkey") % 3).cast("int")).drop(
+            "bkey"
+        ).write.partitionBy("_b").mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src + "/_b=*").schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src + "/_b=*")
+        )
+        holder = {"state": init(), "batches": 0}
+
+        def step(batch_df, _bid):
+            holder["state"] = apply_fn(holder["state"], batch_df)
+            holder["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", src + "_ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        assert holder["batches"] >= 2, "stream collapsed to one micro-batch"
+        got = sorted(tuple(r[c] for c in key_cols) for r in holder["state"].collect())
+        want = sorted(tuple(r[c] for c in key_cols) for r in one_shot().collect())
+        assert got == want
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(src + "_ckpt", ignore_errors=True)
