@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "q_stream_cms",
     "q_stream_hll",
     "q_stream_bloom",
+    # r13: HLL rollup — per-bucket sketches max-merged to the total
+    # (sketch-as-materialized-aggregate; exact-integer harmonic sum).
+    "q_sketch_hll_rollup",
 ]
 
 

@@ -368,6 +368,149 @@ def q_sketch_hll(spark, sf_dir):
     return hll_readout(spark, hll_regs(o), o)
 
 
+# Rollup arithmetic: the grouped read-out exposed two 1-ulp cross-
+# engine hazards the one-shot query dodges by luck — (a) DuckDB's
+# DECIMAL(38,30)->DOUBLE cast lands 1 ulp under the exactly-
+# representable harmonic sum (42.0849609375 for the 1995 bucket at
+# sf0.01), and (b) Spark parses the bare alpha literals as DECIMAL,
+# folding a slightly different constant than DuckDB. So the rollup
+# computes the harmonic sum as an EXACT INTEGER (sum of 2^(25-m),
+# <= 256*2^25 = 2^33 << 2^53) divided by 2^25 — every step exact in
+# both engines — and types every alpha literal DOUBLE explicitly.
+_HLL_SHIFT = HLL_VBITS + 1  # max rho
+_HLL_ALPHA_D = (
+    f"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+    f" + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE)))"
+)
+
+
+def _hll_rollup_oracle() -> str:
+    bucket, rho = _hll_fields_sql("k", "VARCHAR")
+    return f"""
+        WITH stream AS (
+            SELECT CAST(YEAR(o_orderdate) AS VARCHAR) AS g,
+                   o_custkey AS k
+            FROM orders
+        ),
+        leaf AS (
+            SELECT g, {bucket} AS j, MAX({rho}) AS m
+            FROM stream GROUP BY 1, 2
+        ),
+        regs AS (
+            SELECT g, j, m FROM leaf
+            UNION ALL
+            SELECT 'total' AS g, j, MAX(m) AS m FROM leaf GROUP BY j
+        ),
+        grps AS (SELECT DISTINCT g FROM regs),
+        spine AS (
+            SELECT grps.g, CAST(t.range AS BIGINT) AS j
+            FROM grps, range({HLL_M}) t
+        ),
+        full_regs AS (
+            SELECT s.g, s.j, COALESCE(r.m, 0) AS m
+            FROM spine s LEFT JOIN regs r ON r.g = s.g AND r.j = s.j
+        ),
+        z AS (
+            SELECT g,
+                   CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_SHIFT} - m))
+                        AS DOUBLE)
+                       / CAST({1 << _HLL_SHIFT} AS DOUBLE) AS isum
+            FROM full_regs GROUP BY g
+        ),
+        exact AS (
+            SELECT g, COUNT(DISTINCT k) AS n_exact FROM stream GROUP BY g
+            UNION ALL
+            SELECT 'total' AS g, COUNT(DISTINCT k) AS n_exact FROM stream
+        )
+        -- FLOOR(x*1e4 + 0.5)/1e4, not ROUND: both engines then round
+        -- through the IDENTICAL float chain, immune to the half-up /
+        -- half-even divergence a ROUND tie exposes (the 1995 bucket's
+        -- est lands exactly on a 4th-decimal tie at sf0.01)
+        SELECT e.g AS bucket, CAST(e.n_exact AS BIGINT) AS n_exact,
+               FLOOR({_HLL_ALPHA_D} * CAST({HLL_M * HLL_M} AS DOUBLE)
+                     / z.isum * 10000 + 0.5) / 10000.0 AS est,
+               FLOOR(ABS({_HLL_ALPHA_D} * CAST({HLL_M * HLL_M} AS DOUBLE)
+                         / z.isum - e.n_exact) / e.n_exact * 10000 + 0.5)
+                   / 10000.0 AS rel_err
+        FROM exact e JOIN z ON z.g = e.g
+    """
+
+
+@query("q_sketch_hll_rollup", oracle=_hll_rollup_oracle())
+def q_sketch_hll_rollup(spark, sf_dir):
+    """HLL rollup — the sketch-as-materialized-aggregate pattern: one
+    register relation PER TIME BUCKET (distinct customers per order
+    year), plus the 'total' row obtained by MERGING the leaf sketches
+    (register-wise max), never re-scanning the stream. This is how a
+    100 TB pipeline serves "distinct users per day AND per month AND
+    all-time" from one daily sketch table: the leaf build is the only
+    stream scan; every coarser granularity is a ≤ 2^B-row-per-bucket
+    max-merge. The exact counts ride along in-band, so the driver
+    hash check proves BOTH the per-bucket estimates and that the
+    merged total equals a from-scratch total build (merge law at the
+    rollup grain — the batch complement of q_stream_hll's law over
+    micro-batches).
+
+    Plan shape: one scan → one map-combined groupBy(g, j) MAX (the
+    leaves), a second ≤ |g|·2^B-row MAX for the total, then the
+    per-group exact-integer harmonic read-out (Σ 2^(25−m) as BIGINT ÷
+    2^25 — every arithmetic step exact and engine-identical; see the
+    comment above _HLL_ALPHA_D) over a broadcast group×register spine
+    — every post-leaf relation is bounded by buckets × registers,
+    independent of stream size. Error-budget caveat as q_sketch_hll:
+    the raw estimator needs n ≥ 2.5·m per bucket; the sf0.001 fixture
+    (150 customers) sits below it, sf0.01+ is in-regime."""
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("string").alias("g"),
+        F.col("o_custkey").alias("k"),
+    )
+    bucket, rho = _hll_fields_sql("k", "STRING")
+    leaf = (
+        o.select("g", F.expr(bucket).alias("j"), F.expr(rho).alias("r"))
+        .groupBy("g", "j")
+        .agg(F.max("r").alias("m"))
+    )
+    regs = leaf.unionByName(
+        leaf.groupBy("j").agg(F.max("m").alias("m")).select(
+            F.lit("total").alias("g"), "j", "m"
+        )
+    )
+    grps = regs.select("g").distinct()
+    spine = grps.crossJoin(
+        F.broadcast(spark.range(HLL_M).select(F.col("id").alias("j")))
+    )
+    full_regs = spine.join(regs, ["g", "j"], "left").select(
+        "g", "j", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    z = full_regs.groupBy("g").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_SHIFT} - m)"))
+            .cast("double")
+            / F.lit(float(1 << _HLL_SHIFT))
+        ).alias("isum")
+    )
+    exact = (
+        o.groupBy("g").agg(F.countDistinct("k").alias("n_exact"))
+        .unionByName(
+            o.agg(F.countDistinct("k").alias("n_exact")).select(
+                F.lit("total").alias("g"), "n_exact"
+            )
+        )
+    )
+    est = F.expr(_HLL_ALPHA_D) * F.lit(float(HLL_M * HLL_M)) / F.col("isum")
+    # floor(x*1e4 + 0.5)/1e4, not F.round: identical float chain in
+    # both engines (see the oracle's comment on the 1995-bucket tie)
+    def r4(c):
+        return F.floor(c * 10000 + 0.5) / 10000.0
+
+    return exact.join(F.broadcast(z), "g").select(
+        F.col("g").alias("bucket"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        r4(est).alias("est"),
+        r4(F.abs(est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+    )
+
+
 # --- mergeable quantile sketch (bottom-k hash sample) ----------------
 #
 # Completes the sketch column next to membership (bloom), frequency

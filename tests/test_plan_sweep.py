@@ -77,6 +77,10 @@ NESTED_LOOP_OK = {
     "q_stream_hll": "same hll_readout tail as q_sketch_hll (1-row "
     "harmonic-sum broadcast; 256-row register spine) over maintained "
     "registers",
+    "q_sketch_hll_rollup": "bucketsx256 group-register spine (a ~8-row "
+    "bucket relation crossed with the broadcast 256-row spine) plus the "
+    "per-bucket harmonic broadcast — all post-leaf relations bounded by "
+    "buckets x registers",
     "q_funnel_latency": "1-row viewer-count broadcast into the summary "
     "(replaced the eager .count() so the plan stays lazy)",
     "q_sketch_quantile": "5-row quantile-target spine broadcast joined to "

@@ -278,3 +278,53 @@ def test_stream_sketch_family_live_readstream_twins(spark, sf_dir, which):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(src + "_ckpt", ignore_errors=True)
     spark.catalog.clearCache()
+
+
+# --- HLL rollup (sketch-as-materialized-aggregate) ----------------------
+
+
+def test_hll_rollup_merge_equals_rebuild(spark, sf_dir, duck):
+    """The rollup's 'total' registers (register-wise max over the
+    per-year leaf sketches) must equal a from-scratch register build
+    over the whole stream — the merge law at the rollup grain — and
+    the registered query must agree with its oracle at sf0.001."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        _hll_fields_sql,
+        hll_regs,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("string").alias("g"),
+        F.col("o_custkey").alias("k"),
+    )
+    bucket, rho = _hll_fields_sql("k", "STRING")
+    leaf = (
+        o.select("g", F.expr(bucket).alias("j"), F.expr(rho).alias("r"))
+        .groupBy("g", "j")
+        .agg(F.max("r").alias("m"))
+    )
+    merged = sorted(
+        (r["j"], r["m"])
+        for r in leaf.groupBy("j").agg(F.max("m").alias("m")).collect()
+    )
+    rebuilt = sorted(
+        (r["j"], r["m"]) for r in hll_regs(o.select("k")).collect()
+    )
+    assert merged == rebuilt
+
+    got = sorted(tuple(r) for r in QS["q_sketch_hll_rollup"](spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in duck.sql(OS["q_sketch_hll_rollup"]).fetchall())
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1], (g, w)
+        assert g[2] == pytest.approx(w[2], abs=1e-9) and g[3] == pytest.approx(w[3], abs=1e-9), (g, w)
+    # error budget applies only in the raw-estimate regime (n >=
+    # 2.5m; below it raw HLL overestimates by design — the documented
+    # linear-counting boundary). sf0.001 has 150 customers < 640, so
+    # the budget is asserted only when the fixture is in-regime (the
+    # driver's sf0.01, with 1500, is).
+    tot = dict((r[0], r) for r in got)["total"]
+    if tot[1] >= 2.5 * 256:
+        assert abs(tot[2] - tot[1]) / tot[1] < 0.2
+    spark.catalog.clearCache()
