@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     # r13: HLL rollup — per-bucket sketches max-merged to the total
     # (sketch-as-materialized-aggregate; exact-integer harmonic sum).
     "q_sketch_hll_rollup",
+    # r13: per-group theta set operations (single-Exchange grouped
+    # bottom-k sketches; group-anchored zero-overlap rows).
+    "q_sketch_theta_grouped",
 ]
 
 

@@ -926,6 +926,218 @@ def q_sketch_theta(spark, sf_dir):
     return theta_readout(_theta_sketch(a_h), _theta_sketch(b_h), a_keys, b_keys)
 
 
+# --- per-group theta sketch -------------------------------------------
+#
+# The grouped form of q_sketch_theta — per-segment audience overlap
+# ("how many BUILDING customers were active in both 1995 and 1996?"),
+# the shape a 100 TB pipeline asks per tenant/region/cohort. Same
+# physical discipline as q_sketch_quantile_grouped: per-group bottom-k
+# by hash via ONE group-partitioned rank window (no per-group
+# TakeOrdered), all downstream relations ≤ |groups|·k rows, the
+# group-anchored left joins keeping zero-count regimes in the output
+# (the r11 theta lesson, applied per group).
+
+THETA_G_K = 64  # smaller k than the global sketch: per-segment streams
+                # are ~|customers|/5, so k=64 keeps a real sketch regime
+                # at sf>=0.01 instead of degenerating to exact everywhere
+
+
+def _theta_grouped_oracle() -> str:
+    def stream(year: int) -> str:
+        return f"""
+        SELECT c.c_mktsegment AS g, o.o_custkey AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE YEAR(o.o_orderdate) = {year}
+        GROUP BY 1, 2"""
+
+    def sketch(src: str) -> str:
+        return f"""
+        SELECT g, h FROM (
+            SELECT g, {_theta_hash_sql("k")} AS h,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY {_theta_hash_sql("k")}) AS rn
+            FROM {src}
+        ) WHERE rn <= {THETA_G_K}"""
+
+    def theta(sk: str) -> str:
+        return f"""
+        SELECT g, CASE WHEN COUNT(*) < {THETA_G_K}
+                       THEN CAST({1 << 32} AS BIGINT)
+                       ELSE CAST(MAX(h) AS BIGINT) END AS theta
+        FROM {sk} GROUP BY g"""
+
+    def below(sk: str, th: str) -> str:
+        # theta-anchored left join: zero qualifying hashes must emit 0
+        return f"""
+        SELECT t.g, t.theta, COALESCE(c.cnt, 0) AS cnt
+        FROM {th} t LEFT JOIN (
+            SELECT s.g, COUNT(*) AS cnt
+            FROM {sk} s JOIN {th} t2 ON t2.g = s.g
+            WHERE s.h < t2.theta GROUP BY s.g
+        ) c ON c.g = t.g"""
+
+    est = f"CAST(cnt AS DOUBLE) * {_THETA_SPACE} / CAST(theta AS DOUBLE)"
+    return f"""
+    WITH a_keys AS ({stream(1995)}),
+    b_keys AS ({stream(1996)}),
+    sk_a AS ({sketch('a_keys')}),
+    sk_b AS ({sketch('b_keys')}),
+    th_a AS ({theta('sk_a')}),
+    th_b AS ({theta('sk_b')}),
+    th_u AS (
+        SELECT th_a.g, LEAST(th_a.theta, th_b.theta) AS theta
+        FROM th_a JOIN th_b ON th_a.g = th_b.g
+    ),
+    sk_u AS (SELECT g, h FROM sk_a UNION SELECT g, h FROM sk_b),
+    sk_i AS (SELECT g, h FROM sk_a INTERSECT SELECT g, h FROM sk_b),
+    est_a AS (SELECT g, {est} AS est FROM ({below('sk_a', 'th_a')})),
+    est_b AS (SELECT g, {est} AS est FROM ({below('sk_b', 'th_b')})),
+    est_u AS (SELECT g, {est} AS est FROM ({below('sk_u', 'th_u')})),
+    est_i AS (SELECT g, {est} AS est FROM ({below('sk_i', 'th_u')})),
+    ex_a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS v FROM a_keys GROUP BY g),
+    ex_b AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS v FROM b_keys GROUP BY g),
+    ex_i AS (
+        SELECT a.g, CAST(COALESCE(COUNT(b.k), 0) AS BIGINT) AS v
+        FROM a_keys a LEFT JOIN b_keys b ON a.g = b.g AND a.k = b.k
+        GROUP BY a.g
+    ),
+    ex_u AS (
+        SELECT ex_a.g, ex_a.v + ex_b.v - ex_i.v AS v
+        FROM ex_a JOIN ex_b ON ex_a.g = ex_b.g JOIN ex_i ON ex_i.g = ex_a.g
+    )
+    SELECT m.g, m.measure, ROUND(m.est, 4) AS est, m.v AS exact_v,
+           ROUND(ABS(m.est - m.v) / NULLIF(m.v, 0), 4) AS rel_err
+    FROM (
+        SELECT est_a.g, 'distinct_a' AS measure, est_a.est, ex_a.v
+        FROM est_a JOIN ex_a ON est_a.g = ex_a.g
+        UNION ALL
+        SELECT est_b.g, 'distinct_b', est_b.est, ex_b.v
+        FROM est_b JOIN ex_b ON est_b.g = ex_b.g
+        UNION ALL
+        SELECT est_u.g, 'union', est_u.est, ex_u.v
+        FROM est_u JOIN ex_u ON est_u.g = ex_u.g
+        UNION ALL
+        SELECT est_i.g, 'intersection', est_i.est, ex_i.v
+        FROM est_i JOIN ex_i ON est_i.g = ex_i.g
+    ) m
+    """
+
+
+@query("q_sketch_theta_grouped", oracle=_theta_grouped_oracle())
+def q_sketch_theta_grouped(spark, sf_dir):
+    """Per-group theta/KMV set-operation sketch: for every market
+    segment, the distinct customers active in 1995, in 1996, their
+    union, and their overlap — estimated from per-group k=64-row
+    bottom-k hash sketches, with exacts and rel_err in-band (4 rows
+    per segment). The same-hash-both-streams property holds PER GROUP,
+    so intersection-on-sketches stays valid; groups with fewer than k
+    distinct keys degrade to exact (theta = full hash space), and a
+    zero-overlap group still emits its intersection row as est=0 (the
+    r11 contract, anchored per group).
+
+    Plan shape: each stream is one distinct + ONE group-partitioned
+    rank window (the sample) — a single Exchange on the group key, no
+    per-group TakeOrdered; every downstream relation (thetas, counts,
+    set ops, exacts) is ≤ |groups|·k rows or |groups| rows, joined on
+    the group key. Per-group parallel at any group count — the grouped
+    complement of q_sketch_theta exactly as q_sketch_quantile_grouped
+    is of q_sketch_quantile."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("g"),
+        F.col("o_custkey").alias("k"),
+        F.year("o_orderdate").alias("yr"),
+    )
+
+    def stream(year):
+        return base.filter(F.col("yr") == year).select("g", "k").distinct()
+
+    def sketch(keys):
+        h = keys.select("g", F.expr(_theta_hash_sql("k", "STRING")).alias("h"))
+        w = W.partitionBy("g").orderBy("h")
+        return (
+            h.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= THETA_G_K)
+            .select("g", "h")
+        )
+
+    def theta_of(sk):
+        return sk.groupBy("g").agg(
+            F.when(F.count("*") < THETA_G_K, F.lit(1 << 32))
+            .otherwise(F.max("h"))
+            .cast("long")
+            .alias("theta")
+        )
+
+    def below(sk, th):
+        cnt = (
+            sk.join(F.broadcast(th), "g")
+            .filter(F.col("h") < F.col("theta"))
+            .groupBy("g")
+            .agg(F.count("*").alias("cnt"))
+        )
+        return th.join(cnt, "g", "left").select(
+            "g", "theta", F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt")
+        )
+
+    a_keys, b_keys = stream(1995), stream(1996)
+    sk_a, sk_b = sketch(a_keys), sketch(b_keys)
+    th_a, th_b = theta_of(sk_a), theta_of(sk_b)
+    th_u = th_a.join(
+        th_b.withColumnRenamed("theta", "theta_b"), "g"
+    ).select("g", F.least("theta", "theta_b").alias("theta"))
+    sk_u = sk_a.unionByName(sk_b).distinct()
+    sk_i = sk_a.intersect(sk_b)
+
+    def est_of(sk, th):
+        return below(sk, th).select(
+            "g", (_theta_est("theta")).alias("est")
+        )
+
+    ex_a = a_keys.groupBy("g").agg(F.count("*").cast("long").alias("v"))
+    ex_b = b_keys.groupBy("g").agg(F.count("*").cast("long").alias("v"))
+    # group-anchored left join so a zero-overlap group keeps its row
+    ex_i = (
+        a_keys.alias("a")
+        .join(
+            b_keys.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.k") == F.col("b.k")),
+            "left",
+        )
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(F.count(F.col("b.k")).cast("long").alias("v"))
+    )
+    ex_u = (
+        ex_a.withColumnRenamed("v", "va")
+        .join(ex_b.withColumnRenamed("v", "vb"), "g")
+        .join(ex_i.withColumnRenamed("v", "vi"), "g")
+        .select("g", (F.col("va") + F.col("vb") - F.col("vi")).alias("v"))
+    )
+
+    def rows(name, est, ex):
+        return est.join(ex, "g").select(
+            "g",
+            F.lit(name).alias("measure"),
+            F.round("est", 4).alias("est"),
+            F.col("v").alias("exact_v"),
+            F.round(
+                F.try_divide(F.abs(F.col("est") - F.col("v")), F.col("v")), 4
+            ).alias("rel_err"),
+        )
+
+    return (
+        rows("distinct_a", est_of(sk_a, th_a), ex_a)
+        .unionByName(rows("distinct_b", est_of(sk_b, th_b), ex_b))
+        .unionByName(rows("union", est_of(sk_u, th_u), ex_u))
+        .unionByName(rows("intersection", est_of(sk_i, th_u), ex_i))
+    )
+
+
 # --- per-group quantile sketch ----------------------------------------
 #
 # The grouped form of q_sketch_quantile — per-tenant / per-partition
