@@ -310,3 +310,11 @@ def test_r07_rolling_sweep_fronts_round1_rows() -> None:
         assert order[-len(rows_only):] == sorted(
             rows_only, key=lambda n: (ledger[n]["last"], n)
         )
+
+
+def test_modified_pins_name_real_queries() -> None:
+    """Typo guard: every _MODIFIED_IN_ROUND pin must name a registered
+    query — a misspelled pin would silently protect nothing."""
+    qs = registry.queries()
+    unknown = [n for n in registry._MODIFIED_IN_ROUND if n not in qs]
+    assert not unknown, f"pins for unregistered queries: {unknown}"
