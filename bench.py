@@ -197,6 +197,10 @@ BENCH_QUERIES = [
     # r13: per-group theta set operations (single-Exchange grouped
     # bottom-k sketches; group-anchored zero-overlap rows).
     "q_sketch_theta_grouped",
+    # r13: ANN IVM — insert batch applied to the blocked kNN graph,
+    # touched-cells-only (times build-prefix + apply, like the dedup
+    # IVM rows).
+    "q_knn_graph_incremental",
 ]
 
 

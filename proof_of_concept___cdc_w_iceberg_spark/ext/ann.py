@@ -297,3 +297,146 @@ def q_knn_graph_descent2(spark, sf_dir):
         "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
     )
     return nnd_rounds(e, e.count(), rounds=2)
+
+
+# --- incremental kNN-graph maintenance (r13) ---------------------------
+#
+# The IVM rung for the ANN family — the dedup ladder has an
+# incremental twin per rung (band index, capped shingles, components,
+# spans); the kNN graph now has one too. Inserting a batch into the
+# cell-blocked graph touches only the batch's OWN cells:
+#
+#   new nodes:  score against their cell's members (old ∪ new), top-k
+#   old nodes in touched cells: re-rank their CURRENT top-k edges
+#       (scores carried in state, never recomputed) ∪ fresh edges to
+#       the new cell members — exact, because the old top-k are the
+#       exact best among old members, so best-of(old top-k ∪ new) is
+#       best-of(everything)
+#   untouched nodes: state rows pass through byte-identical
+#
+# Apply cost is O(|batch|·|cell| + |touched nodes|·(k + |batch|)) —
+# independent of corpus size outside the touched cells, the same
+# touched-partitions-only discipline as cdc_apply_partitioned. State
+# carries UNROUNDED cosines so the re-rank is bit-identical to a
+# rebuild's ordering; rounding happens only at read-out.
+
+ANN_BATCH_OFF = 100_000
+
+
+def _knn_scored(e_src, e_dst):
+    """Cell-blocked scored pairs (src, dst, cosine) — unrounded
+    internal form of q_knn_graph's scorer (ext/similarity.py), kept
+    separate so the frozen one-shot query is untouched."""
+    b = e_dst.select(
+        F.col("label").alias("b_label"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("b_emb"),
+        F.col("sq").alias("b_sq"),
+    )
+    return (
+        e_src.join(
+            b,
+            (F.col("label") == F.col("b_label")) & (F.col("vec_id") != F.col("dst")),
+        )
+        .select(
+            F.col("vec_id").alias("src"),
+            "dst",
+            (
+                _dot(F.col("embedding"), F.col("b_emb"))
+                / F.sqrt(F.col("sq") * F.col("b_sq"))
+            ).alias("cosine"),
+        )
+    )
+
+
+def _knn_topk(scored):
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+    )
+
+
+def knn_graph_state(e):
+    """Full-precision blocked kNN graph state (src, dst, cosine, rn)."""
+    return _knn_topk(_knn_scored(e, e))
+
+
+def knn_graph_apply(state, e_old, e_new):
+    """One insert batch applied to the graph state — see the module
+    comment for the algorithm and cost; apply == rebuild is
+    driver-hash-checked via q_knn_graph_incremental's oracle and
+    unit-asserted in tests/test_r13_ops.py."""
+    touched = e_new.select("label").distinct()
+    touched_nodes = (
+        e_old.join(F.broadcast(touched), "label").select(F.col("vec_id").alias("src"))
+    )
+    g_untouched = state.join(touched_nodes, "src", "left_anti")
+    g_touched = state.join(touched_nodes, "src").select("src", "dst", "cosine")
+    old_to_new = _knn_scored(e_old, e_new)
+    reranked = _knn_topk(g_touched.unionByName(old_to_new))
+    e_all = e_old.unionByName(e_new)
+    new_edges = _knn_topk(_knn_scored(e_new, e_all))
+    return g_untouched.unionByName(reranked).unionByName(new_edges)
+
+
+KNN_INCR_SQL = f"""
+    WITH batch AS (
+        SELECT vec_id + {ANN_BATCH_OFF} AS vec_id, label, embedding
+        FROM embeddings WHERE vec_id % 13 = 5
+    ),
+    stream AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL SELECT vec_id, label, embedding FROM batch
+    ),
+    e AS (
+        SELECT vec_id, label, embedding,
+               {SQNORM_SQL.format(a='embedding')} AS sq
+        FROM stream
+    ),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / sqrt(a.sq * b.sq) AS cosine
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst, cosine,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rn
+        FROM scored
+    )
+    SELECT src, dst, ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
+@query("q_knn_graph_incremental", oracle=KNN_INCR_SQL)
+def q_knn_graph_incremental(spark, sf_dir):
+    """Incrementally-maintained blocked kNN graph: build the graph
+    over the corpus, then apply an insert batch (every 13th vector
+    replayed under a new id — planted exact-duplicate vectors, so
+    cosine-1.0 edges must displace existing neighbors) and return the
+    maintained graph. Oracle = the full rebuild over corpus ∪ batch,
+    so the apply==rebuild law is hash-checked end to end — the ANN
+    family's IVM rung, completing the column the dedup ladder already
+    has at every level. The corpus graph state is localCheckpointed
+    once (the at-rest graph table a real pipeline maintains); the
+    apply touches only the batch's own cells (module comment for the
+    exactness argument and cost)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    batch = e.filter(F.col("vec_id") % 13 == 5).select(
+        (F.col("vec_id") + ANN_BATCH_OFF).alias("vec_id"),
+        "label",
+        "embedding",
+        "sq",
+    )
+    state = knn_graph_state(e).localCheckpoint(eager=True)
+    out = knn_graph_apply(state, e, batch)
+    return out.select(
+        "src", "dst", F.round("cosine", 6).alias("cosine"),
+        F.col("rn").cast("long").alias("rn"),
+    )

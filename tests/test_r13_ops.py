@@ -2,7 +2,8 @@
 docstring promised (recall monotone over rounds, localCheckpoint branch
 exercised), the registered 2-round descent query, the streaming
 sketch-maintenance column (theta/CMS/HLL/Bloom apply == rebuild, each
-with a live readStream twin), and the chunked-isin probe regression.
+with a live readStream twin), the HLL rollup merge law, the incremental
+kNN-graph apply==rebuild law, and the chunked-isin probe regression.
 """
 
 from __future__ import annotations
@@ -327,4 +328,47 @@ def test_hll_rollup_merge_equals_rebuild(spark, sf_dir, duck):
     tot = dict((r[0], r) for r in got)["total"]
     if tot[1] >= 2.5 * 256:
         assert abs(tot[2] - tot[1]) / tot[1] < 0.2
+    spark.catalog.clearCache()
+
+
+# --- incremental kNN-graph maintenance -----------------------------------
+
+
+def test_knn_graph_apply_equals_rebuild(spark, sf_dir):
+    """The ANN IVM law in-engine at full precision: applying an insert
+    batch to the blocked-graph state equals rebuilding the graph over
+    corpus ∪ batch, row for row including unrounded cosines — and
+    rows for nodes in untouched cells pass through byte-identical."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.ann import (
+        ANN_BATCH_OFF,
+        knn_graph_apply,
+        knn_graph_state,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import _sqnorm
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    batch = e.filter(F.col("vec_id") % 13 == 5).select(
+        (F.col("vec_id") + ANN_BATCH_OFF).alias("vec_id"), "label", "embedding", "sq"
+    )
+    state = knn_graph_state(e).localCheckpoint(eager=True)
+    applied = sorted(
+        tuple(r) for r in knn_graph_apply(state, e, batch).collect()
+    )
+    rebuilt = sorted(
+        tuple(r) for r in knn_graph_state(e.unionByName(batch)).collect()
+    )
+    assert applied == rebuilt
+    # planted exact duplicates: every batch node's top-1 neighbor is
+    # its source vector at cosine ~1.0 (tie-break on id)
+    by_src = {}
+    for src, dst, cos, rn in applied:
+        if src >= ANN_BATCH_OFF and rn == 1:
+            by_src[src] = (dst, cos)
+    assert by_src, "no batch nodes in the applied graph"
+    for src, (dst, cos) in by_src.items():
+        assert dst == src - ANN_BATCH_OFF, (src, dst)
+        assert cos == pytest.approx(1.0, abs=1e-9)
     spark.catalog.clearCache()
