@@ -372,3 +372,68 @@ def test_knn_graph_apply_equals_rebuild(spark, sf_dir):
         assert dst == src - ANN_BATCH_OFF, (src, dst)
         assert cos == pytest.approx(1.0, abs=1e-9)
     spark.catalog.clearCache()
+
+
+def test_knn_graph_apply_live_readstream_twin(spark, sf_dir):
+    """knn_graph_apply as live streaming state: vectors arrive in
+    micro-batches through a real readStream + foreachBatch, each batch
+    applied to the maintained graph — final graph equals the one-shot
+    build over everything. Seeds with the first batch-key slice as the
+    initial corpus so every later batch exercises the touched-cell
+    path."""
+    import shutil
+    import tempfile
+
+    from proof_of_concept___cdc_w_iceberg_spark.ext.ann import (
+        knn_graph_apply,
+        knn_graph_state,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import _sqnorm
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    seed = e.filter(F.col("vec_id") % 3 == 0)
+    rest = e.filter(F.col("vec_id") % 3 != 0)
+    src = tempfile.mkdtemp(prefix="stream_knn_")
+    try:
+        rest.withColumn("_b", (F.col("vec_id") % 2).cast("int")).write.partitionBy(
+            "_b"
+        ).mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src + "/_b=*").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/_b=*")
+        )
+        holder = {
+            "corpus": seed.localCheckpoint(eager=True),
+            "graph": knn_graph_state(seed).localCheckpoint(eager=True),
+            "batches": 0,
+        }
+
+        def step(batch_df, _bid):
+            b = batch_df.localCheckpoint(eager=True)
+            holder["graph"] = knn_graph_apply(
+                holder["graph"], holder["corpus"], b
+            ).localCheckpoint(eager=True)
+            holder["corpus"] = holder["corpus"].unionByName(b).localCheckpoint(
+                eager=True
+            )
+            holder["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", src + "_ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        assert holder["batches"] >= 2, "stream collapsed to one micro-batch"
+        got = sorted(tuple(r) for r in holder["graph"].collect())
+        want = sorted(tuple(r) for r in knn_graph_state(e).collect())
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(src + "_ckpt", ignore_errors=True)
+    spark.catalog.clearCache()
