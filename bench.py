@@ -199,8 +199,9 @@ BENCH_QUERIES = [
     "q_sketch_theta_grouped",
     # r13: ANN IVM — insert batch applied to the blocked kNN graph,
     # touched-cells-only (times build-prefix + apply, like the dedup
-    # IVM rows).
+    # IVM rows), and its multi-batch streaming form.
     "q_knn_graph_incremental",
+    "q_stream_knn_graph",
 ]
 
 

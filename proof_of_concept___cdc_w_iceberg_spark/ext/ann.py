@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from ..operators.sketches import _hex_u32_sql
 from ..registry import query
 from ..sources.tables import load
-from .similarity import DOT_SQL, KNN_K, SQNORM_SQL, _dot, _sqnorm
+from .similarity import DOT_SQL, KNN_GRAPH_SQL, KNN_K, SQNORM_SQL, _dot, _sqnorm
 
 NND_BUCKET = 8  # target random-bucket size (paper: random init pool)
 NND_R = 3       # random-init neighbors kept per node
@@ -437,6 +437,39 @@ def q_knn_graph_incremental(spark, sf_dir):
     state = knn_graph_state(e).localCheckpoint(eager=True)
     out = knn_graph_apply(state, e, batch)
     return out.select(
+        "src", "dst", F.round("cosine", 6).alias("cosine"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+@query("q_stream_knn_graph", oracle=KNN_GRAPH_SQL)
+def q_stream_knn_graph(spark, sf_dir):
+    """Streaming kNN-graph maintenance: the corpus ARRIVES as three
+    micro-batches (open-ended vec_id splits) — the first seeds the
+    graph, each later batch is applied via knn_graph_apply with the
+    corpus-so-far and graph state localCheckpointed per batch. The
+    registered oracle is q_knn_graph's ONE-SHOT build over the whole
+    corpus, so the driver hash check proves the ANN IVM law under
+    MULTI-batch arrival (the registered complement of the live
+    readStream twin in tests/test_r13_ops.py) — the same contract the
+    sketch family's q_stream_* twins carry. Per-batch cost is the
+    touched-cells-only apply (module comment above knn_graph_state);
+    state is N·k rows of full-precision edges."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    splits = [
+        F.col("vec_id") <= 600,
+        F.col("vec_id").between(601, 1200),
+        F.col("vec_id") >= 1201,
+    ]
+    corpus = e.filter(splits[0]).localCheckpoint(eager=True)
+    state = knn_graph_state(corpus).localCheckpoint(eager=True)
+    for cond in splits[1:]:
+        batch = e.filter(cond).localCheckpoint(eager=True)
+        state = knn_graph_apply(state, corpus, batch).localCheckpoint(eager=True)
+        corpus = corpus.unionByName(batch).localCheckpoint(eager=True)
+    return state.select(
         "src", "dst", F.round("cosine", 6).alias("cosine"),
         F.col("rn").cast("long").alias("rn"),
     )

@@ -351,9 +351,7 @@ KNN_K = 3
 SEM_T = 0.45  # cosine threshold for a semantic-duplicate edge
 
 
-@query(
-    "q_knn_graph",
-    oracle=f"""
+KNN_GRAPH_SQL = f"""
         WITH e AS (
             SELECT vec_id, label, embedding,
                    {SQNORM_SQL.format(a='embedding')} AS sq
@@ -374,8 +372,10 @@ SEM_T = 0.45  # cosine threshold for a semantic-duplicate edge
         )
         SELECT src, dst, ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rn
         FROM ranked WHERE rn <= {KNN_K}
-    """,
-)
+"""
+
+
+@query("q_knn_graph", oracle=KNN_GRAPH_SQL)
 def q_knn_graph(spark, sf_dir):
     """k-NN graph construction (k=3) — the backbone relation for
     graph-based dedup clustering, semantic-dedup partitions (SemDeDup
