@@ -437,3 +437,64 @@ def test_knn_graph_apply_live_readstream_twin(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(src + "_ckpt", ignore_errors=True)
     spark.catalog.clearCache()
+
+
+# --- property-based ANN IVM law ------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _vec = st.lists(
+        st.integers(min_value=-4, max_value=4), min_size=3, max_size=3
+    )
+    _corpus_strategy = st.lists(
+        st.tuples(_vec, st.integers(min_value=0, max_value=3)),  # (vec, label)
+        min_size=2,
+        max_size=16,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    @given(
+        rows=_corpus_strategy,
+        batch_mod=st.integers(min_value=2, max_value=5),
+    )
+    def test_knn_graph_apply_rebuild_property(spark, rows, batch_mod):
+        """apply == rebuild for ANY corpus/batch split — including a
+        batch that creates a brand-new cell, a singleton cell (no
+        edges, matching the rebuild), duplicate vectors (tie-break on
+        id), and an empty batch (state passes through)."""
+        from proof_of_concept___cdc_w_iceberg_spark.ext.ann import (
+            knn_graph_apply,
+            knn_graph_state,
+        )
+        from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import _sqnorm
+
+        data = [
+            # offset vectors away from the origin so no zero norms
+            (i, f"cell{lbl}", [float(v) + 5.0 for v in vec])
+            for i, (vec, lbl) in enumerate(rows)
+        ]
+        e_all = spark.createDataFrame(
+            data, "vec_id long, label string, embedding array<double>"
+        ).select("vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq"))
+        e_old = e_all.filter(F.col("vec_id") % batch_mod != 0)
+        e_new = e_all.filter(F.col("vec_id") % batch_mod == 0)
+
+        state = knn_graph_state(e_old).localCheckpoint(eager=True)
+        applied = sorted(
+            tuple(r) for r in knn_graph_apply(state, e_old, e_new).collect()
+        )
+        rebuilt = sorted(tuple(r) for r in knn_graph_state(e_all).collect())
+        assert applied == rebuilt
+        spark.catalog.clearCache()
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
