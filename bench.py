@@ -11,8 +11,10 @@ sessionization.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -202,6 +204,10 @@ BENCH_QUERIES = [
     # IVM rows), and its multi-batch streaming form.
     "q_knn_graph_incremental",
     "q_stream_knn_graph",
+    # r14: ANN deletion rung (delete-apply == rebuild over survivors)
+    # and the mixed insert+delete multi-batch upsert stream.
+    "q_knn_graph_delete",
+    "q_stream_knn_graph_upsert",
 ]
 
 
@@ -234,6 +240,35 @@ def _cpu_pressure(start: dict | None, end: dict | None) -> dict:
         "cpu_steal_pct": round(100.0 * (end["steal"] - start["steal"]) / dt, 2),
         "cpu_iowait_pct": round(100.0 * (end["iowait"] - start["iowait"]) / dt, 2),
     }
+
+
+# Fixed work for the box-speed probe: 8192 sha256 updates over a 64 KiB
+# buffer = 512 MiB hashed, single-threaded, allocation-free. ~0.2-0.5 s
+# on a healthy core; scales 1:1 with the per-query fixed overhead that
+# host-side slowness inflates (the zero-steal class-B regime, SCALING.md
+# r13 addendum).
+_CALIB_ITERS = 8192
+_CALIB_BUF = b"\x5a" * 65536
+
+
+def _calibrate(repeats: int = 3) -> float:
+    """Constant-work CPU calibration (r13 verdict item 1): time the
+    same fixed hash loop every run and stamp the MIN of ``repeats``
+    into the artifact, so cross-round comparisons can separate
+    box-delta from plan-delta by arithmetic instead of pattern
+    analysis. Min-of-3 discards scheduler hiccups; the probe runs at
+    settle-gate time (box idle, before Spark starts) and again after
+    the suite (``calib_s_end``) to catch mid-run regime shifts."""
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(_CALIB_ITERS):
+            h.update(_CALIB_BUF)
+        h.digest()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
 
 
 def _loadavg() -> float | None:
@@ -307,11 +342,18 @@ def _load_history() -> list[dict]:
 
 
 def _append_history(
-    history: list[dict], timings: dict[str, float], total: float, sf: float
+    history: list[dict],
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    calib_s: float | None = None,
 ) -> None:
-    history = history + [
-        {"label": "latest", "total": total, "queries": timings, "sf": sf}
-    ]
+    snap = {"label": "latest", "total": total, "queries": timings, "sf": sf}
+    if calib_s is not None:
+        # Box-speed stamp travels WITH the snapshot so future drift
+        # reports can normalize this run's floors by calib ratio.
+        snap["calib_s"] = calib_s
+    history = history + [snap]
     # Retention is per scale: a smoke run at another sf must neither
     # feed the floors (filtered at load) nor push the driver-scale
     # snapshots out of the rolling window here.
@@ -347,23 +389,41 @@ def _history_at_sf(history: list[dict], sf: float) -> list[dict]:
     return [s for s in history if float(s.get("sf", 0.1)) == sf]
 
 
-def _drift_report(history: list[dict], timings: dict[str, float]) -> list[dict]:
+def _drift_report(
+    history: list[dict],
+    timings: dict[str, float],
+    calib_now: float | None = None,
+) -> list[dict]:
+    """Sustained movers vs the 3-snapshot floor. When both this run and
+    the floor-providing snapshot carry a calibration stamp, each row
+    also gets ``calib_ratio`` (box slowdown vs the floor's box:
+    calib_now / calib_floor) and ``ratio_cal`` = ratio / calib_ratio —
+    the residual PLAN-delta after dividing out measured box-delta. A
+    row with ratio 1.6 but ratio_cal ~1.0 is the box, not the code;
+    ratio_cal > DRIFT_RATIO is a real plan regression even on a slow
+    box (r13 verdict item 1: attribution by arithmetic, not argument)."""
     window = history[-3:]
     out = []
     for name, dt in timings.items():
         floors = [
-            float(s["queries"][name])
+            (float(s["queries"][name]), s.get("calib_s"))
             for s in window
             if isinstance(s["queries"].get(name), (int, float))
             and float(s["queries"][name]) > 0
         ]
         if not floors or dt <= 0:
             continue
-        floor = min(floors)
+        floor, floor_calib = min(floors, key=lambda t: t[0])
         if dt / floor > DRIFT_RATIO:
-            out.append(
-                {"q": name, "kept": dt, "floor_3run": floor, "ratio": round(dt / floor, 2)}
-            )
+            row = {
+                "q": name, "kept": dt, "floor_3run": floor,
+                "ratio": round(dt / floor, 2),
+            }
+            if calib_now and isinstance(floor_calib, (int, float)) and floor_calib > 0:
+                calib_ratio = calib_now / float(floor_calib)
+                row["calib_ratio"] = round(calib_ratio, 2)
+                row["ratio_cal"] = round(dt / floor / calib_ratio, 2)
+            out.append(row)
     out.sort(key=lambda e: -e["ratio"])
     return out
 
@@ -425,35 +485,47 @@ def _settle_gate() -> dict:
     }
 
 
-def _parse_sf(sf_dir: str) -> float:
+def _parse_sf(sf_dir: str) -> float | None:
     """Scale factor for history keying — display metadata, not a knob.
 
     Tolerates any SPARK_GRAFT_SF_DIR layout (r12 advice: a dir not
     ending in sf<number>, e.g. /data/tpch_parquet, must not crash
-    startup). SPARK_GRAFT_SF overrides; else parse the dir's trailing
-    sf<number>; else warn and fall back to 0.1."""
-    try:
-        return float(
-            os.environ.get("SPARK_GRAFT_SF")
-            or sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-        )
-    except ValueError:
-        print(
-            f"bench: cannot parse scale factor from {sf_dir!r}; "
-            "assuming sf=0.1 (set SPARK_GRAFT_SF to override)",
-            file=sys.stderr,
-        )
-        return 0.1
+    startup). SPARK_GRAFT_SF overrides; else an sf<number> token
+    ANYWHERE in the path counts (r13 advice: /data/tpch_sf1_parquet is
+    sf=1 — the old trailing-only parse silently keyed foreign scales
+    into the 0.1 history bucket; last match wins, the deepest path
+    component). Returns None when undetermined: the run still times
+    and reports, but skips history recording and drift comparison
+    rather than polluting another scale's floors."""
+    env = os.environ.get("SPARK_GRAFT_SF")
+    if env:
+        try:
+            return float(env)
+        except ValueError:
+            pass
+    tokens = re.findall(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    if tokens:
+        return float(tokens[-1])
+    print(
+        f"bench: cannot parse scale factor from {sf_dir!r}; timings "
+        "will not enter BENCH_HISTORY and no drift is computed "
+        "(set SPARK_GRAFT_SF to override)",
+        file=sys.stderr,
+    )
+    return None
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cache_state = _cache_state(sf_dir)
     cache_state["settle_gate"] = _settle_gate()
+    # Box-speed probe AFTER the settle gate (idle box, pre-Spark): the
+    # number every floor comparison normalizes by.
+    cache_state["calib_s"] = calib_s = _calibrate()
     cpu_start = _cpu_stat()
     sf = _parse_sf(sf_dir)
-    prev = _prev_timings(sf)
-    history = _history_at_sf(_load_history(), sf)
+    prev = _prev_timings(sf) if sf is not None else {}
+    history = _history_at_sf(_load_history(), sf) if sf is not None else []
     spark = get_spark("poc_cdc_bench")
     qs = registry.queries()
 
@@ -495,10 +567,12 @@ def main() -> None:
         timings[name] = dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    drift = _drift_report(history, timings)
+    drift = _drift_report(history, timings, calib_now=calib_s)
     # Re-read the raw history for the append: other-scale snapshots
-    # are filtered for COMPARISON but must survive on disk.
-    _append_history(_load_history(), timings, total, sf)
+    # are filtered for COMPARISON but must survive on disk. An
+    # undetermined scale records nothing (it has no valid bucket).
+    if sf is not None:
+        _append_history(_load_history(), timings, total, sf, calib_s=calib_s)
     # The driver captures only the stdout TAIL: with 99+ queries the
     # full per-query map outgrew it and BENCH_r04.json landed with
     # parsed:null (round-4 verdict item 1). So the FINAL stdout line is
@@ -506,13 +580,17 @@ def main() -> None:
     # timings that BASELINE.md names), and the full per-query map goes
     # to stderr and to BENCH_DETAIL.json next to this script.
     cache_state["loadavg_1m_end"] = _loadavg()
+    # Second probe after the suite: calib_s_end >> calib_s means the
+    # box changed regime MID-run and even this run's own numbers are
+    # internally inconsistent (not just vs history).
+    cache_state["calib_s_end"] = _calibrate(repeats=1)
     cache_state.update(_cpu_pressure(cpu_start, _cpu_stat()))
     detail = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": float(sf) if sf is not None else None,
         "env": cache_state,
         "reruns": reruns,
         "drift": drift,
@@ -549,7 +627,7 @@ def main() -> None:
                 "drift": {e["q"]: e["ratio"] for e in drift[:15]},
                 "n_drift": len(drift),
                 "detail": "BENCH_DETAIL.json",
-                "sf": float(sf),
+                "sf": float(sf) if sf is not None else None,
                 "env": cache_state,
             }
         )

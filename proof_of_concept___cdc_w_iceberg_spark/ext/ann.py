@@ -299,7 +299,7 @@ def q_knn_graph_descent2(spark, sf_dir):
     return nnd_rounds(e, e.count(), rounds=2)
 
 
-# --- incremental kNN-graph maintenance (r13) ---------------------------
+# --- incremental kNN-graph maintenance (r13; deletes r14) --------------
 #
 # The IVM rung for the ANN family — the dedup ladder has an
 # incremental twin per rung (band index, capped shingles, components,
@@ -319,6 +319,20 @@ def q_knn_graph_descent2(spark, sf_dir):
 # touched-partitions-only discipline as cdc_apply_partitioned. State
 # carries UNROUNDED cosines so the re-rank is bit-identical to a
 # rebuild's ordering; rounding happens only at read-out.
+#
+# DELETES (r13 verdict item 3 — the boundary the insert rung left
+# open; CDC-fed embedding tables delete rows): a delete batch breaks
+# the carried-edges-exact argument for exactly the survivors whose
+# top-k REFERENCE a deleted node — the dead edge's replacement can be
+# any cell member outside the carried k, so those nodes re-rank
+# against their FULL surviving cell. Everyone else passes through:
+# removing members cannot improve another node's neighbors, and all k
+# of their carried edges survive, so they remain the exact top-k among
+# survivors. Cost O(|affected|·|cell|·d), affected ⊆ the deleted
+# nodes' cells — touched-cells-only, like the insert path. A mixed
+# CDC batch applies delete-then-insert: delete-apply leaves every
+# carried top-k exact among old survivors, which is precisely the
+# precondition insert-apply's argument needs.
 
 ANN_BATCH_OFF = 100_000
 
@@ -380,6 +394,81 @@ def knn_graph_apply(state, e_old, e_new):
     return g_untouched.unionByName(reranked).unionByName(new_edges)
 
 
+def knn_graph_delete_apply(state, e_surv, deletes):
+    """One delete batch applied to the graph state (module comment for
+    the exactness argument and cost). ``deletes`` is a one-column
+    (vec_id) relation of removed nodes; ``e_surv`` the surviving
+    corpus. Deleted nodes' own rows drop; survivors whose carried
+    top-k lost an edge re-rank against their full surviving cell;
+    everyone else passes through byte-identical. apply == rebuild is
+    driver-hash-checked via q_knn_graph_delete's oracle (the full
+    rebuild over corpus ∖ deletes) and unit-asserted in
+    tests/test_r14_ops.py. The delete relation is broadcast (a CDC
+    batch, not a corpus)."""
+    dels = F.broadcast(deletes.select(F.col("vec_id").alias("del_id")))
+    alive = state.join(dels, F.col("src") == F.col("del_id"), "left_anti")
+    broken = (
+        alive.join(dels, F.col("dst") == F.col("del_id"), "left_semi")
+        .select("src")
+        .distinct()
+    )
+    keep = alive.join(broken, "src", "left_anti")
+    e_broken = e_surv.join(
+        broken.withColumnRenamed("src", "vec_id"), "vec_id"
+    )
+    reranked = _knn_topk(_knn_scored(e_broken, e_surv))
+    return keep.unionByName(reranked)
+
+
+KNN_DELETE_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {SQNORM_SQL.format(a='embedding')} AS sq
+        FROM embeddings WHERE vec_id % 11 <> 3
+    ),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / sqrt(a.sq * b.sq) AS cosine
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst, cosine,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rn
+        FROM scored
+    )
+    SELECT src, dst, ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
+@query("q_knn_graph_delete", oracle=KNN_DELETE_SQL)
+def q_knn_graph_delete(spark, sf_dir):
+    """Delete-maintained blocked kNN graph: build the graph over the
+    corpus, then apply a delete batch (every 11th vector — ~9% of the
+    corpus, scattered across every cell, so survivors in every cell
+    lose carried edges and must re-rank) and return the maintained
+    graph. Oracle = the full rebuild over corpus ∖ deletes, so the
+    delete-apply == rebuild law is hash-checked end to end — closing
+    the ANN IVM family's r13 insert-only boundary. Touched-cells-only:
+    only survivors that actually LOST a top-k edge re-rank (module
+    comment for the argument); at 100 TB a delete batch touches
+    O(|affected|·|cell|) pairs, never the corpus."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    state = knn_graph_state(e).localCheckpoint(eager=True)
+    dels = e.filter(F.col("vec_id") % 11 == 3).select("vec_id")
+    surv = e.filter(F.col("vec_id") % 11 != 3)
+    out = knn_graph_delete_apply(state, surv, dels)
+    return out.select(
+        "src", "dst", F.round("cosine", 6).alias("cosine"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
 KNN_INCR_SQL = f"""
     WITH batch AS (
         SELECT vec_id + {ANN_BATCH_OFF} AS vec_id, label, embedding
@@ -437,6 +526,69 @@ def q_knn_graph_incremental(spark, sf_dir):
     state = knn_graph_state(e).localCheckpoint(eager=True)
     out = knn_graph_apply(state, e, batch)
     return out.select(
+        "src", "dst", F.round("cosine", 6).alias("cosine"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+KNN_UPSERT_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {SQNORM_SQL.format(a='embedding')} AS sq
+        FROM embeddings
+        WHERE NOT (vec_id <= 1200 AND vec_id % 7 = 2)
+    ),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               {DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / sqrt(a.sq * b.sq) AS cosine
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT src, dst, cosine,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cosine DESC, dst) AS rn
+        FROM scored
+    )
+    SELECT src, dst, ROUND(cosine, 6) AS cosine, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
+@query("q_stream_knn_graph_upsert", oracle=KNN_UPSERT_SQL)
+def q_stream_knn_graph_upsert(spark, sf_dir):
+    """Streaming kNN-graph maintenance under MIXED CDC batches — the
+    case the r13 verdict named (CDC-fed embedding tables delete rows):
+    the corpus arrives as three micro-batches, and batches 2 and 3
+    each DELETE every 7th already-present vector from the prior range
+    and INSERT a fresh range. Per batch the state advances
+    delete-then-insert (knn_graph_delete_apply, then knn_graph_apply
+    over the survivors — delete-apply leaves every carried top-k exact
+    among survivors, the exact precondition insert-apply's argument
+    needs; module comment). The registered oracle is the ONE-SHOT
+    rebuild over the final survivor set, so the driver hash check
+    proves the full upsert law (delete∘insert apply == rebuild) under
+    multi-batch arrival. State is N·k full-precision edges,
+    localCheckpointed per batch."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    batches = [
+        (F.col("vec_id").between(601, 1200), F.col("vec_id") <= 600),
+        (F.col("vec_id") >= 1201, F.col("vec_id").between(601, 1200)),
+    ]
+    corpus = e.filter(F.col("vec_id") <= 600).localCheckpoint(eager=True)
+    state = knn_graph_state(corpus).localCheckpoint(eager=True)
+    for ins_cond, del_range in batches:
+        del_cond = del_range & (F.col("vec_id") % 7 == 2)
+        dels = corpus.filter(del_cond).select("vec_id")
+        surv = corpus.filter(~del_cond).localCheckpoint(eager=True)
+        state = knn_graph_delete_apply(state, surv, dels)
+        batch = e.filter(ins_cond).localCheckpoint(eager=True)
+        state = knn_graph_apply(state, surv, batch).localCheckpoint(eager=True)
+        corpus = surv.unionByName(batch).localCheckpoint(eager=True)
+    return state.select(
         "src", "dst", F.round("cosine", 6).alias("cosine"),
         F.col("rn").cast("long").alias("rn"),
     )

@@ -17,6 +17,8 @@ Cross-engine determinism rules used throughout (see tests):
 from __future__ import annotations
 
 import functools
+import hashlib
+import inspect
 import json
 import os
 import tempfile
@@ -30,6 +32,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+_RAW_FNS: dict[str, Callable] = {}
 
 _pkg_zip: str | None = None
 _shipped_contexts: set[int] = set()
@@ -89,6 +92,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
             return fn(spark, sf_dir)
 
         _QUERIES[name] = wrapped
+        _RAW_FNS[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
         wrapped.query_name = name  # type: ignore[attr-defined]
@@ -134,22 +138,135 @@ _RISK_PREFIX_ORDER = ("q_cdc_", "q_stream_", "q_dedup_", "q_sim_", "q_join_", "q
 # CORRECTNESS_r{N}.json with N >= the pinned round lands, the normal
 # rolling order resumes — entries here never need manual removal, only
 # addition whenever a registered query's output or routing changes.
-_MODIFIED_IN_ROUND: dict[str, int] = {
-    # r12 touched these after their r11 green rows: theta's output
-    # contract (zero-count regime emits est=0), stream_sketch's
-    # batch-split predicates (open-ended first/last), and descent's
-    # routing (now through nnd_rounds). r13 re-touches theta
-    # (NULLIF oracle guard) and descent (shared 2-round plumbing).
-    "q_sketch_theta": 13,
-    "q_stream_sketch": 12,
-    "q_knn_graph_descent": 13,
-    # r13 routed these through shared build/read-out helpers so the
-    # new streaming twins reuse them (plan-identical refactor, but the
-    # honest policy is: routing changed -> re-earn the hash).
-    "q_sketch_cms": 13,
-    "q_sketch_hll": 13,
-    "q_join_bloom": 13,
-}
+#
+# Since r14 this dict is only the MANUAL OVERRIDE (r13 verdict item 2):
+# direct edits to a query function's source or its oracle SQL are
+# detected mechanically by per-query fingerprints (below) and re-front
+# on their own. Add an entry here only for changes a fingerprint cannot
+# see — a behavior change confined to a HELPER the query calls, with
+# the query body and oracle text untouched (e.g. the r13 shared-helper
+# refactor of the sketch builders). The r12/r13 pins all cleared when
+# CORRECTNESS_r13 landed green rows for them.
+_MODIFIED_IN_ROUND: dict[str, int] = {}
+
+# --- per-query source fingerprints (r13 verdict item 2) ----------------
+#
+# QUERY_FINGERPRINTS.json (repo root, committed next to the ledger)
+# maps each registered query to {"fp": sha256(source + oracle SQL),
+# "since": R} — "this fingerprint has been current since round R". On
+# registry load, a query whose live fingerprint differs from the
+# recorded one gets re-stamped with since = latest_artifact_round + 1
+# (the next round the driver will check), and check_order treats any
+# green ledger row OLDER than `since` as stale evidence, exactly like a
+# manual pin. Bootstrap: a query with no record yet is stamped
+# since = 0 (its existing greens are trusted — we cannot retroactively
+# know what code earned them; from then on every edit is caught).
+# Degrades safely where the repo root is unreadable/unwritable (worker
+# zip): no file -> bootstrap stamps -> empty modified map.
+
+_FINGERPRINT_FILE = "QUERY_FINGERPRINTS.json"
+
+
+def _fingerprint(fn: Callable, oracle: str | None) -> str:
+    """sha256 over the query function's source text plus its oracle
+    SQL. Source text (not bytecode) so the hash is stable across Python
+    versions and unaffected by line-number shifts elsewhere in the
+    file; it DOES move on comment/docstring edits inside the function —
+    conservative by design (re-earning a hash is cheap, a stale green
+    is not)."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # e.g. source not on disk (REPL-defined)
+        code = getattr(fn, "__code__", None)
+        src = repr((code.co_code, code.co_consts)) if code else repr(fn)
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update(b"\x00")
+    h.update((oracle or "").encode())
+    return h.hexdigest()
+
+
+def _latest_artifact_round(repo_root: str) -> int:
+    """Highest N over CORRECTNESS_r{N}.json filenames (0 if none)."""
+    best = 0
+    try:
+        fnames = os.listdir(repo_root)
+    except OSError:
+        return best
+    for fname in fnames:
+        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
+            try:
+                best = max(best, int(fname[len("CORRECTNESS_r") : -len(".json")]))
+            except ValueError:
+                continue
+    return best
+
+
+def fingerprint_modified(
+    current: dict[str, str], recorded: dict[str, dict], next_round: int
+) -> tuple[dict[str, int], dict[str, dict], bool]:
+    """Pure kernel (exposed for tests): diff live fingerprints against
+    the recorded ones. Returns ``(modified_map, updated_records,
+    changed)`` — ``modified_map`` feeds check_order like
+    ``_MODIFIED_IN_ROUND``; ``updated_records`` is what to persist;
+    ``changed`` says whether persisting is needed (new/edited/deleted
+    queries)."""
+    modified: dict[str, int] = {}
+    updated: dict[str, dict] = {}
+    changed = bool(set(recorded) - set(current))  # dropped/renamed queries
+    for name, fp in current.items():
+        rec = recorded.get(name)
+        if not isinstance(rec, dict) or rec.get("fp") is None:
+            updated[name] = {"fp": fp, "since": 0}  # bootstrap: trust greens
+            changed = True
+        elif rec["fp"] != fp:
+            updated[name] = {"fp": fp, "since": next_round}
+            modified[name] = next_round
+            changed = True
+        else:
+            updated[name] = {"fp": fp, "since": int(rec.get("since", 0))}
+            if updated[name]["since"] > 0:
+                modified[name] = updated[name]["since"]
+    return modified, updated, changed
+
+
+def _auto_modified(repo_root: str | None = None) -> dict[str, int]:
+    """Compute the fingerprint-derived modified map and keep the
+    persisted record current. Every call recomputes live fingerprints
+    (cheap: linecache-backed getsource over ~300 functions) so an
+    in-memory mutation is caught without a process restart."""
+    root = repo_root if repo_root is not None else _repo_root()
+    path = os.path.join(root, _FINGERPRINT_FILE)
+    try:
+        with open(path) as f:
+            recorded = json.load(f)
+        if not isinstance(recorded, dict):
+            recorded = {}
+    except (OSError, ValueError):
+        recorded = {}
+    current = {
+        name: _fingerprint(fn, _ORACLES.get(name)) for name, fn in _RAW_FNS.items()
+    }
+    modified, updated, changed = fingerprint_modified(
+        current, recorded, _latest_artifact_round(root) + 1
+    )
+    if changed:
+        try:
+            with open(path, "w") as f:
+                json.dump(updated, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout / worker zip: map still applies in-process
+    return modified
+
+
+def modified_map(repo_root: str | None = None) -> dict[str, int]:
+    """Combined behavior-modified map: mechanical source fingerprints
+    plus the manual helper-change override, max round per query."""
+    _load()
+    out = _auto_modified(repo_root)
+    for name, rnd in _MODIFIED_IN_ROUND.items():
+        out[name] = max(rnd, out.get(name, 0))
+    return out
 
 
 def _repo_root() -> str:
@@ -229,18 +346,42 @@ def _family_rank(name: str) -> int:
     return len(_RISK_PREFIX_ORDER)
 
 
+def promoted_no_oracle(names, oracle_names, ledger) -> str | None:
+    """The single stalest EARNED no-oracle row (r13 verdict item 4):
+    rows-only rows can never be upgraded by a re-check, but they ARE
+    liveness evidence ("ran with rows as declared"), and q_ddl_create /
+    q_catalog_list hadn't executed under the driver since r1. One slot
+    per round rotates the stalest of them back through the window; the
+    rest keep sorting behind every oracle-backed query."""
+    cands = []
+    for n in names:
+        if n in oracle_names:
+            continue
+        entry = ledger.get(n)
+        if isinstance(entry, int):
+            entry = {"last": entry, "ok": True}
+        if entry is not None and entry.get("ok", True):
+            cands.append((entry.get("last", 0), n))
+    return min(cands)[1] if cands else None
+
+
 def check_order(names, oracle_names, ledger, modified=None) -> list[str]:
     """Pure ordering kernel (exposed for tests): see module comment.
 
     ``ledger`` maps name -> ``{"first", "last", "ok"}`` (from
     ``_driver_ledger``); a bare int value is accepted as shorthand for
     a green row earned that round. ``modified`` maps name -> round of
-    last behavior change (defaults to ``_MODIFIED_IN_ROUND``): a green
-    row OLDER than that round is stale evidence and re-fronts the
-    query exactly like a missing row.
+    last behavior change (defaults to ``modified_map()``'s manual
+    component, ``_MODIFIED_IN_ROUND``; ``queries()`` passes the full
+    fingerprint-derived map): a green row OLDER than that round is
+    stale evidence and re-fronts the query exactly like a missing row.
+    The single stalest earned no-oracle row is promoted into the green
+    rolling sweep (group 2) so rows-only liveness evidence also
+    refreshes, one slot per round.
     """
     if modified is None:
         modified = _MODIFIED_IN_ROUND
+    promoted = promoted_no_oracle(names, oracle_names, ledger)
 
     def key(n: str):
         entry = ledger.get(n)
@@ -252,6 +393,8 @@ def check_order(names, oracle_names, ledger, modified=None) -> list[str]:
             # or latest row failed: needs (re)verification.
             return (0 if n in oracle_names else 1, _family_rank(n), n)
         if n not in oracle_names:
+            if n == promoted:
+                return (2, entry["last"], n)
             return (3, entry["last"], n)
         return (2, entry["last"], n)
 
@@ -274,7 +417,9 @@ def _load() -> None:
 
 def queries() -> dict[str, QueryFn]:
     _load()
-    order = check_order(_QUERIES, set(_ORACLES), _driver_ledger())
+    order = check_order(
+        _QUERIES, set(_ORACLES), _driver_ledger(), modified=modified_map()
+    )
     return {name: _QUERIES[name] for name in order}
 
 

@@ -652,9 +652,11 @@ def q_stream_theta(spark, sf_dir):
     over the batch plus a merge over 2·k state rows — map-combined,
     no shuffle wider than the batch distinct, state constant-size."""
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
-    empty = (
-        o.select(F.md5(F.col("o_custkey").cast("string")).alias("h")).limit(0)
-    )
+    # Seed h as an explicit BIGINT (r13 advice): the state chain's type
+    # must not depend on union coercion rules — _theta_hash_sql yields
+    # bigint, and a string-winning coercion (Spark 3 non-ANSI) would
+    # silently turn the bottom-k orderBy('h') lexicographic.
+    empty = o.select(F.lit(0).cast("bigint").alias("h")).limit(0)
     state_a, state_b = empty, empty
     for cond in (
         F.col("o_orderkey") <= 20_000,

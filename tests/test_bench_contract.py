@@ -247,13 +247,62 @@ def test_prev_timings_ignores_other_scale(tmp_path, monkeypatch):
 
 
 def test_parse_sf_layouts(monkeypatch):
-    """r12 advice: arbitrary SPARK_GRAFT_SF_DIR layouts must not crash
-    startup — parse sf<number> suffixes, honor the SPARK_GRAFT_SF
-    override, and fall back to 0.1 with a warning otherwise."""
+    """r12/r13 advice: arbitrary SPARK_GRAFT_SF_DIR layouts must not
+    crash startup — an sf<number> token ANYWHERE in the path counts
+    (last match wins), the SPARK_GRAFT_SF override is honored, and an
+    undetermined scale returns None (history/drift are skipped) rather
+    than polluting the 0.1 bucket."""
     monkeypatch.delenv("SPARK_GRAFT_SF", raising=False)
     assert bench._parse_sf("/root/testdata/sf0.1") == 0.1
     assert bench._parse_sf("/root/testdata/sf0.01/") == 0.01
-    assert bench._parse_sf("/data/tpch_sf1_parquet") == 0.1  # fallback
-    assert bench._parse_sf("/data/no_marker_here") == 0.1    # fallback
+    assert bench._parse_sf("/data/tpch_sf1_parquet") == 1.0   # mid-path token
+    assert bench._parse_sf("/sf10/tpch_sf2_parquet") == 2.0   # deepest wins
+    assert bench._parse_sf("/data/no_marker_here") is None    # undetermined
     monkeypatch.setenv("SPARK_GRAFT_SF", "2.5")
     assert bench._parse_sf("/data/no_marker_here") == 2.5
+    monkeypatch.setenv("SPARK_GRAFT_SF", "garbage")
+    assert bench._parse_sf("/root/testdata/sf0.1") == 0.1  # bad env ignored
+
+
+def test_calibration_probe_and_drift_normalization():
+    """r13 verdict item 1: the fixed-work probe returns a positive
+    stable number, and the drift report divides box-delta out of each
+    mover when both sides carry a stamp."""
+    a, b = bench._calibrate(repeats=1), bench._calibrate(repeats=1)
+    assert a > 0 and b > 0
+    assert max(a, b) / min(a, b) < 3.0  # same box, same work
+
+    history = [
+        {"label": "r13", "queries": {"q_x": 2.0, "q_y": 1.0}, "calib_s": 0.2},
+        {"label": "old", "queries": {"q_x": 2.5}},  # no stamp (pre-r14)
+    ]
+    # Box measured 2x slower: q_x at 3.2 is ratio 1.6 raw but 0.8
+    # after normalization — the box, not the plan.
+    drift = bench._drift_report(history, {"q_x": 3.2, "q_y": 1.9}, calib_now=0.4)
+    rows = {e["q"]: e for e in drift}
+    assert rows["q_x"]["ratio"] == 1.6
+    assert rows["q_x"]["calib_ratio"] == 2.0
+    assert rows["q_x"]["ratio_cal"] == 0.8
+    assert rows["q_y"]["ratio_cal"] == 0.95
+    # Floor from an unstamped legacy snapshot -> raw ratio only.
+    hist2 = [{"label": "old", "queries": {"q_x": 1.0}}]
+    d2 = bench._drift_report(hist2, {"q_x": 2.0}, calib_now=0.4)
+    assert d2[0]["ratio"] == 2.0 and "ratio_cal" not in d2[0]
+    # No probe this run (None) -> raw ratios, never a crash.
+    d3 = bench._drift_report(history, {"q_x": 3.2}, calib_now=None)
+    assert d3[0]["ratio"] == 1.6 and "calib_ratio" not in d3[0]
+
+
+def test_append_history_carries_calib(monkeypatch, tmp_path):
+    import json as _json
+
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    bench._append_history([], {"q_x": 1.0}, 1.0, 0.1, calib_s=0.31)
+    with open(tmp_path / "BENCH_HISTORY.json") as f:
+        saved = _json.load(f)
+    assert saved[-1]["calib_s"] == 0.31
+    # Legacy call without a stamp stays shape-compatible.
+    bench._append_history(saved, {"q_x": 1.0}, 1.0, 0.1)
+    with open(tmp_path / "BENCH_HISTORY.json") as f:
+        saved2 = _json.load(f)
+    assert "calib_s" not in saved2[-1]

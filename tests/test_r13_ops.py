@@ -36,19 +36,33 @@ def test_substr_index_probe_chunked_large_keyset(spark, tmp_path):
 
     keys = [f"g{i:06d}" for i in range(0, 20_000, 17)]  # 1177 scattered keys
     got = dd.substr_index_probe(spark, path, keys)
-    # predicate depth: a balanced tree over ceil(1177/10)=118 chunks is
-    # ~7 Or levels; the old left-fold was 1176 deep. The analyzed plan
-    # prints the condition with one paren level per Or nesting, so max
-    # parenthesis depth over the plan string bounds the tree depth.
-    plan = got._jdf.queryExecution().analyzed().toString()
-    depth = best = 0
-    for ch in plan:
-        if ch == "(":
-            depth += 1
-            best = max(best, depth)
-        elif ch == ")":
-            depth -= 1
-    assert best < 40, f"filter expression nests {best} deep — not balanced"
+    # Predicate depth: a balanced tree over ceil(1177/10)=118 chunks is
+    # ~7 Or levels; the old left-fold was 1176 deep. Walk the Catalyst
+    # tree of the Filter node's CONDITION and measure Or-nesting
+    # directly (r13 advice: counting parens over the whole plan string
+    # was brittle — any unrelated nested expression or print-format
+    # change could flip it).
+    def _kids(tree_node):
+        kids = tree_node.children()
+        return [kids.apply(i) for i in range(kids.size())]
+
+    def _or_depth(expr) -> int:
+        cls = expr.getClass().getSimpleName()
+        best = max((_or_depth(k) for k in _kids(expr)), default=0)
+        return best + (1 if cls == "Or" else 0)
+
+    def _filters(node):
+        if node.getClass().getSimpleName() == "Filter":
+            yield node.condition()
+        for k in _kids(node):
+            yield from _filters(k)
+
+    plan = got._jdf.queryExecution().analyzed()
+    filters = list(_filters(plan))
+    assert filters, "probe plan lost its Filter node"
+    depth = max(_or_depth(c) for c in filters)
+    assert depth < 12, f"filter Or-tree nests {depth} deep — not balanced"
+    assert depth >= 4, f"Or depth {depth}: chunking disappeared?"
     assert got.count() == len(keys)
     assert sorted(r["gram"] for r in got.select("gram").collect()) == sorted(keys)
     # empty probe still short-circuits

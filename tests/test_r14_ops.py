@@ -1,0 +1,153 @@
+"""Round-14 additions: the ANN deletion rung (r13 verdict item 3 —
+delete-apply == rebuild, closing the insert-only boundary), the mixed
+insert+delete streaming upsert twin, and their structural properties.
+The bench calibration probe and registry fingerprint tests live in
+test_bench_contract.py / test_registry_order.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from proof_of_concept___cdc_w_iceberg_spark.registry import oracles, queries
+
+QS = queries()
+OS = oracles()
+
+
+def _graph_rows(df):
+    return sorted(
+        (r["src"], r["dst"], r["cosine"], r["rn"]) for r in df.collect()
+    )
+
+
+def _assert_graph_matches(spark, got_df, duck, oracle_sql):
+    got = _graph_rows(got_df)
+    spark.catalog.clearCache()
+    want = sorted(
+        (int(s), int(d), float(c), int(rn))
+        for s, d, c, rn in duck.sql(oracle_sql).fetchall()
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1] and g[3] == w[3], (g, w)
+        assert g[2] == pytest.approx(w[2], abs=1e-9), (g, w)
+
+
+def test_knn_graph_delete_matches_rebuild(spark, sf_dir, duck):
+    """Pre-validates the driver hash check for q_knn_graph_delete: the
+    maintained graph after a scattered ~9% delete batch equals the
+    DuckDB rebuild over corpus ∖ deletes, row for row, at sf0.001."""
+    _assert_graph_matches(
+        spark, QS["q_knn_graph_delete"](spark, sf_dir), duck,
+        OS["q_knn_graph_delete"],
+    )
+
+
+def test_knn_graph_delete_structure(spark, sf_dir):
+    """Structural laws of delete-apply, independent of the oracle:
+    (a) no deleted id survives as src OR dst; (b) survivors whose
+    carried top-k referenced a deleted node got REPLACEMENT edges (k
+    edges again wherever their surviving cell allows), i.e. the apply
+    did not just drop dead edges; (c) rn is dense 1..deg per src."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.ann import (
+        knn_graph_delete_apply,
+        knn_graph_state,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import KNN_K, _sqnorm
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    state = knn_graph_state(e).localCheckpoint(eager=True)
+    dels = e.filter(F.col("vec_id") % 11 == 3).select("vec_id")
+    surv = e.filter(F.col("vec_id") % 11 != 3)
+    out = knn_graph_delete_apply(state, surv, dels).localCheckpoint(eager=True)
+
+    del_ids = {r["vec_id"] for r in dels.collect()}
+    assert del_ids, "fixture must contain deletable ids"
+    rows = out.collect()
+    assert not {r["src"] for r in rows} & del_ids
+    assert not {r["dst"] for r in rows} & del_ids
+
+    # (b) broken nodes regain full degree where the cell allows it.
+    broken = {
+        r["src"]
+        for r in state.collect()
+        if r["dst"] in del_ids and r["src"] not in del_ids
+    }
+    assert broken, "a ~9% scattered delete must break someone's top-k"
+    cell_sizes = {
+        r["label"]: r["n"]
+        for r in surv.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    label_of = {r["vec_id"]: r["label"] for r in surv.collect()}
+    deg = {}
+    for r in rows:
+        deg[r["src"]] = deg.get(r["src"], 0) + 1
+    for src in broken:
+        expect = min(KNN_K, cell_sizes[label_of[src]] - 1)
+        assert deg.get(src, 0) == expect, (src, deg.get(src), expect)
+
+    # (c) dense ranks per src.
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["src"], []).append(r["rn"])
+    for src, rns in per_src.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1)), src
+    spark.catalog.clearCache()
+
+
+def test_stream_knn_graph_upsert_matches_rebuild(spark, sf_dir, duck):
+    """Pre-validates the driver hash check for q_stream_knn_graph_upsert:
+    three micro-batches with interleaved deletes and inserts converge
+    to the one-shot rebuild over the final survivor set — the full
+    delete∘insert apply == rebuild law under multi-batch arrival."""
+    _assert_graph_matches(
+        spark, QS["q_stream_knn_graph_upsert"](spark, sf_dir), duck,
+        OS["q_stream_knn_graph_upsert"],
+    )
+
+
+def test_delete_then_insert_same_cell_composition(spark, sf_dir):
+    """The mixed-batch composition argument (module comment in
+    ext/ann.py): delete and insert applied to the SAME cells in one
+    batch equals the rebuild — exercised directly, not via the
+    registered three-batch split, with the insert REPLAYING some
+    deleted vectors under new ids (so a replacement edge must point at
+    a re-inserted duplicate at cosine 1.0 wherever a node's nearest
+    neighbor was deleted and replayed)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.ann import (
+        knn_graph_apply,
+        knn_graph_delete_apply,
+        knn_graph_state,
+        _knn_topk,
+        _knn_scored,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import _sqnorm
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    state = knn_graph_state(e).localCheckpoint(eager=True)
+    del_cond = F.col("vec_id") % 5 == 0
+    dels = e.filter(del_cond).select("vec_id")
+    surv = e.filter(~del_cond)
+    # Replay every 10th vector (a subset of the deleted ones) under a
+    # fresh id: its old nearest-neighbors must pick the clone back up.
+    batch = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "label", "embedding", "sq"
+    )
+    got = knn_graph_apply(
+        knn_graph_delete_apply(state, surv, dels), surv, batch
+    )
+    want = _knn_topk(_knn_scored(surv.unionByName(batch), surv.unionByName(batch)))
+    got_rows = _graph_rows(got)
+    assert got_rows == _graph_rows(want)
+    # And at least one survivor's edge list contains a replayed clone.
+    assert any(d >= 1_000_000 for _s, d, _c, _rn in got_rows)
+    spark.catalog.clearCache()

@@ -39,13 +39,36 @@ def _scan_artifacts() -> dict[int, dict]:
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _modified() -> dict:
+    """One fingerprint sweep per test session — the map is only read
+    here, never mutated, and recomputing it per query made this module
+    ~100x slower for nothing."""
+    return dict(registry.modified_map())
+
+
 def _needs_check(name: str, ledger: dict) -> bool:
     entry = ledger.get(name)
     if entry is None or not entry["ok"]:
         return True
     # r12 verdict: a green row earned BEFORE the query's last behavior
-    # change is stale evidence — the registry re-fronts it.
-    return entry["last"] < registry._MODIFIED_IN_ROUND.get(name, 0)
+    # change is stale evidence — the registry re-fronts it. Since r14
+    # the map is fingerprint-derived (manual dict = override only).
+    return entry["last"] < _modified().get(name, 0)
+
+
+def _promoted() -> str | None:
+    """The one earned no-oracle row the live order re-fronts (r13
+    verdict item 4) — tests that assert earned rows-only rows sort
+    last must carve out this single rotating slot."""
+    registry._load()
+    return registry.promoted_no_oracle(
+        list(registry._QUERIES), set(registry._ORACLES),
+        registry._driver_ledger(_REPO),
+    )
 
 
 def test_ledger_reads_artifacts() -> None:
@@ -85,15 +108,20 @@ def test_front_window_no_oracle_only_while_rowless() -> None:
     qs = list(registry.queries())
     oracles = registry.oracles()
     ledger = registry._driver_ledger(_REPO)
+    promoted = _promoted()
     front = qs[:DRIVER_WINDOW]
-    bad = [q for q in front if q not in oracles and q in ledger and ledger[q]["ok"]]
+    bad = [
+        q for q in front
+        if q not in oracles and q in ledger and ledger[q]["ok"] and q != promoted
+    ]
     assert not bad, f"earned rows-only queries holding front slots: {bad}"
     # And behind the front window they must never precede an
-    # oracle-backed query anywhere in the tail.
+    # oracle-backed query anywhere in the tail (the single promoted
+    # liveness slot excepted — it re-fronts by design).
     tail = qs[DRIVER_WINDOW:]
     earned_seen = False
     for q in tail:
-        if q not in oracles and q in ledger and ledger[q]["ok"]:
+        if q not in oracles and q in ledger and ledger[q]["ok"] and q != promoted:
             earned_seen = True
         elif q in oracles and earned_seen:
             raise AssertionError(
@@ -172,11 +200,12 @@ def test_modified_since_check_refronts() -> None:
     modified = {"a_modified": 12, "c_recleared": 12}
     got = registry.check_order(names, set(names), ledger, modified=modified)
     assert got == ["a_modified", "b_green", "c_recleared"]
-    # Live: every pinned query whose latest row predates its pin round
-    # must hold a front-window slot right now.
+    # Live: every pinned query (fingerprint-derived or manual) whose
+    # latest row predates its pin round must hold a front-window slot
+    # right now.
     qs = list(registry.queries())
     live_ledger = registry._driver_ledger(_REPO)
-    for name, rnd in registry._MODIFIED_IN_ROUND.items():
+    for name, rnd in registry.modified_map().items():
         entry = live_ledger.get(name)
         if entry is not None and entry["ok"] and entry["last"] >= rnd:
             continue  # pin already cleared by a newer driver row
@@ -217,11 +246,25 @@ def test_order_kernel_synthetic() -> None:
         "q_failed_r3": {"first": 3, "last": 3, "ok": False},
     }
     got = registry.check_order(names, oracle_names, ledger)
+    # no_oracle_earned is the promoted liveness slot: key (2, 2, name)
+    # — it joins group 2 but still sorts after a_checked_r2 (same
+    # round, later name).
     assert got == [
         "q_cdc_x", "q_failed_r3", "q_text_y",  # group 0 (family rank, name)
         "no_oracle_z",                          # group 1
         "b_checked_r1", "a_checked_r2",         # group 2 stalest-first
-        "no_oracle_earned",                     # group 3
+        "no_oracle_earned",                     # promoted into group 2 tail
+    ]
+    # With a second, staler earned no-oracle row, only the stalest one
+    # is promoted; the other keeps sorting behind everything.
+    names2 = names + ["no_oracle_stale"]
+    ledger2 = dict(ledger, no_oracle_stale={"first": 1, "last": 1, "ok": True})
+    got2 = registry.check_order(names2, oracle_names, ledger2)
+    assert got2 == [
+        "q_cdc_x", "q_failed_r3", "q_text_y",
+        "no_oracle_z",
+        "b_checked_r1", "no_oracle_stale", "a_checked_r2",
+        "no_oracle_earned",
     ]
 
 
@@ -255,16 +298,22 @@ try:
         needing a (re)check precedes every green one; earned rows-only
         queries come after all oracle-backed queries; green oracle-backed
         queries are stalest-first."""
-        from proof_of_concept___cdc_w_iceberg_spark.registry import check_order
+        from proof_of_concept___cdc_w_iceberg_spark.registry import (
+            check_order,
+            promoted_no_oracle,
+        )
 
         names, oracle_names, ledger = case
         order = check_order(names, oracle_names, ledger)
         assert sorted(order) == sorted(names)
+        promoted = promoted_no_oracle(names, oracle_names, ledger)
 
         def group(n):
             e = ledger.get(n)
             if e is None or not e["ok"]:
                 return 0 if n in oracle_names else 1
+            if n == promoted:
+                return 2  # the one rotating rows-only liveness slot
             return 2 if n in oracle_names else 3
 
         groups = [group(n) for n in order]
@@ -273,6 +322,15 @@ try:
             ledger[n]["last"] for n in order if group(n) == 2
         ]
         assert green_rounds == sorted(green_rounds)
+        # At most ONE earned no-oracle row ever escapes group 3, and it
+        # is the stalest of them.
+        if promoted is not None:
+            earned = [
+                (ledger[n]["last"], n)
+                for n in names
+                if n not in oracle_names and ledger.get(n, {"ok": False})["ok"]
+            ]
+            assert (ledger[promoted]["last"], promoted) == min(earned)
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
@@ -300,12 +358,16 @@ def test_r07_rolling_sweep_fronts_round1_rows() -> None:
     )
     if not r1:
         return
-    front = order[: len(r1)]
-    assert sorted(front) == r1, (
+    # The stalest oracle-backed rows lead the oracle-backed order (the
+    # promoted rows-only liveness slot may interleave by its own round).
+    front_oracle = [q for q in order if q in oracles][: len(r1)]
+    assert sorted(front_oracle) == r1, (
         "full-coverage window must front the round-1 (stalest) rows"
     )
-    # Earned rows-only queries sit at the very back.
-    rows_only = [q for q in qs if q not in oracles]
+    # Earned rows-only queries sit at the very back — except the single
+    # promoted liveness slot, which re-fronts by design.
+    promoted = registry.promoted_no_oracle(list(qs), set(oracles), ledger)
+    rows_only = [q for q in qs if q not in oracles and q != promoted]
     if rows_only:
         assert order[-len(rows_only):] == sorted(
             rows_only, key=lambda n: (ledger[n]["last"], n)
@@ -318,3 +380,89 @@ def test_modified_pins_name_real_queries() -> None:
     qs = registry.queries()
     unknown = [n for n in registry._MODIFIED_IN_ROUND if n not in qs]
     assert not unknown, f"pins for unregistered queries: {unknown}"
+
+
+# --- per-query source fingerprints (r13 verdict item 2) ----------------
+
+
+def test_fingerprint_kernel() -> None:
+    """Pure kernel: bootstrap stamps since=0 (trust existing greens);
+    a changed fingerprint stamps since=next_round and enters the
+    modified map; an unchanged one keeps its recorded since; a dropped
+    query marks the file dirty."""
+    cur = {"a": "fp_a1", "b": "fp_b", "c": "fp_c"}
+    rec = {
+        "a": {"fp": "fp_a0", "since": 3},   # edited since last record
+        "b": {"fp": "fp_b", "since": 9},    # unchanged, pin still pending
+        "gone": {"fp": "fp_g", "since": 0}, # renamed/deleted query
+    }
+    mod, upd, changed = registry.fingerprint_modified(cur, rec, 14)
+    assert mod == {"a": 14, "b": 9}
+    assert upd["a"] == {"fp": "fp_a1", "since": 14}
+    assert upd["b"] == {"fp": "fp_b", "since": 9}
+    assert upd["c"] == {"fp": "fp_c", "since": 0}  # bootstrap
+    assert "gone" not in upd and changed
+
+    # Steady state: nothing edited, nothing pending -> no write needed.
+    mod2, upd2, changed2 = registry.fingerprint_modified(
+        {"c": "fp_c"}, {"c": {"fp": "fp_c", "since": 0}}, 14
+    )
+    assert mod2 == {} and upd2 == {"c": {"fp": "fp_c", "since": 0}}
+    assert not changed2
+
+
+def test_fingerprint_in_memory_mutation_refronts(tmp_path, monkeypatch) -> None:
+    """The r13 verdict's done-criterion: mutate a query body in memory
+    and assert it re-fronts with NO manual dict entry. Uses an isolated
+    repo root so the real QUERY_FINGERPRINTS.json is untouched."""
+    registry._load()
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 5, "oracle_rows": 5, "err": None}
+    with open(tmp_path / "CORRECTNESS_r07.json", "w") as f:
+        json.dump({n: dict(green) for n in registry._QUERIES}, f)
+    monkeypatch.setattr(registry, "_repo_root", lambda: str(tmp_path))
+    assert not registry._MODIFIED_IN_ROUND  # mechanism, not the override
+
+    # First load records the current fingerprints (bootstrap): all
+    # green at r7, nothing modified -> nothing fronts.
+    assert registry.modified_map() == {}
+    ledger = registry._driver_ledger(str(tmp_path))
+
+    def impostor(spark, sf_dir):  # a different body => different source
+        return None
+
+    monkeypatch.setitem(registry._RAW_FNS, "q_filter_eq", impostor)
+    mod = registry.modified_map()
+    assert mod == {"q_filter_eq": 8}  # latest artifact r7 -> next round
+    order = registry.check_order(
+        registry._QUERIES, set(registry._ORACLES), ledger, modified=mod
+    )
+    assert order[0] == "q_filter_eq", (
+        "edited query body must re-front without a manual pin"
+    )
+    # Self-clearing: a green row at/after the stamped round ends it.
+    ledger2 = dict(ledger, q_filter_eq={"first": 7, "last": 8, "ok": True})
+    order2 = registry.check_order(
+        registry._QUERIES, set(registry._ORACLES), ledger2, modified=mod
+    )
+    assert order2[0] != "q_filter_eq"
+    assert order2.index("q_filter_eq") > order2.index(order[1])
+
+
+def test_fingerprint_file_matches_live_registry() -> None:
+    """The committed QUERY_FINGERPRINTS.json must cover every
+    registered query and agree with the live source — a drifted record
+    here means a query was edited without the registry ever loading
+    (e.g. a hand-edit committed without running tests), which would
+    defeat the mechanism at the driver."""
+    registry._load()
+    with open(os.path.join(_REPO, registry._FINGERPRINT_FILE)) as f:
+        recorded = json.load(f)
+    assert set(recorded) == set(registry._QUERIES)
+    latest = registry._latest_artifact_round(_REPO)
+    for name, rec in recorded.items():
+        live = registry._fingerprint(
+            registry._RAW_FNS[name], registry._ORACLES.get(name)
+        )
+        assert rec["fp"] == live, f"{name}: stale fingerprint record"
+        assert 0 <= rec["since"] <= latest + 1
