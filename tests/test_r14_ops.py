@@ -151,3 +151,99 @@ def test_delete_then_insert_same_cell_composition(spark, sf_dir):
     # And at least one survivor's edge list contains a replayed clone.
     assert any(d >= 1_000_000 for _s, d, _c, _rn in got_rows)
     spark.catalog.clearCache()
+
+
+def test_knn_cell_stream_durable_state_restart(spark, sf_dir):
+    """The durable-state form of the kNN-graph IVM (r13 verdict item
+    7): the graph lives in the checkpointed state store keyed by cell,
+    so it SURVIVES a query stop + restart — phase 1 streams part of
+    the corpus and stops; more files land; phase 2 is a NEW query on
+    the SAME checkpoint that processes only the new batches. The final
+    latest-emission-per-cell graph must equal the one-shot Spark build
+    BIT-EXACTLY (the state fn replays _dot's sequential fold), which
+    is only possible if phase 2 restored phase 1's members and carried
+    edges from the store rather than restarting empty."""
+    import shutil
+    import tempfile
+
+    from proof_of_concept___cdc_w_iceberg_spark import registry
+    from proof_of_concept___cdc_w_iceberg_spark.ext.ann import knn_graph_state
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import KNN_K, _sqnorm
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.stateful import (
+        knn_cell_stream,
+    )
+
+    assert KNN_K == 3, "knn_cell_state_fn inlines k=3; keep them in sync"
+    registry._ship_package(spark)  # state fn unpickles on workers
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    src = tempfile.mkdtemp(prefix="knn_durable_")
+    ckpt = src + "_ckpt"
+    latest: dict[int, list] = {}
+    phase_batches = []
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def step(batch_df, _bid):
+            for lbl, rows in _group_by_label(batch_df.collect()).items():
+                latest[lbl] = rows
+            phase_batches.append(_bid)
+
+        q = (
+            knn_cell_stream(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(step)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def _group_by_label(rows):
+        by = {}
+        for r in rows:
+            by.setdefault(r["label"], []).append(
+                (r["src"], r["dst"], r["cosine"], r["rn"])
+            )
+        return by
+
+    try:
+        # Phase 1: two-thirds of the corpus, two files.
+        e.filter(F.col("vec_id") % 3 == 0).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+        e.filter(F.col("vec_id") % 3 == 1).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_stream()
+        n_phase1 = len(phase_batches)
+        assert n_phase1 >= 2, "phase 1 collapsed to one micro-batch"
+
+        # Phase 2: the rest lands as a new file; NEW query, SAME ckpt.
+        e.filter(F.col("vec_id") % 3 == 2).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+        run_stream()
+        assert len(phase_batches) > n_phase1, "restart processed nothing"
+
+        got = sorted(t for rows in latest.values() for t in rows)
+        want = sorted(
+            (r["src"], r["dst"], r["cosine"], r["rn"])
+            for r in knn_graph_state(
+                e.select(
+                    "vec_id", "label", "embedding",
+                    _sqnorm(F.col("embedding")).alias("sq"),
+                )
+            ).collect()
+        )
+        assert got == want  # bit-exact, including cosines
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    spark.catalog.clearCache()
