@@ -208,6 +208,9 @@ BENCH_QUERIES = [
     # and the mixed insert+delete multi-batch upsert stream.
     "q_knn_graph_delete",
     "q_stream_knn_graph_upsert",
+    # r14: CMS rollup (per-year grids cell-sum-merged to the total;
+    # oracle rebuilds the total one-shot).
+    "q_sketch_cms_rollup",
 ]
 
 

@@ -251,6 +251,124 @@ def q_sketch_cms(spark, sf_dir):
     return cms_topk(cms_sketch(li), keys)
 
 
+CMS_ROLLUP_TOPN = 5
+
+
+def _cms_rollup_oracle() -> str:
+    leaf_union = " UNION ALL ".join(
+        f"SELECT g, {r} AS r, {_cms_cell_sql(r, 'k')} AS c, COUNT(*) AS cnt "
+        f"FROM stream GROUP BY 1, 3"
+        for r in range(CMS_DEPTH)
+    )
+    total_union = " UNION ALL ".join(
+        f"SELECT 'total' AS g, {r} AS r, {_cms_cell_sql(r, 'k')} AS c, "
+        f"COUNT(*) AS cnt FROM stream GROUP BY 3"
+        for r in range(CMS_DEPTH)
+    )
+    probe_case = " ".join(
+        f"WHEN {r} THEN {_cms_cell_sql(r, 'keys.k')}" for r in range(CMS_DEPTH)
+    )
+    return f"""
+        WITH stream AS (
+            SELECT CAST(YEAR(l_shipdate) AS VARCHAR) AS g, l_suppkey AS k
+            FROM lineitem
+        ),
+        grid AS (
+            {leaf_union}
+            UNION ALL
+            {total_union}
+        ),
+        keys AS (
+            SELECT g, k, COUNT(*) AS exact_cnt FROM stream GROUP BY 1, 2
+            UNION ALL
+            SELECT 'total' AS g, k, COUNT(*) AS exact_cnt FROM stream GROUP BY 2
+        ),
+        est AS (
+            SELECT keys.g, keys.k, keys.exact_cnt, MIN(grid.cnt) AS min_cnt
+            FROM keys JOIN grid
+              ON grid.g = keys.g
+             AND grid.c = CASE grid.r {probe_case} END
+            GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT g, k, CAST(min_cnt AS BIGINT) AS est_cnt,
+                   CAST(exact_cnt AS BIGINT) AS exact_cnt,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY min_cnt DESC, k) AS rn
+            FROM est
+        )
+        SELECT g, k, est_cnt, exact_cnt FROM ranked WHERE rn <= {CMS_ROLLUP_TOPN}
+    """
+
+
+@query("q_sketch_cms_rollup", oracle=_cms_rollup_oracle())
+def q_sketch_cms_rollup(spark, sf_dir):
+    """CMS rollup — the frequency member of the sketch-as-materialized-
+    aggregate column (q_sketch_hll_rollup is the cardinality member):
+    one depth×width count grid PER SHIP YEAR from a single stream
+    scan, plus the 'total' grid obtained by CELL-WISE SUM-MERGING the
+    leaf grids — never re-scanning the stream. This is how a 100 TB
+    pipeline serves "heavy hitters per day AND per month AND all-time"
+    from one daily sketch table: counts are a monoid, so every coarser
+    granularity is a ≤ d·w-row-per-bucket addition. The ORACLE builds
+    the total grid ONE-SHOT from the stream, so the driver hash check
+    proves the merge law at the rollup grain (the batch complement of
+    q_stream_cms's law over micro-batches); per-group exact counts
+    ride along in-band so the one-sided CMS overestimate is visible.
+
+    Plan shape: one scan → one map-combined groupBy(g, r, c) count
+    (the leaves, ≤ |years|·d·w rows), a second bounded SUM for the
+    total, then ONE broadcast (g, r, c) probe join (the grid relation
+    is ≤ (|years|+1)·1024 rows) and a per-group rank window — every
+    post-leaf relation bounded by buckets × grid size, independent of
+    stream length. All-integer arithmetic: no cross-engine float
+    hazard anywhere."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("string").alias("g"),
+        F.col("l_suppkey").alias("k"),
+    )
+    leaf = (
+        li.select("g", F.posexplode(F.array(*cms_cell_exprs())).alias("r", "c"))
+        .groupBy("g", "r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = leaf.unionByName(
+        leaf.groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit("total").alias("g"), "r", "c", "cnt")
+    )
+    keys = (
+        li.groupBy("g", "k")
+        .agg(F.count("*").alias("exact_cnt"))
+        .unionByName(
+            li.groupBy("k")
+            .agg(F.count("*").alias("exact_cnt"))
+            .select(F.lit("total").alias("g"), "k", "exact_cnt")
+        )
+    )
+    probe = keys.select(
+        "g", "k", "exact_cnt",
+        F.posexplode(F.array(*cms_cell_exprs())).alias("r", "c"),
+    )
+    est = (
+        probe.join(F.broadcast(grid), ["g", "r", "c"], "inner")
+        .groupBy("g", "k", "exact_cnt")
+        .agg(F.min("cnt").alias("min_cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.col("min_cnt").desc(), F.col("k"))
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CMS_ROLLUP_TOPN)
+        .select(
+            "g", "k",
+            F.col("min_cnt").cast("long").alias("est_cnt"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        )
+    )
+
+
 HLL_B = 8                 # 2^8 = 256 registers
 HLL_M = 1 << HLL_B
 HLL_VBITS = 24            # rank bits per hash

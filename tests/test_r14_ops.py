@@ -153,6 +153,59 @@ def test_delete_then_insert_same_cell_composition(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_sketch_cms_rollup_matches_oracle_and_merge_law(spark, sf_dir, duck):
+    """Pre-validates the driver hash check for q_sketch_cms_rollup at
+    sf0.001, and asserts the merge law structurally: the Spark-side
+    'total' grid (cell-wise SUM of the per-year leaves) equals a
+    one-shot grid built directly from the whole stream."""
+    got = sorted(
+        (r["g"], r["k"], r["est_cnt"], r["exact_cnt"])
+        for r in QS["q_sketch_cms_rollup"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        (g, int(k), int(e), int(x))
+        for g, k, e, x in duck.sql(OS["q_sketch_cms_rollup"]).fetchall()
+    )
+    assert got == want
+    groups = {g for g, *_ in got}
+    assert "total" in groups and len(groups) >= 3
+    # per-group top-N contract: every group emits <= CMS_ROLLUP_TOPN
+    # rows and est >= exact (CMS overestimates, never under).
+    from collections import Counter
+
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        CMS_ROLLUP_TOPN,
+        cms_cell_exprs,
+        cms_sketch,
+    )
+
+    per_g = Counter(g for g, *_ in got)
+    assert all(n <= CMS_ROLLUP_TOPN for n in per_g.values())
+    assert all(e >= x for _g, _k, e, x in got)
+
+    # merge law on the grids themselves
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("string").alias("g"),
+        F.col("l_suppkey").alias("k"),
+    )
+    leaf = (
+        li.select("g", F.posexplode(F.array(*cms_cell_exprs())).alias("r", "c"))
+        .groupBy("g", "r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = sorted(
+        (r["r"], r["c"], r["cnt"])
+        for r in leaf.groupBy("r", "c").agg(F.sum("cnt").alias("cnt")).collect()
+    )
+    one_shot = sorted(
+        (r["r"], r["c"], r["cnt"]) for r in cms_sketch(li.select("k")).collect()
+    )
+    assert merged == one_shot
+    spark.catalog.clearCache()
+
+
 def test_knn_cell_stream_durable_state_restart(spark, sf_dir):
     """The durable-state form of the kNN-graph IVM (r13 verdict item
     7): the graph lives in the checkpointed state store keyed by cell,
