@@ -211,6 +211,9 @@ BENCH_QUERIES = [
     # r14: CMS rollup (per-year grids cell-sum-merged to the total;
     # oracle rebuilds the total one-shot).
     "q_sketch_cms_rollup",
+    # r14: Bloom rollup (per-segment position sets OR-merged; probe
+    # through the merged filter checks the exact position set).
+    "q_sketch_bloom_rollup",
 ]
 
 

@@ -142,6 +142,140 @@ def q_join_bloom(spark, sf_dir):
     return bloom_reduce_join(o, dim, bloom_positions(dim, "c_custkey"))
 
 
+def _bloom_rollup_oracle() -> str:
+    def pos_union(src: str, key: str, grp: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {grp} AS g, {_bloom_pos_sql(i, key)} AS pos FROM {src}"
+            for i in range(BLOOM_K)
+        )
+
+    opos_union = " UNION ALL ".join(
+        f"SELECT o_orderkey, {i} AS i, {_bloom_pos_sql(i, 'o_custkey')} AS pos "
+        f"FROM orders"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+        WITH dim AS (SELECT c_mktsegment AS g, c_custkey AS k FROM customer),
+        filters AS (
+            SELECT DISTINCT g, pos FROM ({pos_union('dim', 'k', 'g')})
+            UNION ALL
+            SELECT DISTINCT 'total' AS g, pos
+            FROM ({pos_union('dim', 'k', "'total'")})
+        ),
+        n_pos AS (SELECT g, COUNT(*) AS n_pos FROM filters GROUP BY g),
+        n_keys AS (
+            SELECT g, COUNT(*) AS n_keys FROM dim GROUP BY g
+            UNION ALL
+            SELECT 'total' AS g, COUNT(*) AS n_keys FROM dim
+        ),
+        opos AS ({opos_union}),
+        surv AS (
+            SELECT f.g, op.o_orderkey
+            FROM opos op JOIN filters f ON f.pos = op.pos
+            GROUP BY f.g, op.o_orderkey
+            HAVING COUNT(DISTINCT op.i) = {BLOOM_K}
+        ),
+        n_surv AS (SELECT g, COUNT(*) AS n_survived FROM surv GROUP BY g),
+        n_exact AS (
+            SELECT d.g, COUNT(*) AS n_exact
+            FROM orders o JOIN dim d ON o.o_custkey = d.k GROUP BY d.g
+            UNION ALL
+            SELECT 'total' AS g, COUNT(*) AS n_exact
+            FROM orders o JOIN (SELECT DISTINCT k FROM dim) d
+              ON o.o_custkey = d.k
+        )
+        SELECT k.g, CAST(k.n_keys AS BIGINT) AS n_keys,
+               CAST(p.n_pos AS BIGINT) AS n_pos,
+               CAST(COALESCE(s.n_survived, 0) AS BIGINT) AS n_survived,
+               CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact
+        FROM n_keys k
+        JOIN n_pos p ON p.g = k.g
+        LEFT JOIN n_surv s ON s.g = k.g
+        LEFT JOIN n_exact e ON e.g = k.g
+    """
+
+
+@query("q_sketch_bloom_rollup", oracle=_bloom_rollup_oracle())
+def q_sketch_bloom_rollup(spark, sf_dir):
+    """Bloom rollup — the membership member of the sketch-as-
+    materialized-aggregate column: one occupied-position relation PER
+    MARKET SEGMENT from a single dimension scan, plus the all-segments
+    filter obtained by OR-MERGING the leaves (distinct-union on ≤ m-row
+    position sets — a Bloom bitset merges by OR), never re-hashing the
+    dimension. The ORACLE builds the total filter ONE-SHOT over the
+    whole dimension, so the driver hash check proves the merge law at
+    the rollup grain (batch complement of q_stream_bloom's law over
+    micro-batches) — and the per-grain fact probe (orders passing all
+    k position tests, false positives included) makes the check
+    sensitive to the exact merged position SET, not just its size.
+    Exact qualifying counts ride along so per-filter selectivity and
+    false-positive overhead are visible in-band.
+
+    Plan shape: one dim scan → posexplode to (g, pos) distinct (the
+    leaves, ≤ \|segments\|·m rows), one bounded distinct for the total,
+    then ONE fact scan posexploded to k position rows equi-joined
+    against the broadcast filter relation and count-distinct-folded
+    per (g, orderkey) — linear in the fact with a ≤ (k · matched
+    groups) row expansion, no per-group pass. All-integer output."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("g"), F.col("c_custkey").alias("k")
+    )
+    kpos = [
+        F.expr(_bloom_pos_sql(i, "k", "STRING")) for i in range(BLOOM_K)
+    ]
+    leaf = (
+        c.select("g", F.posexplode(F.array(*kpos)).alias("i", "pos"))
+        .select("g", "pos")
+        .distinct()
+    )
+    filters = leaf.unionByName(
+        leaf.select(F.lit("total").alias("g"), "pos").distinct()
+    )
+    n_pos = filters.groupBy("g").agg(F.count("*").alias("n_pos"))
+    n_keys = (
+        c.groupBy("g").agg(F.count("*").alias("n_keys"))
+        .unionByName(
+            c.agg(F.count("*").alias("n_keys")).select(
+                F.lit("total").alias("g"), "n_keys"
+            )
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("k")
+    )
+    opos = o.select(
+        "o_orderkey", F.posexplode(F.array(*kpos)).alias("i", "pos")
+    )
+    surv = (
+        opos.join(F.broadcast(filters), "pos")
+        .groupBy("g", "o_orderkey")
+        .agg(F.countDistinct("i").alias("ni"))
+        .filter(F.col("ni") == BLOOM_K)
+        .groupBy("g")
+        .agg(F.count("*").alias("n_survived"))
+    )
+    exact = (
+        o.join(c, "k").groupBy("g").agg(F.count("*").alias("n_exact"))
+        .unionByName(
+            o.join(c.select("k").distinct(), "k")
+            .agg(F.count("*").alias("n_exact"))
+            .select(F.lit("total").alias("g"), "n_exact")
+        )
+    )
+    return (
+        n_keys.join(n_pos, "g")
+        .join(surv, "g", "left")
+        .join(exact, "g", "left")
+        .select(
+            "g",
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.coalesce("n_survived", F.lit(0)).cast("long").alias("n_survived"),
+            F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+        )
+    )
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 256
 CMS_TOPN = 10

@@ -206,6 +206,47 @@ def test_sketch_cms_rollup_matches_oracle_and_merge_law(spark, sf_dir, duck):
     spark.catalog.clearCache()
 
 
+def test_sketch_bloom_rollup_matches_oracle_and_merge_law(spark, sf_dir, duck):
+    """Pre-validates the driver hash check for q_sketch_bloom_rollup
+    at sf0.001, and asserts the OR-merge law structurally: the merged
+    total position set equals the one-shot set over the whole dim."""
+    got = sorted(tuple(r) for r in QS["q_sketch_bloom_rollup"](spark, sf_dir).collect())
+    want = sorted(
+        (g, int(nk), int(np_), int(ns), int(ne))
+        for g, nk, np_, ns, ne in duck.sql(OS["q_sketch_bloom_rollup"]).fetchall()
+    )
+    assert got == want
+    rows = {g: (nk, np_, ns, ne) for g, nk, np_, ns, ne in got}
+    assert "total" in rows and len(rows) >= 4
+    for g, (nk, np_, ns, ne) in rows.items():
+        assert ns >= ne, (g, "bloom must never reject a qualifying order")
+        assert np_ <= 3 * nk  # k hashes per key, distinct
+    # total filter ⊇ every leaf filter; survived(total) >= survived(leaf)
+    assert all(rows["total"][1] >= v[1] for v in rows.values())
+
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        bloom_positions,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    c = load(spark, sf_dir, "customer")
+    one_shot = {
+        r["pos"]
+        for r in bloom_positions(c.select("c_custkey"), "c_custkey").collect()
+    }
+    merged = set()
+    for seg in [r["c_mktsegment"] for r in c.select("c_mktsegment").distinct().collect()]:
+        merged |= {
+            r["pos"]
+            for r in bloom_positions(
+                c.filter(F.col("c_mktsegment") == seg).select("c_custkey"),
+                "c_custkey",
+            ).collect()
+        }
+    assert merged == one_shot
+    spark.catalog.clearCache()
+
+
 def test_knn_cell_stream_durable_state_restart(spark, sf_dir):
     """The durable-state form of the kNN-graph IVM (r13 verdict item
     7): the graph lives in the checkpointed state store keyed by cell,
