@@ -167,18 +167,28 @@ _MODIFIED_IN_ROUND: dict[str, int] = {}
 _FINGERPRINT_FILE = "QUERY_FINGERPRINTS.json"
 
 
-def _fingerprint(fn: Callable, oracle: str | None) -> str:
+def _fingerprint(fn: Callable, oracle: str | None) -> str | None:
     """sha256 over the query function's source text plus its oracle
-    SQL. Source text (not bytecode) so the hash is stable across Python
-    versions and unaffected by line-number shifts elsewhere in the
-    file; it DOES move on comment/docstring edits inside the function —
-    conservative by design (re-earning a hash is cheap, a stale green
-    is not)."""
+    SQL, or None when the source cannot be read RELIABLY. Source text
+    (not bytecode) so the hash is stable across Python versions and
+    unaffected by line-number shifts elsewhere in the file; it DOES
+    move on comment/docstring edits inside the function — conservative
+    by design (re-earning a hash is cheap, a stale green is not).
+
+    Stale-process guard (found live in r14): getsource reads the
+    CURRENT file at the code object's IMPORT-TIME line number, so a
+    long-running process whose module was edited on disk underneath it
+    reads the wrong text block for every function below the edit and
+    would persist bogus fingerprints (spuriously re-fronting them).
+    The block must actually define this function; otherwise return
+    None and let fingerprint_modified keep the recorded entry for a
+    fresh process to reconcile."""
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):  # e.g. source not on disk (REPL-defined)
-        code = getattr(fn, "__code__", None)
-        src = repr((code.co_code, code.co_consts)) if code else repr(fn)
+        return None
+    if f"def {getattr(fn, '__name__', '')}" not in src:
+        return None  # shifted/foreign block: this process can't see truth
     h = hashlib.sha256()
     h.update(src.encode())
     h.update(b"\x00")
@@ -216,6 +226,16 @@ def fingerprint_modified(
     changed = bool(set(recorded) - set(current))  # dropped/renamed queries
     for name, fp in current.items():
         rec = recorded.get(name)
+        if fp is None:
+            # This process cannot read the source reliably (stale
+            # module vs on-disk edit, worker zip, REPL): never write a
+            # guess. Keep the recorded entry verbatim — its pending pin
+            # still applies — and let a fresh process reconcile.
+            if isinstance(rec, dict) and rec.get("fp") is not None:
+                updated[name] = dict(rec)
+                if int(rec.get("since", 0)) > 0:
+                    modified[name] = int(rec["since"])
+            continue
         if not isinstance(rec, dict) or rec.get("fp") is None:
             updated[name] = {"fp": fp, "since": 0}  # bootstrap: trust greens
             changed = True

@@ -449,6 +449,37 @@ def test_fingerprint_in_memory_mutation_refronts(tmp_path, monkeypatch) -> None:
     assert order2.index("q_filter_eq") > order2.index(order[1])
 
 
+def test_fingerprint_stale_process_guard() -> None:
+    """Found live in r14: a long-running process whose module was
+    edited on disk reads the WRONG source block (import-time line
+    numbers against the new file) and would persist bogus fingerprints
+    for every function below the edit — six sketch queries spuriously
+    re-fronted. The guard: a block that doesn't define the function
+    yields fp=None, and the kernel preserves the recorded entry
+    verbatim instead of writing a guess."""
+    registry._load()
+    fn = registry._RAW_FNS["q_filter_eq"]
+    assert registry._fingerprint(fn, None) is not None
+    # A function whose source block does not contain its own def is
+    # exactly what the stale process sees after an upstream edit:
+    # getsource succeeds but returns a foreign block.
+    renamed = type(fn)(
+        fn.__code__, fn.__globals__, "not_the_real_name",
+        fn.__defaults__, fn.__closure__,
+    )
+    assert registry._fingerprint(renamed, None) is None
+
+    # Kernel: fp=None + existing record -> record preserved, pin kept,
+    # nothing marked changed; fp=None + no record -> left unrecorded.
+    rec = {"a": {"fp": "fp_a", "since": 12}}
+    mod, upd, changed = registry.fingerprint_modified(
+        {"a": None, "b": None}, rec, 14
+    )
+    assert upd == {"a": {"fp": "fp_a", "since": 12}}
+    assert mod == {"a": 12}
+    assert not changed
+
+
 def test_fingerprint_file_matches_live_registry() -> None:
     """The committed QUERY_FINGERPRINTS.json must cover every
     registered query and agree with the live source — a drifted record
