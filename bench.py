@@ -214,6 +214,10 @@ BENCH_QUERIES = [
     # r14: Bloom rollup (per-segment position sets OR-merged; probe
     # through the merged filter checks the exact position set).
     "q_sketch_bloom_rollup",
+    # r14: theta + quantile rollups (leaves merged to totals; oracles
+    # rebuild the totals one-shot — KMV/sample merge laws).
+    "q_sketch_theta_rollup",
+    "q_sketch_quantile_rollup",
 ]
 
 

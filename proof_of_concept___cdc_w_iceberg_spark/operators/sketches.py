@@ -1526,3 +1526,272 @@ def q_sketch_quantile_grouped(spark, sf_dir):
             "n_group",
         )
     )
+
+
+# --- theta rollup (r14): completes the KMV family's rollup cell --------
+
+
+def _theta_rollup_oracle() -> str:
+    h = _theta_hash_sql("k")
+    return f"""
+        WITH stream AS (
+            SELECT CAST(YEAR(o_orderdate) AS VARCHAR) AS g, o_custkey AS k
+            FROM orders
+        ),
+        hashes AS (SELECT DISTINCT g, {h} AS h FROM stream),
+        leaf AS (
+            SELECT g, h FROM (
+                SELECT g, h,
+                       row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM hashes
+            ) WHERE rn <= {THETA_K}
+        ),
+        total AS (
+            -- ONE-SHOT build over the whole stream: the Spark side
+            -- merges the leaves instead, so the hash check proves the
+            -- KMV merge law at the rollup grain.
+            SELECT 'total' AS g, h FROM (
+                SELECT DISTINCT {h} AS h FROM stream ORDER BY h LIMIT {THETA_K}
+            )
+        ),
+        sk AS (SELECT g, h FROM leaf UNION ALL SELECT g, h FROM total),
+        th AS (
+            SELECT g, CASE WHEN COUNT(*) < {THETA_K}
+                           THEN CAST({1 << 32} AS BIGINT)
+                           ELSE CAST(MAX(h) AS BIGINT) END AS theta
+            FROM sk GROUP BY g
+        ),
+        cnt AS (
+            SELECT sk.g, COUNT(*) AS c
+            FROM sk JOIN th ON th.g = sk.g AND sk.h < th.theta
+            GROUP BY sk.g
+        ),
+        est AS (
+            SELECT th.g,
+                   CAST(COALESCE(cnt.c, 0) AS DOUBLE) * {_THETA_SPACE}
+                       / CAST(th.theta AS DOUBLE) AS est
+            FROM th LEFT JOIN cnt ON cnt.g = th.g
+        ),
+        exact AS (
+            SELECT g, COUNT(DISTINCT k) AS v FROM stream GROUP BY g
+            UNION ALL
+            SELECT 'total' AS g, COUNT(DISTINCT k) AS v FROM stream
+        )
+        SELECT e.g, ROUND(e.est, 4) AS est, CAST(x.v AS BIGINT) AS exact_v,
+               ROUND(ABS(e.est - x.v) / NULLIF(x.v, 0), 4) AS rel_err
+        FROM est e JOIN exact x ON x.g = e.g
+    """
+
+
+@query("q_sketch_theta_rollup", oracle=_theta_rollup_oracle())
+def q_sketch_theta_rollup(spark, sf_dir):
+    """Theta/KMV rollup — the distinct-count member of the sketch-as-
+    materialized-aggregate column: one bottom-k distinct-hash sketch
+    PER ORDER YEAR from a single stream pass (one group-partitioned
+    rank window — single Exchange, no per-group TakeOrdered), plus the
+    'total' sketch obtained by MERGING the leaves (bottom-k distinct
+    of their union — the KMV merge law), never re-hashing the stream.
+    The ORACLE builds the total sketch ONE-SHOT over the whole stream,
+    so the driver hash check proves merge==rebuild at the rollup
+    grain: every one of the k globally-smallest distinct hashes lives
+    in its own year's bottom-k, so bottom_k(∪ leaves) == bottom_k(all)
+    exactly (the batch complement of q_stream_theta's law over
+    micro-batches). Per-grain distinct estimates with exacts and
+    rel_err in-band; groups under k distinct keys degrade to exact
+    (theta = full hash space). All downstream relations ≤ |years|·k
+    rows."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("string").alias("g"),
+        F.col("o_custkey").alias("k"),
+    )
+    hashes = o.select(
+        "g", F.expr(_theta_hash_sql("k", "STRING")).alias("h")
+    ).distinct()
+    w = W.partitionBy("g").orderBy("h")
+    leaf = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= THETA_K)
+        .select("g", "h")
+    )
+    total = _theta_sketch(leaf.select("h")).select(
+        F.lit("total").alias("g"), "h"
+    )
+    sk = leaf.unionByName(total)
+    th = sk.groupBy("g").agg(
+        F.when(F.count("*") < THETA_K, F.lit(1 << 32))
+        .otherwise(F.max("h"))
+        .cast("long")
+        .alias("theta")
+    )
+    cnt = (
+        sk.join(F.broadcast(th), "g")
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+    )
+    est = th.join(cnt, "g", "left").select(
+        "g",
+        (
+            F.coalesce("c", F.lit(0)).cast("double")
+            * F.lit(_THETA_SPACE)
+            / F.col("theta").cast("double")
+        ).alias("est_raw"),
+    )
+    exact = (
+        o.groupBy("g").agg(F.countDistinct("k").alias("v"))
+        .unionByName(
+            o.agg(F.countDistinct("k").alias("v")).select(
+                F.lit("total").alias("g"), "v"
+            )
+        )
+    )
+    return est.join(exact, "g").select(
+        "g",
+        F.round("est_raw", 4).alias("est"),
+        F.col("v").cast("long").alias("exact_v"),
+        F.round(
+            F.try_divide(F.abs(F.col("est_raw") - F.col("v")), F.col("v")), 4
+        ).alias("rel_err"),
+    )
+
+
+# --- quantile rollup (r14): completes the quantile family's rollup cell
+
+
+KQR_K = 256
+KQR_TARGETS = (0.5, 0.9)
+_KQR_HASH = "md5('kqr|' || CAST(o_orderkey AS {vc}))"
+
+
+def _kq_rollup_oracle() -> str:
+    spine = ", ".join(f"({q})" for q in KQR_TARGETS)
+    return f"""
+        WITH stream AS (
+            SELECT CAST(YEAR(o_orderdate) AS VARCHAR) AS g,
+                   CAST(o_totalprice AS DOUBLE) AS v,
+                   {_KQR_HASH.format(vc="VARCHAR")} AS h
+            FROM orders
+        ),
+        leaf AS (
+            SELECT g, v, h FROM (
+                SELECT g, v, h,
+                       row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM stream
+            ) WHERE rn <= {KQR_K}
+        ),
+        total AS (
+            -- ONE-SHOT sample over the whole stream: the Spark side
+            -- merges the leaves instead (bottom-k by hash of their
+            -- union), so the hash check proves the sample-merge law.
+            SELECT 'total' AS g, v, h FROM (
+                SELECT v, h FROM stream ORDER BY h LIMIT {KQR_K}
+            )
+        ),
+        sk AS (SELECT g, v, h FROM leaf UNION ALL SELECT g, v, h FROM total),
+        sord AS (
+            SELECT g, v,
+                   row_number() OVER (PARTITION BY g ORDER BY v, h) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS kk
+            FROM sk
+        ),
+        spine AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {spine}) t(q)),
+        est AS (
+            SELECT s.g, t.q, s.v AS est, s.kk
+            FROM sord s JOIN spine t
+              ON s.rn = CAST(CEIL(t.q * s.kk) AS BIGINT)
+        ),
+        eord AS (
+            SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM stream
+            UNION ALL
+            SELECT 'total' AS g, v, row_number() OVER (ORDER BY v) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM stream
+        ),
+        ex AS (
+            SELECT e.g, t.q, e.v AS exact_v, e.n
+            FROM eord e JOIN spine t
+              ON e.rn = CAST(CEIL(t.q * e.n) AS BIGINT)
+        )
+        SELECT est.g, est.q, est.est, ex.exact_v,
+               ROUND(ABS(est.est - ex.exact_v) / ex.exact_v, 4) AS rel_err,
+               CAST(est.kk AS BIGINT) AS k_sample,
+               CAST(ex.n AS BIGINT) AS n_group
+        FROM est JOIN ex ON ex.g = est.g AND ex.q = est.q
+    """
+
+
+@query("q_sketch_quantile_rollup", oracle=_kq_rollup_oracle())
+def q_sketch_quantile_rollup(spark, sf_dir):
+    """Quantile rollup — the order-statistics member of the sketch-as-
+    materialized-aggregate column: one k=256 bottom-k-by-hash sample
+    PER ORDER YEAR from a single group-partitioned rank window (one
+    Exchange), plus the 'total' sample obtained by MERGING the leaves
+    (bottom-k by hash of their union — kq_sample's merge law), never
+    re-sampling the stream. The ORACLE draws the total sample ONE-SHOT
+    over the whole stream, so the driver hash check proves
+    merge==rebuild at the rollup grain: each of the k globally-
+    smallest hashes is in its own year's bottom-k. Per-grain p50/p90
+    with exact order statistics and rel_err in-band — per-year exacts
+    from the same partitioned rank pass (partition-parallel), the
+    total exact from the driver-bounded two-phase bucket method
+    (_kq_exact_ranks: 1 stats row + 64 bucket counts + a pruned
+    phase-2 scan — never a global sort). Estimate read-out windows
+    range over the bounded ≤ (|years|+1)·k sample relation only."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("string").alias("g"),
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.md5(
+            F.concat(F.lit("kqr|"), F.col("o_orderkey").cast("string"))
+        ).alias("h"),
+    )
+    w_h = W.partitionBy("g").orderBy("h")
+    leaf = (
+        o.withColumn("rn", F.row_number().over(w_h))
+        .filter(F.col("rn") <= KQR_K)
+        .select("g", "v", "h")
+    )
+    total = kq_sample(leaf.select("v", "h"), k=KQR_K).select(
+        F.lit("total").alias("g"), "v", "h"
+    )
+    sk = leaf.unionByName(total)
+    sord = sk.select(
+        "g", "v",
+        F.row_number().over(W.partitionBy("g").orderBy("v", "h")).alias("rn"),
+        F.count("*").over(W.partitionBy("g")).alias("kk"),
+    )
+    spine = spark.createDataFrame(
+        [(float(q),) for q in KQR_TARGETS], "q double"
+    )
+    est = sord.join(
+        F.broadcast(spine), F.col("rn") == F.ceil(F.col("q") * F.col("kk"))
+    ).select("g", "q", F.col("v").alias("est"), "kk")
+
+    eord = o.select(
+        "g", "v",
+        F.row_number().over(W.partitionBy("g").orderBy("v")).alias("rn"),
+        F.count("*").over(W.partitionBy("g")).alias("n"),
+    )
+    ex_years = eord.join(
+        F.broadcast(spine), F.col("rn") == F.ceil(F.col("q") * F.col("n"))
+    ).select("g", "q", F.col("v").alias("exact_v"), "n")
+    n_total = o.count()
+    exact_total = _kq_exact_ranks(spark, o.select("v"), KQR_TARGETS, n_total)
+    ex_total = spark.createDataFrame(
+        [("total", float(q), float(exact_total[q]), n_total) for q in KQR_TARGETS],
+        "g string, q double, exact_v double, n long",
+    )
+    ex = ex_years.unionByName(ex_total)
+    return est.join(ex, ["g", "q"]).select(
+        "g", "q", "est", "exact_v",
+        F.round(
+            F.abs(F.col("est") - F.col("exact_v")) / F.col("exact_v"), 4
+        ).alias("rel_err"),
+        F.col("kk").cast("long").alias("k_sample"),
+        F.col("n").cast("long").alias("n_group"),
+    )

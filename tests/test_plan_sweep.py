@@ -94,6 +94,9 @@ NESTED_LOOP_OK = {
     "q_sketch_quantile_grouped": "2-row quantile-target spine broadcast "
     "joined on the OR of the sample-rank/exact-rank picks (theta by "
     "construction; the stream side is shuffled exactly once, on grp)",
+    "q_sketch_quantile_rollup": "2-row quantile-target spine broadcast "
+    "joined on computed-rank picks (theta by construction) against the "
+    "bounded (|years|+1)*k sample and the per-year ranked stream",
 }
 
 @pytest.mark.parametrize("name", sorted(QS))

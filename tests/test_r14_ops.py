@@ -247,6 +247,93 @@ def test_sketch_bloom_rollup_matches_oracle_and_merge_law(spark, sf_dir, duck):
     spark.catalog.clearCache()
 
 
+def test_sketch_theta_rollup_matches_oracle_and_merge_law(spark, sf_dir, duck):
+    """Pre-validates the driver hash check for q_sketch_theta_rollup
+    at sf0.001, and asserts the KMV merge law structurally: bottom-k
+    distinct hashes of the merged leaves == one-shot bottom-k."""
+    got = sorted(tuple(r) for r in QS["q_sketch_theta_rollup"](spark, sf_dir).collect())
+    want = sorted(
+        (g, float(e), int(x), None if r is None else float(r))
+        for g, e, x, r in duck.sql(OS["q_sketch_theta_rollup"]).fetchall()
+    )
+    assert len(got) == len(want) and {g for g, *_ in got} >= {"total"}
+    for a, b in zip(got, want):
+        assert a[0] == b[0] and a[2] == b[2], (a, b)
+        assert a[1] == pytest.approx(b[1], abs=1e-9)
+
+    from pyspark.sql import Window as W
+
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        THETA_K,
+        _theta_hash_sql,
+        _theta_sketch,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("string").alias("g"),
+        F.col("o_custkey").alias("k"),
+    )
+    hashes = o.select("g", F.expr(_theta_hash_sql("k", "STRING")).alias("h")).distinct()
+    leaf = (
+        hashes.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("h")))
+        .filter(F.col("rn") <= THETA_K)
+        .select("h")
+    )
+    merged = sorted(r["h"] for r in _theta_sketch(leaf).collect())
+    one_shot = sorted(
+        r["h"] for r in _theta_sketch(hashes.select("h")).collect()
+    )
+    assert merged == one_shot
+    spark.catalog.clearCache()
+
+
+def test_sketch_quantile_rollup_matches_oracle_and_merge_law(spark, sf_dir, duck):
+    """Pre-validates the driver hash check for q_sketch_quantile_rollup
+    at sf0.001, and asserts the sample-merge law: bottom-k-by-hash of
+    the merged per-year samples == the one-shot sample."""
+    got = sorted(
+        (r["g"], r["q"], r["est"], r["exact_v"], r["rel_err"], r["k_sample"], r["n_group"])
+        for r in QS["q_sketch_quantile_rollup"](spark, sf_dir).collect()
+    )
+    want = sorted(
+        (g, float(q), float(e), float(x), float(rr), int(ks), int(n))
+        for g, q, e, x, rr, ks, n in duck.sql(OS["q_sketch_quantile_rollup"]).fetchall()
+    )
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a[0] == b[0] and a[1] == b[1] and a[5] == b[5] and a[6] == b[6], (a, b)
+        assert a[2] == pytest.approx(b[2], abs=1e-9)
+        assert a[3] == pytest.approx(b[3], abs=1e-9)
+    # every grain present, estimates within the sample's error regime
+    assert {g for g, *_ in got} >= {"total"}
+
+    from pyspark.sql import Window as W
+
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        KQR_K,
+        kq_sample,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("string").alias("g"),
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.md5(F.concat(F.lit("kqr|"), F.col("o_orderkey").cast("string"))).alias("h"),
+    )
+    leaf = (
+        o.withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("h")))
+        .filter(F.col("rn") <= KQR_K)
+        .select("v", "h")
+    )
+    merged = sorted((r["v"], r["h"]) for r in kq_sample(leaf, k=KQR_K).collect())
+    one_shot = sorted(
+        (r["v"], r["h"]) for r in kq_sample(o.select("v", "h"), k=KQR_K).collect()
+    )
+    assert merged == one_shot
+    spark.catalog.clearCache()
+
+
 def test_knn_cell_stream_durable_state_restart(spark, sf_dir):
     """The durable-state form of the kNN-graph IVM (r13 verdict item
     7): the graph lives in the checkpointed state store keyed by cell,
