@@ -271,11 +271,26 @@ def _auto_modified(repo_root: str | None = None) -> dict[str, int]:
         current, recorded, _latest_artifact_round(root) + 1
     )
     if changed:
+        # Atomic replace: tests, the bench, and the driver can all
+        # load the registry concurrently — a torn in-place write would
+        # corrupt the file for every other reader (it degrades to
+        # bootstrap, losing pending pins).
+        tmp = None
         try:
-            with open(path, "w") as f:
+            fd, tmp = tempfile.mkstemp(
+                prefix=_FINGERPRINT_FILE + ".", dir=root
+            )
+            with os.fdopen(fd, "w") as f:
                 json.dump(updated, f, indent=1, sort_keys=True)
+            os.replace(tmp, path)
         except OSError:
-            pass  # read-only checkout / worker zip: map still applies in-process
+            # Read-only checkout / worker zip: the map still applies
+            # in-process; drop any half-written temp file.
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
     return modified
 
 
