@@ -194,20 +194,86 @@ def q_dedup_embed(spark, sf_dir):
     )
 
 
-@query("q_sim_ivf")
+SIM_IVF_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {SQNORM_SQL.format(a='embedding')} AS sq
+        FROM embeddings
+    ),
+    cent0 AS (
+        SELECT label, p.pos,
+               CAST(SUM(CAST(CAST(embedding[p.pos + 1] AS DOUBLE)
+                             AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+        FROM embeddings,
+             (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings
+                                      LIMIT 1))) AS pos) p
+        GROUP BY label, p.pos
+    ),
+    centn AS (
+        SELECT label AS c_label, centroid,
+               {SQNORM_SQL.format(a='centroid')} AS c_sq
+        FROM (SELECT label, list(cv ORDER BY pos) AS centroid
+              FROM cent0 GROUP BY label)
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, sq AS q_sq
+          FROM e WHERE vec_id % 500 = 0),
+    simc AS (
+        SELECT q.query_id, q.q_emb, q.q_sq, c.c_label,
+               {DOT_SQL.format(a='q.q_emb', b='c.centroid')}
+                   / sqrt(q.q_sq * c.c_sq) AS c_cos
+        FROM q, centn c
+    ),
+    probed AS (
+        SELECT query_id, q_emb, q_sq, c_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY c_cos DESC, c_label) AS rn
+            FROM simc
+        ) WHERE rn <= 3
+    ),
+    scored AS (
+        SELECT p.query_id, e.vec_id AS cand_id,
+               {DOT_SQL.format(a='p.q_emb', b='e.embedding')}
+                   / sqrt(p.q_sq * e.sq) AS cosine
+        FROM probed p JOIN e ON e.label = p.c_label
+        WHERE p.query_id <> e.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, cand_id, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rn <= 5
+"""
+
+
+@query("q_sim_ivf", oracle=SIM_IVF_SQL)
 def q_sim_ivf(spark, sf_dir):
     """IVF-style approximate nearest neighbor (the ANN scale path):
     coarse cells = label partitions with mean-vector centroids; each
     query probes its nprobe=3 nearest centroids and searches only
-    those cells. No oracle (approximate by design — DuckDB float mean
-    ordering differs); recall vs brute force is asserted in
-    tests/test_ext.py. Rows-only driver check."""
+    those cells. FULLY hash-checked since r14: centroids come from
+    EXACT decimal sums (the multiprobe_assign technique — float avg()
+    made the probe assignment partitioning-sensitive and un-oracle-able,
+    which is why this ran rows-only from r2 to r13), so the probe
+    decisions and everything downstream are deterministic identical
+    chains in both engines. The result is still APPROXIMATE vs brute
+    force (cells are searched, not the corpus — recall asserted in
+    tests/test_ext.py); what the oracle checks is that the approximate
+    algorithm itself is computed exactly."""
     e = load(spark, sf_dir, "embeddings")
-    # Build: centroid per cell (posexplode -> per-dimension mean).
+    # Build: centroid per cell (posexplode -> per-dimension mean from
+    # an exact decimal sum, order-independent across partitions).
     dims = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
     cent = (
         dims.groupBy("label", "pos")
-        .agg(F.avg("v").alias("cv"))
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
         .groupBy("label")
         .agg(F.array_agg(F.struct("pos", "cv")).alias("pcs"))
         .select("label", F.array_sort("pcs").cv.alias("centroid"))
@@ -262,14 +328,89 @@ def _hyperplanes(dim: int) -> list[list[float]]:
     ]
 
 
-@query("q_sim_lsh")
+LSH_DIM = 64  # every fixture's embedding width; oracle planes are
+              # emitted as literals, so the SQL is dim-specific
+
+
+def _lsh_oracle() -> str:
+    """DuckDB twin of q_sim_lsh, with the SAME hyperplanes embedded as
+    double literals (repr round-trips shortest-form floats to the
+    identical bits both engines load), so sign bits, band buckets, and
+    the exact-cosine re-rank are all deterministic identical chains —
+    the same literal-embedding trick libm's cross-engine sin() would
+    otherwise break."""
+    planes = _hyperplanes(LSH_DIM)
+
+    def plane_dot(emb: str, plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, {LSH_DIM} + 1), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+        )
+
+    code = " + ".join(
+        f"(CASE WHEN {plane_dot('embedding', p)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   {SQNORM_SQL.format(a='embedding')} AS sq,
+                   ({code}) AS code
+            FROM embeddings
+        ),
+        coded AS (
+            SELECT vec_id, embedding, sq,
+                   (code >> 8) AS hi, (code & 255) AS lo
+            FROM e
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, sq AS q_sq,
+                   hi AS q_hi, lo AS q_lo
+            FROM coded WHERE vec_id % 500 = 0
+        ),
+        pairs AS (
+            SELECT DISTINCT query_id, vec_id FROM (
+                SELECT q.query_id, c.vec_id
+                FROM coded c JOIN q ON c.hi = q.q_hi
+                UNION ALL
+                SELECT q.query_id, c.vec_id
+                FROM coded c JOIN q ON c.lo = q.q_lo
+            ) WHERE vec_id <> query_id
+        ),
+        scored AS (
+            SELECT p.query_id, p.vec_id AS cand_id,
+                   {DOT_SQL.format(a='q.q_emb', b='c.embedding')}
+                       / sqrt(q.q_sq * c.sq) AS cosine
+            FROM pairs p
+            JOIN coded c ON c.vec_id = p.vec_id
+            JOIN q ON q.query_id = p.query_id
+        ),
+        ranked AS (
+            SELECT query_id, cand_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rn
+            FROM scored
+        )
+        SELECT query_id, cand_id, ROUND(cosine, 6) AS cosine
+        FROM ranked WHERE rn <= 5
+    """
+
+
+@query("q_sim_lsh", oracle=_lsh_oracle())
 def q_sim_lsh(spark, sf_dir):
     """Random-hyperplane LSH ANN — the bucketed alternative to IVF
     (the scale path when no natural coarse partition exists): 16 sign
     bits -> 2 band buckets of 8 bits; queries search only colliding
     buckets, exact cosine re-ranks. Collision probability for angle
-    theta is (1 - theta/pi)^8 per band. No oracle (approximate by
-    design); recall vs brute force asserted in tests/test_ext.py."""
+    theta is (1 - theta/pi)^8 per band. FULLY hash-checked since r14:
+    the hyperplanes are deterministic Python-computed constants
+    embedded into BOTH engines as double literals (_lsh_oracle), so
+    every sign bit, bucket route, and re-rank cosine is an identical
+    IEEE chain — rows-only from r2 to r13 only because nobody embedded
+    the planes oracle-side. Still APPROXIMATE vs brute force (recall
+    asserted in tests/test_ext.py); the oracle checks the approximate
+    algorithm is computed exactly."""
     e = load(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     planes = _hyperplanes(dim)

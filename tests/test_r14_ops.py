@@ -334,6 +334,26 @@ def test_sketch_quantile_rollup_matches_oracle_and_merge_law(spark, sf_dir, duck
     spark.catalog.clearCache()
 
 
+@pytest.mark.parametrize("name", ["q_sim_ivf", "q_sim_lsh"])
+def test_sim_ann_graduated_to_oracle(spark, sf_dir, duck, name):
+    """q_sim_ivf / q_sim_lsh graduated from rows-only to hash-checked
+    in r14 (decimal-sum centroids / literal-embedded hyperplanes):
+    pre-validates the driver hash check at sf0.001. 'Approximate by
+    design' constrains recall, not determinism."""
+    got = sorted(
+        (r["query_id"], r["cand_id"], r["cosine"])
+        for r in QS[name](spark, sf_dir).collect()
+    )
+    spark.catalog.clearCache()
+    want = sorted(
+        (int(q), int(c), float(cos)) for q, c, cos in duck.sql(OS[name]).fetchall()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for a, b in zip(got, want):
+        assert a[0] == b[0] and a[1] == b[1], (name, a, b)
+        assert a[2] == pytest.approx(b[2], abs=1e-9)
+
+
 def test_knn_cell_stream_durable_state_restart(spark, sf_dir):
     """The durable-state form of the kNN-graph IVM (r13 verdict item
     7): the graph lives in the checkpointed state store keyed by cell,
