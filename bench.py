@@ -218,6 +218,9 @@ BENCH_QUERIES = [
     # rebuild the totals one-shot — KMV/sample merge laws).
     "q_sketch_theta_rollup",
     "q_sketch_quantile_rollup",
+    # r14: CMS under retractions (turnstile model — signed cell sums
+    # over a changelog with deletes; oracle = net-stream rebuild).
+    "q_stream_cms_retract",
 ]
 
 

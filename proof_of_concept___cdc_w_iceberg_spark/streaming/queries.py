@@ -744,6 +744,120 @@ def q_stream_cms(spark, sf_dir):
     return cms_topk(state, keys)
 
 
+def cms_retract_apply(state, ins_k, del_k):
+    """Turnstile-model state transition: grid' = cell-wise sum of the
+    grid so far, the insert batch's grid, and the delete batch's grid
+    NEGATED. CMS cells form a GROUP (integers under addition), not
+    just a monoid — the one sketch in the matrix that can maintain a
+    changelog with retractions exactly. Fully-retracted cells (net 0)
+    are dropped so the maintained relation equals the one-shot grid
+    over the net survivor stream row for row. The other four sketches
+    are cash-register-only: max (HLL), set-union (Bloom, theta), and
+    bottom-k (quantile) have no inverses, so their deletion path is a
+    rebuild — documented here as the boundary, exactly like the ANN
+    family documents its delete rung's re-rank scope."""
+    from ..operators.sketches import cms_sketch
+
+    neg = cms_sketch(del_k).select(
+        "r", "c", (-F.col("cnt")).alias("cnt")
+    )
+    merged = (
+        state.unionByName(cms_sketch(ins_k)).unionByName(neg)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+    return merged.localCheckpoint(eager=True)
+
+
+def _cms_retract_oracle() -> str:
+    from ..operators.sketches import CMS_DEPTH, CMS_TOPN, _cms_cell_sql
+
+    cells_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_cell_sql(r, 'k')} AS c, COUNT(*) AS cnt "
+        f"FROM stream GROUP BY 2"
+        for r in range(CMS_DEPTH)
+    )
+    probe_case = " ".join(
+        f"WHEN {r} THEN {_cms_cell_sql(r, 'keys.k')}" for r in range(CMS_DEPTH)
+    )
+    return f"""
+        WITH stream AS (
+            SELECT l_suppkey AS k FROM lineitem
+            WHERE NOT (l_orderkey <= 40000 AND l_orderkey % 7 = 3)
+        ),
+        cells AS ({cells_union}),
+        keys AS (SELECT k, COUNT(*) AS exact_cnt FROM stream GROUP BY k),
+        est AS (
+            SELECT keys.k, keys.exact_cnt, MIN(cells.cnt) AS est_cnt
+            FROM keys JOIN cells
+              ON cells.c = CASE cells.r {probe_case} END
+            GROUP BY keys.k, keys.exact_cnt
+        ),
+        ranked AS (
+            SELECT k, CAST(est_cnt AS BIGINT) AS est_cnt,
+                   CAST(exact_cnt AS BIGINT) AS exact_cnt,
+                   row_number() OVER (ORDER BY est_cnt DESC, k) AS rn
+            FROM est
+        )
+        SELECT k, est_cnt, exact_cnt FROM ranked WHERE rn <= {CMS_TOPN}
+    """
+
+
+@query("q_stream_cms_retract", oracle=_cms_retract_oracle())
+def q_stream_cms_retract(spark, sf_dir):
+    """Streaming count-min maintenance under RETRACTIONS — the
+    CDC-changelog form of q_stream_cms: three micro-batches where
+    batches 2 and 3 each INSERT a fresh l_orderkey range and DELETE
+    every 7th order's rows from the prior range (the upstream issued
+    deletes, as a real changelog does). Per batch the grid advances
+    via cms_retract_apply (cell-wise signed sum — the turnstile
+    model; cms_retract_apply's docstring for why CMS is the only
+    sketch in the matrix whose cells form a group and can do this).
+    The registered oracle is the ONE-SHOT build over the NET survivor
+    stream, so the driver hash check proves insert∘delete apply ==
+    rebuild end to end through the shared cms_topk read-out — the
+    sketch-family complement of q_stream_knn_graph_upsert's mixed-
+    batch law. State stays ≤ d·w rows; per-batch localCheckpoint."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_orderkey"
+    )
+    empty = (
+        li.select(F.lit(0).alias("r"), F.lit(0).cast("bigint").alias("c"))
+        .limit(0)
+        .select("r", "c", F.lit(0).cast("bigint").alias("cnt"))
+    )
+    batches = [
+        (F.col("l_orderkey") <= 20_000, None),
+        (
+            F.col("l_orderkey").between(20_001, 40_000),
+            (F.col("l_orderkey") <= 20_000) & (F.col("l_orderkey") % 7 == 3),
+        ),
+        (
+            F.col("l_orderkey") >= 40_001,
+            F.col("l_orderkey").between(20_001, 40_000)
+            & (F.col("l_orderkey") % 7 == 3),
+        ),
+    ]
+    state = empty
+    for ins_cond, del_cond in batches:
+        ins = li.filter(ins_cond).select("k")
+        dels = (
+            li.filter(del_cond).select("k")
+            if del_cond is not None
+            else li.select("k").limit(0)
+        )
+        state = cms_retract_apply(state, ins, dels)
+
+    from ..operators.sketches import cms_topk
+
+    net = li.filter(
+        ~((F.col("l_orderkey") <= 40_000) & (F.col("l_orderkey") % 7 == 3))
+    )
+    keys = net.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+    return cms_topk(state, keys)
+
+
 def hll_stream_apply(state, batch_k):
     """state' = register-wise max of the registers so far and the
     batch's registers — max is a monoid, so the merged relation

@@ -334,6 +334,53 @@ def test_sketch_quantile_rollup_matches_oracle_and_merge_law(spark, sf_dir, duck
     spark.catalog.clearCache()
 
 
+def test_cms_retract_grid_equals_net_rebuild(spark, sf_dir, duck):
+    """The turnstile law on the grid itself: insert∘delete signed-sum
+    maintenance equals the one-shot grid over the net survivor stream
+    row for row — and the retractions actually bite (the maintained
+    grid differs from the no-delete grid). Also pre-validates the
+    registered read-out against its DuckDB oracle at sf0.001."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import cms_sketch
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.queries import (
+        cms_retract_apply,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_orderkey"
+    )
+    empty = (
+        li.select(F.lit(0).alias("r"), F.lit(0).cast("bigint").alias("c"))
+        .limit(0)
+        .select("r", "c", F.lit(0).cast("bigint").alias("cnt"))
+    )
+    ins1 = li.filter(F.col("l_orderkey") <= 20_000).select("k")
+    ins2 = li.filter(F.col("l_orderkey") > 20_000).select("k")
+    del2 = li.filter(
+        (F.col("l_orderkey") <= 20_000) & (F.col("l_orderkey") % 7 == 3)
+    ).select("k")
+    none = li.select("k").limit(0)
+    state = cms_retract_apply(cms_retract_apply(empty, ins1, none), ins2, del2)
+    got = sorted(tuple(r) for r in state.collect())
+    net = li.filter(
+        ~((F.col("l_orderkey") <= 20_000) & (F.col("l_orderkey") % 7 == 3))
+    ).select("k")
+    want = sorted(tuple(r) for r in cms_sketch(net).collect())
+    assert got == want
+    undeleted = sorted(tuple(r) for r in cms_sketch(li.select("k")).collect())
+    assert got != undeleted, "delete batch retracted nothing"
+
+    got_ro = sorted(
+        tuple(r) for r in QS["q_stream_cms_retract"](spark, sf_dir).collect()
+    )
+    want_ro = sorted(
+        (int(k), int(e), int(x))
+        for k, e, x in duck.sql(OS["q_stream_cms_retract"]).fetchall()
+    )
+    assert got_ro == want_ro
+    spark.catalog.clearCache()
+
+
 @pytest.mark.parametrize("name", ["q_sim_ivf", "q_sim_lsh"])
 def test_sim_ann_graduated_to_oracle(spark, sf_dir, duck, name):
     """q_sim_ivf / q_sim_lsh graduated from rows-only to hash-checked
