@@ -381,6 +381,115 @@ def test_cms_retract_grid_equals_net_rebuild(spark, sf_dir, duck):
     spark.catalog.clearCache()
 
 
+def test_cms_retract_live_changelog_readstream_twin(spark, sf_dir):
+    """The retraction twin under a REAL changelog stream: insert and
+    delete events interleave in arbitrary micro-batches through
+    readStream + foreachBatch, and the final grid equals the one-shot
+    build over the net survivors — deletes may even arrive before
+    their inserts (cells go transiently negative), because signed
+    sums commute; the group structure makes arrival order irrelevant."""
+    import shutil
+    import tempfile
+
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import cms_sketch
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.queries import (
+        cms_retract_apply,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_orderkey"
+    )
+    retracted = (F.col("l_orderkey") % 7 == 3)
+    changelog = li.select("k", "l_orderkey", F.lit("c").alias("op")).unionByName(
+        li.filter(retracted).select("k", "l_orderkey", F.lit("d").alias("op"))
+    )
+    src = tempfile.mkdtemp(prefix="cms_retract_")
+    try:
+        # Batch by a key UNRELATED to op, so inserts and deletes of the
+        # same row can land in any order across micro-batches.
+        changelog.withColumn(
+            "_b", (F.col("l_orderkey") % 3).cast("int")
+        ).drop("l_orderkey").write.partitionBy("_b").mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src + "/_b=*").schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src + "/_b=*")
+        )
+        empty = (
+            li.select(F.lit(0).alias("r"), F.lit(0).cast("bigint").alias("c"))
+            .limit(0)
+            .select("r", "c", F.lit(0).cast("bigint").alias("cnt"))
+        )
+        holder = {"state": empty, "batches": 0}
+
+        def step(batch_df, _bid):
+            b = batch_df.localCheckpoint(eager=True)
+            holder["state"] = cms_retract_apply(
+                holder["state"],
+                b.filter(F.col("op") == "c").select("k"),
+                b.filter(F.col("op") == "d").select("k"),
+            )
+            holder["batches"] += 1
+
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", src + "_ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        assert holder["batches"] >= 2, "stream collapsed to one micro-batch"
+        got = sorted(tuple(r) for r in holder["state"].collect())
+        want = sorted(
+            tuple(r) for r in cms_sketch(li.filter(~retracted).select("k")).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(src + "_ckpt", ignore_errors=True)
+    spark.catalog.clearCache()
+
+
+def test_cms_retract_order_insensitive(spark):
+    """Group commutativity on a synthetic changelog: any batch
+    arrangement of the same insert/delete events converges to the
+    rebuild over net survivors, including a delete arriving BEFORE its
+    insert and a key whose rows fully retract (its cells drop unless
+    shared by collision)."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import cms_sketch
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.queries import (
+        cms_retract_apply,
+    )
+
+    rows = [(k, op) for k in range(1, 9) for op in ["c"] * (k % 3 + 1)]
+    dels = [(k, "d") for k in (2, 5, 8) for _ in range(k % 3 + 1)]  # full retract
+    log = spark.createDataFrame(rows + dels, "k long, op string")
+    net = spark.createDataFrame(
+        [(k,) for k, op in rows if k not in (2, 5, 8)], "k long"
+    )
+    empty = log.select(
+        F.lit(0).alias("r"), F.lit(0).cast("bigint").alias("c")
+    ).limit(0).select("r", "c", F.lit(0).cast("bigint").alias("cnt"))
+    want = sorted(tuple(r) for r in cms_sketch(net).collect())
+
+    import itertools
+
+    splits = [F.col("k") % 3 == i for i in range(3)]
+    for order in itertools.permutations(range(3)):
+        state = empty
+        for i in order:
+            b = log.filter(splits[i])
+            state = cms_retract_apply(
+                state,
+                b.filter(F.col("op") == "c").select("k"),
+                b.filter(F.col("op") == "d").select("k"),
+            )
+        got = sorted(tuple(r) for r in state.collect())
+        assert got == want, order
+    spark.catalog.clearCache()
+
+
 @pytest.mark.parametrize("name", ["q_sim_ivf", "q_sim_lsh"])
 def test_sim_ann_graduated_to_oracle(spark, sf_dir, duck, name):
     """q_sim_ivf / q_sim_lsh graduated from rows-only to hash-checked
