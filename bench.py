@@ -516,7 +516,10 @@ def _parse_sf(sf_dir: str) -> float | None:
             return float(env)
         except ValueError:
             pass
-    tokens = re.findall(r"sf(\d+(?:\.\d+)?)", sf_dir)
+    # Left boundary: without it, "/home/asdf1/tpch" reads as sf=1 and
+    # silently keys the run into the wrong history bucket — the exact
+    # cross-scale floor pollution this parse exists to prevent.
+    tokens = re.findall(r"(?<![A-Za-z0-9])sf(\d+(?:\.\d+)?)", sf_dir)
     if tokens:
         return float(tokens[-1])
     print(
@@ -593,11 +596,15 @@ def main() -> None:
     # timings that BASELINE.md names), and the full per-query map goes
     # to stderr and to BENCH_DETAIL.json next to this script.
     cache_state["loadavg_1m_end"] = _loadavg()
+    # Pressure snapshot FIRST, probe second: the end probe burns ~0.3 s
+    # of 100% single-core hashing, and running it inside the
+    # measurement window would inflate the suite's own cpu attribution
+    # (the start probe runs before cpu_start, outside the window).
+    cache_state.update(_cpu_pressure(cpu_start, _cpu_stat()))
     # Second probe after the suite: calib_s_end >> calib_s means the
     # box changed regime MID-run and even this run's own numbers are
     # internally inconsistent (not just vs history).
     cache_state["calib_s_end"] = _calibrate(repeats=1)
-    cache_state.update(_cpu_pressure(cpu_start, _cpu_stat()))
     detail = {
         "metric": "headline_suite_seconds",
         "value": total,

@@ -322,6 +322,19 @@ def cms_cell_exprs():
     return [F.expr(_cms_cell_sql(r, "k", "STRING")) for r in range(CMS_DEPTH)]
 
 
+def cms_empty_grid(df):
+    """Typed empty (r, c, cnt) grid — the seed state for the streaming
+    and retraction twins. ONE definition (review finding r14: the same
+    three-line construction was copy-pasted at five sites) so a future
+    grid-schema change cannot silently union-coerce some seeds and not
+    others — the q_stream_theta bigint-seed hazard class."""
+    return df.select(
+        F.lit(0).alias("r"),
+        F.lit(0).cast("bigint").alias("c"),
+        F.lit(0).cast("bigint").alias("cnt"),
+    ).limit(0)
+
+
 def cms_sketch(li):
     """depth×width count grid over a (k) stream — ≤ d·w rows, built in
     one map-combinable pass; cell-wise SUM-mergeable (counts are a

@@ -187,7 +187,11 @@ def _fingerprint(fn: Callable, oracle: str | None) -> str | None:
         src = inspect.getsource(fn)
     except (OSError, TypeError):  # e.g. source not on disk (REPL-defined)
         return None
-    if f"def {getattr(fn, '__name__', '')}" not in src:
+    # "(" included: a bare name check is defeated by prefix-named
+    # functions (q_sketch_cms vs q_sketch_cms_rollup — "def q_sketch_cms"
+    # IS a substring of the rollup's def line), which is exactly the
+    # shifted-block scenario this guard exists for (review finding r14).
+    if f"def {getattr(fn, '__name__', '')}(" not in src:
         return None  # shifted/foreign block: this process can't see truth
     h = hashlib.sha256()
     h.update(src.encode())

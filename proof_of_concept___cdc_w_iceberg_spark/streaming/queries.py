@@ -723,14 +723,12 @@ def q_stream_cms(spark, sf_dir):
     oracle is the ONE-SHOT q_sketch_cms build, so the hash check
     proves the cell-sum merge law end to end; read-out is the shared
     cms_topk probe. Live readStream twin: tests/test_r13_ops.py."""
+    from ..operators.sketches import cms_empty_grid
+
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("k"), "l_orderkey"
     )
-    state = (
-        li.select(F.lit(0).alias("r"), F.lit(0).cast("bigint").alias("c"))
-        .limit(0)
-        .select("r", "c", F.lit(0).cast("bigint").alias("cnt"))
-    )
+    state = cms_empty_grid(li)
     for cond in (
         F.col("l_orderkey") <= 20_000,
         F.col("l_orderkey").between(20_001, 40_000),
@@ -819,14 +817,12 @@ def q_stream_cms_retract(spark, sf_dir):
     rebuild end to end through the shared cms_topk read-out — the
     sketch-family complement of q_stream_knn_graph_upsert's mixed-
     batch law. State stays ≤ d·w rows; per-batch localCheckpoint."""
+    from ..operators.sketches import cms_empty_grid
+
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("k"), "l_orderkey"
     )
-    empty = (
-        li.select(F.lit(0).alias("r"), F.lit(0).cast("bigint").alias("c"))
-        .limit(0)
-        .select("r", "c", F.lit(0).cast("bigint").alias("cnt"))
-    )
+    empty = cms_empty_grid(li)
     batches = [
         (F.col("l_orderkey") <= 20_000, None),
         (

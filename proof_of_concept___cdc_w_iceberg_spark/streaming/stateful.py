@@ -417,20 +417,32 @@ def knn_cell_state_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
         cands.sort(key=lambda t: (-t[0], t[1]))
         return cands[:k]
 
+    def cos(i: int, j: int) -> float | None:
+        # Zero-norm guard (review finding): one all-zero vector must
+        # not poison-pill the streaming query with ZeroDivisionError —
+        # the batch would replay from the checkpoint and crash forever.
+        # Degenerate pairs simply form no edge here (the relational
+        # builds emit NaN-cosine edges for them — both are nonsense
+        # results; the bit-equality contract is asserted on non-
+        # degenerate corpora, and the fixtures contain no zero vectors).
+        den = math.sqrt(sq[i] * sq[j])
+        return _fold_dot(vecs[i], vecs[j]) / den if den > 0.0 else None
+
     # old nodes: carried top-k ∪ fresh edges to the new members
     for i in range(old_n):
         fresh = [
-            (_fold_dot(vecs[i], vecs[j]) / math.sqrt(sq[i] * sq[j]), ids[j])
+            (c, ids[j])
             for j in range(old_n, len(ids))
+            if (c := cos(i, j)) is not None
         ]
         if fresh:
             edges[ids[i]] = topk(edges[ids[i]] + fresh)
     # new nodes: score against every member but self
     for i in range(old_n, len(ids)):
         cands = [
-            (_fold_dot(vecs[i], vecs[j]) / math.sqrt(sq[i] * sq[j]), ids[j])
+            (c, ids[j])
             for j in range(len(ids))
-            if j != i
+            if j != i and (c := cos(i, j)) is not None
         ]
         edges[ids[i]] = topk(cands)
 

@@ -349,11 +349,11 @@ def test_cms_retract_grid_equals_net_rebuild(spark, sf_dir, duck):
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("k"), "l_orderkey"
     )
-    empty = (
-        li.select(F.lit(0).alias("r"), F.lit(0).cast("bigint").alias("c"))
-        .limit(0)
-        .select("r", "c", F.lit(0).cast("bigint").alias("cnt"))
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        cms_empty_grid,
     )
+
+    empty = cms_empty_grid(li)
     ins1 = li.filter(F.col("l_orderkey") <= 20_000).select("k")
     ins2 = li.filter(F.col("l_orderkey") > 20_000).select("k")
     del2 = li.filter(
@@ -416,11 +416,11 @@ def test_cms_retract_live_changelog_readstream_twin(spark, sf_dir):
             .option("maxFilesPerTrigger", 2)
             .parquet(src + "/_b=*")
         )
-        empty = (
-            li.select(F.lit(0).alias("r"), F.lit(0).cast("bigint").alias("c"))
-            .limit(0)
-            .select("r", "c", F.lit(0).cast("bigint").alias("cnt"))
+        from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+            cms_empty_grid,
         )
+
+        empty = cms_empty_grid(li)
         holder = {"state": empty, "batches": 0}
 
         def step(batch_df, _bid):
@@ -468,9 +468,11 @@ def test_cms_retract_order_insensitive(spark):
     net = spark.createDataFrame(
         [(k,) for k, op in rows if k not in (2, 5, 8)], "k long"
     )
-    empty = log.select(
-        F.lit(0).alias("r"), F.lit(0).cast("bigint").alias("c")
-    ).limit(0).select("r", "c", F.lit(0).cast("bigint").alias("cnt"))
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        cms_empty_grid,
+    )
+
+    empty = cms_empty_grid(log)
     want = sorted(tuple(r) for r in cms_sketch(net).collect())
 
     import itertools
