@@ -441,6 +441,21 @@ def _drift_report(
     return out
 
 
+def _calib_vs_floor(history: list[dict], calib_s: float) -> float | None:
+    """Run-level box indicator next to the per-drift-row annotations:
+    this run's probe vs the fastest stamped probe in the 3-snapshot
+    floor window. >1 = box slower than the floors were recorded on —
+    read it FIRST when the drift list is long (or suspiciously empty).
+    None while no floor snapshot carries a stamp (pre-r14 history)."""
+    floor_calibs = [
+        float(s["calib_s"]) for s in history[-3:]
+        if isinstance(s.get("calib_s"), (int, float)) and s["calib_s"] > 0
+    ]
+    if not floor_calibs or calib_s <= 0:
+        return None
+    return round(calib_s / min(floor_calibs), 2)
+
+
 def _time_query(spark, qs, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = qs[name](spark, sf_dir)
@@ -542,6 +557,9 @@ def main() -> None:
     sf = _parse_sf(sf_dir)
     prev = _prev_timings(sf) if sf is not None else {}
     history = _history_at_sf(_load_history(), sf) if sf is not None else []
+    ratio = _calib_vs_floor(history, calib_s)
+    if ratio is not None:
+        cache_state["calib_vs_floor"] = ratio
     spark = get_spark("poc_cdc_bench")
     qs = registry.queries()
 

@@ -299,6 +299,21 @@ def test_calibration_probe_and_drift_normalization():
     assert d3[0]["ratio"] == 1.6 and "calib_ratio" not in d3[0]
 
 
+def test_calib_vs_floor_indicator():
+    hist = [
+        {"label": "old", "queries": {}},                 # unstamped
+        {"label": "r14a", "queries": {}, "calib_s": 0.30},
+        {"label": "r14b", "queries": {}, "calib_s": 0.36},
+    ]
+    assert bench._calib_vs_floor(hist, 0.45) == 1.5   # vs MIN stamp
+    assert bench._calib_vs_floor(hist, 0.27) == 0.9   # faster box < 1
+    assert bench._calib_vs_floor([{"label": "old", "queries": {}}], 0.3) is None
+    assert bench._calib_vs_floor(hist, 0.0) is None
+    # only the last three snapshots count
+    hist4 = [{"label": "ancient", "queries": {}, "calib_s": 0.05}] + hist
+    assert bench._calib_vs_floor(hist4, 0.45) == 1.5
+
+
 def test_append_history_carries_calib(monkeypatch, tmp_path):
     import json as _json
 

@@ -480,6 +480,72 @@ def test_fingerprint_stale_process_guard() -> None:
     assert not changed
 
 
+try:
+    from hypothesis import given as _fp_given
+    from hypothesis import settings as _fp_settings
+    from hypothesis import strategies as _fp_st
+
+    _fp_names = _fp_st.lists(
+        _fp_st.text(alphabet="abcxyz_", min_size=1, max_size=6),
+        min_size=0, max_size=12, unique=True,
+    )
+
+    @_fp_st.composite
+    def _fp_cases(draw):
+        names = draw(_fp_names)
+        current = {
+            n: draw(_fp_st.sampled_from([None, "fp_" + n, "fp2_" + n]))
+            for n in names
+        }
+        recorded = {}
+        for n in names:
+            if draw(_fp_st.booleans()):
+                recorded[n] = {
+                    "fp": draw(_fp_st.sampled_from(["fp_" + n, "old_" + n])),
+                    "since": draw(_fp_st.integers(min_value=0, max_value=13)),
+                }
+        # plus a dropped/renamed query record
+        if draw(_fp_st.booleans()):
+            recorded["gone_query"] = {"fp": "fp_gone", "since": 2}
+        return current, recorded
+
+    @_fp_given(_fp_cases())
+    @_fp_settings(max_examples=200, deadline=None)
+    def test_fingerprint_kernel_properties(case) -> None:
+        """For ANY (current, recorded) shape: (a) every non-None
+        current fingerprint is recorded verbatim in the output; (b) a
+        None fingerprint never creates or alters a record; (c) the
+        modified map stamps exactly the changed names with next_round
+        and otherwise carries recorded pending pins; (d) the kernel is
+        IDEMPOTENT — feeding its own output back produces no change
+        and the same map."""
+        current, recorded = case
+        mod, upd, _changed = registry.fingerprint_modified(current, recorded, 14)
+        for n, fp in current.items():
+            if fp is None:
+                if isinstance(recorded.get(n), dict) and recorded[n].get("fp"):
+                    assert upd[n] == recorded[n]
+                else:
+                    assert n not in upd
+            else:
+                assert upd[n]["fp"] == fp
+                rec = recorded.get(n)
+                if not isinstance(rec, dict) or rec.get("fp") is None:
+                    assert upd[n]["since"] == 0 and n not in mod
+                elif rec["fp"] != fp:
+                    assert upd[n]["since"] == 14 and mod[n] == 14
+                else:
+                    assert upd[n]["since"] == rec["since"]
+                    assert mod.get(n, 0) == rec["since"] or rec["since"] == 0
+        assert "gone_query" not in upd
+        # Idempotence over the persisted output.
+        mod2, upd2, changed2 = registry.fingerprint_modified(current, upd, 14)
+        assert upd2 == upd and mod2 == mod and not changed2
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_fingerprint_file_matches_live_registry() -> None:
     """The committed QUERY_FINGERPRINTS.json must cover every
     registered query and agree with the live source — a drifted record
