@@ -212,7 +212,7 @@ def q_sketch_bloom_rollup(spark, sf_dir):
     false-positive overhead are visible in-band.
 
     Plan shape: one dim scan → posexplode to (g, pos) distinct (the
-    leaves, ≤ \|segments\|·m rows), one bounded distinct for the total,
+    leaves, <= |segments|·m rows), one bounded distinct for the total,
     then ONE fact scan posexploded to k position rows equi-joined
     against the broadcast filter relation and count-distinct-folded
     per (g, orderkey) — linear in the fact with a ≤ (k · matched

@@ -133,29 +133,46 @@ def test_dedup_cluster_releases_loop_persists(spark, sf_dir):
     after the query's action only the plan-backing persists survive
     (ngram's sh/sh_c feeding the returned lineage, plus the final
     labels), released session-wide by the harness clearCache."""
-    spark.catalog.clearCache()
-    QS["q_dedup_cluster"](spark, sf_dir).collect()
     # getPersistentRDDs also counts localCheckpoint blocks from EARLIER
     # tests (IVM queries): their Python refs are gone, but the blocks
     # release only when the JVM's ContextCleaner sees the RDDs become
-    # weakly reachable — i.e. after a JVM GC, which a 16g heap may not
-    # run for minutes — and the cleaner's unpersist is ASYNC after
-    # that. Force both GCs and retry; budget raised 4s -> 30s in r14
-    # after one full-suite flake at 8x0.5s (the r14 streaming/IVM tests
-    # add more checkpoint blocks for the cleaner to drain; the test
-    # passes alone, so it is pure cleanup latency, not a leak).
+    # weakly reachable (after a JVM GC) and drains asynchronously — and
+    # under full-suite ordering a few blocks can stay pinned for the
+    # whole session (r14: stuck at exactly 4 through 30 GC cycles, yet
+    # 0 when the test runs alone). So assert the DELTA against a
+    # settled baseline, not a global absolute: the property under test
+    # is that q_dedup_cluster's loop releases ITS OWN persists, which
+    # suite-order leftovers cannot fake either way.
     import gc
     import time
 
+    def settled_count() -> int:
+        prev = None
+        for _ in range(30):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            n = spark.sparkContext._jsc.getPersistentRDDs().size()
+            if n == prev:
+                return n
+            prev = n
+            time.sleep(1.0)
+        return prev
+
+    spark.catalog.clearCache()
+    base = settled_count()
+    QS["q_dedup_cluster"](spark, sf_dir).collect()
     n_cached = None
     for _ in range(30):
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         n_cached = spark.sparkContext._jsc.getPersistentRDDs().size()
-        if n_cached <= 3:
+        if n_cached <= base + 3:
             break
         time.sleep(1.0)
-    assert n_cached <= 3, f"loop-scoped persists leaked: {n_cached} cached RDDs"
+    assert n_cached <= base + 3, (
+        f"loop-scoped persists leaked: {n_cached} cached RDDs vs "
+        f"baseline {base} (+3 plan-backing persists allowed)"
+    )
     spark.catalog.clearCache()
 
 
