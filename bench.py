@@ -533,8 +533,14 @@ def _parse_sf(sf_dir: str) -> float | None:
             pass
     # Left boundary: without it, "/home/asdf1/tpch" reads as sf=1 and
     # silently keys the run into the wrong history bucket — the exact
-    # cross-scale floor pollution this parse exists to prevent.
-    tokens = re.findall(r"(?<![A-Za-z0-9])sf(\d+(?:\.\d+)?)", sf_dir)
+    # cross-scale floor pollution this parse exists to prevent. Right
+    # boundary (r14 advice): "/data/sf2x_parquet" must fall through to
+    # the safe None path, not parse as sf=2; a trailing dot is excluded
+    # too. "_" stays a boundary on BOTH sides (r13 advice requires
+    # "tpch_sf1_parquet" -> 1), so a well-formed-but-absurd token like
+    # "sf20240101_tpch" still parses — it keys into its own (empty)
+    # history bucket, which cannot pollute a real scale's floors.
+    tokens = re.findall(r"(?<![A-Za-z0-9])sf(\d+(?:\.\d+)?)(?![A-Za-z0-9.])", sf_dir)
     if tokens:
         return float(tokens[-1])
     print(

@@ -385,13 +385,21 @@ def _family_rank(name: str) -> int:
     return len(_RISK_PREFIX_ORDER)
 
 
-def promoted_no_oracle(names, oracle_names, ledger) -> str | None:
+def promoted_no_oracle(names, oracle_names, ledger, modified=None) -> str | None:
     """The single stalest EARNED no-oracle row (r13 verdict item 4):
     rows-only rows can never be upgraded by a re-check, but they ARE
     liveness evidence ("ran with rows as declared"), and q_ddl_create /
     q_catalog_list hadn't executed under the driver since r1. One slot
     per round rotates the stalest of them back through the window; the
-    rest keep sorting behind every oracle-backed query."""
+    rest keep sorting behind every oracle-backed query.
+
+    ``modified`` (r14 advice): a candidate whose last green row predates
+    its last behavior change already re-fronts via check_order's group-1
+    stale path — promoting it too would burn the round's single rotation
+    slot on a query that was going to run anyway. Skip it so the slot
+    falls to the next-stalest eligible row."""
+    if modified is None:
+        modified = {}
     cands = []
     for n in names:
         if n in oracle_names:
@@ -399,8 +407,11 @@ def promoted_no_oracle(names, oracle_names, ledger) -> str | None:
         entry = ledger.get(n)
         if isinstance(entry, int):
             entry = {"last": entry, "ok": True}
-        if entry is not None and entry.get("ok", True):
-            cands.append((entry.get("last", 0), n))
+        if entry is None or not entry.get("ok", True):
+            continue
+        if entry.get("last", 0) < modified.get(n, 0):
+            continue  # fingerprint-stale: re-fronts on its own
+        cands.append((entry.get("last", 0), n))
     return min(cands)[1] if cands else None
 
 
@@ -420,7 +431,7 @@ def check_order(names, oracle_names, ledger, modified=None) -> list[str]:
     """
     if modified is None:
         modified = _MODIFIED_IN_ROUND
-    promoted = promoted_no_oracle(names, oracle_names, ledger)
+    promoted = promoted_no_oracle(names, oracle_names, ledger, modified=modified)
 
     def key(n: str):
         entry = ledger.get(n)

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..ext.similarity import KNN_K
+
 STATE_SCHEMA = "ts_ms LONG, off LONG, name STRING, bal DOUBLE, deleted BOOLEAN"
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -386,13 +388,17 @@ def _fold_dot(a, b) -> float:
 
 
 def knn_cell_state_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
-                      state: GroupState) -> Iterator[pd.DataFrame]:
+                      state: GroupState, k: int = KNN_K) -> Iterator[pd.DataFrame]:
     """Fold one cell's insert batch into its stored graph; emit the
     cell's full post-batch graph (update mode: downstream keeps the
-    latest emission per cell)."""
-    import math
+    latest emission per cell).
 
-    k = 3  # KNN_K — inlined so the pickled kernel has no package dep
+    ``k`` is a closure-bound default (r14 advice): evaluated at def
+    time from the shared KNN_K constant and pickled with the function's
+    ``__defaults__``, so the worker-side kernel still has no package
+    import AND a future KNN_K change cannot desynchronize the
+    durable-state graph from the relational builds."""
+    import math
     if state.exists:
         ids, vecs, esrcs, edsts, ecoss = state.get
         ids = [int(i) for i in ids]

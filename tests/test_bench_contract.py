@@ -262,6 +262,15 @@ def test_parse_sf_layouts(monkeypatch):
     # unrelated token must not key the run into a wrong bucket.
     assert bench._parse_sf("/home/asdf1/tpch_data") is None
     assert bench._parse_sf("/srv/xfsf0/tpch") is None
+    # Right boundary (r14 advice): a malformed token like sf2x must fall
+    # through to the safe None path, not parse as sf=2; no partial match
+    # via regex backtracking either (sf0.1x must not read as sf=0).
+    assert bench._parse_sf("/data/sf2x_parquet") is None
+    assert bench._parse_sf("/data/sf0.1x/tpch") is None
+    # "_" stays a boundary on BOTH sides (the r13 tpch_sf1_parquet
+    # layout), so a digits-only absurd token still parses — into its
+    # own empty bucket, never a real scale's.
+    assert bench._parse_sf("/data/sf20240101_tpch") == 20240101.0
     monkeypatch.setenv("SPARK_GRAFT_SF", "2.5")
     assert bench._parse_sf("/data/no_marker_here") == 2.5
     monkeypatch.setenv("SPARK_GRAFT_SF", "garbage")

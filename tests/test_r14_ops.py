@@ -533,7 +533,13 @@ def test_knn_cell_stream_durable_state_restart(spark, sf_dir):
         knn_cell_stream,
     )
 
-    assert KNN_K == 3, "knn_cell_state_fn inlines k=3; keep them in sync"
+    # r14 advice: k is now a closure-bound default captured from KNN_K
+    # at def time — a future KNN_K change propagates automatically.
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.stateful import (
+        knn_cell_state_fn,
+    )
+
+    assert knn_cell_state_fn.__defaults__ == (KNN_K,)
     registry._ship_package(spark)  # state fn unpickles on workers
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")

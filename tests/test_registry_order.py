@@ -374,6 +374,35 @@ def test_r07_rolling_sweep_fronts_round1_rows() -> None:
         )
 
 
+def test_promoted_slot_skips_fingerprint_stale_candidate() -> None:
+    """r14 advice: if the stalest earned rows-only query is ALSO
+    fingerprint-stale it re-fronts through check_order's group-1 path on
+    its own — promoting it would waste the round's single rotation slot.
+    The slot must fall to the next-stalest eligible rows-only query."""
+    names = ["q_or1", "q_no1", "q_no2"]
+    oracle_names = {"q_or1"}
+    ledger = {
+        "q_or1": {"first": 1, "last": 5, "ok": True},
+        "q_no1": {"first": 1, "last": 1, "ok": True},  # stalest, but edited in r6
+        "q_no2": {"first": 2, "last": 2, "ok": True},
+    }
+    modified = {"q_no1": 6}
+    promoted = registry.promoted_no_oracle(
+        names, oracle_names, ledger, modified=modified
+    )
+    assert promoted == "q_no2", "slot must fall to the next-stalest eligible row"
+    order = registry.check_order(names, oracle_names, ledger, modified=modified)
+    # q_no1 re-fronts as group-1 stale evidence; q_no2 takes the promoted
+    # group-2 slot and therefore precedes nothing it shouldn't — the full
+    # order is: stale rows-only, then green oracle + promoted by round.
+    assert order[0] == "q_no1"
+    assert set(order[1:]) == {"q_or1", "q_no2"}
+    # Without the modified map, the old behavior (q_no1 promoted) holds.
+    assert (
+        registry.promoted_no_oracle(names, oracle_names, ledger) == "q_no1"
+    )
+
+
 def test_modified_pins_name_real_queries() -> None:
     """Typo guard: every _MODIFIED_IN_ROUND pin must name a registered
     query — a misspelled pin would silently protect nothing."""
