@@ -88,10 +88,18 @@ class BucketedMirror:
         return os.path.isdir(self.path) and any(
             n.startswith(f"{BUCKET_COL}=") for n in os.listdir(self.path))
 
-    def init(self, snapshot: DataFrame) -> None:
-        (self._with_bucket(snapshot)
-         .repartition(BUCKET_COL)  # one writer set per partition dir
-         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path))
+    def init(self, snapshot: DataFrame, writers: int | None = None) -> None:
+        """Lay the table out. ``writers=None`` (default) shuffles by the
+        bucket column first — one writer set per partition dir, one file
+        per bucket. ``writers=N`` skips that clustering shuffle and
+        writes with N tasks each holding rows of many buckets — the
+        cheap-ingest layout a large snapshot load actually produces
+        (hundreds of upstream tasks, ~N files PER bucket dir), the
+        fragmentation that ``compact()`` exists to repair."""
+        part = (self._with_bucket(snapshot).repartition(writers)
+                if writers else
+                self._with_bucket(snapshot).repartition(BUCKET_COL))
+        (part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path))
         # Schema sidecar: a zero-row partitioned write leaves no data
         # files to infer from, so an empty (or fully-deleted) mirror
         # must still know its row shape. (An Iceberg/catalog table

@@ -1569,3 +1569,54 @@ def q_cdc_changefeed(spark, sf_dir):
         F.col("name").alias("after_name"),
         F.col("bal").alias("after_bal"),
     )
+
+
+@query("q_cdc_compact_files", oracle=APPLY_SCALE_MIRROR_SQL)
+def q_cdc_compact_files(spark, sf_dir):
+    """Small-file compaction as a registered maintenance rung — the
+    Iceberg ``rewrite_data_files`` bin-pack (`pom.xml:15` pins Iceberg
+    1.9.2, whose maintenance actions a long-running CDC mirror
+    schedules; `connect-iceberg-sink.json:17`'s 10 s commit cadence is
+    WHY: every commit adds data files). Composition, both real growth
+    patterns in one run:
+
+    1. snapshot ingest WITHOUT the bucket-clustering shuffle
+       (``init(writers=8)``) — the cheap parallel load that leaves ~8
+       files in every bucket dir, exactly what a 1000-task snapshot
+       copy produces at 100 TB;
+    2. one partition-scoped CDC apply (the q_cdc_apply_bucketed
+       batch) — touched buckets rewrite, untouched buckets keep their
+       ingest fragmentation;
+    3. ``BucketedMirror.compact(max_files=1)`` — per-partition
+       read→coalesce→write of ONLY still-fragmented leaves
+       (embarrassingly parallel across partitions; compacted leaves
+       are a scan-skip).
+
+    Laws asserted in-query: the table ends at ≤ 1 file per non-empty
+    bucket with the total file count at most half the post-ingest
+    count, and a second compact() finds nothing (idempotent). The
+    registered oracle is the SAME latest-wins relation as
+    q_cdc_apply_scale/_bucketed, so the driver hash check proves
+    compaction is content-invisible end to end: fragment, merge,
+    bin-pack — byte-identical read. Before/after collect equality and
+    the file-count ledger are additionally pinned in
+    tests/test_r15_ops.py."""
+    from .bucketed import BucketedMirror
+
+    li, changes = _scale_mirror_and_changes(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="cdc_compact_"), "mirror")
+    m = BucketedMirror(spark, path, keys=["l_orderkey", "l_linenumber"],
+                       n_buckets=16)
+    m.init(li, writers=8)
+    ingest_files = sum(len(fs) for fs in m.partition_files().values())
+    m.apply(changes)
+    m.compact(max_files=1)
+    after = m.partition_files()
+    n_after = sum(len(fs) for fs in after.values())
+    assert all(len(fs) <= 1 for fs in after.values()), "leaf not bin-packed"
+    assert n_after * 2 <= ingest_files, (
+        f"compaction must at least halve the ingest file count "
+        f"({ingest_files} -> {n_after})"
+    )
+    assert m.compact(max_files=1) == {}, "second pass must be a no-op"
+    return m.read()
