@@ -753,7 +753,13 @@ def cms_retract_apply(state, ins_k, del_k):
     are cash-register-only: max (HLL), set-union (Bloom, theta), and
     bottom-k (quantile) have no inverses, so their deletion path is a
     rebuild — documented here as the boundary, exactly like the ANN
-    family documents its delete rung's re-rank scope."""
+    family documents its delete rung's re-rank scope.
+
+    At-least-once caveat: cell sums double-count a REPLAYED micro-batch
+    (foreachBatch redelivers after failure) — wrap in
+    ReplayGuardedState (end of this module) when driving from a real
+    stream; the batch-split registered queries apply each batch exactly
+    once by construction."""
     from ..operators.sketches import cms_sketch
 
     neg = cms_sketch(del_k).select(
@@ -930,3 +936,66 @@ def q_stream_bloom(spark, sf_dir):
     from ..operators.sketches import bloom_reduce_join
 
     return bloom_reduce_join(o, dim, state)
+
+
+# --- micro-batch replay idempotency (r14 verdict item 4) ---------------
+#
+# foreachBatch is AT-LEAST-ONCE: after a failure between the sink
+# commit and the checkpoint commit, Structured Streaming redelivers
+# the same micro-batch with the SAME (monotonically increasing)
+# batch_id. The reference's sink is replay-safe by PK upsert
+# (`connect-iceberg-sink.json:30-33` equality deletes — applying the
+# same delete+insert twice lands on the same rows); this engine's
+# latest-wins stores share that property, the counting/sampling
+# sketches do NOT. Replay classification of every state transition in
+# this module, proved in tests/test_r15_ops.py:
+#
+#   ABSORBS replay (idempotent merge — f(f(s,b),b) == f(s,b)):
+#     latest-wins mirror apply   (cdc.apply_changes / BucketedMirror —
+#                                 re-merging identical change rows
+#                                 replaces rows with themselves)
+#     hll_stream_apply           (register-wise MAX)
+#     bloom_stream_apply         (set UNION via distinct)
+#     theta_stream_apply         (bottom-k DISTINCT hashes)
+#     applyInPandasWithState fns (engine-versioned state store: a
+#                                 replayed batch re-folds the PRE-batch
+#                                 state snapshot, not the post-batch one)
+#
+#   NEEDS the batch-id guard (double-applies without it):
+#     cms_stream_apply / cms_retract_apply  (cell-wise SUM — a group,
+#                                 so retraction works, but sums count
+#                                 a replayed batch twice)
+#     the q_stream_sketch quantile transition (bottom-k WITHOUT
+#                                 distinct: the replayed batch's (v,h)
+#                                 rows duplicate inside the k-row
+#                                 sample and shift read-out ranks)
+
+
+class ReplayGuardedState:
+    """The standard foreachBatch idempotency guard for non-idempotent
+    transitions: skip any batch whose batch_id is <= the last applied
+    one (Spark's ids are monotonic; only the most recent uncommitted
+    batch is ever redelivered). Wraps a pure state transition::
+
+        g = ReplayGuardedState(empty_grid, cms_retract_apply)
+        def on_batch(df, batch_id):            # foreachBatch sink
+            g.apply(batch_id, inserts_of(df), deletes_of(df))
+
+    ``apply`` returns False (state untouched) on a replayed id. In a
+    durable deployment the id watermark must commit ATOMICALLY with
+    the state — write state+id in one staged-directory rename, exactly
+    like BucketedMirror's staged commit; keeping them in two
+    independent writes reintroduces the replay window this guard
+    exists to close."""
+
+    def __init__(self, state, apply_fn):
+        self.state = state
+        self.last_batch_id = -1
+        self.apply_fn = apply_fn
+
+    def apply(self, batch_id: int, *batch_args) -> bool:
+        if batch_id <= self.last_batch_id:
+            return False
+        self.state = self.apply_fn(self.state, *batch_args)
+        self.last_batch_id = batch_id
+        return True
