@@ -214,6 +214,105 @@ def value_cumsum_stream(events: DataFrame) -> DataFrame:
     )
 
 
+# --- TTL / eviction variant (r14 verdict item 5) -----------------------
+#
+# NoTimeout state grows with key cardinality FOREVER — a production
+# leaderboard under key churn (users arrive, go quiet, never return)
+# must bound the store. This variant evicts any key silent past an
+# event-time horizon (last event + TTL, measured against the
+# watermark — the same clock session_state_fn closes sessions with):
+#
+#   - a silent key's timeout fires once the watermark passes
+#     last + TTL → state removed, ONE eviction marker emitted
+#     (evicted=true, micros null) so downstream update-mode consumers
+#     can drop the key from their materialized board;
+#   - a key RE-ARRIVING after its horizon rebuilds from ZERO — checked
+#     eagerly before folding (data arriving in the same trigger as the
+#     due timeout suppresses the timeout callback, so expiry must be
+#     detected state-side, not callback-side);
+#   - a key re-arriving within its horizon accumulates normally and
+#     re-arms the timer.
+#
+# State stays one (micros, last_us) pair per LIVE key — bounded by
+# concurrently-active keys, not by all keys ever seen. Law test:
+# tests/test_r15_ops.py::test_cumsum_ttl_evicts_and_rebuilds.
+
+CUMSUM_TTL_US = 60 * 60 * 1_000_000  # evict after 1 h of event-time silence
+CUMSUM_TTL_STATE_SCHEMA = "micros LONG, last_us LONG"
+CUMSUM_TTL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("micros", T.LongType()),
+        T.StructField("evicted", T.BooleanType()),
+    ]
+)
+
+
+def cumsum_ttl_state_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                        state: GroupState,
+                        ttl_us: int = CUMSUM_TTL_US) -> Iterator[pd.DataFrame]:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def row(micros, evicted: bool) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "user_id": [int(key[1])],
+                "micros": [micros],
+                "evicted": [evicted],
+            }
+        )
+
+    if state.hasTimedOut:
+        state.remove()
+        yield row(None, True)
+        return
+    wm_ms = state.getCurrentWatermarkMs()
+    total, last_us = state.get if state.exists else (0, 0)
+    if state.exists and last_us // 1_000 + ttl_us // 1_000 < wm_ms:
+        # Expired BEFORE this batch, but new data in the same trigger
+        # suppressed the timeout callback: rebuild from zero.
+        total, last_us = 0, 0
+    for pdf in pdfs:
+        for v, ts in zip(pdf["value"], pdf["ts"]):
+            total += int(
+                Decimal(repr(float(v))).scaleb(6).to_integral_value(ROUND_HALF_UP)
+            )
+            last_us = max(last_us, pd.Timestamp(ts).value // 1_000)
+    timeout_ms = last_us // 1_000 + ttl_us // 1_000
+    if timeout_ms < wm_ms:
+        # Already due (late straggler batch): emit-and-evict inline —
+        # re-arming a timer behind the watermark is illegal (the same
+        # clamp session_state_fn applies).
+        if state.exists:
+            state.remove()
+        yield row(total, False)
+        yield row(None, True)
+        return
+    state.update((total, last_us))
+    state.setTimeoutTimestamp(timeout_ms)
+    yield row(total, False)
+
+
+def value_cumsum_stream_ttl(events: DataFrame,
+                            watermark: str = "0 seconds") -> DataFrame:
+    """TTL'd running-sum over a (streaming) events frame with columns
+    (event_type, user_id, value, ts). Event-time timeouts require a
+    watermark on ts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", "user_id")
+        .applyInPandasWithState(
+            cumsum_ttl_state_fn,
+            outputStructType=CUMSUM_TTL_OUTPUT_SCHEMA,
+            stateStructType=CUMSUM_TTL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # --- gap sessionizer with EVENT-TIME TIMEOUT ---------------------------
 #
 # The third stateful shape (after latest-image and running-sum): state

@@ -240,3 +240,89 @@ def test_batchid_guard_retract_replay_matches_net_rebuild(spark, sf_dir):
             assert g.apply(1, ins, dels) is False
         ref = cms_retract_apply(ref, ins, dels)
     assert _rows(g.state) == _rows(ref)
+
+
+# --- event-time TTL eviction (r14 verdict item 5) -----------------------
+
+
+def test_cumsum_ttl_evicts_and_rebuilds(spark):
+    """The state-TTL law, live through applyInPandasWithState with
+    EventTimeTimeout: a key silent past last+TTL (1 h) evicts — state
+    removed, ONE eviction marker emitted — and a key re-arriving AFTER
+    its horizon rebuilds from zero (its emission shows only the new
+    value, not old+new); a key that keeps arriving inside its horizon
+    accumulates across the whole run and never evicts."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    import time
+
+    from proof_of_concept___cdc_w_iceberg_spark import registry
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.stateful import (
+        value_cumsum_stream_ttl,
+    )
+
+    registry._ship_package(spark)  # state fn unpickles on workers
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    H = dt.timedelta(hours=1)
+    A, B = 1, 2
+    batches = [
+        [("x", A, 10.0, t0), ("x", B, 5.0, t0)],
+        [("x", A, 1.0, t0 + 2 * H)],     # advances wm past B's horizon
+        [("x", B, 7.0, t0 + 2 * H)],     # B re-arrives expired: rebuild
+        [("x", A, 2.0, t0 + 10 * H)],    # advances wm past B's new horizon
+        [("x", A, 1.0, t0 + 10 * H)],    # B silent -> timeout fires
+    ]
+    src = tempfile.mkdtemp(prefix="cumsum_ttl_")
+    ckpt = src + "_ckpt"
+    emissions: list[tuple] = []  # (batch_id, user_id, micros, evicted)
+    try:
+        for rows in batches:
+            spark.createDataFrame(
+                rows, "event_type string, user_id long, value double, ts timestamp"
+            ).repartition(1).write.mode("append").parquet(src)
+            time.sleep(0.06)  # distinct file mtimes -> deterministic order
+
+        stream = (
+            spark.readStream.schema(
+                "event_type string, user_id long, value double, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def sink(batch_df, bid):
+            for r in batch_df.collect():
+                emissions.append((bid, r["user_id"], r["micros"], r["evicted"]))
+
+        q = (
+            value_cumsum_stream_ttl(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    a_rows = [e for e in emissions if e[1] == A]
+    b_rows = [e for e in emissions if e[1] == B]
+    # A kept arriving inside its horizon: monotone accumulation, no
+    # eviction ever.
+    assert [m for _, _, m, ev in a_rows if not ev] == [
+        10_000_000, 11_000_000, 13_000_000, 14_000_000
+    ]
+    assert not any(ev for *_, ev in a_rows)
+    # B: initial 5, expired rebuild shows 7 (NOT 12 — old state gone),
+    # then exactly one eviction marker, after the rebuild emission.
+    b_live = [m for _, _, m, ev in b_rows if not ev]
+    assert b_live == [5_000_000, 7_000_000]
+    markers = [e for e in b_rows if e[3]]
+    assert len(markers) == 1, f"exactly one eviction marker: {b_rows}"
+    assert markers[0][2] is None, "eviction marker must carry no total"
+    assert markers[0][0] > max(bid for bid, _, _, ev in b_rows if not ev), (
+        "eviction must fire after the rebuild emission"
+    )
