@@ -1,0 +1,193 @@
+"""Named refs + write-audit-publish over the snapshot ledger.
+
+Iceberg tables carry named BRANCHES — movable refs into the snapshot
+ledger — and the standard production pattern built on them is
+write-audit-publish (WAP): a CDC batch commits to an audit branch
+first, validators read THAT branch, and only a passing batch is
+published by fast-forwarding ``main`` to the branch head. ``main``
+readers never observe unaudited data; a failing batch is dropped by
+deleting its ref, and its snapshots become expirable garbage. The
+reference's lake is exactly this kind of Iceberg deployment
+(`connect-iceberg-sink.json:15-16`; `pom.xml:15` pins Iceberg 1.9.2,
+whose `spark.wap.branch` session conf drives the same flow) — here the
+mechanism is rebuilt on SnapshotMirror's manifest ledger:
+
+- a ref is one JSON file ``refs/{name}.json`` → ``{"version": n}``;
+  moving it is an atomic tmp+rename, the same pointer-swap discipline
+  as the manifest commit itself;
+- branch commits chain off the BRANCH head (``apply(base_version=…)``),
+  not the ledger's newest snapshot, so concurrent audit branches can't
+  contaminate each other;
+- publish = fast-forward: ``main`` adopts the audited branch's head
+  version — no data is rewritten, the commit was already durable;
+- branch-aware expiry: a snapshot any ref points at is never expired,
+  however old (Iceberg's retention semantics for refs).
+
+At 100 TB nothing here touches data volume: refs are 1-file writes,
+publish is a pointer move, and the audit reads only the branch's
+buckets (manifest-routed, partition-pruned like any snapshot read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .versioned import SnapshotMirror
+
+MAIN = "main"
+
+
+class BranchedMirror(SnapshotMirror):
+    """SnapshotMirror + named refs. ``init`` creates ``main``;
+    ``apply`` (unqualified) advances ``main``; ``branch_create`` /
+    ``apply_to_branch`` / ``fast_forward`` / ``drop_branch`` implement
+    the WAP flow."""
+
+    # --- ref ledger ---
+
+    def _refs_dir(self) -> str:
+        d = os.path.join(self.path, "refs")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _ref_path(self, name: str) -> str:
+        return os.path.join(self._refs_dir(), f"{name}.json")
+
+    def refs(self) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for fname in sorted(os.listdir(self._refs_dir())):
+            if not fname.endswith(".json"):
+                continue
+            with open(os.path.join(self._refs_dir(), fname)) as f:
+                out[fname[:-5]] = json.load(f)["version"]
+        return out
+
+    def get_ref(self, name: str) -> int:
+        with open(self._ref_path(name)) as f:
+            return json.load(f)["version"]
+
+    def set_ref(self, name: str, version: int) -> None:
+        """Atomic pointer move — the branch analogue of the manifest
+        commit: readers see the old or the new head, never a torn
+        write."""
+        if version not in self.versions():
+            raise ValueError(f"no snapshot v{version} to point {name!r} at")
+        tmp = self._ref_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._ref_path(name))
+
+    # --- branch lifecycle ---
+
+    def init(self, snapshot: DataFrame) -> int:
+        v = super().init(snapshot)
+        self.set_ref(MAIN, v)
+        return v
+
+    def branch_create(self, name: str, from_ref: str = MAIN) -> int:
+        v = self.get_ref(from_ref)
+        self.set_ref(name, v)
+        return v
+
+    def drop_branch(self, name: str) -> None:
+        if name == MAIN:
+            raise ValueError("refusing to drop main")
+        os.remove(self._ref_path(name))
+
+    def read_ref(self, name: str = MAIN) -> DataFrame:
+        return self.read(version=self.get_ref(name))
+
+    def apply(self, changes: DataFrame, op_col: str = "op",
+              base_version: int | None = None) -> int:
+        """Unqualified apply = commit on main's head and advance main
+        (the un-branched SnapshotMirror behavior, ref-tracked)."""
+        base = self.get_ref(MAIN) if base_version is None else base_version
+        v = super().apply(changes, op_col=op_col, base_version=base)
+        if base_version is None:
+            self.set_ref(MAIN, v)
+        return v
+
+    def apply_to_branch(self, name: str, changes: DataFrame,
+                        op_col: str = "op") -> int:
+        """Commit a batch on the BRANCH head and advance only that
+        ref — main and sibling branches are isolated."""
+        v = super().apply(changes, op_col=op_col,
+                          base_version=self.get_ref(name))
+        self.set_ref(name, v)
+        return v
+
+    def fast_forward(self, to_ref: str, from_ref: str) -> int:
+        """Publish: point ``to_ref`` at ``from_ref``'s head. No data
+        moves — the audited snapshot was already durable."""
+        v = self.get_ref(from_ref)
+        self.set_ref(to_ref, v)
+        return v
+
+    # --- branch-aware retention ---
+
+    def expire(self, keep_last: int = 1) -> list[int]:
+        """Like SnapshotMirror.expire, but a snapshot ANY ref points at
+        is never expired, however old — dropping a branch is what makes
+        its snapshots reclaimable."""
+        vs = self.versions()
+        pinned = set(self.refs().values())
+        dead = [v for v in vs[:-keep_last] if v not in pinned]
+        for v in dead:
+            os.remove(self._manifest_path(v))
+        referenced: set[str] = set()
+        for v in self.versions():
+            for d in self._load_manifest(v)["buckets"].values():
+                referenced.add(os.path.dirname(d))
+        data_dir = os.path.join(self.path, "data")
+        removed = []
+        for name in sorted(os.listdir(data_dir)):
+            full = os.path.join(data_dir, name)
+            if full not in referenced:
+                shutil.rmtree(full)
+                removed.append(full)
+        return dead
+
+
+def wap_audit(state: DataFrame, keys: list[str],
+              batch_keys: DataFrame | None = None) -> dict[str, int]:
+    """The validator a WAP pipeline runs against the audit branch
+    BEFORE publish: primary-key integrity of the branch state. Returns
+    violation counts (all zero = publishable):
+
+    - ``null_keys``: rows with any null key column (a malformed insert
+      envelope that slipped past decode);
+    - ``dup_keys``: key groups holding more than one row. With
+      ``batch_keys`` (a distinct relation of the batch's key tuples)
+      the check is scoped to TOUCHED keys — the invariant a latest-wins
+      apply actually guarantees: every key the batch touched collapses
+      to exactly one surviving row, whatever the base table's key
+      hygiene (the synthetic lineitem fixture, like plenty of real
+      upstream tables, does NOT have a unique PK — a global dup count
+      audits the upstream, not the merge). Without ``batch_keys`` the
+      count is global, for tables that do declare key uniqueness.
+
+    One aggregate pass over the branch (map-combined groupBy on the
+    keys) plus, when scoped, a broadcastable semi-join on the batch
+    keys; at 100 TB this reads only the branch's buckets via the
+    manifest, like any snapshot read."""
+    null_pred = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_pred = c if null_pred is None else (null_pred | c)
+    agg = state.agg(
+        F.sum(F.when(null_pred, 1).otherwise(0)).alias("null_keys")
+    ).first()
+    scope = state
+    if batch_keys is not None:
+        scope = state.join(F.broadcast(batch_keys.select(*keys).distinct()),
+                           on=keys, how="left_semi")
+    dups = (
+        scope.groupBy(*keys).agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1).count()
+    )
+    return {"null_keys": int(agg["null_keys"] or 0), "dup_keys": int(dups)}

@@ -1620,3 +1620,64 @@ def q_cdc_compact_files(spark, sf_dir):
     )
     assert m.compact(max_files=1) == {}, "second pass must be a no-op"
     return m.read()
+
+
+@query("q_cdc_wap_publish", oracle=APPLY_SCALE_MIRROR_SQL)
+def q_cdc_wap_publish(spark, sf_dir):
+    """Write-audit-publish over the branched snapshot ledger
+    (cdc/branches.py) — the Iceberg-branch production pattern
+    (`spark.wap.branch`; `pom.xml:15` Iceberg 1.9.2) for a CDC sink
+    whose consumers must never observe unaudited data:
+
+    1. the apply-gate batch commits to branch ``audit_good``;
+       ``wap_audit`` (null-key integrity + touched-key uniqueness over
+       the BRANCH state — the invariant a latest-wins merge actually
+       guarantees on a fixture whose base table has no unique PK)
+       passes → publish = fast-forward main (pointer move, no data
+       rewritten);
+    2. a POISONED batch (null-PK inserts — a malformed envelope class
+       that slips past decode) commits to branch ``audit_bad``;
+       the audit catches it → the branch is dropped; main's ref is
+       asserted byte-unmoved.
+
+    The registered oracle is the same latest-wins relation as
+    q_cdc_apply_scale, so the driver hash check proves BOTH halves:
+    publish published exactly the audited apply, and the failed batch
+    never leaked into main. Branch isolation, branch-aware expiry, and
+    the dup-key audit arm are law-tested in tests/test_r15_ops.py."""
+    from .branches import BranchedMirror, wap_audit
+
+    li, changes = _scale_mirror_and_changes(spark, sf_dir)
+    keys = ["l_orderkey", "l_linenumber"]
+    path = os.path.join(tempfile.mkdtemp(prefix="cdc_wap_"), "mirror")
+    m = BranchedMirror(spark, path, keys=keys, n_buckets=16)
+    m.init(li)
+
+    m.branch_create("audit_good")
+    m.apply_to_branch("audit_good", changes)
+    audit = wap_audit(m.read_ref("audit_good").drop("__bucket"), keys,
+                      batch_keys=changes)
+    assert audit == {"null_keys": 0, "dup_keys": 0}, audit
+    m.fast_forward("main", "audit_good")
+    m.drop_branch("audit_good")
+    published = m.get_ref("main")
+
+    bad = li.limit(50).select(
+        F.col("l_orderkey"),
+        F.lit(None).cast(dict(li.dtypes)["l_linenumber"]).alias("l_linenumber"),
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        F.lit("c").alias("op"),
+        F.lit(9000).cast("long").alias("ts_ms"),
+        (F.col("l_orderkey") * 10 + F.lit(3_000_000_000)).cast("long").alias("off"),
+    )
+    m.branch_create("audit_bad")
+    m.apply_to_branch("audit_bad", bad)
+    audit = wap_audit(m.read_ref("audit_bad").drop("__bucket"), keys)
+    assert audit["null_keys"] > 0, "audit must catch the poisoned batch"
+    m.drop_branch("audit_bad")
+    assert m.get_ref("main") == published, "failed WAP leaked into main"
+
+    return m.read_ref("main").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )

@@ -124,12 +124,16 @@ class SnapshotMirror:
             self.current_version() if version is None else version)
         return self._read_dirs(sorted(m["buckets"].values()), m["schema"])
 
-    def apply(self, changes: DataFrame, op_col: str = "op") -> int:
+    def apply(self, changes: DataFrame, op_col: str = "op",
+              base_version: int | None = None) -> int:
         """Merge a change batch as a new snapshot. Reads ONLY the
-        touched buckets of the current version, writes ONLY their
-        replacements; every other bucket entry is carried over in the
-        manifest untouched (file reuse)."""
-        m = self._load_manifest(self.current_version())
+        touched buckets of the base version (default: latest), writes
+        ONLY their replacements; every other bucket entry is carried
+        over in the manifest untouched (file reuse). ``base_version``
+        lets a BRANCH commit on top of its own head instead of the
+        ledger's newest snapshot (cdc/branches.py)."""
+        m = self._load_manifest(
+            self.current_version() if base_version is None else base_version)
         latest = compact_latest(changes, self.keys, self.order_cols)
         touched = {
             str(r[0]) for r in

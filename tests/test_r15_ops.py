@@ -326,3 +326,97 @@ def test_cumsum_ttl_evicts_and_rebuilds(spark):
     assert markers[0][0] > max(bid for bid, _, _, ev in b_rows if not ev), (
         "eviction must fire after the rebuild emission"
     )
+
+
+# --- WAP branches (cdc/branches.py) -------------------------------------
+
+
+def test_wap_branch_isolation_publish_and_expiry(spark, sf_dir):
+    """Branch laws: (1) a branch commit never moves main or sibling
+    refs; (2) publish is a pure pointer move — main's read becomes the
+    audited branch state byte for byte; (3) branch-aware expiry never
+    reclaims a snapshot any ref still points at, and DOES reclaim a
+    dropped branch's orphaned commit."""
+    import os
+    import tempfile
+
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.queries import (
+        _scale_mirror_and_changes,
+    )
+
+    li, changes = _scale_mirror_and_changes(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="wap_law_"), "mirror")
+    m = BranchedMirror(spark, path, keys=["l_orderkey", "l_linenumber"],
+                       n_buckets=8)
+    v0 = m.init(li)
+
+    m.branch_create("audit")
+    v1 = m.apply_to_branch("audit", changes)
+    assert m.get_ref("main") == v0, "branch commit moved main"
+    m.branch_create("pin")  # sibling created DURING the audit
+    assert m.get_ref("pin") == v0, "sibling must branch from main, not audit"
+    snap_main = sorted(map(tuple, m.read_ref("main").drop("__bucket").collect()))
+    snap_branch = sorted(map(tuple, m.read_ref("audit").drop("__bucket").collect()))
+    assert snap_main != snap_branch, "fixture batch must actually change rows"
+
+    m.fast_forward("main", "audit")
+    assert m.get_ref("main") == v1
+    assert sorted(
+        map(tuple, m.read_ref("main").drop("__bucket").collect())
+    ) == snap_branch, "publish must adopt the audited state byte for byte"
+
+    # A second, FAILED wap round: commit then drop the branch.
+    m.drop_branch("audit")
+    m.branch_create("audit")
+    v2 = m.apply_to_branch("audit", changes.limit(200))
+    m.drop_branch("audit")
+    # One more main commit so v2 leaves the recency window too.
+    v3 = m.apply(changes.limit(50))
+    assert m.get_ref("main") == v3
+
+    dead = m.expire(keep_last=1)
+    assert v2 in dead, "dropped branch's snapshot must be reclaimable"
+    assert v0 not in dead, "'pin' still points at v0 — must survive"
+    assert v0 in m.versions() and v3 in m.versions()
+    assert v2 not in m.versions()
+    # The pinned old version stays fully readable after expiry.
+    assert sorted(
+        map(tuple, m.read_ref("pin").drop("__bucket").collect())
+    ) == snap_main
+
+
+def test_wap_refs_guardrails(spark, sf_dir):
+    """set_ref refuses a version with no snapshot; main cannot be
+    dropped; dup-audit positive arm (scoped to batch keys)."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+        wap_audit,
+    )
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="wap_guard_"), "mirror")
+    m = BranchedMirror(spark, path, keys=["k"], n_buckets=4)
+    m.init(df)
+    with _pytest.raises(ValueError):
+        m.set_ref("main", 99)
+    with _pytest.raises(ValueError):
+        m.drop_branch("main")
+
+    # Positive dup-audit arm: a state that DOES violate touched-key
+    # uniqueness (simulating a broken writer) is caught when scoped.
+    broken = df.unionByName(df.limit(3))
+    batch = spark.range(3).select(F.col("id").alias("k"))
+    audit = wap_audit(broken, ["k"], batch_keys=batch)
+    assert audit["dup_keys"] == 3 and audit["null_keys"] == 0
+    # Unscoped audit counts the same groups globally.
+    assert wap_audit(broken, ["k"])["dup_keys"] == 3
