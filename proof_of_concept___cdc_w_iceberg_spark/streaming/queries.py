@@ -999,3 +999,84 @@ class ReplayGuardedState:
         self.state = self.apply_fn(self.state, *batch_args)
         self.last_batch_id = batch_id
         return True
+
+
+class DurableReplayGuard:
+    """ReplayGuardedState with the atomicity its docstring demands:
+    state and batch-id watermark commit TOGETHER, restart-proof.
+
+    Layout (the SnapshotMirror pointer discipline, one level smaller)::
+
+        {path}/commit_b{N}/...      materialized state parquet
+        {path}/CURRENT.json         {"batch_id": N, "dir": "commit_b{N}"}
+
+    ``apply`` materializes the post-batch state into a fresh commit
+    dir, then publishes by rewriting CURRENT.json via tmp+``os.replace``
+    — the atomic commit point. Every crash window lands safely on
+    restart: state written but pointer unmoved → the replayed batch
+    re-applies over the OLD pointer's state and overwrites the same
+    commit dir; pointer moved → the replayed batch_id is <= the
+    watermark and is skipped. Old commit dirs are reclaimed after
+    publish (best-effort; orphans are harmless and re-reclaimed next
+    apply).
+
+    Scale: one parquet write of the BOUNDED state relation per batch
+    (≤ d·w grid rows for CMS — bytes, not data volume); reads are
+    manifest-routed by the pointer exactly like a snapshot read."""
+
+    def __init__(self, spark, path: str, empty_state, apply_fn):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self.empty_state = empty_state
+        self.apply_fn = apply_fn
+        os.makedirs(path, exist_ok=True)
+
+    def _pointer_path(self) -> str:
+        import os
+
+        return os.path.join(self.path, "CURRENT.json")
+
+    def _pointer(self) -> dict:
+        import json
+        import os
+
+        try:
+            with open(self._pointer_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"batch_id": -1, "dir": None}
+
+    def last_batch_id(self) -> int:
+        return int(self._pointer()["batch_id"])
+
+    def state(self):
+        import os
+
+        cur = self._pointer()
+        if cur["dir"] is None:
+            return self.empty_state
+        return self.spark.read.parquet(os.path.join(self.path, cur["dir"]))
+
+    def apply(self, batch_id: int, *batch_args) -> bool:
+        import json
+        import os
+        import shutil
+
+        cur = self._pointer()
+        if batch_id <= int(cur["batch_id"]):
+            return False
+        new_state = self.apply_fn(self.state(), *batch_args)
+        commit_dir = f"commit_b{batch_id}"
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(self.path, commit_dir))
+        tmp = self._pointer_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "dir": commit_dir}, f)
+        os.replace(tmp, self._pointer_path())  # the commit point
+        for name in os.listdir(self.path):
+            if name.startswith("commit_b") and name != commit_dir:
+                shutil.rmtree(os.path.join(self.path, name),
+                              ignore_errors=True)
+        return True

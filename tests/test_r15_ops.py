@@ -420,3 +420,76 @@ def test_wap_refs_guardrails(spark, sf_dir):
     assert audit["dup_keys"] == 3 and audit["null_keys"] == 0
     # Unscoped audit counts the same groups globally.
     assert wap_audit(broken, ["k"])["dup_keys"] == 3
+
+
+def test_durable_replay_guard_restart_and_crash_windows(spark, sf_dir):
+    """DurableReplayGuard: the watermark+state survive a 'process
+    restart' (fresh guard over the same path); a replayed id is skipped
+    after restart; and BOTH crash windows land safely — state written
+    but pointer unmoved re-applies over the old state, pointer moved
+    skips. Final state always equals the exactly-once sequential
+    apply."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        cms_empty_grid,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.queries import (
+        DurableReplayGuard,
+        cms_stream_apply,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_orderkey"
+    )
+    empty = cms_empty_grid(li)
+    b = [
+        li.filter(F.col("l_orderkey") <= 20_000).select("k"),
+        li.filter(F.col("l_orderkey").between(20_001, 40_000)).select("k"),
+        li.filter(F.col("l_orderkey") >= 40_001).select("k"),
+    ]
+    path = tempfile.mkdtemp(prefix="durable_guard_")
+    try:
+        g = DurableReplayGuard(spark, path, empty, cms_stream_apply)
+        assert g.apply(0, b[0]) is True
+        assert g.apply(1, b[1]) is True
+
+        # Restart: new instance, same path — watermark survives.
+        g2 = DurableReplayGuard(spark, path, empty, cms_stream_apply)
+        assert g2.last_batch_id() == 1
+        assert g2.apply(1, b[1]) is False, "replay after restart must skip"
+
+        # Crash window A: batch 2's state written, pointer NOT moved
+        # (simulated by writing the commit dir by hand). The replayed
+        # batch must re-apply over the OLD state and overwrite.
+        stale = cms_stream_apply(g2.state(), b[2].limit(10))  # wrong content
+        stale.write.mode("overwrite").parquet(
+            os.path.join(path, "commit_b2"))
+        g3 = DurableReplayGuard(spark, path, empty, cms_stream_apply)
+        assert g3.last_batch_id() == 1, "unpublished commit must be invisible"
+        assert g3.apply(2, b[2]) is True
+
+        ref = empty
+        for batch in b:
+            ref = cms_stream_apply(ref, batch)
+        assert _rows(g3.state()) == _rows(ref)
+
+        # Crash window B: pointer moved (publish complete) — replay of
+        # batch 2 skips even though the commit dir was re-creatable.
+        assert g3.apply(2, b[2]) is False
+        assert _rows(g3.state()) == _rows(ref)
+
+        # Exactly one live commit dir remains after cleanup.
+        commits = [n for n in os.listdir(path) if n.startswith("commit_b")]
+        assert commits == ["commit_b2"]
+        # Corrupt pointer degrades to a fresh start, not a crash.
+        with open(os.path.join(path, "CURRENT.json"), "w") as f:
+            f.write("{not json")
+        g4 = DurableReplayGuard(spark, path, empty, cms_stream_apply)
+        assert g4.last_batch_id() == -1
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
