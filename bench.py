@@ -221,6 +221,13 @@ BENCH_QUERIES = [
     # r14: CMS under retractions (turnstile model — signed cell sums
     # over a changelog with deletes; oracle = net-stream rebuild).
     "q_stream_cms_retract",
+    # r15: small-file compaction rung (fragmented ingest -> bucketed
+    # apply -> bin-pack; oracle = the uncompacted latest-wins mirror).
+    "q_cdc_compact_files",
+    # r15: write-audit-publish commit mechanics over branched refs
+    # (good batch publishes, poisoned batch dropped; oracle = the
+    # published apply — leak check by hash).
+    "q_cdc_wap_publish",
 ]
 
 

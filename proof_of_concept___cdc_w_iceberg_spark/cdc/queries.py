@@ -1644,7 +1644,13 @@ def q_cdc_wap_publish(spark, sf_dir):
     q_cdc_apply_scale, so the driver hash check proves BOTH halves:
     publish published exactly the audited apply, and the failed batch
     never leaked into main. Branch isolation, branch-aware expiry, and
-    the dup-key audit arm are law-tested in tests/test_r15_ops.py."""
+    the dup-key audit arm are law-tested in tests/test_r15_ops.py.
+
+    Sibling: q_cdc_wap (above) is the AUDIT-REPORT half of the same
+    workflow — the declarative rule table over a staged view; this
+    rung is the COMMIT-MECHANICS half (refs, isolation, pointer-swap
+    publish, reclaim-on-drop). Together they cover Iceberg WAP
+    end to end."""
     from .branches import BranchedMirror, wap_audit
 
     li, changes = _scale_mirror_and_changes(spark, sf_dir)
