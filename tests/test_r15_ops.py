@@ -493,3 +493,47 @@ def test_durable_replay_guard_restart_and_crash_windows(spark, sf_dir):
         assert g4.last_batch_id() == -1
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_two_level_compact_binpacks_fragmented_cells(spark, tmp_path):
+    """compact() on the TWO-LEVEL (date x bucket) layout: fragmented
+    (year, bucket) leaves bin-pack to one file each, content unchanged,
+    compacted leaves scan-skipped — the same rewrite_data_files law
+    q_cdc_compact_files registers for the one-level mirror, proven at
+    the deeper partition depth."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.bucketed import (
+        BUCKET_COL,
+        TwoLevelMirror,
+    )
+
+    path = str(tmp_path / "mirror")
+    m = TwoLevelMirror(spark, path, keys=["k"], date_col="yr", n_buckets=4)
+    snap = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("bal"),
+        (F.lit(2024) + F.col("id") % 2).cast("int").alias("yr"),
+    )
+    m.init(snap)
+    # Fragment deliberately: 6 writer tasks each holding rows of every
+    # (year, bucket) cell.
+    (m._with_bucket(snap).repartition(6)
+     .write.mode("overwrite").partitionBy("yr", BUCKET_COL).parquet(path))
+    with open(m._schema_path(), "w") as f:  # overwrite wiped the sidecar
+        f.write(snap.schema.json())
+    before = m._leaf_partitions()
+    frag = {rel for rel, fs in before.items() if len(fs) > 1}
+    assert frag, "fixture should fragment two-level leaves"
+    before_rows = sorted(map(tuple, m.read().collect()))
+
+    done = m.compact(max_files=1)
+    assert set(done) == frag
+    after = m._leaf_partitions()
+    assert all(len(fs) == 1 for rel, fs in after.items() if rel in frag)
+    # Leaves at year/bucket depth, never intermediate dirs.
+    assert all(
+        rel.split("/")[0].startswith("yr=")
+        and rel.split("/")[1].startswith(BUCKET_COL + "=")
+        for rel in done
+    )
+    assert sorted(map(tuple, m.read().collect())) == before_rows
+    assert m.compact(max_files=1) == {}
