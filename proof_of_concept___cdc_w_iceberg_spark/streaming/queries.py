@@ -954,6 +954,12 @@ def q_stream_bloom(spark, sf_dir):
 #     latest-wins mirror apply   (cdc.apply_changes / BucketedMirror —
 #                                 re-merging identical change rows
 #                                 replaces rows with themselves)
+#     partial-update / compact stores (q_stream_partial_update /
+#                                 q_stream_compact above: merges pick
+#                                 the side with the STRICTLY newer
+#                                 (ts_ms, off) stamp — a replayed batch
+#                                 ties, keeps the state side, and the
+#                                 values are identical either way)
 #     hll_stream_apply           (register-wise MAX)
 #     bloom_stream_apply         (set UNION via distinct)
 #     theta_stream_apply         (bottom-k DISTINCT hashes)

@@ -537,3 +537,21 @@ def test_two_level_compact_binpacks_fragmented_cells(spark, tmp_path):
     )
     assert sorted(map(tuple, m.read().collect())) == before_rows
     assert m.compact(max_files=1) == {}
+
+
+def test_upsert_apply_changes_replay_idempotent(spark, sf_dir):
+    """The latest-wins upsert primitive itself (cdc.apply_changes —
+    every mirror store's merge kernel) absorbs a replayed batch:
+    apply(apply(mirror, b), b) == apply(mirror, b). Complements the
+    BucketedMirror-level replay test in test_bucketed.py."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.apply import apply_changes
+    from proof_of_concept___cdc_w_iceberg_spark.sources.cdc_fixtures import (
+        changelog,
+    )
+
+    ch = changelog(spark, sf_dir)
+    mirror = ch.filter(F.col("op") == "r").select("k", "name", "bal")
+    batch = ch.filter(F.col("op") != "r")
+    once = apply_changes(mirror, batch, keys=["k"])
+    twice = apply_changes(once, batch, keys=["k"])
+    assert _rows(twice) == _rows(once)
