@@ -542,12 +542,18 @@ def _parse_sf(sf_dir: str) -> float | None:
     # silently keys the run into the wrong history bucket — the exact
     # cross-scale floor pollution this parse exists to prevent. Right
     # boundary (r14 advice): "/data/sf2x_parquet" must fall through to
-    # the safe None path, not parse as sf=2; a trailing dot is excluded
-    # too. "_" stays a boundary on BOTH sides (r13 advice requires
-    # "tpch_sf1_parquet" -> 1), so a well-formed-but-absurd token like
-    # "sf20240101_tpch" still parses — it keys into its own (empty)
-    # history bucket, which cannot pollute a real scale's floors.
-    tokens = re.findall(r"(?<![A-Za-z0-9])sf(\d+(?:\.\d+)?)(?![A-Za-z0-9.])", sf_dir)
+    # the safe None path, not parse as sf=2 — and regex BACKTRACKING
+    # must not partially match either ("sf0.1x" would otherwise read
+    # as sf=0 via the integer-only branch, so the lookahead also
+    # rejects a dot-digit continuation). A dot followed by a NON-digit
+    # is a legitimate boundary ("tpch_sf0.1.parquet" is sf=0.1 — the
+    # common extension-style dir name; review finding). "_" stays a
+    # boundary on BOTH sides (r13 advice requires "tpch_sf1_parquet"
+    # -> 1), so a well-formed-but-absurd token like "sf20240101_tpch"
+    # still parses — into its own (empty) history bucket, which cannot
+    # pollute a real scale's floors.
+    tokens = re.findall(
+        r"(?<![A-Za-z0-9])sf(\d+(?:\.\d+)?)(?![A-Za-z0-9]|\.\d)", sf_dir)
     if tokens:
         return float(tokens[-1])
     print(

@@ -16,8 +16,13 @@ mechanism is rebuilt on SnapshotMirror's manifest ledger:
   moving it is an atomic tmp+rename, the same pointer-swap discipline
   as the manifest commit itself;
 - branch commits chain off the BRANCH head (``apply(base_version=…)``),
-  not the ledger's newest snapshot, so concurrent audit branches can't
-  contaminate each other;
+  not the ledger's newest snapshot, so audit branches never read each
+  other's data; version ALLOCATION under true concurrency is protected
+  one level down — SnapshotMirror._commit publishes manifests by
+  exclusive create (os.link) with collision retry and keys data dirs
+  by a per-writer uniquifier, so two branches committing at the same
+  instant win distinct versions instead of silently overwriting one
+  manifest (review finding);
 - publish = fast-forward: ``main`` adopts the audited branch's head
   version — no data is rewritten, the commit was already durable;
 - branch-aware expiry: a snapshot any ref points at is never expired,
@@ -32,7 +37,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -90,6 +94,14 @@ class BranchedMirror(SnapshotMirror):
         return v
 
     def branch_create(self, name: str, from_ref: str = MAIN) -> int:
+        """Create a NEW ref. Refuses to clobber an existing one —
+        moving main (or any live branch) must go through the audited
+        fast_forward path, never through a create (review finding:
+        branch_create('main', from_ref=<unaudited>) would otherwise
+        silently republish)."""
+        if name in self.refs():
+            raise ValueError(
+                f"ref {name!r} already exists; use fast_forward to move it")
         v = self.get_ref(from_ref)
         self.set_ref(name, v)
         return v
@@ -130,27 +142,13 @@ class BranchedMirror(SnapshotMirror):
 
     # --- branch-aware retention ---
 
-    def expire(self, keep_last: int = 1) -> list[int]:
-        """Like SnapshotMirror.expire, but a snapshot ANY ref points at
-        is never expired, however old — dropping a branch is what makes
-        its snapshots reclaimable."""
-        vs = self.versions()
-        pinned = set(self.refs().values())
-        dead = [v for v in vs[:-keep_last] if v not in pinned]
-        for v in dead:
-            os.remove(self._manifest_path(v))
-        referenced: set[str] = set()
-        for v in self.versions():
-            for d in self._load_manifest(v)["buckets"].values():
-                referenced.add(os.path.dirname(d))
-        data_dir = os.path.join(self.path, "data")
-        removed = []
-        for name in sorted(os.listdir(data_dir)):
-            full = os.path.join(data_dir, name)
-            if full not in referenced:
-                shutil.rmtree(full)
-                removed.append(full)
-        return dead
+    def _protected_versions(self, keep_last: int) -> set[int]:
+        """A snapshot ANY ref points at is never expired, however old
+        (Iceberg's retention semantics for refs) — dropping a branch is
+        what makes its snapshots reclaimable. The manifest-removal and
+        orphan-dir reclamation walk stay in the base expire()."""
+        return super()._protected_versions(keep_last) | set(
+            self.refs().values())
 
 
 def wap_audit(state: DataFrame, keys: list[str],
@@ -171,9 +169,13 @@ def wap_audit(state: DataFrame, keys: list[str],
       audits the upstream, not the merge). Without ``batch_keys`` the
       count is global, for tables that do declare key uniqueness.
 
-    One aggregate pass over the branch (map-combined groupBy on the
-    keys) plus, when scoped, a broadcastable semi-join on the batch
-    keys; at 100 TB this reads only the branch's buckets via the
+    Plan shape: TWO aggregate passes over the branch — necessarily,
+    not lazily: the null audit must see the UNSCOPED state (a null key
+    never survives an equi-semi-join on the keys, so folding it into
+    the scoped pass would hide exactly the rows it exists to catch),
+    while the dup audit groups the (possibly batch-scoped) relation.
+    Both are map-combined; the scope semi-join broadcasts the batch
+    keys. At 100 TB each pass reads only the branch's buckets via the
     manifest, like any snapshot read."""
     null_pred = None
     for k in keys:

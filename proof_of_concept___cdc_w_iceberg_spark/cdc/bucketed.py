@@ -96,8 +96,10 @@ class BucketedMirror:
         cheap-ingest layout a large snapshot load actually produces
         (hundreds of upstream tasks, ~N files PER bucket dir), the
         fragmentation that ``compact()`` exists to repair."""
+        if writers is not None and writers < 1:
+            raise ValueError(f"writers must be >= 1, got {writers!r}")
         part = (self._with_bucket(snapshot).repartition(writers)
-                if writers else
+                if writers is not None else
                 self._with_bucket(snapshot).repartition(BUCKET_COL))
         (part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path))
         # Schema sidecar: a zero-row partitioned write leaves no data
@@ -259,10 +261,17 @@ class TwoLevelMirror(BucketedMirror):
                     return True
         return False
 
-    def init(self, snapshot: DataFrame) -> None:
-        (self._with_bucket(snapshot)
-         .repartition(self.date_col, BUCKET_COL)
-         .write.mode("overwrite")
+    def init(self, snapshot: DataFrame, writers: int | None = None) -> None:
+        """Two-level layout; ``writers`` has the same cheap-ingest
+        fragmentation semantics as BucketedMirror.init (LSP — review
+        finding: the override must accept the base signature)."""
+        if writers is not None and writers < 1:
+            raise ValueError(f"writers must be >= 1, got {writers!r}")
+        part = (self._with_bucket(snapshot).repartition(writers)
+                if writers is not None else
+                self._with_bucket(snapshot)
+                .repartition(self.date_col, BUCKET_COL))
+        (part.write.mode("overwrite")
          .partitionBy(self.date_col, BUCKET_COL).parquet(self.path))
         with open(self._schema_path(), "w") as f:
             f.write(snapshot.schema.json())

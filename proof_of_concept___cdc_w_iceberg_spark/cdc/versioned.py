@@ -75,23 +75,46 @@ class SnapshotMirror:
             return json.load(f)
 
     def _commit(self, buckets: dict[str, str], schema_json: str) -> int:
-        """Write the next manifest — the atomic commit point."""
+        """Write the next manifest — the atomic commit point.
+
+        Version allocation is OPTIMISTIC-CONCURRENCY safe (the Iceberg
+        commit protocol): the manifest is staged to a tmp file and
+        published with ``os.link`` (exclusive create — fails if the
+        version already exists, unlike ``os.replace`` which would
+        silently destroy a concurrent writer's commit). On collision
+        the next version number is retried; the data dirs are keyed by
+        the version actually won, never shared, so no concurrent
+        branch can adopt another's snapshot."""
         vs = self.versions()
         version = (vs[-1] + 1) if vs else 0
-        manifest = {"version": version, "schema": schema_json,
-                    "buckets": buckets}
-        tmp = self._manifest_path(version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(version))
-        return version
+        while True:
+            manifest = {"version": version, "schema": schema_json,
+                        "buckets": buckets}
+            tmp = self._manifest_path(version) + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            try:
+                os.link(tmp, self._manifest_path(version))
+                os.remove(tmp)
+                return version
+            except FileExistsError:
+                os.remove(tmp)
+                version += 1
 
     # --- data IO ---
 
     def _write_commit_data(self, df: DataFrame, version: int) -> dict[str, str]:
-        """Write df's buckets under data/commit_{version}; return
-        bucket → dir entries for the buckets that produced files."""
-        commit_dir = os.path.join(self.path, "data", f"commit_{version:05d}")
+        """Write df's buckets under data/commit_{version}_{uniq};
+        return bucket → dir entries for the buckets that produced
+        files. The uniquifier makes concurrent writers' data dirs
+        disjoint (the manifest carries full paths, so readers and the
+        orphan vacuum never depend on the dir NAME matching the
+        version the writer eventually wins in ``_commit``)."""
+        import uuid
+
+        commit_dir = os.path.join(
+            self.path, "data",
+            f"commit_{version:05d}_{uuid.uuid4().hex[:8]}")
         (df.withColumn(BUCKET_COL, bucket_expr(self.keys, self.n_buckets))
          .repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir))
@@ -158,24 +181,29 @@ class SnapshotMirror:
         return table_changes(self.read(v_from), self.read(v_to),
                              keys=self.keys)
 
+    def _protected_versions(self, keep_last: int) -> set[int]:
+        """Versions expire() must keep: the recency window here;
+        subclasses with refs extend this (BranchedMirror pins every
+        ref'd snapshot)."""
+        vs = self.versions()
+        return set(vs[-keep_last:]) if keep_last > 0 else set()
+
     def expire(self, keep_last: int = 1) -> list[int]:
         """Drop old manifests and any commit dir no live manifest
         references (Iceberg's expire_snapshots)."""
         import shutil
 
-        vs = self.versions()
-        dead, live = vs[:-keep_last], vs[-keep_last:]
+        protected = self._protected_versions(keep_last)
+        dead = [v for v in self.versions() if v not in protected]
         for v in dead:
             os.remove(self._manifest_path(v))
         referenced: set[str] = set()
-        for v in live:
+        for v in self.versions():
             for d in self._load_manifest(v)["buckets"].values():
                 referenced.add(os.path.dirname(d))
         data_dir = os.path.join(self.path, "data")
-        removed = []
         for name in sorted(os.listdir(data_dir)):
             full = os.path.join(data_dir, name)
             if full not in referenced:
                 shutil.rmtree(full)
-                removed.append(name)
         return dead

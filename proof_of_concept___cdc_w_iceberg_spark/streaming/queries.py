@@ -1046,13 +1046,23 @@ class DurableReplayGuard:
 
     def _pointer(self) -> dict:
         import json
-        import os
 
+        fresh = {"batch_id": -1, "dir": None}
         try:
             with open(self._pointer_path()) as f:
-                return json.load(f)
+                cur = json.load(f)
         except (OSError, ValueError):
-            return {"batch_id": -1, "dir": None}
+            return fresh
+        # Structural validation (review finding): '{}' or '[]' is just
+        # as corrupt as non-JSON and must degrade to a fresh start,
+        # not crash the restart path with KeyError/TypeError.
+        if (
+            isinstance(cur, dict)
+            and isinstance(cur.get("batch_id"), int)
+            and (cur.get("dir") is None or isinstance(cur.get("dir"), str))
+        ):
+            return cur
+        return fresh
 
     def last_batch_id(self) -> int:
         return int(self._pointer()["batch_id"])

@@ -26,7 +26,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..ext.similarity import KNN_K
+# Leaf copy of ext.similarity.KNN_K (review finding): the state fns in
+# this module pickle BY REFERENCE, so every executor unpickling them
+# imports this module — importing ext.similarity here would drag the
+# whole query-registration chain (registry, sources.tables) into every
+# worker python process just to read one int. The pairing is enforced
+# at DRIVER wiring time instead: knn_cell_stream asserts equality
+# against the real constant before starting the stream.
+KNN_K_DEFAULT = 3
 
 STATE_SCHEMA = "ts_ms LONG, off LONG, name STRING, bal DOUBLE, deleted BOOLEAN"
 OUTPUT_SCHEMA = T.StructType(
@@ -487,16 +494,17 @@ def _fold_dot(a, b) -> float:
 
 
 def knn_cell_state_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
-                      state: GroupState, k: int = KNN_K) -> Iterator[pd.DataFrame]:
+                      state: GroupState,
+                      k: int = KNN_K_DEFAULT) -> Iterator[pd.DataFrame]:
     """Fold one cell's insert batch into its stored graph; emit the
     cell's full post-batch graph (update mode: downstream keeps the
     latest emission per cell).
 
-    ``k`` is a closure-bound default (r14 advice): evaluated at def
-    time from the shared KNN_K constant and pickled with the function's
-    ``__defaults__``, so the worker-side kernel still has no package
-    import AND a future KNN_K change cannot desynchronize the
-    durable-state graph from the relational builds."""
+    ``k`` is a closure-bound default (r14 advice): pickled with the
+    function's ``__defaults__`` from the module-leaf KNN_K_DEFAULT, and
+    asserted equal to ext.similarity.KNN_K at driver wiring time
+    (knn_cell_stream) — no silent desync, no worker-side package
+    import."""
     import math
     if state.exists:
         ids, vecs, esrcs, edsts, ecoss = state.get
@@ -581,6 +589,12 @@ def knn_cell_state_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
 def knn_cell_stream(vectors: DataFrame) -> DataFrame:
     """Wire the durable kNN-graph maintainer over a (streaming) vector
     frame with columns (vec_id, label, embedding)."""
+    from ..ext.similarity import KNN_K  # driver-side only
+
+    assert KNN_K == KNN_K_DEFAULT, (
+        "knn_cell_state_fn's leaf default desynchronized from "
+        f"ext.similarity.KNN_K ({KNN_K_DEFAULT} != {KNN_K})"
+    )
     return vectors.groupBy("label").applyInPandasWithState(
         knn_cell_state_fn,
         outputStructType=KNN_CELL_OUTPUT_SCHEMA,

@@ -267,6 +267,10 @@ def test_parse_sf_layouts(monkeypatch):
     # via regex backtracking either (sf0.1x must not read as sf=0).
     assert bench._parse_sf("/data/sf2x_parquet") is None
     assert bench._parse_sf("/data/sf0.1x/tpch") is None
+    # ...but a dot followed by a non-digit is a real boundary: the
+    # extension-style dir convention must keep parsing (review finding).
+    assert bench._parse_sf("/data/tpch_sf0.1.parquet") == 0.1
+    assert bench._parse_sf("/data/tpch_sf1.parquet") == 1.0
     # "_" stays a boundary on BOTH sides (the r13 tpch_sf1_parquet
     # layout), so a digits-only absurd token still parses — into its
     # own empty bucket, never a real scale's.

@@ -533,13 +533,17 @@ def test_knn_cell_stream_durable_state_restart(spark, sf_dir):
         knn_cell_stream,
     )
 
-    # r14 advice: k is now a closure-bound default captured from KNN_K
-    # at def time — a future KNN_K change propagates automatically.
+    # r14 advice + r15 review: k is a closure-bound default from the
+    # module-LEAF copy (worker unpickle must not drag the registration
+    # chain); knn_cell_stream asserts the pairing at wiring time, and
+    # this pins it at test time too.
     from proof_of_concept___cdc_w_iceberg_spark.streaming.stateful import (
+        KNN_K_DEFAULT,
         knn_cell_state_fn,
     )
 
-    assert knn_cell_state_fn.__defaults__ == (KNN_K,)
+    assert knn_cell_state_fn.__defaults__ == (KNN_K_DEFAULT,)
+    assert KNN_K_DEFAULT == KNN_K
     registry._ship_package(spark)  # state fn unpickles on workers
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")

@@ -411,6 +411,28 @@ def test_wap_refs_guardrails(spark, sf_dir):
         m.set_ref("main", 99)
     with _pytest.raises(ValueError):
         m.drop_branch("main")
+    # Creating over a LIVE ref (main included) must refuse — moving a
+    # published pointer goes through fast_forward, never create.
+    with _pytest.raises(ValueError):
+        m.branch_create("main", from_ref="main")
+    m.branch_create("b1")
+    with _pytest.raises(ValueError):
+        m.branch_create("b1")
+    # Degenerate ingest parallelism is an error, not a silent
+    # clustered layout (BucketedMirror/TwoLevelMirror init — the
+    # classes that carry the writers knob).
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.bucketed import (
+        BucketedMirror,
+        TwoLevelMirror,
+    )
+
+    bm = BucketedMirror(spark, path + "_b", keys=["k"], n_buckets=4)
+    with _pytest.raises(ValueError):
+        bm.init(df, writers=0)
+    tl = TwoLevelMirror(spark, path + "_t", keys=["k"], date_col="k",
+                        n_buckets=4)
+    with _pytest.raises(ValueError):
+        tl.init(df, writers=0)
 
     # Positive dup-audit arm: a state that DOES violate touched-key
     # uniqueness (simulating a broken writer) is caught when scoped.
@@ -486,11 +508,15 @@ def test_durable_replay_guard_restart_and_crash_windows(spark, sf_dir):
         # Exactly one live commit dir remains after cleanup.
         commits = [n for n in os.listdir(path) if n.startswith("commit_b")]
         assert commits == ["commit_b2"]
-        # Corrupt pointer degrades to a fresh start, not a crash.
-        with open(os.path.join(path, "CURRENT.json"), "w") as f:
-            f.write("{not json")
-        g4 = DurableReplayGuard(spark, path, empty, cms_stream_apply)
-        assert g4.last_batch_id() == -1
+        # Corrupt pointer degrades to a fresh start, not a crash —
+        # for EVERY corruption shape: non-JSON, wrong structure, wrong
+        # field types (review finding: '{}' must not KeyError).
+        for corrupt in ("{not json", "{}", "[]", '{"batch_id": "x"}',
+                        '{"batch_id": 3, "dir": 7}'):
+            with open(os.path.join(path, "CURRENT.json"), "w") as f:
+                f.write(corrupt)
+            g4 = DurableReplayGuard(spark, path, empty, cms_stream_apply)
+            assert g4.last_batch_id() == -1, corrupt
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
@@ -513,13 +539,9 @@ def test_two_level_compact_binpacks_fragmented_cells(spark, tmp_path):
         (F.col("id") * 1.5).alias("bal"),
         (F.lit(2024) + F.col("id") % 2).cast("int").alias("yr"),
     )
-    m.init(snap)
-    # Fragment deliberately: 6 writer tasks each holding rows of every
-    # (year, bucket) cell.
-    (m._with_bucket(snap).repartition(6)
-     .write.mode("overwrite").partitionBy("yr", BUCKET_COL).parquet(path))
-    with open(m._schema_path(), "w") as f:  # overwrite wiped the sidecar
-        f.write(snap.schema.json())
+    # Fragment via the cheap-ingest path: 6 writer tasks each holding
+    # rows of every (year, bucket) cell.
+    m.init(snap, writers=6)
     before = m._leaf_partitions()
     frag = {rel for rel, fs in before.items() if len(fs) > 1}
     assert frag, "fixture should fragment two-level leaves"
