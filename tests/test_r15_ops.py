@@ -577,3 +577,44 @@ def test_upsert_apply_changes_replay_idempotent(spark, sf_dir):
     once = apply_changes(mirror, batch, keys=["k"])
     twice = apply_changes(once, batch, keys=["k"])
     assert _rows(twice) == _rows(once)
+
+
+# --- property test: the guard kernel itself (pure, no Spark) ------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=30), min_size=0, max_size=60
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_replay_guard_kernel_property(ids) -> None:
+        """For ANY delivery sequence (Spark guarantees ids non-
+        decreasing across redeliveries, but the guard must not even
+        need that): the guarded state equals applying exactly the
+        strictly-increasing first occurrences, in order — every
+        replayed or stale id is a no-op."""
+        from proof_of_concept___cdc_w_iceberg_spark.streaming.queries import (
+            ReplayGuardedState,
+        )
+
+        g = ReplayGuardedState((), lambda s, b: s + (b,))
+        last = -1
+        for i in ids:
+            ok = g.apply(i, i)
+            # apply returns True exactly when the id strictly exceeded
+            # every previously APPLIED id.
+            assert ok == (i > last)
+            if ok:
+                last = i
+        expect: list[int] = []
+        for i in ids:
+            if not expect or i > expect[-1]:
+                expect.append(i)
+        assert g.state == tuple(expect)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
