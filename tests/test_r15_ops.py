@@ -68,9 +68,10 @@ def test_compact_files_query_idempotent_rerun(spark, sf_dir):
     """Table-writing registered queries must survive a run-twice in one
     session (the driver/bench may invoke twice): both invocations build
     in fresh tmp dirs and return identical relations."""
-    a = sorted(map(tuple, QS["q_cdc_compact_files"](spark, sf_dir).collect()))
-    b = sorted(map(tuple, QS["q_cdc_compact_files"](spark, sf_dir).collect()))
-    assert a == b and len(a) > 0
+    for name in ("q_cdc_compact_files", "q_cdc_wap_publish"):
+        a = sorted(map(tuple, QS[name](spark, sf_dir).collect()))
+        b = sorted(map(tuple, QS[name](spark, sf_dir).collect()))
+        assert a == b and len(a) > 0, name
 
 
 def test_compact_files_matches_uncompacted_apply(spark, sf_dir):
