@@ -367,12 +367,17 @@ def _append_history(
     total: float,
     sf: float,
     calib_s: float | None = None,
+    noop_s: float | None = None,
 ) -> None:
     snap = {"label": "latest", "total": total, "queries": timings, "sf": sf}
     if calib_s is not None:
         # Box-speed stamp travels WITH the snapshot so future drift
         # reports can normalize this run's floors by calib ratio.
         snap["calib_s"] = calib_s
+    if noop_s is not None:
+        # Fixed-overhead stamp (r15): the per-query scheduling floor of
+        # the run that recorded these timings — the class-B term.
+        snap["noop_s"] = noop_s
     history = history + [snap]
     # Retention is per scale: a smoke run at another sf must neither
     # feed the floors (filtered at load) nor push the driver-scale
@@ -601,6 +606,21 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t).count()
 
+    # Fixed-overhead probe (r15): calib_s measures pure-CPU speed, but
+    # the class-B drift signature (SCALING.md r13/r15 addenda —
+    # sub-second queries 1.5x over floor while heavies sit AT floor,
+    # calib unchanged) lives in the per-query FIXED term: Catalyst +
+    # job scheduling + Py4J round-trips. Stamp it directly so future
+    # drift reports can discriminate that term by arithmetic too:
+    # min-of-5 latency of a trivial 1-row job on the WARM session.
+    noop = None
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        dt = time.perf_counter() - t0
+        noop = dt if noop is None else min(noop, dt)
+    cache_state["noop_s"] = round(noop, 4)
+
     timings: dict[str, float] = {}
     reruns: dict[str, dict] = {}
     for name in BENCH_QUERIES:
@@ -625,7 +645,8 @@ def main() -> None:
     # are filtered for COMPARISON but must survive on disk. An
     # undetermined scale records nothing (it has no valid bucket).
     if sf is not None:
-        _append_history(_load_history(), timings, total, sf, calib_s=calib_s)
+        _append_history(_load_history(), timings, total, sf, calib_s=calib_s,
+                        noop_s=cache_state.get("noop_s"))
     # The driver captures only the stdout TAIL: with 99+ queries the
     # full per-query map outgrew it and BENCH_r04.json landed with
     # parsed:null (round-4 verdict item 1). So the FINAL stdout line is

@@ -340,3 +340,18 @@ def test_append_history_carries_calib(monkeypatch, tmp_path):
     with open(tmp_path / "BENCH_HISTORY.json") as f:
         saved2 = _json.load(f)
     assert "calib_s" not in saved2[-1]
+
+
+def test_noop_stamp_persists_in_history(tmp_path, monkeypatch):
+    """r15: the fixed-overhead stamp travels with the snapshot exactly
+    like calib_s — _append_history records noop_s when given and omits
+    it when None (old snapshots stay readable)."""
+    import json
+
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    bench._append_history([], {"q": 1.0}, 1.0, 0.1, calib_s=0.3, noop_s=0.05)
+    snaps = json.loads((tmp_path / "BENCH_HISTORY.json").read_text())
+    assert snaps[-1]["noop_s"] == 0.05 and snaps[-1]["calib_s"] == 0.3
+    bench._append_history(snaps, {"q": 1.0}, 1.0, 0.1, calib_s=0.3)
+    snaps = json.loads((tmp_path / "BENCH_HISTORY.json").read_text())
+    assert "noop_s" not in snaps[-1]
