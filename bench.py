@@ -228,6 +228,9 @@ BENCH_QUERIES = [
     # (good batch publishes, poisoned batch dropped; oracle = the
     # published apply — leak check by hash).
     "q_cdc_wap_publish",
+    # r15: int8-quantized cosine top-k (exact integer scores — the
+    # hash-checkable form of the ANN serving ladder's bandwidth rung).
+    "q_sim_topk_quantized",
 ]
 
 

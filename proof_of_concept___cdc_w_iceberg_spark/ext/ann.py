@@ -625,3 +625,118 @@ def q_stream_knn_graph(spark, sf_dir):
         "src", "dst", F.round("cosine", 6).alias("cosine"),
         F.col("rn").cast("long").alias("rn"),
     )
+
+
+# --- quantized-vector similarity (r15) ----------------------------------
+
+QUANT_TOPK_SQL = """
+    WITH e AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma
+        FROM embeddings
+    ),
+    q8 AS (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR(x::DOUBLE * 127 / ma) AS BIGINT)
+                   END) AS qv
+        FROM e
+    ),
+    n AS (
+        SELECT vec_id, qv,
+               list_reduce(list_transform(qv, x -> x * x),
+                           (x, y) -> x + y) AS qsq
+        FROM q8
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               list_reduce(
+                   list_transform(range(1, len(q.qv) + 1),
+                                  i -> q.qv[i] * c.qv[i]),
+                   (x, y) -> x + y) AS qdot,
+               q.qsq AS q_qsq, c.qsq AS c_qsq
+        FROM (SELECT * FROM n WHERE vec_id % 100 = 0) q
+        JOIN n c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, qdot,
+               ROUND(qdot / sqrt(q_qsq * c_qsq), 6) AS cosine_q,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY qdot / sqrt(q_qsq * c_qsq) DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, cand_id, CAST(qdot AS BIGINT) AS qdot, cosine_q
+    FROM ranked WHERE rn <= 5
+"""
+
+
+@query("q_sim_topk_quantized", oracle=QUANT_TOPK_SQL)
+def q_sim_topk_quantized(spark, sf_dir):
+    """Brute-force cosine top-k over SCALAR-QUANTIZED (int8) vectors —
+    the memory-bandwidth rung of the ANN serving ladder: a production
+    index stores 4x-smaller int8 codes and scores with integer dot
+    products, rescoring survivors at full precision only if needed.
+    Quantization reuses q_embed_quantize's exact arithmetic (per-vector
+    symmetric scale max|x|/127, elements FLOOR(x*127/max|x|) — floor
+    because IEEE floor is bit-identical across engines while round-half
+    ties are not), so the quantized scores are EXACT INTEGERS and the
+    whole approximate pipeline is hash-checkable end to end: qdot is a
+    BIGINT fold (order-independent — safe under any partitioning),
+    cosine_q one IEEE division per pair. Same plan shape as q_sim_topk
+    (broadcast query block, ONE corpus scan, per-query rank window);
+    recall vs the full-precision top-5 is asserted in
+    tests/test_r15_ops.py."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ma = F.array_max(
+        F.transform("embedding", lambda v: F.abs(v.cast("double")))
+    )
+    q8 = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.when(F.lit(0.0) == ma, F.lit(0.0))
+            .otherwise(F.floor(x.cast("double") * 127 / ma))
+            .cast("long"),
+        ).alias("qv"),
+    )
+    n = q8.select(
+        "vec_id",
+        "qv",
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("qsq"),
+    )
+    q = n.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("qsq").alias("q_qsq"),
+    )
+    scored = n.join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.aggregate(
+            F.zip_with("q_qv", "qv", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("qdot"),
+        (F.col("q_qsq") * F.col("qsq")).alias("qq"),
+    ).withColumn(
+        "cosine_q", F.col("qdot") / F.sqrt(F.col("qq").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id", "cand_id", "qdot",
+            F.round("cosine_q", 6).alias("cosine_q"),
+        )
+    )

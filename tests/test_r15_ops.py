@@ -619,3 +619,30 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+# --- quantized similarity (r15) ------------------------------------------
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization is an approximation with a measurable price:
+    assert the quantized top-5 keeps high overlap with the exact
+    full-precision top-5 per query (mean recall >= 0.7 at sf0.001),
+    and that the quantized scores are exact integers (the property the
+    oracle hash check rides on)."""
+    got = QS["q_sim_topk_quantized"](spark, sf_dir).collect()
+    exact = QS["q_sim_topk"](spark, sf_dir).collect()
+    quant_top: dict[int, set] = {}
+    for r in got:
+        quant_top.setdefault(r["query_id"], set()).add(r["cand_id"])
+        assert isinstance(r["qdot"], int)
+    exact_top: dict[int, set] = {}
+    for r in exact:
+        exact_top.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert set(quant_top) == set(exact_top), "same query set"
+    recalls = [
+        len(quant_top[q] & exact_top[q]) / len(exact_top[q])
+        for q in exact_top
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.7, f"quantization recall collapsed: {mean_recall}"
