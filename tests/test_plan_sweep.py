@@ -49,6 +49,9 @@ NESTED_LOOP_OK = {
     "q_anomaly": "1-row global-stats fallback when AQE inlines it",
     "q_sim_topk": "brute-force baseline: bounded broadcast of the query set"
     " (scale path = q_sim_lsh/q_sim_ivf)",
+    "q_sim_topk_quantized": "brute-force int8 serving rung: same bounded"
+    " query-set broadcast as q_sim_topk, 4x less bandwidth per candidate"
+    " (scale path = quantize inside the LSH/IVF buckets)",
     "q_sim_ivf": "query x |centroids| probe assignment — bounded by design",
     "q_stream_watermark": "1-row max-event-time cutoff broadcast",
     "q_histogram": "1-row global min/max broadcast for bin edges",
