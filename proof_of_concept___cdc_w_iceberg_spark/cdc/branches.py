@@ -41,7 +41,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .versioned import SnapshotMirror
+from .versioned import CommitConflictError, SnapshotMirror
 
 MAIN = "main"
 
@@ -75,12 +75,60 @@ class BranchedMirror(SnapshotMirror):
         with open(self._ref_path(name)) as f:
             return json.load(f)["version"]
 
-    def set_ref(self, name: str, version: int) -> None:
+    def set_ref(self, name: str, version: int,
+                expect: int | None = None) -> None:
         """Atomic pointer move — the branch analogue of the manifest
         commit: readers see the old or the new head, never a torn
-        write."""
+        write.
+
+        ``expect`` turns the move into a COMPARE-AND-SWAP: the swap
+        only lands if the ref still points at ``expect`` (the base the
+        caller merged from), else CommitConflictError — the ref-level
+        lost-update guard matching _commit's linear check one level up
+        (two writers advancing ONE branch: the loser's ref move is
+        refused instead of silently orphaning the winner's commit from
+        the branch head). Serialized by a short-lived exclusive-create
+        lock file; a crashed holder's lock is broken after a bounded
+        wait (the ref swap itself is microseconds)."""
         if version not in self.versions():
             raise ValueError(f"no snapshot v{version} to point {name!r} at")
+        if expect is None:
+            self._write_ref(name, version)
+            return
+        import time
+
+        lock = self._ref_path(name) + ".lock"
+        fd = None
+        for _ in range(200):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:  # break a stale lock (holder crashed mid-swap)
+                    if time.time() - os.path.getmtime(lock) > 5.0:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    continue
+                time.sleep(0.002)
+        if fd is None:
+            raise CommitConflictError(f"could not lock ref {name!r}")
+        try:
+            current = self.get_ref(name) if os.path.exists(
+                self._ref_path(name)) else None
+            if current != expect:
+                raise CommitConflictError(
+                    f"ref {name!r} moved v{expect} -> v{current} since the "
+                    f"merge base was read: re-read and re-merge")
+            self._write_ref(name, version)
+        finally:
+            os.close(fd)
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def _write_ref(self, name: str, version: int) -> None:
         tmp = self._ref_path(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
@@ -118,26 +166,61 @@ class BranchedMirror(SnapshotMirror):
               base_version: int | None = None) -> int:
         """Unqualified apply = commit on main's head and advance main
         (the un-branched SnapshotMirror behavior, ref-tracked)."""
-        base = self.get_ref(MAIN) if base_version is None else base_version
-        v = super().apply(changes, op_col=op_col, base_version=base)
-        if base_version is None:
-            self.set_ref(MAIN, v)
-        return v
+        if base_version is not None:
+            return super().apply(changes, op_col=op_col,
+                                 base_version=base_version)
+        return self._apply_to_ref(MAIN, changes, op_col=op_col)
 
     def apply_to_branch(self, name: str, changes: DataFrame,
                         op_col: str = "op") -> int:
         """Commit a batch on the BRANCH head and advance only that
         ref — main and sibling branches are isolated."""
-        v = super().apply(changes, op_col=op_col,
-                          base_version=self.get_ref(name))
-        self.set_ref(name, v)
-        return v
+        return self._apply_to_ref(name, changes, op_col=op_col)
+
+    def _apply_to_ref(self, name: str, changes: DataFrame,
+                      op_col: str = "op", max_retries: int = 5) -> int:
+        """The ref-level optimistic-concurrency loop: merge from the
+        ref's CURRENT head, commit the snapshot (version allocation is
+        collision-safe one level down), then CAS the ref forward. If
+        the ref moved underneath the merge, the committed snapshot is
+        abandoned (expirable garbage — its data was never adopted) and
+        the merge re-runs from the NEW head, so two writers advancing
+        one branch serialize instead of losing the first's batch."""
+        last: CommitConflictError | None = None
+        for _ in range(max_retries):
+            base = self.get_ref(name)
+            v = super().apply(changes, op_col=op_col, base_version=base)
+            try:
+                self.set_ref(name, v, expect=base)
+                return v
+            except CommitConflictError as e:
+                last = e  # v stays orphaned; re-merge from the new head
+        raise last
 
     def fast_forward(self, to_ref: str, from_ref: str) -> int:
         """Publish: point ``to_ref`` at ``from_ref``'s head. No data
-        moves — the audited snapshot was already durable."""
+        moves — the audited snapshot was already durable.
+
+        Guarded like Iceberg's fast_forward (review advice): ``to_ref``
+        must already EXIST (publishing cannot conjure refs — that's
+        branch_create's job), and its current head must be an ANCESTOR
+        of the source head on the manifest lineage. Without the check,
+        publishing a branch cut before ``to_ref`` gained later commits
+        would silently REWIND it — a lost update wearing a publish
+        hat. A diverged branch is re-applied on the new head instead
+        (the cherry-pick path q_cdc_wap_race registers)."""
+        if to_ref not in self.refs():
+            raise ValueError(
+                f"fast_forward target ref {to_ref!r} does not exist; "
+                f"create it first with branch_create")
+        cur = self.get_ref(to_ref)
         v = self.get_ref(from_ref)
-        self.set_ref(to_ref, v)
+        if not self.is_ancestor(cur, v):
+            raise ValueError(
+                f"not a fast-forward: {to_ref!r}@v{cur} is not an ancestor "
+                f"of {from_ref!r}@v{v} — {to_ref!r} moved since the branch "
+                f"was cut; re-apply the batch on its new head")
+        self.set_ref(to_ref, v, expect=cur)
         return v
 
     # --- branch-aware retention ---

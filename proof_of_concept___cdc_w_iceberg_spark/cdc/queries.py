@@ -1687,3 +1687,142 @@ def q_cdc_wap_publish(spark, sf_dir):
     return m.read_ref("main").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
+
+
+WAP_RACE_CHANGES_B_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity * 2.0 AS l_quantity, l_extendedprice,
+           'u' AS op, CAST(5000 AS BIGINT) AS ts_ms,
+           4000000000 + l_orderkey * 10 + l_linenumber AS off
+    FROM lineitem WHERE l_orderkey % 9 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, NULL, NULL,
+           'd', 6000, 5000000000 + l_orderkey * 10 + l_linenumber
+    FROM lineitem WHERE l_orderkey % 14 = 0
+"""
+
+# Sequential two-batch apply == ONE latest-wins pass over A ∪ B because
+# batch B's (ts_ms, off) stamps are strictly newer than batch A's on
+# every overlapping key — the same reason a CDC log replays to the same
+# table whatever the batch boundaries (cdc/apply.py's upsert
+# semantics: 'u' on a deleted key re-inserts, 'd' on a missing key is
+# a no-op, in both engines).
+WAP_RACE_MIRROR_SQL = f"""
+        WITH mirror AS (
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+        ),
+        changes AS ({APPLY_SCALE_CHANGES_SQL}
+                    UNION ALL
+                    {WAP_RACE_CHANGES_B_SQL}),
+        latest AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_orderkey, l_linenumber
+                ORDER BY ts_ms DESC, off DESC) AS rn
+            FROM changes
+        ),
+        fc AS (SELECT * FROM latest WHERE rn = 1)
+        SELECT m.l_orderkey, m.l_linenumber, m.l_quantity, m.l_extendedprice
+        FROM mirror m ANTI JOIN fc USING (l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM fc WHERE op <> 'd'
+"""
+
+
+def _wap_race_batch_b(li):
+    """The second writer's batch: ~x2 quantity updates on l_orderkey
+    % 9 and deletes on % 14, stamped STRICTLY newer than batch A so the
+    sequential-apply oracle collapses to one latest-wins pass (comment
+    on WAP_RACE_MIRROR_SQL)."""
+    upd = li.filter(F.col("l_orderkey") % 9 == 0).select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        "l_linenumber",
+        (F.col("l_quantity") * 2.0).cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        F.lit("u").alias("op"),
+        F.lit(5000).cast("long").alias("ts_ms"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")
+         + F.lit(4_000_000_000)).cast("long").alias("off"),
+    )
+    dels = li.filter(F.col("l_orderkey") % 14 == 0).select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        "l_linenumber",
+        F.lit(None).cast("double").alias("l_quantity"),
+        F.lit(None).cast("double").alias("l_extendedprice"),
+        F.lit("d").alias("op"),
+        F.lit(6000).cast("long").alias("ts_ms"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")
+         + F.lit(5_000_000_000)).cast("long").alias("off"),
+    )
+    return upd.unionByName(dels)
+
+
+@query("q_cdc_wap_race", oracle=WAP_RACE_MIRROR_SQL)
+def q_cdc_wap_race(spark, sf_dir):
+    """TWO audit branches racing off ONE base — the concurrency half of
+    WAP that q_cdc_wap_publish's single-writer flow never exercises,
+    and the registered proof of the r15 commit protocol + r16 lineage
+    guards (cdc/versioned.py exclusive-create commits with recorded
+    parents; cdc/branches.py ancestry-checked fast_forward, ref CAS):
+
+    1. branches ``race_a`` and ``race_b`` are cut from the same main
+       head and each commits its batch — version allocation under the
+       race is collision-safe (distinct snapshots, disjoint data dirs,
+       both parents = the shared base);
+    2. both audits pass; ``race_a`` publishes first (fast-forward);
+    3. ``race_b``'s publish is REFUSED — main's new head is not on
+       race_b's lineage, so fast-forwarding would silently REWIND
+       main over batch A (the lost update Iceberg's fast_forward
+       refuses); main is asserted unmoved by the refusal;
+    4. the loser retries as a CHERRY-PICK (Iceberg's
+       cherrypick_snapshot analogue): its batch re-applies on the new
+       main head via a fresh branch, audits, and publishes.
+
+    The registered oracle is the SEQUENTIAL two-batch apply, so the
+    driver hash check proves race → refusal → retry lands on exactly
+    the state a serial writer would have produced. At 100 TB the race
+    costs what the batches cost — refusal and publish are pointer
+    reads/moves on the manifest lineage, no data moves.
+    Reference parity: `connect-iceberg-sink.json:15-16` (Iceberg sink
+    commits); Iceberg 1.9.2 `fast_forward`/`cherrypick_snapshot`
+    procedures (`pom.xml:15`)."""
+    from .branches import BranchedMirror, wap_audit
+
+    li, batch_a = _scale_mirror_and_changes(spark, sf_dir)
+    batch_b = _wap_race_batch_b(li)
+    keys = ["l_orderkey", "l_linenumber"]
+    path = os.path.join(tempfile.mkdtemp(prefix="cdc_wap_race_"), "mirror")
+    m = BranchedMirror(spark, path, keys=keys, n_buckets=16)
+    m.init(li)
+
+    m.branch_create("race_a")
+    m.branch_create("race_b")
+    m.apply_to_branch("race_a", batch_a)
+    m.apply_to_branch("race_b", batch_b)  # same base: the race
+    for br, batch in (("race_a", batch_a), ("race_b", batch_b)):
+        audit = wap_audit(m.read_ref(br).drop("__bucket"), keys,
+                          batch_keys=batch)
+        assert audit == {"null_keys": 0, "dup_keys": 0}, (br, audit)
+
+    m.fast_forward("main", "race_a")
+    published = m.get_ref("main")
+    try:
+        m.fast_forward("main", "race_b")
+        raise AssertionError("diverged publish must be refused")
+    except ValueError:
+        pass
+    assert m.get_ref("main") == published, "refused publish moved main"
+    m.drop_branch("race_b")
+
+    m.branch_create("race_pick")  # cherry-pick: re-apply B on new head
+    m.apply_to_branch("race_pick", batch_b)
+    audit = wap_audit(m.read_ref("race_pick").drop("__bucket"), keys,
+                      batch_keys=batch_b)
+    assert audit == {"null_keys": 0, "dup_keys": 0}, audit
+    m.fast_forward("main", "race_pick")
+    m.drop_branch("race_a")
+    m.drop_branch("race_pick")
+    return m.read_ref("main").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )

@@ -37,6 +37,17 @@ from .bucketed import BUCKET_COL, bucket_expr
 from .diff import table_changes
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer advanced the head (or ref) this commit was merged
+    from. Raised instead of silently publishing a bucket map built from
+    a stale base — which would drop the winner's changes from the new
+    head, the classic optimistic-concurrency lost update. Iceberg's
+    commit protocol revalidates and re-applies against the new base on
+    retry; here ``SnapshotMirror.apply`` does the re-read + re-merge
+    retry itself for head commits, and ``BranchedMirror``'s ref CAS
+    surfaces the conflict for branch commits."""
+
+
 class SnapshotMirror:
     """Versioned bucketed mirror: ``init`` → v0, each ``apply`` → a new
     version; ``read(version=k)`` time-travels; ``diff(i, j)`` is the
@@ -74,22 +85,43 @@ class SnapshotMirror:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _commit(self, buckets: dict[str, str], schema_json: str) -> int:
+    def _commit(self, buckets: dict[str, str], schema_json: str,
+                parent: int | None = None, linear: bool = False) -> int:
         """Write the next manifest — the atomic commit point.
 
         Version allocation is OPTIMISTIC-CONCURRENCY safe (the Iceberg
         commit protocol): the manifest is staged to a tmp file and
         published with ``os.link`` (exclusive create — fails if the
         version already exists, unlike ``os.replace`` which would
-        silently destroy a concurrent writer's commit). On collision
-        the next version number is retried; the data dirs are keyed by
-        the version actually won, never shared, so no concurrent
-        branch can adopt another's snapshot."""
+        silently destroy a concurrent writer's commit). The data dirs
+        are keyed by a per-writer uniquifier, never shared, so no
+        concurrent branch can adopt another's snapshot.
+
+        ``parent`` is the snapshot this bucket map was merged FROM
+        (-1 for the initial snapshot); it is recorded in the manifest
+        as ``base``, giving the ledger a lineage DAG (fast_forward's
+        ancestry check in branches.py walks it). With ``linear=True``
+        the caller merged from what it believes is the LEDGER HEAD, so
+        winning any version other than ``parent + 1`` means another
+        writer committed first and this bucket map is STALE — raise
+        CommitConflictError instead of publishing a lost update (the
+        old blind ``version += 1`` retry silently dropped the winner's
+        changes from the new head). With ``linear=False`` (branch
+        commits: version numbers legitimately interleave across refs)
+        a collision is pure allocation and the next number is retried;
+        the lost-update guard for those lives at the ref swap
+        (``BranchedMirror.set_ref`` CAS)."""
         vs = self.versions()
         version = (vs[-1] + 1) if vs else 0
         while True:
+            if linear and version != (parent if parent is not None else -1) + 1:
+                raise CommitConflictError(
+                    f"head moved past v{parent} (next free version is "
+                    f"v{version}): bucket map is stale — re-read and re-merge")
             manifest = {"version": version, "schema": schema_json,
                         "buckets": buckets}
+            if parent is not None:
+                manifest["base"] = parent
             tmp = self._manifest_path(version) + f".tmp{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
@@ -100,6 +132,31 @@ class SnapshotMirror:
             except FileExistsError:
                 os.remove(tmp)
                 version += 1
+
+    # --- lineage (parent chain recorded by _commit) ---
+
+    def parent_version(self, version: int) -> int:
+        """The snapshot ``version`` was committed on top of (-1 for the
+        root). Legacy manifests without a recorded base are assumed
+        linear."""
+        return int(self._load_manifest(version).get("base", version - 1))
+
+    def is_ancestor(self, ancestor: int, descendant: int) -> bool:
+        """Walk ``descendant``'s parent chain down to ``ancestor``.
+        Parents are strictly smaller than their children (a commit's
+        version is always > its base), so the walk terminates. Raises
+        ValueError if the chain crosses an EXPIRED manifest — lineage
+        that can no longer be proven is refused, not guessed (the same
+        property real Iceberg has once snapshots expire)."""
+        v = descendant
+        while v > ancestor:
+            try:
+                v = self.parent_version(v)
+            except OSError:
+                raise ValueError(
+                    f"lineage of v{descendant} crosses an expired "
+                    f"snapshot below v{v}; cannot prove ancestry")
+        return v == ancestor
 
     # --- data IO ---
 
@@ -138,8 +195,12 @@ class SnapshotMirror:
     # --- public API ---
 
     def init(self, snapshot: DataFrame) -> int:
+        """Commit v0. Refuses (CommitConflictError) if the ledger
+        already has snapshots — re-initializing a live mirror is the
+        double-CREATE-TABLE race, not an apply."""
         buckets = self._write_commit_data(snapshot, 0)
-        return self._commit(buckets, snapshot.schema.json())
+        return self._commit(buckets, snapshot.schema.json(),
+                            parent=-1, linear=True)
 
     def read(self, version: int | None = None) -> DataFrame:
         """The mirror as of ``version`` (default: latest) — time travel."""
@@ -148,32 +209,52 @@ class SnapshotMirror:
         return self._read_dirs(sorted(m["buckets"].values()), m["schema"])
 
     def apply(self, changes: DataFrame, op_col: str = "op",
-              base_version: int | None = None) -> int:
+              base_version: int | None = None, max_retries: int = 5) -> int:
         """Merge a change batch as a new snapshot. Reads ONLY the
         touched buckets of the base version (default: latest), writes
         ONLY their replacements; every other bucket entry is carried
-        over in the manifest untouched (file reuse). ``base_version``
-        lets a BRANCH commit on top of its own head instead of the
-        ledger's newest snapshot (cdc/branches.py)."""
-        m = self._load_manifest(
-            self.current_version() if base_version is None else base_version)
-        latest = compact_latest(changes, self.keys, self.order_cols)
-        touched = {
-            str(r[0]) for r in
-            latest.select(bucket_expr(self.keys, self.n_buckets)).distinct()
-            .collect()
-        }
-        if not touched:
-            return self._commit(dict(m["buckets"]), m["schema"])
-        subset_dirs = [d for b, d in m["buckets"].items() if b in touched]
-        subset = self._read_dirs(subset_dirs, m["schema"]).drop(BUCKET_COL)
-        merged = apply_changes(subset, latest, self.keys, op_col=op_col,
-                               order_cols=self.order_cols)
-        next_version = self.current_version() + 1
-        written = self._write_commit_data(merged, next_version)
-        buckets = {b: d for b, d in m["buckets"].items() if b not in touched}
-        buckets.update(written)  # touched-but-now-empty buckets drop out
-        return self._commit(buckets, m["schema"])
+        over in the manifest untouched (file reuse).
+
+        With no ``base_version`` the commit targets the LEDGER HEAD
+        under the Iceberg retry loop: if a concurrent writer wins the
+        next version first, the stale merge is thrown away and re-done
+        against the NEW head (CommitConflictError from ``_commit`` —
+        never a silently published lost update). An explicit
+        ``base_version`` lets a BRANCH commit on top of its own head
+        instead of the ledger's newest snapshot (cdc/branches.py);
+        lineage is still recorded, but conflict detection for branches
+        happens at the ref swap, so no retry is attempted here."""
+        pinned = base_version is not None
+        last_conflict: CommitConflictError | None = None
+        for _ in range(max_retries):
+            base = base_version if pinned else self.current_version()
+            m = self._load_manifest(base)
+            latest = compact_latest(changes, self.keys, self.order_cols)
+            touched = {
+                str(r[0]) for r in
+                latest.select(bucket_expr(self.keys, self.n_buckets)).distinct()
+                .collect()
+            }
+            try:
+                if not touched:
+                    return self._commit(dict(m["buckets"]), m["schema"],
+                                        parent=base, linear=not pinned)
+                subset_dirs = [d for b, d in m["buckets"].items() if b in touched]
+                subset = self._read_dirs(subset_dirs, m["schema"]).drop(BUCKET_COL)
+                merged = apply_changes(subset, latest, self.keys, op_col=op_col,
+                                       order_cols=self.order_cols)
+                written = self._write_commit_data(
+                    merged, self.current_version() + 1)
+                buckets = {b: d for b, d in m["buckets"].items()
+                           if b not in touched}
+                buckets.update(written)  # touched-but-now-empty buckets drop
+                return self._commit(buckets, m["schema"],
+                                    parent=base, linear=not pinned)
+            except CommitConflictError as e:
+                if pinned:
+                    raise  # branch caller owns the retry (ref CAS)
+                last_conflict = e  # head moved: re-merge from new head
+        raise last_conflict
 
     def diff(self, v_from: int, v_to: int) -> DataFrame:
         """Incremental read: c/u/d changelog between two snapshots
@@ -188,10 +269,23 @@ class SnapshotMirror:
         vs = self.versions()
         return set(vs[-keep_last:]) if keep_last > 0 else set()
 
-    def expire(self, keep_last: int = 1) -> list[int]:
+    def expire(self, keep_last: int = 1,
+               orphan_grace_s: float = 0.0) -> list[int]:
         """Drop old manifests and any commit dir no live manifest
-        references (Iceberg's expire_snapshots)."""
+        references (Iceberg's expire_snapshots).
+
+        Concurrent-writer caveat: an IN-FLIGHT writer's commit dir is
+        unreferenced until its manifest links, so a vacuum racing a
+        writer could reclaim a live commit. ``orphan_grace_s`` skips
+        orphan dirs younger than the grace age (Iceberg
+        remove_orphan_files' min-age knob) — set it to at least the
+        longest expected write duration when writers may be running.
+        The default 0 reclaims everything and is only safe when
+        expire() does not run concurrently with writers (the
+        single-maintenance-process deployments the registered queries
+        exercise)."""
         import shutil
+        import time
 
         protected = self._protected_versions(keep_last)
         dead = [v for v in self.versions() if v not in protected]
@@ -202,8 +296,13 @@ class SnapshotMirror:
             for d in self._load_manifest(v)["buckets"].values():
                 referenced.add(os.path.dirname(d))
         data_dir = os.path.join(self.path, "data")
+        now = time.time()
         for name in sorted(os.listdir(data_dir)):
             full = os.path.join(data_dir, name)
-            if full not in referenced:
-                shutil.rmtree(full)
+            if full in referenced:
+                continue
+            if orphan_grace_s > 0 and (
+                    now - os.path.getmtime(full)) < orphan_grace_s:
+                continue  # young orphan: possibly an in-flight commit
+            shutil.rmtree(full)
         return dead

@@ -650,14 +650,18 @@ QUANT_TOPK_SQL = """
         FROM q8
     ),
     scored AS (
+        -- qsq = 0 (an all-zero embedding) would make cosine_q 0/0 =
+        -- NaN, which sorts FIRST under the descending rank in both
+        -- engines and would pollute every top-5; zero vectors have no
+        -- defined cosine, so both sides are filtered out (advice).
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                list_reduce(
                    list_transform(range(1, len(q.qv) + 1),
                                   i -> q.qv[i] * c.qv[i]),
                    (x, y) -> x + y) AS qdot,
                q.qsq AS q_qsq, c.qsq AS c_qsq
-        FROM (SELECT * FROM n WHERE vec_id % 100 = 0) q
-        JOIN n c ON c.vec_id <> q.vec_id
+        FROM (SELECT * FROM n WHERE vec_id % 100 = 0 AND qsq > 0) q
+        JOIN n c ON c.vec_id <> q.vec_id AND c.qsq > 0
     ),
     ranked AS (
         SELECT query_id, cand_id, qdot,
@@ -687,7 +691,10 @@ def q_sim_topk_quantized(spark, sf_dir):
     cosine_q one IEEE division per pair. Same plan shape as q_sim_topk
     (broadcast query block, ONE corpus scan, per-query rank window);
     recall vs the full-precision top-5 is asserted in
-    tests/test_r15_ops.py."""
+    tests/test_r15_ops.py. All-zero embeddings (qsq = 0) are filtered
+    from BOTH sides of the scored join — their cosine is 0/0 = NaN,
+    which would sort ahead of every real neighbor (advice fix,
+    mirrored in QUANT_TOPK_SQL)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ma = F.array_max(
         F.transform("embedding", lambda v: F.abs(v.cast("double")))
@@ -710,12 +717,12 @@ def q_sim_topk_quantized(spark, sf_dir):
             lambda acc, v: acc + v,
         ).alias("qsq"),
     )
-    q = n.filter(F.col("vec_id") % 100 == 0).select(
+    q = n.filter((F.col("vec_id") % 100 == 0) & (F.col("qsq") > 0)).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
         F.col("qsq").alias("q_qsq"),
     )
-    scored = n.join(
+    scored = n.filter(F.col("qsq") > 0).join(
         F.broadcast(q), F.col("query_id") != F.col("vec_id")
     ).select(
         "query_id",
@@ -732,6 +739,212 @@ def q_sim_topk_quantized(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_q").desc(), F.col("cand_id")
     )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id", "cand_id", "qdot",
+            F.round("cosine_q", 6).alias("cosine_q"),
+        )
+    )
+
+
+# --- quantized codes INSIDE IVF cells (r16) ------------------------------
+
+IVF_QUANT_NPROBE = 3
+
+IVF_QUANT_SQL = f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding,
+               {SQNORM_SQL.format(a='embedding')} AS sq,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, qv,
+               list_reduce(list_transform(qv, x -> x * x),
+                           (x, y) -> x + y) AS qsq
+        FROM (
+            SELECT vec_id, label,
+                   list_transform(embedding, x ->
+                       CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(FLOOR(x::DOUBLE * 127 / ma) AS BIGINT)
+                       END) AS qv
+            FROM e
+        )
+    ),
+    cent0 AS (
+        SELECT label, p.pos,
+               CAST(SUM(CAST(CAST(embedding[p.pos + 1] AS DOUBLE)
+                             AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+        FROM embeddings,
+             (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings
+                                      LIMIT 1))) AS pos) p
+        GROUP BY label, p.pos
+    ),
+    centn AS (
+        SELECT label AS c_label, centroid,
+               {SQNORM_SQL.format(a='centroid')} AS c_sq
+        FROM (SELECT label, list(cv ORDER BY pos) AS centroid
+              FROM cent0 GROUP BY label)
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, sq AS q_sq
+          FROM e WHERE vec_id % 100 = 0 AND sq > 0),
+    simc AS (
+        SELECT q.query_id, c.c_label,
+               {DOT_SQL.format(a='q.q_emb', b='c.centroid')}
+                   / sqrt(q.q_sq * c.c_sq) AS c_cos
+        FROM q, centn c
+    ),
+    probed AS (
+        SELECT query_id, c_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY c_cos DESC, c_label) AS rn
+            FROM simc
+        ) WHERE rn <= {IVF_QUANT_NPROBE}
+    ),
+    qn AS (
+        SELECT vec_id AS query_id, qv AS q_qv, qsq AS q_qsq
+        FROM n WHERE vec_id % 100 = 0 AND qsq > 0
+    ),
+    scored AS (
+        SELECT p.query_id, c.vec_id AS cand_id,
+               list_reduce(
+                   list_transform(range(1, len(qn.q_qv) + 1),
+                                  i -> qn.q_qv[i] * c.qv[i]),
+                   (x, y) -> x + y) AS qdot,
+               qn.q_qsq AS q_qsq, c.qsq AS c_qsq
+        FROM probed p
+        JOIN qn ON qn.query_id = p.query_id
+        JOIN n c ON c.label = p.c_label
+        WHERE c.vec_id <> p.query_id AND c.qsq > 0
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, qdot,
+               ROUND(qdot / sqrt(q_qsq * c_qsq), 6) AS cosine_q,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY qdot / sqrt(q_qsq * c_qsq) DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, cand_id, CAST(qdot AS BIGINT) AS qdot, cosine_q
+    FROM ranked WHERE rn <= 5
+"""
+
+
+@query("q_sim_ivf_quantized", oracle=IVF_QUANT_SQL)
+def q_sim_ivf_quantized(spark, sf_dir):
+    """The composed ANN serving layout — IVF probe routing OVER int8
+    codes, closing the ladder q_sim_topk_quantized's docstring names:
+    bucketing bounds the CANDIDATE count (each query scores only its
+    nprobe=3 cells, never the corpus) and scalar quantization bounds
+    the BANDWIDTH per candidate (4x-smaller codes, integer dot
+    products). This is the layout a 100 TB vector store actually
+    serves from: full-precision centroids route (tiny, broadcast),
+    cells hold codes, scan cost is nprobe·|cell|·d int8 MACs.
+
+    Determinism (hash-check contract): routing reuses q_sim_ivf's
+    exact-decimal centroids (probe decisions are identical chains in
+    both engines); in-cell scores reuse q_sim_topk_quantized's exact
+    arithmetic — qdot an order-independent BIGINT fold, cosine_q one
+    IEEE division — so the whole approximate pipeline is hash-checked
+    end to end. Zero vectors (qsq = 0, cosine undefined = NaN) are
+    filtered from query and candidate sides exactly as in the
+    brute-force rung. Recall vs q_sim_topk's full-precision exact
+    top-5 (same % 100 query set) is asserted in tests/test_r16_ops.py.
+    Reference parity: the Trino pass-through surface
+    (`init_for_test.py:66-79`) has no ANN — this rung extends the
+    engine for LLM-pipeline retrieval workloads."""
+    from .similarity import _dot
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding",
+        _sqnorm(F.col("embedding")).alias("sq"),
+        F.array_max(
+            F.transform("embedding", lambda v: F.abs(v.cast("double")))
+        ).alias("ma"),
+    )
+    # int8 codes + integer square norms (q_embed_quantize arithmetic).
+    n = e.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.when(F.col("ma") == F.lit(0.0), F.lit(0.0))
+            .otherwise(F.floor(x.cast("double") * 127 / F.col("ma")))
+            .cast("long"),
+        ).alias("qv"),
+    ).select(
+        "vec_id", "label", "qv",
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("qsq"),
+    )
+    # Coarse quantizer: exact-decimal per-cell centroids (q_sim_ivf).
+    dims = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
+                .cast("double") / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(F.array_agg(F.struct("pos", "cv")).alias("pcs"))
+        .select("label", F.array_sort("pcs").cv.alias("centroid"))
+        .select(
+            F.col("label").alias("c_label"), "centroid",
+            _sqnorm(F.col("centroid")).alias("c_sq"),
+        )
+    )
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("sq") > 0)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("sq").alias("q_sq"),
+    )
+    # Probe: top-nprobe cells per query, routed at full precision.
+    sim_c = q.join(F.broadcast(cent)).select(
+        "query_id", "c_label",
+        (_dot(F.col("q_emb"), F.col("centroid"))
+         / F.sqrt(F.col("q_sq") * F.col("c_sq"))).alias("c_cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_label"))
+    probed = (
+        sim_c.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_QUANT_NPROBE)
+        .select("query_id", "c_label")
+    )
+    qn = n.filter((F.col("vec_id") % 100 == 0) & (F.col("qsq") > 0)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("qsq").alias("q_qsq"),
+    )
+    # Score int8 codes within probed cells only (the bounded join:
+    # candidates co-partition by cell label; the query block and its
+    # probe routing broadcast).
+    routed = probed.join(F.broadcast(qn), "query_id")
+    scored = (
+        n.filter(F.col("qsq") > 0)
+        .join(F.broadcast(routed), F.col("label") == F.col("c_label"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.aggregate(
+                F.zip_with("q_qv", "qv", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("qdot"),
+            (F.col("q_qsq") * F.col("qsq")).alias("qq"),
+        )
+        .withColumn(
+            "cosine_q", F.col("qdot") / F.sqrt(F.col("qq").cast("double"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)

@@ -147,7 +147,14 @@ _RISK_PREFIX_ORDER = ("q_cdc_", "q_stream_", "q_dedup_", "q_sim_", "q_join_", "q
 # the query body and oracle text untouched (e.g. the r13 shared-helper
 # refactor of the sketch builders). The r12/r13 pins all cleared when
 # CORRECTNESS_r13 landed green rows for them.
-_MODIFIED_IN_ROUND: dict[str, int] = {}
+_MODIFIED_IN_ROUND: dict[str, int] = {
+    # r16: fast_forward (cdc/branches.py) gained the ancestry check and
+    # ref CAS on q_cdc_wap_publish's publish path — a helper-confined
+    # behavior change its fingerprint cannot see. Results are proven
+    # unchanged by tests, but the green row should be re-earned.
+    # Self-clears when CORRECTNESS_r16 lands.
+    "q_cdc_wap_publish": 16,
+}
 
 # --- per-query source fingerprints (r13 verdict item 2) ----------------
 #
@@ -444,7 +451,15 @@ def check_order(names, oracle_names, ledger, modified=None) -> list[str]:
             return (0 if n in oracle_names else 1, _family_rank(n), n)
         if n not in oracle_names:
             if n == promoted:
-                return (2, entry["last"], n)
+                # Guaranteed HEAD of the rolling sweep (r16): sorting
+                # the promoted row by its ledger round let a deep
+                # oracle-stale backlog (42 r9 rows in r16) starve the
+                # rotation slot indefinitely — the docstring's "one
+                # slot per round" only held when the backlog was
+                # thinner than the window. -1 sorts before any real
+                # round, so the slot survives any backlog that leaves
+                # the window a single free row.
+                return (2, -1, n)
             return (3, entry["last"], n)
         return (2, entry["last"], n)
 

@@ -1096,3 +1096,76 @@ class DurableReplayGuard:
                 shutil.rmtree(os.path.join(self.path, name),
                               ignore_errors=True)
         return True
+
+
+@query("q_stream_cms_durable", oracle=_cms_retract_oracle())
+def q_stream_cms_durable(spark, sf_dir):
+    """q_stream_cms_retract driven through the DURABLE replay guard,
+    with the full at-least-once failure schedule inside the query —
+    the registered complement of the crash-window law tests (r15
+    verdict: the guard's restart laws lived only in tests; this row
+    makes the driver hash-check prove them):
+
+    - batch 0, batch 1 applied; batch 1 REDELIVERED (foreachBatch's
+      at-least-once contract after a sink/checkpoint race) — skipped
+      by the persisted watermark, asserted;
+    - PROCESS RESTART simulated by re-instantiating the guard over
+      the same path (all driver-side objects dropped; state + water-
+      mark reload from CURRENT.json, the atomic commit point);
+    - batch 1 redelivered AGAIN post-restart — still skipped; batch 2
+      applied.
+
+    The oracle is the ONE-SHOT CMS build over the NET survivor stream
+    (identical to q_stream_cms_retract's), so the hash check proves
+    replay + restart land on the exact rebuild — CMS is the sketch
+    that NEEDS this guard (cell sums double-count a replayed batch;
+    the replay-idempotency classification above ReplayGuardedState).
+    Per batch the durable commit writes only the ≤ d·w-row grid —
+    bytes, not data volume — so the guard costs the same at 100 TB."""
+    import tempfile
+
+    from ..operators.sketches import cms_empty_grid, cms_topk
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_orderkey"
+    )
+    empty = cms_empty_grid(li)
+    batches = [
+        (F.col("l_orderkey") <= 20_000, None),
+        (
+            F.col("l_orderkey").between(20_001, 40_000),
+            (F.col("l_orderkey") <= 20_000) & (F.col("l_orderkey") % 7 == 3),
+        ),
+        (
+            F.col("l_orderkey") >= 40_001,
+            F.col("l_orderkey").between(20_001, 40_000)
+            & (F.col("l_orderkey") % 7 == 3),
+        ),
+    ]
+
+    def args(i):
+        ins_cond, del_cond = batches[i]
+        ins = li.filter(ins_cond).select("k")
+        dels = (
+            li.filter(del_cond).select("k")
+            if del_cond is not None
+            else li.select("k").limit(0)
+        )
+        return ins, dels
+
+    path = tempfile.mkdtemp(prefix="cms_durable_")
+    g = DurableReplayGuard(spark, path, empty, cms_retract_apply)
+    assert g.apply(0, *args(0)) is True
+    assert g.apply(1, *args(1)) is True
+    assert g.apply(1, *args(1)) is False, "replayed batch must be skipped"
+
+    g2 = DurableReplayGuard(spark, path, empty, cms_retract_apply)  # restart
+    assert g2.last_batch_id() == 1, "watermark must survive restart"
+    assert g2.apply(1, *args(1)) is False, "replay after restart must skip"
+    assert g2.apply(2, *args(2)) is True
+
+    net = li.filter(
+        ~((F.col("l_orderkey") <= 40_000) & (F.col("l_orderkey") % 7 == 3))
+    )
+    keys = net.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+    return cms_topk(g2.state(), keys)

@@ -1,0 +1,349 @@
+"""Round-16 laws: optimistic-concurrency commit conflicts (stale-base
+detection, ref CAS, ancestry-guarded fast_forward — the r15 ADVICE
+items), expire's orphan grace age, the quantized rungs' zero-vector
+guard, and q_sim_ivf_quantized's recall floor."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- commit conflicts (cdc/versioned.py) --------------------------------
+
+
+def _mk_mirror(spark, tmp_path, cls=None):
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.versioned import (
+        SnapshotMirror,
+    )
+
+    cls = cls or SnapshotMirror
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    m = cls(spark, str(tmp_path / "mirror"), keys=["k"], n_buckets=4)
+    m.init(df)
+    return m, df
+
+
+def _batch(df, lo, hi, ts, mul=2.0):
+    return df.filter(F.col("k").between(lo, hi)).select(
+        "k",
+        (F.col("v") * mul).alias("v"),
+        F.lit("u").alias("op"),
+        F.lit(ts).cast("long").alias("ts_ms"),
+        F.col("k").cast("long").alias("off"),
+    )
+
+
+def test_stale_base_commit_is_refused_not_published(spark, tmp_path):
+    """The r15 ADVICE medium: a bucket map merged from a stale base
+    must raise CommitConflictError, never win a later version with the
+    first winner's changes silently dropped."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.versioned import (
+        CommitConflictError,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path)
+    base = m.current_version()
+    stale = dict(m._load_manifest(base)["buckets"])
+    schema = m._load_manifest(base)["schema"]
+    # Another writer wins the next version first.
+    m.apply(_batch(df, 0, 9, 2000))
+    with pytest.raises(CommitConflictError):
+        m._commit(stale, schema, parent=base, linear=True)
+    # Nothing was published on behalf of the stale writer.
+    assert m.current_version() == base + 1
+
+
+def test_apply_retry_re_merges_from_the_new_head(spark, tmp_path):
+    """SnapshotMirror.apply's Iceberg retry loop: if the head moves
+    after the merge, the stale merge is discarded and redone against
+    the NEW head — the final state contains BOTH writers' batches."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.versioned import (
+        CommitConflictError,
+        SnapshotMirror,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path)
+    other = _batch(df, 0, 4, 1500, mul=10.0)
+
+    real_commit = SnapshotMirror._commit
+    state = {"sneaked": False}
+
+    def racing_commit(self, buckets, schema_json, parent=None, linear=False):
+        if not state["sneaked"] and linear:
+            state["sneaked"] = True
+            # A concurrent writer lands between OUR merge and commit.
+            v = real_commit(
+                self,
+                self._write_commit_data(
+                    self.read().drop("__bucket").limit(0).unionByName(
+                        other.select("k", "v")
+                    ),
+                    self.current_version() + 1,
+                ) | {
+                    b: d
+                    for b, d in self._load_manifest(parent)["buckets"].items()
+                },
+                schema_json,
+                parent=parent,
+                linear=False,
+            )
+            assert v == parent + 1
+        return real_commit(self, buckets, schema_json,
+                           parent=parent, linear=linear)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(SnapshotMirror, "_commit", racing_commit):
+        m.apply(_batch(df, 10, 14, 2000))
+    # Our apply retried on the conflict and landed after the sneaker.
+    assert state["sneaked"]
+    assert m.current_version() >= 2
+    # The retried merge was built from the sneaker's head (lineage).
+    assert m.parent_version(m.current_version()) == m.current_version() - 1
+
+
+def test_double_init_is_refused(spark, tmp_path):
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.versioned import (
+        CommitConflictError,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path)
+    with pytest.raises(CommitConflictError):
+        m.init(df.select("k", "v"))
+
+
+def test_lineage_parent_chain_and_is_ancestor(spark, tmp_path):
+    m, df = _mk_mirror(spark, tmp_path)
+    v1 = m.apply(_batch(df, 0, 9, 2000))
+    v2 = m.apply(_batch(df, 10, 19, 3000))
+    assert m.parent_version(0) == -1
+    assert m.parent_version(v1) == 0
+    assert m.parent_version(v2) == v1
+    assert m.is_ancestor(0, v2) and m.is_ancestor(v1, v2)
+    assert m.is_ancestor(v2, v2)
+    assert not m.is_ancestor(v2, v1)
+
+
+def test_expire_orphan_grace_protects_young_inflight_dirs(spark, tmp_path):
+    """The r15 ADVICE low: an in-flight writer's freshly written but
+    not-yet-committed data dir must survive a vacuum run with a grace
+    age (Iceberg remove_orphan_files' min-age); grace 0 keeps the old
+    full reclamation for single-maintenance-process use."""
+    m, df = _mk_mirror(spark, tmp_path)
+    m.apply(_batch(df, 0, 9, 2000))
+    # Simulate a concurrent writer mid-commit: data written, manifest
+    # not yet linked.
+    inflight = os.path.join(m.path, "data", "commit_99999_deadbeef")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "w") as f:
+        f.write("x")
+    m.expire(keep_last=1, orphan_grace_s=3600.0)
+    assert os.path.isdir(inflight), "young orphan reclaimed inside grace"
+    m.expire(keep_last=1, orphan_grace_s=0.0)
+    assert not os.path.isdir(inflight), "grace 0 must reclaim fully"
+
+
+# --- ref CAS + ancestry (cdc/branches.py) -------------------------------
+
+
+def test_set_ref_cas_refuses_moved_ref(spark, tmp_path):
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.versioned import (
+        CommitConflictError,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path, cls=BranchedMirror)
+    v0 = m.get_ref("main")
+    v1 = m.apply(_batch(df, 0, 9, 2000))
+    assert m.get_ref("main") == v1
+    with pytest.raises(CommitConflictError):
+        m.set_ref("main", v0, expect=v0)  # main is at v1, not v0
+    assert m.get_ref("main") == v1
+    m.set_ref("main", v0, expect=v1)  # correct expectation: swap lands
+    assert m.get_ref("main") == v0
+
+
+def test_apply_to_ref_retries_when_ref_moves_under_the_merge(
+        spark, tmp_path):
+    """Two writers advancing ONE branch: the loser's CAS is refused and
+    its merge re-runs from the winner's head — both batches land."""
+    import unittest.mock as mock
+
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path, cls=BranchedMirror)
+    winner_batch = _batch(df, 0, 4, 1500, mul=10.0)
+    state = {"sneaked": False}
+    real_set_ref = BranchedMirror.set_ref
+
+    def racing_set_ref(self, name, version, expect=None):
+        if not state["sneaked"] and expect is not None:
+            state["sneaked"] = True
+            # The winner commits and swaps the ref first.
+            v = BranchedMirror.apply(self, winner_batch)
+            assert self.get_ref("main") == v
+        return real_set_ref(self, name, version, expect=expect)
+
+    with mock.patch.object(BranchedMirror, "set_ref", racing_set_ref):
+        m.apply(_batch(df, 10, 14, 2000))
+    assert state["sneaked"]
+    got = {
+        r["k"]: r["v"]
+        for r in m.read_ref("main").select("k", "v").collect()
+    }
+    # Winner's batch (x10 on 0-4) AND loser's batch (x2 on 10-14).
+    assert got[0] == 0.0 and got[4] == 4 * 1.5 * 10.0
+    assert got[10] == 10 * 1.5 * 2.0 and got[14] == 14 * 1.5 * 2.0
+
+
+def test_fast_forward_requires_existing_ancestor_target(spark, tmp_path):
+    """The r15 ADVICE low: fast_forward must refuse a missing to_ref
+    and a to_ref whose head is not on the source lineage (publishing a
+    stale branch would rewind main)."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path, cls=BranchedMirror)
+    m.branch_create("a")
+    m.branch_create("b")
+    m.apply_to_branch("a", _batch(df, 0, 9, 2000))
+    m.apply_to_branch("b", _batch(df, 10, 19, 2500))
+    with pytest.raises(ValueError):
+        m.fast_forward("nope", "a")  # target must exist
+    m.fast_forward("main", "a")
+    main_v = m.get_ref("main")
+    with pytest.raises(ValueError):
+        m.fast_forward("main", "b")  # diverged: not an ancestor
+    assert m.get_ref("main") == main_v, "refused publish moved main"
+    # The diverged branch re-applies on the new head (cherry-pick).
+    m.branch_create("b2")
+    m.apply_to_branch("b2", _batch(df, 10, 19, 2500))
+    m.fast_forward("main", "b2")
+    assert m.get_ref("main") != main_v
+
+
+# --- zero-vector guard (ext/ann.py, r15 ADVICE low) ----------------------
+
+
+def test_quantized_rungs_survive_zero_vectors(spark, tmp_path):
+    """An all-zero embedding quantizes to qsq = 0 → cosine 0/0 = NaN,
+    which sorts FIRST under the descending rank in both engines. The
+    guard filters zero vectors from query and candidate sides; with a
+    zero vector planted in the fixture, Spark and DuckDB must still
+    agree exactly and the zero vec_id must appear in no top-5."""
+    import duckdb
+
+    from proof_of_concept___cdc_w_iceberg_spark.ext.ann import (
+        IVF_QUANT_SQL,
+        QUANT_TOPK_SQL,
+        q_sim_ivf_quantized,
+        q_sim_topk_quantized,
+    )
+
+    src = duckdb.connect()
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    zdir = tempfile.mkdtemp(prefix="zero_vec_sf_")
+    # vec_id 100 is on the % 100 query grid AND a broadcast candidate.
+    src.sql(
+        f"""
+        COPY (
+            SELECT vec_id,
+                   CASE WHEN vec_id IN (100, 7)
+                        THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+                        ELSE embedding END AS embedding,
+                   label
+            FROM '{sf}/embeddings.parquet'
+        ) TO '{zdir}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{zdir}/embeddings.parquet'"
+    )
+    for fn, sql in ((q_sim_topk_quantized, QUANT_TOPK_SQL),
+                    (q_sim_ivf_quantized, IVF_QUANT_SQL)):
+        got = fn(spark, zdir).toPandas()
+        want = con.sql(sql).df()
+        assert len(got) == len(want) > 0
+        assert not got["cosine_q"].isna().any()
+        assert 100 not in set(got["query_id"]), "zero query must drop out"
+        assert 7 not in set(got["cand_id"]), "zero candidate leaked"
+        key = ["query_id", "cand_id"]
+        a = got.sort_values(key).reset_index(drop=True)
+        b = want.sort_values(key).reset_index(drop=True)
+        assert a[key + ["qdot"]].equals(b[key + ["qdot"]].astype(a.dtypes[key + ["qdot"]].to_dict()))
+
+
+# --- IVF-quantized recall (the composed serving rung) --------------------
+
+
+def test_sim_ivf_quantized_recall_vs_exact(spark, sf_dir):
+    """Two stacked approximations, asserted separately:
+
+    - the PROBE CEILING — the fraction of each query's exact top-5
+      that lives in its nprobe=3 cells at all — is a property of the
+      fixture's uniform label cells (~3/10 expected; the same reason
+      test_ext.py::test_ivf_structure_and_recall floors at 0.05), so
+      the composed rung is measured AGAINST it, computed exactly in
+      numpy;
+    - QUANTIZATION must cost little on top: composed recall >= 0.8 x
+      the probe ceiling (int8 alone keeps >= 0.7 of the exact top-5,
+      test_r15_ops.py::test_quantized_topk_recall_vs_exact);
+    - and the composed recall must still clear chance (5/|corpus|) by
+      an order of magnitude."""
+    import numpy as np
+
+    from proof_of_concept___cdc_w_iceberg_spark.ext.ann import (
+        IVF_QUANT_NPROBE,
+        q_sim_ivf_quantized,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import (
+        q_sim_topk,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    exact = q_sim_topk(spark, sf_dir).toPandas()
+    approx = q_sim_ivf_quantized(spark, sf_dir).toPandas()
+    e = exact.groupby("query_id")["cand_id"].apply(set)
+    a = approx.groupby("query_id")["cand_id"].apply(set)
+    recalls = {
+        q: len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index
+    }
+    recall = sum(recalls.values()) / len(recalls)
+
+    pdf = load(spark, sf_dir, "embeddings").toPandas()
+    emb = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    labels = pdf["label"].to_numpy()
+    vec_ids = pdf["vec_id"].to_numpy()
+    cell_of = dict(zip(vec_ids, labels))
+    uniq = np.unique(labels)
+    cents = np.stack([emb[labels == c].mean(axis=0) for c in uniq])
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    ceilings = []
+    for q in e.index:
+        qv = emb[vec_ids == q][0]
+        cos_c = cn @ (qv / np.linalg.norm(qv))
+        order = np.lexsort((uniq, -cos_c))  # desc cos, tie on label
+        probed = set(uniq[order[:IVF_QUANT_NPROBE]])
+        ceilings.append(
+            sum(cell_of[c] in probed for c in e[q]) / len(e[q]))
+    ceiling = sum(ceilings) / len(ceilings)
+
+    assert recall >= 0.8 * ceiling, (
+        f"quantization lost too much inside probed cells: "
+        f"recall {recall:.2f} vs probe ceiling {ceiling:.2f}")
+    n = len(pdf)
+    assert recall >= 10 * 5 / n, (
+        f"composed recall {recall:.2f} not above chance ({5 / n:.3f})")

@@ -246,14 +246,14 @@ def test_order_kernel_synthetic() -> None:
         "q_failed_r3": {"first": 3, "last": 3, "ok": False},
     }
     got = registry.check_order(names, oracle_names, ledger)
-    # no_oracle_earned is the promoted liveness slot: key (2, 2, name)
-    # — it joins group 2 but still sorts after a_checked_r2 (same
-    # round, later name).
+    # no_oracle_earned is the promoted liveness slot: key (2, -1, name)
+    # — guaranteed HEAD of group 2 (r16: sorting it by its own round
+    # let a deep oracle-stale backlog starve the rotation slot).
     assert got == [
         "q_cdc_x", "q_failed_r3", "q_text_y",  # group 0 (family rank, name)
         "no_oracle_z",                          # group 1
+        "no_oracle_earned",                     # promoted: head of group 2
         "b_checked_r1", "a_checked_r2",         # group 2 stalest-first
-        "no_oracle_earned",                     # promoted into group 2 tail
     ]
     # With a second, staler earned no-oracle row, only the stalest one
     # is promoted; the other keeps sorting behind everything.
@@ -263,7 +263,8 @@ def test_order_kernel_synthetic() -> None:
     assert got2 == [
         "q_cdc_x", "q_failed_r3", "q_text_y",
         "no_oracle_z",
-        "b_checked_r1", "no_oracle_stale", "a_checked_r2",
+        "no_oracle_stale",                      # promoted (stalest earned)
+        "b_checked_r1", "a_checked_r2",
         "no_oracle_earned",
     ]
 
@@ -318,9 +319,13 @@ try:
 
         groups = [group(n) for n in order]
         assert groups == sorted(groups), f"group order violated: {order}"
-        green_rounds = [
-            ledger[n]["last"] for n in order if group(n) == 2
-        ]
+        # The promoted liveness row is the guaranteed HEAD of group 2
+        # (r16: age-interleaving let a deep stale backlog starve the
+        # slot); the oracle-backed remainder is stalest-first.
+        g2 = [n for n in order if group(n) == 2]
+        if promoted is not None:
+            assert g2 and g2[0] == promoted
+        green_rounds = [ledger[n]["last"] for n in g2 if n != promoted]
         assert green_rounds == sorted(green_rounds)
         # At most ONE earned no-oracle row ever escapes group 3, and it
         # is the stalest of them.
@@ -450,7 +455,9 @@ def test_fingerprint_in_memory_mutation_refronts(tmp_path, monkeypatch) -> None:
     with open(tmp_path / "CORRECTNESS_r07.json", "w") as f:
         json.dump({n: dict(green) for n in registry._QUERIES}, f)
     monkeypatch.setattr(registry, "_repo_root", lambda: str(tmp_path))
-    assert not registry._MODIFIED_IN_ROUND  # mechanism, not the override
+    # Neutralize any legitimate manual override entries for the round
+    # in flight — this test proves the MECHANISM re-fronts on its own.
+    monkeypatch.setattr(registry, "_MODIFIED_IN_ROUND", {})
 
     # First load records the current fingerprints (bootstrap): all
     # green at r7, nothing modified -> nothing fronts.
