@@ -378,8 +378,9 @@ def _append_history(
         # reports can normalize this run's floors by calib ratio.
         snap["calib_s"] = calib_s
     if noop_s is not None:
-        # Fixed-overhead stamp (r15): the per-query scheduling floor of
-        # the run that recorded these timings — the class-B term.
+        # Fixed-overhead stamp (r15; since r16 the run's MEDIAN of the
+        # start/mid/end samples): the per-query scheduling term of the
+        # run that recorded these timings — the class-B term.
         snap["noop_s"] = noop_s
     history = history + [snap]
     # Retention is per scale: a smoke run at another sf must neither
@@ -417,10 +418,54 @@ def _history_at_sf(history: list[dict], sf: float) -> list[dict]:
     return [s for s in history if float(s.get("sf", 0.1)) == sf]
 
 
+def _load_floors() -> dict:
+    """BENCH_FLOORS.json: monotone all-time minima per scale (noop_s /
+    calib_s / suite total). The rolling 3-snapshot window RE-FLOORS in
+    whatever regime the box currently runs, so a slow secular drift of
+    the fixed term is invisible to the drift report (r15 verdict item
+    2: noop_s grew 0.107->0.132 with every window floor growing along).
+    These minima never expire, making secular growth visible forever
+    as env.noop_vs_alltime / calib_vs_alltime / suite_vs_alltime."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOORS.json")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return doc if isinstance(doc, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _update_floors(sf: float, calib_s: float, noop_s: float,
+                   total: float) -> dict:
+    """Fold this run into the all-time minima and return the (possibly
+    updated) per-scale record."""
+    floors = _load_floors()
+    key = str(sf)
+    rec = floors.get(key) if isinstance(floors.get(key), dict) else {}
+    for field, val in (("noop_s_min", noop_s), ("calib_s_min", calib_s),
+                       ("suite_min", total)):
+        old = rec.get(field)
+        if val and val > 0 and (
+                not isinstance(old, (int, float)) or val < old):
+            rec[field] = val
+    floors[key] = rec
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FLOORS.json")
+    try:
+        with open(path, "w") as f:
+            json.dump(floors, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    return rec
+
+
 def _drift_report(
     history: list[dict],
     timings: dict[str, float],
     calib_now: float | None = None,
+    noop_now: float | None = None,
+    stages: dict[str, int] | None = None,
 ) -> list[dict]:
     """Sustained movers vs the 3-snapshot floor. When both this run and
     the floor-providing snapshot carry a calibration stamp, each row
@@ -429,19 +474,32 @@ def _drift_report(
     the residual PLAN-delta after dividing out measured box-delta. A
     row with ratio 1.6 but ratio_cal ~1.0 is the box, not the code;
     ratio_cal > DRIFT_RATIO is a real plan regression even on a slow
-    box (r13 verdict item 1: attribution by arithmetic, not argument)."""
+    box (r13 verdict item 1: attribution by arithmetic, not argument).
+
+    r16 (verdict item 2): the class-B FIXED term is normalized the same
+    way. The noop probe is a 2-stage job, so the per-stage fixed cost
+    is noop/2; a query running S stages carries S x (noop_now -
+    noop_floor)/2 of pure regime delta (measured: the fixed term is
+    BIMODAL, ~0.09 vs ~0.18 s per noop within ONE idle session —
+    SCALING.md r16 addendum). When this run counted the query's stages
+    and the floor snapshot stamped its noop, each drift row gets
+    ``fixed_delta_s`` (the predicted regime term) and
+    ``ratio_fixed_adj`` = (kept - fixed_delta)/floor — a row with
+    ratio 1.6 but ratio_fixed_adj ~1.0 is the fixed-term regime, not
+    the plan; sub-second queries are exactly where that term
+    dominates."""
     window = history[-3:]
     out = []
     for name, dt in timings.items():
         floors = [
-            (float(s["queries"][name]), s.get("calib_s"))
+            (float(s["queries"][name]), s.get("calib_s"), s.get("noop_s"))
             for s in window
             if isinstance(s["queries"].get(name), (int, float))
             and float(s["queries"][name]) > 0
         ]
         if not floors or dt <= 0:
             continue
-        floor, floor_calib = min(floors, key=lambda t: t[0])
+        floor, floor_calib, floor_noop = min(floors, key=lambda t: t[0])
         if dt / floor > DRIFT_RATIO:
             row = {
                 "q": name, "kept": dt, "floor_3run": floor,
@@ -451,6 +509,14 @@ def _drift_report(
                 calib_ratio = calib_now / float(floor_calib)
                 row["calib_ratio"] = round(calib_ratio, 2)
                 row["ratio_cal"] = round(dt / floor / calib_ratio, 2)
+            n_stages = (stages or {}).get(name)
+            if (noop_now and isinstance(floor_noop, (int, float))
+                    and floor_noop > 0 and n_stages):
+                fixed_delta = n_stages * (noop_now - float(floor_noop)) / 2.0
+                row["n_stages"] = n_stages
+                row["fixed_delta_s"] = round(fixed_delta, 3)
+                row["ratio_fixed_adj"] = round(
+                    max(0.0, dt - max(0.0, fixed_delta)) / floor, 2)
             out.append(row)
     out.sort(key=lambda e: -e["ratio"])
     return out
@@ -471,7 +537,31 @@ def _calib_vs_floor(history: list[dict], calib_s: float) -> float | None:
     return round(calib_s / min(floor_calibs), 2)
 
 
-def _time_query(spark, qs, name: str, sf_dir: str) -> float:
+def _noop_probe(spark, repeats: int = 5) -> float:
+    """Min-of-N latency of a trivial 1-row job on the warm session —
+    the per-query fixed term (Catalyst + job scheduling + Py4J). The
+    r16 decomposition (SCALING.md addendum): this term is BIMODAL
+    (~0.09 vs ~0.18 s bands that flip within one idle session), lives
+    almost entirely in JVM job/stage scheduling (py4j ~2 ms, Catalyst
+    ~5 ms), does NOT grow with session age (flat across a 160-query
+    aging run; a recycled session lands in the same band), and is
+    invisible to the pure-CPU calib probe. Sampled at start, mid-suite,
+    and end so a band flip mid-run is visible; the run's MEDIAN is the
+    normalization constant."""
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
+def _time_query(spark, qs, name: str, sf_dir: str,
+                stages: dict[str, int] | None = None) -> float:
+    sc = spark.sparkContext
+    group = f"bench_{name}_{time.monotonic_ns()}"
+    sc.setJobGroup(group, name)
     t0 = time.perf_counter()
     df = qs[name](spark, sf_dir)
     df.count()
@@ -480,6 +570,27 @@ def _time_query(spark, qs, name: str, sf_dir: str) -> float:
     # ext/dedup.py): keeps the long loop's executor memory flat and
     # every query's timing independent of its predecessors.
     spark.catalog.clearCache()
+    if stages is not None:
+        # Stage count per query (r16): the multiplier on the fixed
+        # per-stage scheduling term — what lets the drift report
+        # discriminate regime delta from plan delta for sub-second
+        # queries (``fixed_delta_s`` in _drift_report). Best-effort:
+        # a missing count only drops the annotation, never a timing.
+        try:
+            tracker = sc.statusTracker()
+            n = 0
+            for j in tracker.getJobIdsForGroup(group):
+                info = tracker.getJobInfo(j)
+                if info is None:
+                    continue
+                for sid in info.stageIds:
+                    sinfo = tracker.getStageInfo(sid)
+                    if sinfo is not None and sinfo.numTasks > 0:
+                        n += 1
+            if n:
+                stages[name] = n  # rerun overwrites: same plan, same count
+        except Exception:
+            pass
     return dt
 
 
@@ -609,30 +720,24 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t).count()
 
-    # Fixed-overhead probe (r15): calib_s measures pure-CPU speed, but
-    # the class-B drift signature (SCALING.md r13/r15 addenda —
-    # sub-second queries 1.5x over floor while heavies sit AT floor,
-    # calib unchanged) lives in the per-query FIXED term: Catalyst +
-    # job scheduling + Py4J round-trips. Stamp it directly so future
-    # drift reports can discriminate that term by arithmetic too:
-    # min-of-5 latency of a trivial 1-row job on the WARM session.
-    noop = None
-    for _ in range(5):
-        t0 = time.perf_counter()
-        spark.range(1).count()
-        dt = time.perf_counter() - t0
-        noop = dt if noop is None else min(noop, dt)
-    cache_state["noop_s"] = round(noop, 4)
+    # Fixed-overhead probe (r15, decomposed r16): calib_s measures
+    # pure-CPU speed, but the class-B drift signature (SCALING.md
+    # r13/r15/r16 addenda — sub-second queries 1.5x over floor while
+    # heavies sit AT floor, calib unchanged) lives in the per-query
+    # FIXED term: JVM job/stage scheduling (docstring of _noop_probe).
+    cache_state["noop_s"] = _noop_probe(spark)
 
     timings: dict[str, float] = {}
     reruns: dict[str, dict] = {}
-    for name in BENCH_QUERIES:
-        dt = _time_query(spark, qs, name, sf_dir)
+    stages: dict[str, int] = {}
+    mid_at = len(BENCH_QUERIES) // 2
+    for i, name in enumerate(BENCH_QUERIES):
+        dt = _time_query(spark, qs, name, sf_dir, stages=stages)
         p = prev.get(name)
         # dt is rounded to 3 decimals — a sub-0.5ms query rounds to
         # 0.0 and would divide-by-zero in the ratio.
         if p and p > 0 and dt > 0 and max(dt / p, p / dt) > MOVER_RATIO:
-            dt2 = _time_query(spark, qs, name, sf_dir)
+            dt2 = _time_query(spark, qs, name, sf_dir, stages=stages)
             kept = min(dt, dt2)
             reruns[name] = {"prev": p, "runs": [dt, dt2], "kept": kept}
             print(
@@ -642,14 +747,40 @@ def main() -> None:
             dt = kept
         timings[name] = dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        if i == mid_at:
+            # Mid-suite fixed-term sample: the term flips between its
+            # ~0.09/~0.18 s bands on timescales shorter than the suite.
+            cache_state["noop_s_mid"] = _noop_probe(spark)
+    cache_state["noop_s_end"] = _noop_probe(spark)
+    noop_samples = sorted(
+        v for v in (cache_state.get("noop_s"), cache_state.get("noop_s_mid"),
+                    cache_state.get("noop_s_end"))
+        if isinstance(v, (int, float)) and v > 0
+    )
+    noop_run = noop_samples[len(noop_samples) // 2] if noop_samples else None
+    cache_state["noop_s_run"] = noop_run
     total = round(sum(timings.values()), 3)
-    drift = _drift_report(history, timings, calib_now=calib_s)
+    drift = _drift_report(history, timings, calib_now=calib_s,
+                          noop_now=noop_run, stages=stages)
     # Re-read the raw history for the append: other-scale snapshots
     # are filtered for COMPARISON but must survive on disk. An
     # undetermined scale records nothing (it has no valid bucket).
     if sf is not None:
         _append_history(_load_history(), timings, total, sf, calib_s=calib_s,
-                        noop_s=cache_state.get("noop_s"))
+                        noop_s=noop_run)
+        # All-time minima (never re-floored): secular growth of the
+        # fixed term or the suite is visible here even when every
+        # rolling-window floor has grown along with it.
+        floors_rec = _update_floors(sf, calib_s, noop_run or 0.0, total)
+        for field, now in (("noop_vs_alltime", noop_run),
+                           ("calib_vs_alltime", calib_s),
+                           ("suite_vs_alltime", total)):
+            fmin = floors_rec.get(
+                {"noop_vs_alltime": "noop_s_min",
+                 "calib_vs_alltime": "calib_s_min",
+                 "suite_vs_alltime": "suite_min"}[field])
+            if isinstance(fmin, (int, float)) and fmin > 0 and now:
+                cache_state[field] = round(now / fmin, 2)
     # The driver captures only the stdout TAIL: with 99+ queries the
     # full per-query map outgrew it and BENCH_r04.json landed with
     # parsed:null (round-4 verdict item 1). So the FINAL stdout line is
@@ -675,6 +806,10 @@ def main() -> None:
         "env": cache_state,
         "reruns": reruns,
         "drift": drift,
+        # Per-query stage counts (r16): the fixed-term multiplier each
+        # drift annotation uses; also a cheap plan-shape regression
+        # signal (a stage-count jump on unchanged code = plan change).
+        "stages": stages,
     }
     print(json.dumps(detail), file=sys.stderr)
     try:

@@ -355,3 +355,69 @@ def test_noop_stamp_persists_in_history(tmp_path, monkeypatch):
     bench._append_history(snaps, {"q": 1.0}, 1.0, 0.1, calib_s=0.3)
     snaps = json.loads((tmp_path / "BENCH_HISTORY.json").read_text())
     assert "noop_s" not in snaps[-1]
+
+
+def test_drift_fixed_term_annotation():
+    """r16: a drift row carries the stage-count-scaled fixed-term
+    prediction (fixed_delta_s = n_stages x (noop_now - noop_floor)/2)
+    and the regime-adjusted ratio — and a pure-regime inflation of a
+    sub-second query adjusts back to ~1.0 while a real plan regression
+    stays above DRIFT_RATIO."""
+    hist = [{
+        "label": "floor", "queries": {"q_fast": 0.40, "q_slow": 0.40},
+        "calib_s": 0.35, "noop_s": 0.08,
+    }]
+    # q_fast: 6 stages; inflation 0.40 -> 0.70 is EXACTLY the regime
+    # term 6 x (0.18 - 0.08)/2 = 0.30 -> ratio_fixed_adj 1.0.
+    # q_slow: same kept time but only 2 stages -> the regime explains
+    # 0.10 of it; the residual 0.20 is a plan delta.
+    drift = bench._drift_report(
+        hist, {"q_fast": 0.70, "q_slow": 0.70},
+        calib_now=0.35, noop_now=0.18,
+        stages={"q_fast": 6, "q_slow": 2},
+    )
+    rows = {r["q"]: r for r in drift}
+    assert rows["q_fast"]["n_stages"] == 6
+    assert abs(rows["q_fast"]["fixed_delta_s"] - 0.30) < 1e-9
+    assert rows["q_fast"]["ratio_fixed_adj"] == 1.0
+    assert rows["q_slow"]["ratio_fixed_adj"] == 1.5
+    # Missing stage count or floor noop stamp: row still reported,
+    # just without the annotation (backwards compatible).
+    drift2 = bench._drift_report(
+        hist, {"q_fast": 0.70}, calib_now=0.35, noop_now=0.18, stages={})
+    assert "fixed_delta_s" not in drift2[0]
+    hist_nostamp = [{"label": "old", "queries": {"q_fast": 0.40},
+                     "calib_s": 0.35}]
+    drift3 = bench._drift_report(
+        hist_nostamp, {"q_fast": 0.70}, calib_now=0.35, noop_now=0.18,
+        stages={"q_fast": 6})
+    assert "fixed_delta_s" not in drift3[0]
+    # A FASTER regime than the floor's clamps at zero (never credits
+    # a plan regression against a negative fixed delta).
+    drift4 = bench._drift_report(
+        hist, {"q_fast": 0.70}, calib_now=0.35, noop_now=0.04,
+        stages={"q_fast": 6})
+    assert drift4[0]["fixed_delta_s"] < 0
+    assert drift4[0]["ratio_fixed_adj"] == drift4[0]["ratio"]
+
+
+def test_alltime_floors_monotone(tmp_path, monkeypatch):
+    """r16: BENCH_FLOORS.json keeps per-scale minima that only move
+    DOWN — the rolling window re-floors in the current regime, these
+    never do, so secular growth stays arithmetically visible."""
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    rec = bench._update_floors(0.1, calib_s=0.35, noop_s=0.12, total=250.0)
+    assert rec == {"noop_s_min": 0.12, "calib_s_min": 0.35,
+                   "suite_min": 250.0}
+    # A slower run cannot raise any floor.
+    rec = bench._update_floors(0.1, calib_s=0.40, noop_s=0.18, total=280.0)
+    assert rec == {"noop_s_min": 0.12, "calib_s_min": 0.35,
+                   "suite_min": 250.0}
+    # A faster run lowers exactly the fields it beats.
+    rec = bench._update_floors(0.1, calib_s=0.33, noop_s=0.15, total=240.0)
+    assert rec == {"noop_s_min": 0.12, "calib_s_min": 0.33,
+                   "suite_min": 240.0}
+    # Scales are isolated; zero/invalid samples never enter.
+    rec001 = bench._update_floors(0.01, calib_s=0.35, noop_s=0.0, total=30.0)
+    assert rec001 == {"calib_s_min": 0.35, "suite_min": 30.0}
+    assert bench._load_floors()["0.1"]["suite_min"] == 240.0
