@@ -96,21 +96,40 @@ class BranchedMirror(SnapshotMirror):
             self._write_ref(name, version)
             return
         import time
+        import uuid
 
         lock = self._ref_path(name) + ".lock"
+        # The acquisition budget must EXCEED the stale-break age, or a
+        # recently crashed holder makes every acquire fail spuriously
+        # (the wait could never span the threshold — review finding
+        # r16); the swap itself is microseconds, so contention clears
+        # in one sleep tick.
+        stale_after_s = 5.0
+        deadline = time.monotonic() + 2.0 * stale_after_s
         fd = None
-        for _ in range(200):
+        while time.monotonic() < deadline:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
-                try:  # break a stale lock (holder crashed mid-swap)
-                    if time.time() - os.path.getmtime(lock) > 5.0:
-                        os.remove(lock)
-                        continue
+                try:
+                    stale = time.time() - os.path.getmtime(lock) > stale_after_s
                 except OSError:
+                    continue  # holder released between the two calls
+                if stale:
+                    # Break by RENAME, not remove: exactly ONE breaker
+                    # wins the rename; a second breaker's rename fails
+                    # instead of deleting the winner's freshly acquired
+                    # lock out from under it (review finding r16 — the
+                    # remove-based break let two waiters both enter).
+                    try:
+                        broken = f"{lock}.broken.{uuid.uuid4().hex[:8]}"
+                        os.rename(lock, broken)
+                        os.remove(broken)
+                    except OSError:
+                        pass  # lost the break race; retry acquisition
                     continue
-                time.sleep(0.002)
+                time.sleep(0.01)
         if fd is None:
             raise CommitConflictError(f"could not lock ref {name!r}")
         try:
@@ -186,6 +205,8 @@ class BranchedMirror(SnapshotMirror):
         abandoned (expirable garbage — its data was never adopted) and
         the merge re-runs from the NEW head, so two writers advancing
         one branch serialize instead of losing the first's batch."""
+        if max_retries < 1:
+            raise ValueError("max_retries must be >= 1")
         last: CommitConflictError | None = None
         for _ in range(max_retries):
             base = self.get_ref(name)
@@ -209,10 +230,17 @@ class BranchedMirror(SnapshotMirror):
         would silently REWIND it — a lost update wearing a publish
         hat. A diverged branch is re-applied on the new head instead
         (the cherry-pick path q_cdc_wap_race registers)."""
-        if to_ref not in self.refs():
+        refs = self.refs()
+        if to_ref not in refs:
             raise ValueError(
                 f"fast_forward target ref {to_ref!r} does not exist; "
                 f"create it first with branch_create")
+        if from_ref not in refs:
+            # Same refusal contract as the target guard — a typo'd
+            # source must not leak a raw FileNotFoundError past callers
+            # handling the documented ValueError (review finding r16).
+            raise ValueError(
+                f"fast_forward source ref {from_ref!r} does not exist")
         cur = self.get_ref(to_ref)
         v = self.get_ref(from_ref)
         if not self.is_ancestor(cur, v):

