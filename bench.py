@@ -231,6 +231,21 @@ BENCH_QUERIES = [
     # r15: int8-quantized cosine top-k (exact integer scores — the
     # hash-checkable form of the ANN serving ladder's bandwidth rung).
     "q_sim_topk_quantized",
+    # r16: int8 codes scored inside IVF-probed cells only (the composed
+    # serving layout: bucketing bounds candidates, codes bound bytes).
+    "q_sim_ivf_quantized",
+    # r16: two audit branches racing off one base (publish, refused
+    # fast-forward, cherry-pick retry; oracle = sequential apply).
+    "q_cdc_wap_race",
+    # r16: snapshot expiry between branch commits and publish (lineage
+    # tombstones keep the ancestry walk alive; oracle = unexpired apply).
+    "q_cdc_expire_branch",
+    # r16: CMS retraction stream through the durable replay guard with
+    # redelivery + restart inside the query (oracle = net one-shot).
+    "q_stream_cms_durable",
+    # r16: bottom-k quantile stream through the same guard (the other
+    # replay-corruptible transition; oracle = one-shot sketch).
+    "q_stream_quantile_durable",
 ]
 
 

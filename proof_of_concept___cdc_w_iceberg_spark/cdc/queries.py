@@ -1826,3 +1826,66 @@ def q_cdc_wap_race(spark, sf_dir):
     return m.read_ref("main").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
+
+
+@query("q_cdc_expire_branch", oracle=WAP_RACE_MIRROR_SQL)
+def q_cdc_expire_branch(spark, sf_dir):
+    """Snapshot expiry racing a WAP publish — the registered proof
+    that routine maintenance is CONTENT-INVISIBLE to the branch
+    workflow (Iceberg's ``expire_snapshots`` run between an audit
+    branch's commits and its publish; the r16 lineage-tombstone
+    machinery in cdc/versioned.py ``expire``/``is_ancestor``):
+
+    1. branch ``audit`` is cut from main and commits batch A then
+       batch B (two snapshots of audit history, v1 and v2);
+    2. ``expire(keep_last=1)`` runs as a maintenance process would:
+       the INTERMEDIATE branch commit v1 dies — its data dirs are
+       reclaimed (asserted: no longer readable, refuses with the
+       documented error) while ref heads (main's base v0, audit's
+       head v2) stay protected;
+    3. the publish still works: v1's lineage TOMBSTONE keeps the
+       parent chain walkable, so ``fast_forward("main", "audit")``'s
+       ancestry check crosses the expired version and main lands on
+       v2 — a vacuum can never wedge a legitimate publish.
+
+    The registered oracle is the SEQUENTIAL two-batch apply
+    (WAP_RACE_MIRROR_SQL — batch B's stamps are strictly newer), so
+    the driver hash check proves the post-expire published state is
+    byte-identical to what an unexpired ledger publishes: expiry
+    reclaimed only storage, never content. At 100 TB expire() is
+    manifest arithmetic plus deletes of unreferenced dirs — no data
+    moves, no table scan. Sibling rungs: q_cdc_expire_snapshots is
+    the plain linear-history expiry; q_cdc_wap_race is the
+    concurrent-writer half of the same commit protocol.
+    Reference parity: Iceberg 1.9.2 ``expire_snapshots`` /
+    ``fast_forward`` procedures (`pom.xml:15`); the sink's 10 s
+    commit cadence (`connect-iceberg-sink.json:17`) is why expiry is
+    a standing maintenance job."""
+    from .branches import BranchedMirror
+
+    li, batch_a = _scale_mirror_and_changes(spark, sf_dir)
+    batch_b = _wap_race_batch_b(li)
+    keys = ["l_orderkey", "l_linenumber"]
+    path = os.path.join(tempfile.mkdtemp(prefix="cdc_expire_br_"), "mirror")
+    m = BranchedMirror(spark, path, keys=keys, n_buckets=16)
+    v0 = m.init(li)
+    m.branch_create("audit")
+    v1 = m.apply_to_branch("audit", batch_a)
+    v2 = m.apply_to_branch("audit", batch_b)
+
+    dead = m.expire(keep_last=1)
+    assert v1 in dead, f"intermediate branch commit must expire: {dead}"
+    assert v1 not in m.versions(), "tombstone must not read as live"
+    try:
+        m.read(v1)
+        raise AssertionError("expired snapshot must refuse reads")
+    except ValueError:
+        pass
+    assert m.is_ancestor(v0, v2), "lineage must survive the tombstone"
+
+    m.fast_forward("main", "audit")
+    assert m.get_ref("main") == v2, "publish must land on the branch head"
+    m.drop_branch("audit")
+    return m.read_ref("main").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )

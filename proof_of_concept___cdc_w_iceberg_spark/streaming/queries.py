@@ -1169,3 +1169,101 @@ def q_stream_cms_durable(spark, sf_dir):
     )
     keys = net.groupBy("k").agg(F.count("*").alias("exact_cnt"))
     return cms_topk(g2.state(), keys)
+
+
+@query("q_stream_quantile_durable", oracle=STREAM_SKETCH_SQL)
+def q_stream_quantile_durable(spark, sf_dir):
+    """q_stream_sketch's bottom-k quantile maintenance driven through
+    the DURABLE replay guard with the full at-least-once failure
+    schedule inside the query — the registered twin of
+    q_stream_cms_durable for the OTHER guard-needing transition (the
+    replay classification above ReplayGuardedState: a replayed batch
+    re-unions its (v, h) rows into the k-row sample; duplicates crowd
+    out legitimate boundary rows and shift every rank read-out, so
+    bottom-k, like CMS, cannot absorb replay by idempotence — the
+    counterfactual corruption is asserted in tests/test_r16_ops.py):
+
+    - batch 0, batch 1 applied; batch 1 REDELIVERED — skipped by the
+      persisted watermark, asserted;
+    - PROCESS RESTART simulated by re-instantiating the guard over the
+      same path (state + watermark reload from CURRENT.json, the
+      atomic commit point);
+    - batch 1 redelivered AGAIN post-restart — still skipped; batch 2
+      applied.
+
+    The registered oracle is the ONE-SHOT bottom-k sketch over the
+    whole stream (STREAM_SKETCH_SQL — identical to q_stream_sketch's),
+    so the driver hash check proves replay + restart land on the EXACT
+    rebuild: the merge law makes the final sample split-invariant, the
+    guard makes it delivery-count-invariant, and the durable pointer
+    makes it crash-invariant. Per batch the guard persists only the
+    ≤ k-row sample — bytes, not data volume, at any corpus scale.
+    Reference parity: the exactly-once state contract of the sink's
+    10 s commit loop (`connect-iceberg-sink.json:17`) under Kafka
+    Connect's at-least-once redelivery."""
+    import tempfile
+
+    from ..operators.sketches import kq_sample
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v"),
+        F.md5(
+            F.concat(F.lit("skq|"), F.col("event_id").cast("string"))
+        ).alias("h"),
+        "event_id",
+    )
+    k = 256
+    empty = ev.select("v", "h").limit(0)
+
+    def quantile_apply(state, batch):
+        return kq_sample(state.unionByName(kq_sample(batch, k=k)), k=k)
+
+    # Same open-ended splits as q_stream_sketch: every event lands in
+    # exactly one batch whatever the fixture's id range.
+    splits = [
+        F.col("event_id") <= 300,
+        F.col("event_id").between(301, 700),
+        F.col("event_id") >= 701,
+    ]
+
+    def batch(i):
+        return ev.filter(splits[i]).select("v", "h")
+
+    path = tempfile.mkdtemp(prefix="kq_durable_")
+    g = DurableReplayGuard(spark, path, empty, quantile_apply)
+    assert g.apply(0, batch(0)) is True
+    assert g.apply(1, batch(1)) is True
+    assert g.apply(1, batch(1)) is False, "replayed batch must be skipped"
+
+    g2 = DurableReplayGuard(spark, path, empty, quantile_apply)  # restart
+    assert g2.last_batch_id() == 1, "watermark must survive restart"
+    assert g2.apply(1, batch(1)) is False, "replay after restart must skip"
+    assert g2.apply(2, batch(2)) is True
+
+    from pyspark.sql import Window
+
+    sord = g2.state().select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "h")).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("kk"),
+    )
+    spine = spark.createDataFrame(
+        [(float(q),) for q in STREAM_SKETCH_TARGETS], "q double"
+    )
+    n_stream = ev.count()
+    return (
+        sord.join(
+            F.broadcast(spine),
+            F.col("rn") == F.ceil(F.col("q") * F.col("kk")),
+        )
+        .select(
+            "q",
+            F.col("v").alias("est"),
+            F.col("kk").cast("long").alias("k_sample"),
+            F.lit(n_stream).cast("long").alias("n_stream"),
+        )
+    )

@@ -98,6 +98,8 @@ NESTED_LOOP_OK = {
     "threshold/exact-stat broadcasts over <=k-row maintained sketches)",
     "q_stream_sketch": "3-row quantile-target spine broadcast joined to "
     "the bounded k-row sketch state on a computed rank",
+    "q_stream_quantile_durable": "same 3-row spine-over-bounded-sample "
+    "read-out as q_stream_sketch, over the durable guard's final state",
     "q_sketch_quantile_grouped": "2-row quantile-target spine broadcast "
     "joined on the OR of the sample-rank/exact-rank picks (theta by "
     "construction; the stream side is shuffled exactly once, on grp)",

@@ -346,7 +346,7 @@ def test_sim_ivf_quantized_recall_vs_exact(spark, sf_dir):
         f"composed recall {recall:.2f} not above chance ({5 / n:.3f})")
 
 
-# --- staged r17 rung: quantile sketch under the durable guard -----------
+# --- quantile sketch under the durable guard ----------------------------
 
 
 def test_durable_guard_quantile_sketch_replay_and_restart(spark, sf_dir):
@@ -354,10 +354,11 @@ def test_durable_guard_quantile_sketch_replay_and_restart(spark, sf_dir):
     classification above ReplayGuardedState: the bottom-k quantile
     sample duplicates a replayed batch's (v,h) rows inside the k-row
     sample and shifts read-out ranks) driven through DurableReplayGuard
-    with replay + restart — the quantile twin of the registered
-    q_stream_cms_durable row, STAGED for r17 registration (the r16
-    driver window is fully budgeted to the 42-row r9-stale sweep).
-    Law: replays skipped pre- and post-restart; the final durable state
+    with replay + restart — the counterfactual-corruption LAW behind the
+    registered q_stream_quantile_durable row (registered late-r16 once
+    the window math showed slack; the registered query asserts the
+    guard's skip/restart behavior but not this poisoned-state
+    counterfactual, which stays pinned here at sf0.001). Law: replays skipped pre- and post-restart; the final durable state
     equals the one-shot bottom-k over the whole stream row for row."""
     import tempfile
 
@@ -445,3 +446,59 @@ def test_expire_leaves_lineage_tombstones_for_ancestry(spark, tmp_path):
     assert v3 > v2
     rows = {r["k"]: r["v"] for r in m.read_ref("main").select("k", "v").collect()}
     assert rows[15] == 15 * 1.5 * 2.0 and rows[22] == 22 * 1.5 * 2.0
+
+
+def test_r16_table_writing_rungs_idempotent_rerun(spark, sf_dir):
+    """Table-writing registered queries must survive a run-twice in one
+    session (the driver/bench may invoke twice — the q_cdc_compact_files
+    contract from tests/test_r15_ops.py, extended to the r16 rungs):
+    each invocation builds in a fresh tmp dir and returns the identical
+    relation."""
+    from proof_of_concept___cdc_w_iceberg_spark import registry
+
+    qs = registry.queries()
+    for name in (
+        "q_cdc_wap_race",
+        "q_cdc_expire_branch",
+        "q_stream_cms_durable",
+        "q_stream_quantile_durable",
+    ):
+        a = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+        b = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+        assert a == b and len(a) > 0, name
+
+
+def test_expire_branch_matches_sequential_apply(spark, sf_dir):
+    """q_cdc_expire_branch returns the SAME relation as applying the
+    two batches sequentially with no expire in between — expiry
+    reclaims storage, never content (the in-repo twin of the
+    WAP_RACE_MIRROR_SQL oracle, proven engine-side)."""
+    from proof_of_concept___cdc_w_iceberg_spark import registry
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.queries import (
+        _scale_mirror_and_changes,
+        _wap_race_batch_b,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.versioned import (
+        SnapshotMirror,
+    )
+
+    got = sorted(
+        map(tuple, registry.queries()["q_cdc_expire_branch"](spark, sf_dir).collect())
+    )
+    li, batch_a = _scale_mirror_and_changes(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="seq_apply_"), "mirror")
+    m = SnapshotMirror(spark, path, keys=["l_orderkey", "l_linenumber"],
+                       n_buckets=16)
+    m.init(li)
+    m.apply(batch_a)
+    m.apply(_wap_race_batch_b(li))
+    want = sorted(
+        map(
+            tuple,
+            m.read()
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
