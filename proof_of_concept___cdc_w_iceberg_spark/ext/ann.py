@@ -953,3 +953,223 @@ def q_sim_ivf_quantized(spark, sf_dir):
             F.round("cosine_q", 6).alias("cosine_q"),
         )
     )
+
+
+# --- product quantization (r16, library-only; staged r17 registration) ---
+#
+# The ANN serving ladder's final compression rung: scalar int8 codes
+# (q_sim_topk_quantized) cut bandwidth 4x; PRODUCT quantization (Jegou,
+# Douze & Schmid 2011, "Product Quantization for Nearest Neighbor
+# Search") cuts it ~32x by splitting each vector into PQ_M contiguous
+# subspaces and replacing every subvector with the id of its nearest
+# codebook centroid — PQ_M small ids per vector instead of d floats —
+# while queries score candidates with ASYMMETRIC DISTANCE COMPUTATION
+# (ADC): the full-precision query builds one |codebook|-entry dot table
+# per subspace and every candidate's score is PQ_M table lookups summed.
+#
+# Everything is built from the repo's proven deterministic parts so an
+# r17 registered rung can oracle it in DuckDB (the unrolled-CTE pattern
+# of q_knn_graph_descent2 / q_kmeans_embed):
+#   - codebook training = decimal-sum means (order-independent exact
+#     addition, the q_sim_ivf centroid technique): seed centroids are
+#     the per-(subspace, vec_id % PQ_KS) group means; ONE Lloyd
+#     refinement reassigns every subvector to its nearest seed
+#     (decimal-exact squared distances, ties on centroid id) and
+#     re-means — Lloyd monotonicity is law-tested;
+#   - encoding = the same nearest-centroid rank window (deterministic
+#     ties), so codes are partitioning-invariant (law-tested);
+#   - ADC tables = decimal-sum dots, so scores are exact arithmetic.
+#
+# At 100 TB: training touches each subvector twice (two map-combined
+# decimal aggregates + one broadcast-codebook assignment join — the
+# codebook is PQ_M x PQ_KS rows, always broadcastable); encoding is one
+# broadcast join; serving scans CODES (PQ_M ints/vector), not vectors,
+# and composes with IVF routing exactly like q_sim_ivf_quantized
+# (coarse cells hold PQ codes instead of int8 codes).
+
+PQ_M = 8    # subspaces: 64-dim fixture -> 8 dims per subvector
+PQ_KS = 32  # centroids per subspace codebook (probed: recall@5 0.28
+#             ADC-only / 0.80 with the exact rerank at shortlist=50,
+#             vs 0.01 chance, on the sf0.001 fixture)
+
+
+def _pq_dim(e) -> int:
+    """Embedding dimensionality (1-row driver lookup, bounded)."""
+    return len(e.select("embedding").first()[0])
+
+
+def pq_subvectors(e, m: int = PQ_M):
+    """(vec_id, sub, subvec): contiguous d/m-dim slices of each
+    embedding, doubles. One narrow projection, no shuffle."""
+    d = _pq_dim(e)
+    subdim = d // m
+    assert subdim * m == d, f"dim {d} not divisible into {m} subspaces"
+    slices = F.array(*[
+        F.slice(
+            F.transform("embedding", lambda x: x.cast("double")),
+            i * subdim + 1, subdim,
+        )
+        for i in range(m)
+    ])
+    return e.select(
+        "vec_id", F.posexplode(slices).alias("sub", "subvec")
+    )
+
+
+def _pq_group_means(assigned, id_col: str):
+    """Per-(sub, id_col) decimal-exact mean vector of ``subvec`` —
+    the order-independent centroid aggregate (q_sim_ivf technique).
+    Map-combined: two groupBys, no row ever leaves its partition
+    before partial aggregation."""
+    return (
+        assigned.select(
+            "sub", F.col(id_col).alias("cid"),
+            F.posexplode("subvec").alias("pos", "v"),
+        )
+        .groupBy("sub", "cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("sub", "cid")
+        .agg(F.array_agg(F.struct("pos", "cv")).alias("pcs"))
+        .select("sub", "cid", F.array_sort("pcs").cv.alias("centroid"))
+    )
+
+
+def _pq_sqdist():
+    """Squared distance between ``subvec`` and ``centroid`` as a
+    SEQUENTIAL double left fold — the DOT_SQL/SQNORM_SQL determinism
+    contract (bit-identical IEEE754 chains in both engines; the fold
+    order is fixed, so no order-dependence to neutralize)."""
+    return F.aggregate(
+        F.zip_with("subvec", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_assign(subs, codebook):
+    """Nearest-centroid id per (vec_id, sub): broadcast the codebook
+    (≤ m·ks rows), rank by (sqdist, cid) — deterministic ties."""
+    scored = subs.join(F.broadcast(codebook), "sub").select(
+        "vec_id", "sub", "subvec", "cid", _pq_sqdist().alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "d2")
+    )
+
+
+def pq_train(e, m: int = PQ_M, ks: int = PQ_KS, iters: int = 2):
+    """Codebook (sub, cid, centroid): seed = per-(sub, vec_id % ks)
+    group means; ``iters`` Lloyd refinements (assign to nearest
+    centroid, re-mean per assignment — total in-cluster sqdist is
+    monotone non-increasing per iteration, law-tested). Centroids
+    that attract no subvector simply drop out (the codebook may hold
+    < ks entries per subspace). Each iteration localCheckpoints (the
+    k-means IVM discipline: plan size stays flat however many
+    rounds). Returns the refined codebook."""
+    subs = pq_subvectors(e, m)
+    cb = _pq_group_means(
+        subs.withColumn("g", F.col("vec_id") % ks), "g"
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        cb = _pq_group_means(
+            _pq_assign(subs, cb), "cid"
+        ).localCheckpoint(eager=True)
+    return cb
+
+
+def pq_encode(e, codebook, m: int = PQ_M):
+    """Codes (vec_id, sub, code): each subvector replaced by its
+    nearest refined centroid's id — PQ_M small ints per vector, the
+    ~32x-compressed serving representation."""
+    return _pq_assign(pq_subvectors(e, m), codebook).select(
+        "vec_id", "sub", F.col("cid").alias("code")
+    )
+
+
+def pq_adc_topk(e, codebook, codes, k: int = 5, query_mod: int = 100,
+                m: int = PQ_M):
+    """Asymmetric-distance top-k: full-precision queries (vec_id %
+    query_mod == 0) build a per-(query, sub, cid) dot TABLE against
+    the broadcast codebook (|queries|·m·ks rows — bounded); every
+    candidate's score is the sum of its m code lookups (approximates
+    dot(q, x) by dot(q, reconstruction(x))). The corpus-side scan
+    reads CODES only — never the vectors. Returns (query_id, cand_id,
+    adc_dot, rn ≤ k), self-pairs excluded, ties on cand_id."""
+    qsubs = pq_subvectors(e.filter(F.col("vec_id") % query_mod == 0), m)
+    table = qsubs.join(F.broadcast(codebook), "sub").select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        F.col("cid").alias("code"),
+        F.aggregate(
+            F.zip_with("subvec", "centroid", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("t"),
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        # The cross-subspace sum is a groupBy (order nondeterministic),
+        # so it goes through the DECIMAL cast for exact, order-
+        # independent addition — the registry determinism rule.
+        .agg(F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
+             .alias("adc_dot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def pq_rerank_topk(e, codebook, codes, k: int = 5, shortlist: int = 50,
+                   query_mod: int = 100, m: int = PQ_M):
+    """The production PQ serving shape: ADC over CODES builds a
+    per-query shortlist (cheap — m table lookups per candidate, no
+    vector reads), then ONLY the shortlist's full-precision vectors
+    are fetched and rescored exactly (sequential-fold dot, the
+    DOT_SQL chain) for the final top-k. At 100 TB the exact-rescore
+    join touches |queries|·shortlist vectors, never the corpus — the
+    IO asymmetry that makes PQ the index format and full precision
+    the rerank format. Probed on the fixture: recall@5 0.80 at
+    shortlist=50 vs 0.28 ADC-only (chance 0.01)."""
+    short = pq_adc_topk(
+        e, codebook, codes, k=shortlist, query_mod=query_mod, m=m
+    ).select("query_id", "cand_id")
+    emb = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = emb.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = (
+        short.join(F.broadcast(q), "query_id")
+        .join(emb, short.cand_id == emb.vec_id)
+    )
+    scored = cand.select(
+        "query_id", "cand_id",
+        F.aggregate(
+            F.zip_with("qv", "v", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

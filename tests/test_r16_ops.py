@@ -502,3 +502,118 @@ def test_expire_branch_matches_sequential_apply(spark, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+# --- product quantization (library-only; staged r17 registration) --------
+
+
+def _pq_parts(spark, sf_dir):
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = ann.pq_train(e)
+    codes = ann.pq_encode(e, cb)
+    return ann, e, cb, codes
+
+
+def test_pq_lloyd_refinement_monotone(spark, sf_dir):
+    """Each Lloyd iteration can only shrink the total in-cluster
+    squared distance (assignment picks the nearest centroid; the mean
+    minimizes within-cluster sqdist) — the law that makes the iterated
+    codebook trustworthy without a quality oracle."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    subs = ann.pq_subvectors(e)
+    seeds = ann._pq_group_means(
+        subs.withColumn("g", F.col("vec_id") % ann.PQ_KS), "g"
+    )
+    refined = ann.pq_train(e)
+
+    def total_d2(codebook):
+        assigned = ann._pq_assign(subs, codebook)
+        return float(
+            assigned.join(F.broadcast(codebook), ["sub", "cid"])
+            .select(ann._pq_sqdist().alias("d2"))
+            .agg(F.sum("d2"))
+            .first()[0]
+        )
+
+    d_seed, d_ref = total_d2(seeds), total_d2(refined)
+    assert d_ref <= d_seed, (d_ref, d_seed)
+    assert d_ref < d_seed * 0.95, "refinement did not actually move"
+
+
+def test_pq_codes_complete_and_bounded(spark, sf_dir):
+    """Every vector gets exactly PQ_M codes (one per subspace), every
+    code names a live codebook centroid, and the codebook itself is
+    broadcast-sized (≤ PQ_M · PQ_KS rows) — the structural contract of
+    the ~32x-compressed representation."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+
+    ann_mod, e, cb, codes = _pq_parts(spark, sf_dir)
+    n = e.count()
+    assert codes.count() == n * ann.PQ_M
+    per_vec = codes.groupBy("vec_id").agg(F.count("*").alias("c"))
+    assert per_vec.filter(F.col("c") != ann.PQ_M).count() == 0
+    assert cb.count() <= ann.PQ_M * ann.PQ_KS
+    dangling = codes.join(
+        cb.select("sub", F.col("cid").alias("code")), ["sub", "code"],
+        "left_anti",
+    )
+    assert dangling.count() == 0, "code names a dead centroid"
+
+
+def test_pq_encoding_partitioning_invariant(spark, sf_dir):
+    """Codes are identical whatever the input partitioning — decimal
+    sums make training order-independent and the assignment rank ties
+    on centroid id, so the whole pipeline is deterministic (the
+    precondition for an r17 hash-checked registration)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def run(df):
+        cb = ann.pq_train(df)
+        return sorted(map(tuple, ann.pq_encode(df, cb).collect()))
+
+    assert run(e.repartition(1)) == run(e.repartition(7))
+
+
+def test_pq_adc_rerank_recall(spark, sf_dir):
+    """The production serving shape — ADC shortlist over codes, exact
+    rescore of the shortlist only — recovers most of the exact top-5
+    (probed 0.80 on this fixture), and even ADC alone beats chance by
+    an order of magnitude. Exact baseline = numpy full-precision dot."""
+    import numpy as np
+
+    ann_mod, e, cb, codes = _pq_parts(spark, sf_dir)
+    rows = e.collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    exact = {}
+    for qid in (v for v in V if v % 100 == 0):
+        dots = sorted(
+            ((np.dot(V[qid], V[c]), c) for c in V if c != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        exact[qid] = {c for _, c in dots[:5]}
+
+    def mean_recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["cand_id"])
+        recs = [len(exact[q] & got.get(q, set())) / 5 for q in exact]
+        return sum(recs) / len(recs)
+
+    adc = mean_recall(ann_mod.pq_adc_topk(e, cb, codes, k=5))
+    rerank = mean_recall(
+        ann_mod.pq_rerank_topk(e, cb, codes, k=5, shortlist=50)
+    )
+    n = len(V)
+    chance = 5 / (n - 1)
+    assert adc >= 10 * chance, (adc, chance)
+    assert rerank >= 0.6, rerank
+    assert rerank >= adc, "exact rescore must not lose recall vs ADC"
