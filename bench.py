@@ -454,10 +454,27 @@ def _load_floors() -> dict:
 def _update_floors(sf: float, calib_s: float, noop_s: float,
                    total: float) -> dict:
     """Fold this run into the all-time minima and return the (possibly
-    updated) per-scale record."""
+    updated) per-scale record.
+
+    ``suite_min`` is only comparable across runs of the SAME query
+    set: adding or removing BENCH_QUERIES entries changes the
+    structural total, so an old composition's floor would read as
+    permanent secular drift (or hide a real regression after a
+    removal — review finding r16). The record carries the query-set
+    fingerprint; when the set changes, suite_min resets and re-floors
+    under the new composition. noop/calib floors are per-probe and
+    composition-independent."""
+    import hashlib
+
     floors = _load_floors()
     key = str(sf)
     rec = floors.get(key) if isinstance(floors.get(key), dict) else {}
+    qset_fp = hashlib.md5(
+        "\n".join(sorted(BENCH_QUERIES)).encode()).hexdigest()[:12]
+    if rec.get("suite_queries_fp") != qset_fp:
+        rec.pop("suite_min", None)
+        rec["suite_queries_fp"] = qset_fp
+        rec["suite_queries_n"] = len(BENCH_QUERIES)
     for field, val in (("noop_s_min", noop_s), ("calib_s_min", calib_s),
                        ("suite_min", total)):
         old = rec.get(field)
@@ -592,21 +609,35 @@ def _time_query(spark, qs, name: str, sf_dir: str,
         # queries (``fixed_delta_s`` in _drift_report). Best-effort:
         # a missing count only drops the annotation, never a timing.
         try:
-            tracker = sc.statusTracker()
-            n = 0
-            for j in tracker.getJobIdsForGroup(group):
-                info = tracker.getJobInfo(j)
-                if info is None:
-                    continue
-                for sid in info.stageIds:
-                    sinfo = tracker.getStageInfo(sid)
-                    if sinfo is not None and sinfo.numTasks > 0:
-                        n += 1
+            n = _stages_in_group(sc, group)
             if n:
                 stages[name] = n  # rerun overwrites: same plan, same count
         except Exception:
             pass
     return dt
+
+
+def _stages_in_group(sc, group: str) -> int:
+    """Distinct stages that actually RAN tasks under a job group.
+
+    Set-dedup first: a stage shared by two jobs in the group appears
+    in both jobs' stageIds and was being counted twice; and a stage
+    SKIPPED via shuffle reuse never ran its tasks
+    (numCompletedTasks == 0) yet carried numTasks > 0 — both inflated
+    n_stages and over-credited fixed_delta_s, masking real plan
+    regressions as regime noise (review finding r16)."""
+    tracker = sc.statusTracker()
+    sids: set[int] = set()
+    for j in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(j)
+        if info is not None:
+            sids.update(info.stageIds)
+    n = 0
+    for sid in sids:
+        sinfo = tracker.getStageInfo(sid)
+        if sinfo is not None and sinfo.numCompletedTasks > 0:
+            n += 1
+    return n
 
 
 # A query whose time moved >1.4x vs the previous artifact (either

@@ -37,6 +37,9 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
+
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -75,8 +78,52 @@ class BranchedMirror(SnapshotMirror):
         with open(self._ref_path(name)) as f:
             return json.load(f)["version"]
 
+    @contextmanager
+    def _ref_lock(self, name: str, timeout_s: float = 10.0):
+        """Exclusive per-ref critical section via ``fcntl.flock`` on a
+        PERSISTENT lock file (never unlinked — unlinking would let a
+        late opener lock a ghost inode while a new opener locks the
+        fresh one, two 'exclusive' holders at once).
+
+        flock replaces the old exclusive-create + mtime-stale-break
+        protocol, which had an unfixable TOCTOU (review finding r16):
+        the staleness check and the break could not be made atomic
+        against a concurrent fresh acquire, so a breaker could destroy
+        a LIVE holder's lock and let two writers into the CAS section.
+        A kernel advisory lock needs no staleness heuristic at all — a
+        crashed holder's lock is released by the kernel with the fd.
+        The ledger is a local-filesystem mirror (every registered
+        query builds under a local tmp dir), so flock's single-host
+        semantics are the deployment contract; a shared-filesystem
+        deployment would swap this for the catalog's atomic swap, as
+        real Iceberg does."""
+        import fcntl
+        import time
+
+        lock = self._ref_path(name) + ".lock"
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+        try:
+            deadline = time.monotonic() + timeout_s
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() >= deadline:
+                        raise CommitConflictError(
+                            f"could not lock ref {name!r} within "
+                            f"{timeout_s:.0f}s (live holder)")
+                    time.sleep(0.01)
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
     def set_ref(self, name: str, version: int,
-                expect: int | None = None) -> None:
+                expect: int | None = None,
+                create_only: bool = False) -> None:
         """Atomic pointer move — the branch analogue of the manifest
         commit: readers see the old or the new head, never a torn
         write.
@@ -87,68 +134,38 @@ class BranchedMirror(SnapshotMirror):
         lost-update guard matching _commit's linear check one level up
         (two writers advancing ONE branch: the loser's ref move is
         refused instead of silently orphaning the winner's commit from
-        the branch head). Serialized by a short-lived exclusive-create
-        lock file; a crashed holder's lock is broken after a bounded
-        wait (the ref swap itself is microseconds)."""
+        the branch head). ``create_only`` refuses an EXISTING ref
+        inside the same critical section (branch_create's double-create
+        race: two concurrent creates of one name used to both pass the
+        pre-check and silently clobber each other).
+
+        EVERY write path holds the ref's flock — the old code skipped
+        the lock when ``expect`` was None, so a plain write could land
+        between a CAS holder's read and write and be silently
+        overwritten (review finding r16)."""
         if version not in self.versions():
             raise ValueError(f"no snapshot v{version} to point {name!r} at")
-        if expect is None:
+        with self._ref_lock(name):
+            exists = os.path.exists(self._ref_path(name))
+            if create_only and exists:
+                raise ValueError(
+                    f"ref {name!r} already exists; use fast_forward to "
+                    f"move it")
+            if expect is not None:
+                current = self.get_ref(name) if exists else None
+                if current != expect:
+                    raise CommitConflictError(
+                        f"ref {name!r} moved v{expect} -> v{current} since "
+                        f"the merge base was read: re-read and re-merge")
             self._write_ref(name, version)
-            return
-        import time
-        import uuid
-
-        lock = self._ref_path(name) + ".lock"
-        # The acquisition budget must EXCEED the stale-break age, or a
-        # recently crashed holder makes every acquire fail spuriously
-        # (the wait could never span the threshold — review finding
-        # r16); the swap itself is microseconds, so contention clears
-        # in one sleep tick.
-        stale_after_s = 5.0
-        deadline = time.monotonic() + 2.0 * stale_after_s
-        fd = None
-        while time.monotonic() < deadline:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    stale = time.time() - os.path.getmtime(lock) > stale_after_s
-                except OSError:
-                    continue  # holder released between the two calls
-                if stale:
-                    # Break by RENAME, not remove: exactly ONE breaker
-                    # wins the rename; a second breaker's rename fails
-                    # instead of deleting the winner's freshly acquired
-                    # lock out from under it (review finding r16 — the
-                    # remove-based break let two waiters both enter).
-                    try:
-                        broken = f"{lock}.broken.{uuid.uuid4().hex[:8]}"
-                        os.rename(lock, broken)
-                        os.remove(broken)
-                    except OSError:
-                        pass  # lost the break race; retry acquisition
-                    continue
-                time.sleep(0.01)
-        if fd is None:
-            raise CommitConflictError(f"could not lock ref {name!r}")
-        try:
-            current = self.get_ref(name) if os.path.exists(
-                self._ref_path(name)) else None
-            if current != expect:
-                raise CommitConflictError(
-                    f"ref {name!r} moved v{expect} -> v{current} since the "
-                    f"merge base was read: re-read and re-merge")
-            self._write_ref(name, version)
-        finally:
-            os.close(fd)
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
 
     def _write_ref(self, name: str, version: int) -> None:
-        tmp = self._ref_path(name) + ".tmp"
+        # Writer-unique tmp name: a FIXED '.tmp' let two concurrent
+        # plain writers truncate each other's half-written staging file
+        # and publish torn JSON (review finding r16). os.replace stays
+        # the atomic commit point.
+        tmp = (f"{self._ref_path(name)}.tmp.{os.getpid()}."
+               f"{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
         os.replace(tmp, self._ref_path(name))
@@ -165,18 +182,22 @@ class BranchedMirror(SnapshotMirror):
         moving main (or any live branch) must go through the audited
         fast_forward path, never through a create (review finding:
         branch_create('main', from_ref=<unaudited>) would otherwise
-        silently republish)."""
-        if name in self.refs():
+        silently republish). The existence check runs INSIDE the ref's
+        critical section (``create_only``), so two concurrent creates
+        of one name serialize: one wins, the other gets the refusal
+        instead of a silent clobber (review finding r16)."""
+        if from_ref not in self.refs():
             raise ValueError(
-                f"ref {name!r} already exists; use fast_forward to move it")
+                f"branch_create source ref {from_ref!r} does not exist")
         v = self.get_ref(from_ref)
-        self.set_ref(name, v)
+        self.set_ref(name, v, create_only=True)
         return v
 
     def drop_branch(self, name: str) -> None:
         if name == MAIN:
             raise ValueError("refusing to drop main")
-        os.remove(self._ref_path(name))
+        with self._ref_lock(name):
+            os.remove(self._ref_path(name))
 
     def read_ref(self, name: str = MAIN) -> DataFrame:
         return self.read(version=self.get_ref(name))
@@ -208,9 +229,16 @@ class BranchedMirror(SnapshotMirror):
         if max_retries < 1:
             raise ValueError("max_retries must be >= 1")
         last: CommitConflictError | None = None
+        # Prepared ONCE: the compacted batch and touched-bucket set are
+        # pure functions of ``changes``, so a CAS retry re-merges from
+        # the new head but never re-runs the batch-compaction job (the
+        # same hoist versioned.apply applies to its own retry loop —
+        # review finding r16).
+        latest, touched = self._prepare_batch(changes)
         for _ in range(max_retries):
             base = self.get_ref(name)
-            v = super().apply(changes, op_col=op_col, base_version=base)
+            v = self._apply_prepared(latest, touched, op_col=op_col,
+                                     base_version=base)
             try:
                 self.set_ref(name, v, expect=base)
                 return v

@@ -84,10 +84,27 @@ class SnapshotMirror:
         manifest to a lineage tombstone ({version, base, expired}) —
         its data is reclaimed and it no longer reads, but the parent
         chain stays walkable (fast_forward's ancestry check must not
-        be wedged by routine maintenance — review finding r16)."""
+        be wedged by routine maintenance — review finding r16).
+
+        Tombstoned versions are detected from the sibling ``v{N}.tomb``
+        MARKER files expire() drops, so this stays ONE listdir — the
+        flag-in-manifest check made every versions() call open and
+        JSON-parse all n manifests (O(n²) file opens over the ledger's
+        life, on hot paths like current_version and the apply retry
+        loop — review finding r16). The manifest's ``expired`` flag is
+        still written and still checked by read(), as the belt to this
+        suspender."""
+        mdir = os.path.join(self.path, "manifests")
+        try:
+            names = set(os.listdir(mdir))
+        except OSError:
+            return []
         return [
-            v for v in self._all_versions()
-            if not self._load_manifest(v).get("expired")
+            v for v in sorted(
+                int(n[1:-5]) for n in names
+                if n.startswith("v") and n.endswith(".json")
+            )
+            if f"v{v}.tomb" not in names
         ]
 
     def current_version(self) -> int:
@@ -222,8 +239,16 @@ class SnapshotMirror:
 
     def read(self, version: int | None = None) -> DataFrame:
         """The mirror as of ``version`` (default: latest) — time travel."""
-        m = self._load_manifest(
-            self.current_version() if version is None else version)
+        v = self.current_version() if version is None else version
+        # Marker first (covers the crash window where expire() dropped
+        # the marker but died before shrinking the manifest — the data
+        # dirs are condemned either way), then the manifest flag.
+        if os.path.exists(
+                os.path.join(self.path, "manifests", f"v{v}.tomb")):
+            raise ValueError(
+                f"snapshot v{v} is expired: its data was reclaimed; "
+                f"only its lineage tombstone remains")
+        m = self._load_manifest(v)
         if m.get("expired"):
             raise ValueError(
                 f"snapshot v{m['version']} is expired: its data was "
@@ -246,20 +271,35 @@ class SnapshotMirror:
         instead of the ledger's newest snapshot (cdc/branches.py);
         lineage is still recorded, but conflict detection for branches
         happens at the ref swap, so no retry is attempted here."""
-        if max_retries < 1:
-            raise ValueError("max_retries must be >= 1")
-        pinned = base_version is not None
-        last_conflict: CommitConflictError | None = None
-        # The compacted batch and its touched-bucket set are pure
-        # functions of ``changes`` — hoisted out of the retry loop so a
-        # conflict retry re-merges but never re-runs the batch-compaction
-        # job (review finding r16).
+        latest, touched = self._prepare_batch(changes)
+        return self._apply_prepared(latest, touched, op_col=op_col,
+                                    base_version=base_version,
+                                    max_retries=max_retries)
+
+    def _prepare_batch(self, changes: DataFrame):
+        """The batch's compacted latest-wins form and its touched-bucket
+        set — pure functions of ``changes``, computed ONCE and reused
+        across every conflict retry (this ledger's retry loop AND the
+        ref-CAS loop one level up in branches.py, which used to re-run
+        the compaction job per retry — review finding r16)."""
         latest = compact_latest(changes, self.keys, self.order_cols)
         touched = {
             str(r[0]) for r in
             latest.select(bucket_expr(self.keys, self.n_buckets)).distinct()
             .collect()
         }
+        return latest, touched
+
+    def _apply_prepared(self, latest: DataFrame, touched: set[str],
+                        op_col: str = "op",
+                        base_version: int | None = None,
+                        max_retries: int = 5) -> int:
+        """apply()'s merge-and-commit loop over an already-prepared
+        batch (see _prepare_batch)."""
+        if max_retries < 1:
+            raise ValueError("max_retries must be >= 1")
+        pinned = base_version is not None
+        last_conflict: CommitConflictError | None = None
         for _ in range(max_retries):
             base = base_version if pinned else self.current_version()
             m = self._load_manifest(base)
@@ -331,7 +371,14 @@ class SnapshotMirror:
             tomb = {"version": v, "expired": True}
             if "base" in m:
                 tomb["base"] = m["base"]
-            tmp = self._manifest_path(v) + f".tomb{os.getpid()}"
+            # Marker FIRST (versions()/read() condemn the snapshot from
+            # the marker alone — a crash between the two writes leaves
+            # it dead-but-unshrunk, never readable-but-reclaimed), then
+            # shrink the manifest to the lineage tombstone.
+            marker = os.path.join(self.path, "manifests", f"v{v}.tomb")
+            with open(marker, "w") as f:
+                f.write("{}")
+            tmp = self._manifest_path(v) + f".tombtmp{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(tomb, f)
             os.replace(tmp, self._manifest_path(v))

@@ -676,6 +676,38 @@ QUANT_TOPK_SQL = """
 """
 
 
+def int8_codes(e):
+    """(vec_id[, label], qv, qsq): per-vector symmetric int8
+    quantization — scale max|x|/127, elements FLOOR(x·127/max|x|)
+    (q_embed_quantize's exact arithmetic; floor because IEEE floor is
+    bit-identical across engines while round-half ties are not) — plus
+    the integer square norm. ONE copy shared by the quantized rungs so
+    the determinism contract cannot silently diverge between them
+    (review finding r16)."""
+    keep = [c for c in ("vec_id", "label") if c in e.columns]
+    ma = F.array_max(
+        F.transform("embedding", lambda v: F.abs(v.cast("double")))
+    )
+    q8 = e.select(
+        *keep,
+        F.transform(
+            "embedding",
+            lambda x: F.when(F.lit(0.0) == ma, F.lit(0.0))
+            .otherwise(F.floor(x.cast("double") * 127 / ma))
+            .cast("long"),
+        ).alias("qv"),
+    )
+    return q8.select(
+        *keep,
+        "qv",
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("qsq"),
+    )
+
+
 @query("q_sim_topk_quantized", oracle=QUANT_TOPK_SQL)
 def q_sim_topk_quantized(spark, sf_dir):
     """Brute-force cosine top-k over SCALAR-QUANTIZED (int8) vectors —
@@ -696,27 +728,7 @@ def q_sim_topk_quantized(spark, sf_dir):
     which would sort ahead of every real neighbor (advice fix,
     mirrored in QUANT_TOPK_SQL)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ma = F.array_max(
-        F.transform("embedding", lambda v: F.abs(v.cast("double")))
-    )
-    q8 = e.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.when(F.lit(0.0) == ma, F.lit(0.0))
-            .otherwise(F.floor(x.cast("double") * 127 / ma))
-            .cast("long"),
-        ).alias("qv"),
-    )
-    n = q8.select(
-        "vec_id",
-        "qv",
-        F.aggregate(
-            F.transform("qv", lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("qsq"),
-    )
+    n = int8_codes(e)
     q = n.filter((F.col("vec_id") % 100 == 0) & (F.col("qsq") > 0)).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
@@ -854,49 +866,19 @@ def q_sim_ivf_quantized(spark, sf_dir):
     Reference parity: the Trino pass-through surface
     (`init_for_test.py:66-79`) has no ANN — this rung extends the
     engine for LLM-pipeline retrieval workloads."""
-    from .similarity import _dot
+    from .similarity import _dot, ivf_cell_centroids
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding",
         _sqnorm(F.col("embedding")).alias("sq"),
-        F.array_max(
-            F.transform("embedding", lambda v: F.abs(v.cast("double")))
-        ).alias("ma"),
     )
-    # int8 codes + integer square norms (q_embed_quantize arithmetic).
-    n = e.select(
-        "vec_id", "label",
-        F.transform(
-            "embedding",
-            lambda x: F.when(F.col("ma") == F.lit(0.0), F.lit(0.0))
-            .otherwise(F.floor(x.cast("double") * 127 / F.col("ma")))
-            .cast("long"),
-        ).alias("qv"),
-    ).select(
-        "vec_id", "label", "qv",
-        F.aggregate(
-            F.transform("qv", lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        ).alias("qsq"),
-    )
-    # Coarse quantizer: exact-decimal per-cell centroids (q_sim_ivf).
-    dims = e.select("label", F.posexplode("embedding").alias("pos", "v"))
-    cent = (
-        dims.groupBy("label", "pos")
-        .agg(
-            (
-                F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
-                .cast("double") / F.count("*")
-            ).alias("cv")
-        )
-        .groupBy("label")
-        .agg(F.array_agg(F.struct("pos", "cv")).alias("pcs"))
-        .select("label", F.array_sort("pcs").cv.alias("centroid"))
-        .select(
-            F.col("label").alias("c_label"), "centroid",
-            _sqnorm(F.col("centroid")).alias("c_sq"),
-        )
+    # int8 codes + integer square norms: the SHARED quantization block
+    # (int8_codes — q_embed_quantize arithmetic, one copy per contract).
+    n = int8_codes(e)
+    # Coarse quantizer: q_sim_ivf's exact-decimal per-cell centroids,
+    # via the shared helper (ivf_cell_centroids).
+    cent = ivf_cell_centroids(e).select(
+        F.col("label").alias("c_label"), "centroid", "c_sq"
     )
     q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("sq") > 0)).select(
         F.col("vec_id").alias("query_id"),

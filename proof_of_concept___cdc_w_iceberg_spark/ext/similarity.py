@@ -314,6 +314,33 @@ def q_sim_ivf(spark, sf_dir):
     )
 
 
+def ivf_cell_centroids(e):
+    """(label, centroid, c_sq): exact-decimal per-cell mean centroids —
+    the multiprobe_assign technique that makes probe routing
+    deterministic in both engines (posexplode → per-dimension decimal
+    sum → array_sort reassembly). Extracted so the quantized IVF rung
+    (ext/ann.py) shares ONE copy of the determinism-critical block
+    (review finding r16: three verbatim copies could silently diverge
+    on a precision change). q_sim_ivf above still inlines the same
+    block verbatim — migrating it re-fronts its driver fingerprint, so
+    that lands in a round whose check window has slack; until then this
+    docstring is the cross-reference keeping the copies honest."""
+    dims = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        dims.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
+                .cast("double") / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(F.array_agg(F.struct("pos", "cv")).alias("pcs"))
+        .select("label", F.array_sort("pcs").cv.alias("centroid"))
+        .select("label", "centroid", _sqnorm(F.col("centroid")).alias("c_sq"))
+    )
+
+
 N_PLANES = 16  # 2 bands x 8 bits
 
 

@@ -406,18 +406,85 @@ def test_alltime_floors_monotone(tmp_path, monkeypatch):
     DOWN — the rolling window re-floors in the current regime, these
     never do, so secular growth stays arithmetically visible."""
     monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+
+    def mins(rec):
+        # Project away the query-set fingerprint stamps (covered by
+        # test_update_floors_resets_suite_min_on_queryset_change).
+        return {k: v for k, v in rec.items() if k.endswith("_min")}
+
     rec = bench._update_floors(0.1, calib_s=0.35, noop_s=0.12, total=250.0)
-    assert rec == {"noop_s_min": 0.12, "calib_s_min": 0.35,
-                   "suite_min": 250.0}
+    assert mins(rec) == {"noop_s_min": 0.12, "calib_s_min": 0.35,
+                         "suite_min": 250.0}
     # A slower run cannot raise any floor.
     rec = bench._update_floors(0.1, calib_s=0.40, noop_s=0.18, total=280.0)
-    assert rec == {"noop_s_min": 0.12, "calib_s_min": 0.35,
-                   "suite_min": 250.0}
+    assert mins(rec) == {"noop_s_min": 0.12, "calib_s_min": 0.35,
+                         "suite_min": 250.0}
     # A faster run lowers exactly the fields it beats.
     rec = bench._update_floors(0.1, calib_s=0.33, noop_s=0.15, total=240.0)
-    assert rec == {"noop_s_min": 0.12, "calib_s_min": 0.33,
-                   "suite_min": 240.0}
+    assert mins(rec) == {"noop_s_min": 0.12, "calib_s_min": 0.33,
+                         "suite_min": 240.0}
     # Scales are isolated; zero/invalid samples never enter.
     rec001 = bench._update_floors(0.01, calib_s=0.35, noop_s=0.0, total=30.0)
-    assert rec001 == {"calib_s_min": 0.35, "suite_min": 30.0}
+    assert mins(rec001) == {"calib_s_min": 0.35, "suite_min": 30.0}
     assert bench._load_floors()["0.1"]["suite_min"] == 240.0
+
+
+def test_stage_count_dedups_shared_and_skipped_stages(spark, sf_dir):
+    """_stages_in_group counts DISTINCT stages that actually ran:
+    re-running the same shuffle query inside one job group skips the
+    map stage via shuffle reuse, so the group's true ran-stage count
+    is strictly less than the naive per-job stageIds sum the old code
+    computed (review finding r16 — the inflation over-credited
+    fixed_delta_s and could mask plan regressions)."""
+    import time as _time
+
+    import bench
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    sc = spark.sparkContext
+    group = f"stagetest_{_time.monotonic_ns()}"
+    sc.setJobGroup(group, "stage dedup law")
+    df = load(spark, sf_dir, "orders").groupBy("o_orderstatus").count()
+    df.count()
+    df.count()  # same plan: shuffle reuse skips the exchange stage
+    sc.setJobGroup(None, None)
+
+    tracker = sc.statusTracker()
+    naive = 0
+    for j in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(j)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None and sinfo.numTasks > 0:
+                naive += 1
+    ran = bench._stages_in_group(sc, group)
+    assert 0 < ran < naive, (ran, naive)
+
+
+def test_update_floors_resets_suite_min_on_queryset_change(
+        monkeypatch, tmp_path):
+    """suite_min is only comparable within ONE BENCH_QUERIES
+    composition: when the set changes (a rung added/removed), the old
+    floor resets instead of reading as permanent secular drift —
+    while noop/calib floors persist (probe-level, composition-free)."""
+    import bench
+
+    monkeypatch.setattr(bench.os.path, "dirname",
+                        lambda p: str(tmp_path))
+    monkeypatch.setattr(bench, "BENCH_QUERIES", ["q_a", "q_b"])
+    rec = bench._update_floors(0.1, calib_s=0.4, noop_s=0.1,
+                               total=100.0)
+    assert rec["suite_min"] == 100.0 and rec["suite_queries_n"] == 2
+    # Same set: a faster run floors lower.
+    rec = bench._update_floors(0.1, calib_s=0.5, noop_s=0.2,
+                               total=90.0)
+    assert rec["suite_min"] == 90.0
+    # Changed set: suite floor resets to the new composition's first
+    # total (even though it is SLOWER); probe floors keep their minima.
+    monkeypatch.setattr(bench, "BENCH_QUERIES", ["q_a", "q_b", "q_c"])
+    rec = bench._update_floors(0.1, calib_s=0.6, noop_s=0.3,
+                               total=120.0)
+    assert rec["suite_min"] == 120.0 and rec["suite_queries_n"] == 3
+    assert rec["noop_s_min"] == 0.1 and rec["calib_s_min"] == 0.4

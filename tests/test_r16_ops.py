@@ -617,3 +617,74 @@ def test_pq_adc_rerank_recall(spark, sf_dir):
     assert adc >= 10 * chance, (adc, chance)
     assert rerank >= 0.6, rerank
     assert rerank >= adc, "exact rescore must not lose recall vs ADC"
+
+
+def test_ref_lock_excludes_concurrent_holder(spark, tmp_path):
+    """The flock-based ref lock is a real mutual exclusion: while one
+    holder is inside the critical section, a second acquire (separate
+    fd, as a separate process would hold) times out with the
+    documented CommitConflictError instead of breaking in — the old
+    mtime-stale-break protocol could steal a LIVE holder's lock
+    (review finding r16: the staleness check and the break were not
+    atomic against a fresh acquire)."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.versioned import (
+        CommitConflictError,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path, cls=BranchedMirror)
+    with m._ref_lock("main"):
+        with pytest.raises(CommitConflictError, match="live holder"):
+            with m._ref_lock("main", timeout_s=0.2):
+                raise AssertionError("second holder entered the section")
+    # Released: re-acquisition succeeds immediately.
+    with m._ref_lock("main", timeout_s=0.2):
+        pass
+
+
+def test_branch_create_double_create_and_missing_source(spark, tmp_path):
+    """branch_create's existence check runs INSIDE the ref lock
+    (create_only), so a second create of the same name gets the
+    documented refusal; a typo'd source ref raises ValueError, not a
+    raw FileNotFoundError."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path, cls=BranchedMirror)
+    m.branch_create("audit")
+    with pytest.raises(ValueError, match="already exists"):
+        m.branch_create("audit")
+    with pytest.raises(ValueError, match="does not exist"):
+        m.branch_create("other", from_ref="nope")
+
+
+def test_tombstone_marker_condemns_in_crash_window(spark, tmp_path):
+    """expire() drops the v{N}.tomb marker BEFORE shrinking the
+    manifest; versions()/read() condemn the snapshot from the marker
+    alone, so the crash window between the two writes is
+    dead-but-unshrunk (safe) — never readable-but-reclaimed. And
+    versions() itself is one listdir, never an every-manifest JSON
+    parse (review finding r16)."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path, cls=BranchedMirror)
+    v1 = m.apply(_batch(df, 0, 9, 2000))
+    v2 = m.apply(_batch(df, 10, 19, 3000))
+    # Simulate the crash window: marker present, manifest NOT shrunk.
+    marker = os.path.join(m.path, "manifests", f"v{v1}.tomb")
+    with open(marker, "w") as f:
+        f.write("{}")
+    assert v1 not in m.versions(), "marker alone must condemn"
+    assert v1 in m._all_versions(), "the version number stays allocated"
+    with pytest.raises(ValueError, match="expired"):
+        m.read(v1)
+    # Lineage still walks across the condemned version.
+    assert m.is_ancestor(v1 - 1, v2)
+    # And the next apply allocates PAST the condemned number.
+    v3 = m.apply(_batch(df, 20, 24, 4000))
+    assert v3 > v2
