@@ -1086,14 +1086,23 @@ def pq_adc_topk(e, codebook, codes, k: int = 5, query_mod: int = 100,
     reads CODES only — never the vectors. Returns (query_id, cand_id,
     adc_dot, rn ≤ k), self-pairs excluded, ties on cand_id."""
     qsubs = pq_subvectors(e.filter(F.col("vec_id") % query_mod == 0), m)
+    # Table entries are sequential double folds (bit-identical chains
+    # in both engines), ROUNDED to 9 decimals BEFORE the cross-subspace
+    # decimal sum: a post-round double sits ~1e-17 from a 9-digit
+    # value, far from any 12-digit decimal-cast tie, so the decimal
+    # cast is rounding-rule-independent — the piece that makes adc_dot
+    # hash-checkable across engines (staged r17 oracle, PQ_TOPK_SQL).
     table = qsubs.join(F.broadcast(codebook), "sub").select(
         F.col("vec_id").alias("query_id"),
         "sub",
         F.col("cid").alias("code"),
-        F.aggregate(
-            F.zip_with("subvec", "centroid", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        F.round(
+            F.aggregate(
+                F.zip_with("subvec", "centroid", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
         ).alias("t"),
     )
     scored = (
@@ -1155,3 +1164,113 @@ def pq_rerank_topk(e, codebook, codes, k: int = 5, shortlist: int = 50,
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+# --- staged r17 oracle for the PQ rung -----------------------------------
+
+PQ_SUBDIM = 8       # 64-dim fixture / PQ_M subspaces
+PQ_QUERY_MOD = 100  # same query set as the other similarity rungs
+PQ_ITERS = 2        # Lloyd refinements (pq_train default)
+
+_PQ_D2_SQL = (
+    "list_reduce(list_transform(range(1, {sd} + 1),"
+    " i -> (s.subvec[i] - c.centroid[i]) * (s.subvec[i] - c.centroid[i])),"
+    " (x, y) -> x + y)"
+)
+
+
+def _pq_means_sql(src: str, out: str) -> str:
+    """Decimal-exact per-(sub, cid) mean-vector CTE pair — the SQL twin
+    of _pq_group_means (order-independent decimal sums, list reassembled
+    in position order)."""
+    return f"""
+    {out}0 AS (
+        SELECT sub, cid, p.pos,
+               CAST(SUM(CAST(subvec[p.pos + 1] AS DECIMAL(28,12)))
+                    AS DOUBLE) / COUNT(*) AS cv
+        FROM {src}, (SELECT unnest(range(0, {PQ_SUBDIM})) AS pos) p
+        GROUP BY sub, cid, p.pos
+    ),
+    {out} AS (
+        SELECT sub, cid, list(cv ORDER BY pos) AS centroid
+        FROM {out}0 GROUP BY sub, cid
+    )"""
+
+
+def _pq_assign_sql(cb: str, out: str) -> str:
+    """Nearest-centroid assignment CTE — the SQL twin of _pq_assign
+    (sequential-fold squared distance, ties on centroid id)."""
+    return f"""
+    {out} AS (
+        SELECT vec_id, sub, subvec, cid FROM (
+            SELECT s.vec_id, s.sub, s.subvec, c.cid,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.sub
+                       ORDER BY {_PQ_D2_SQL.format(sd=PQ_SUBDIM)}, c.cid
+                   ) AS rn
+            FROM subs s JOIN {cb} c ON c.sub = s.sub
+        ) WHERE rn = 1
+    )"""
+
+
+def _pq_topk_sql() -> str:
+    """DuckDB oracle for the full PQ pipeline at the library defaults
+    (pq_train iters=2 → pq_encode → pq_adc_topk): the Lloyd loop
+    unrolled into one CTE chain per iteration (the q_knn_graph_descent2
+    pattern), every arithmetic step the bit-identical twin of the
+    DataFrame stage (decimal-sum means; sequential-fold d2 and dots;
+    9-decimal-rounded table entries so the cross-subspace decimal sum
+    is rounding-rule-independent; ties on cid / cand_id). Staged for
+    the r17 registration of q_sim_topk_pq; cross-engine equality is
+    law-tested NOW in tests/test_r16_ops.py so the registration is a
+    decorator away."""
+    chain = [f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    subs AS (
+        SELECT e.vec_id, m.sub,
+               list_transform(
+                   range({PQ_SUBDIM} * m.sub + 1,
+                         {PQ_SUBDIM} * m.sub + {PQ_SUBDIM} + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE)) AS subvec
+        FROM e, (SELECT unnest(range(0, {PQ_M})) AS sub) m
+    ),
+    seeded AS (
+        SELECT vec_id, sub, subvec, vec_id % {PQ_KS} AS cid FROM subs
+    ),{_pq_means_sql('seeded', 'cb0')}"""]
+    cb = "cb0"
+    for i in range(1, PQ_ITERS + 1):
+        chain.append("," + _pq_assign_sql(cb, f"a{i}"))
+        chain.append("," + _pq_means_sql(f"a{i}", f"cb{i}"))
+        cb = f"cb{i}"
+    chain.append(f""",{_pq_assign_sql(cb, 'enc')},
+    codes AS (SELECT vec_id, sub, cid AS code FROM enc),
+    qsubs AS (SELECT * FROM subs WHERE vec_id % {PQ_QUERY_MOD} = 0),
+    tbl AS (
+        SELECT q.vec_id AS query_id, c.sub, c.cid AS code,
+               ROUND(list_reduce(
+                   list_transform(range(1, {PQ_SUBDIM} + 1),
+                                  i -> q.subvec[i] * c.centroid[i]),
+                   (x, y) -> x + y), 9) AS t
+        FROM qsubs q JOIN {cb} c ON c.sub = q.sub
+    ),
+    scored AS (
+        SELECT t.query_id, co.vec_id AS cand_id,
+               CAST(SUM(CAST(t.t AS DECIMAL(28,12))) AS DOUBLE) AS adc_dot
+        FROM codes co
+        JOIN tbl t ON t.sub = co.sub AND t.code = co.code
+        WHERE co.vec_id <> t.query_id
+        GROUP BY t.query_id, co.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, adc_dot,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dot DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, cand_id, ROUND(adc_dot, 6) AS adc_dot,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5""")
+    return "".join(chain)
+
+
+PQ_TOPK_SQL = _pq_topk_sql()

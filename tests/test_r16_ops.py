@@ -688,3 +688,35 @@ def test_tombstone_marker_condemns_in_crash_window(spark, tmp_path):
     # And the next apply allocates PAST the condemned number.
     v3 = m.apply(_batch(df, 20, 24, 4000))
     assert v3 > v2
+
+
+def test_pq_oracle_cross_engine_equality(spark, duck, sf_dir):
+    """PQ_TOPK_SQL (the staged r17 oracle — the Lloyd loop unrolled
+    into CTE chains) replays the ENTIRE Spark PQ pipeline bit-for-bit:
+    train (decimal-sum means, 2 refinements), encode, ADC score, rank.
+    Exact row-set equality on (query_id, cand_id, adc_dot@6dp, rn)
+    means the r17 registration of q_sim_topk_pq is a decorator away
+    and will hash-green on first driver check."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+
+    e = load_tables = None
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = ann.pq_train(e)
+    codes = ann.pq_encode(e, cb)
+    got = sorted(
+        map(
+            tuple,
+            ann.pq_adc_topk(e, cb, codes, k=5)
+            .select(
+                "query_id", "cand_id",
+                F.round("adc_dot", 6).alias("adc_dot"),
+                F.col("rn").cast("long").alias("rn"),
+            )
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, duck.sql(ann.PQ_TOPK_SQL).fetchall()))
+    assert len(got) == len(want) > 0
+    assert got == want
