@@ -636,12 +636,19 @@ QUANT_TOPK_SQL = """
         FROM embeddings
     ),
     q8 AS (
+        -- Zero-vector guard at SOURCE, on the cheap ma: an all-zero
+        -- embedding (ma = 0) has no defined cosine — its qsq = 0 would
+        -- make cosine_q 0/0 = NaN, which sorts FIRST under the
+        -- descending rank in both engines. ma > 0 <=> qsq > 0 (the
+        -- max-magnitude element quantizes to FLOOR(+-127.0) = +-127,
+        -- so qsq >= 127^2 whenever ma > 0); filtering on the already-
+        -- computed ma instead of qsq spares every candidate row a
+        -- second evaluation of the 64-element fold inside a Filter
+        -- node (+50% on the whole rung, measured).
         SELECT vec_id,
                list_transform(embedding, x ->
-                   CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
-                        ELSE CAST(FLOOR(x::DOUBLE * 127 / ma) AS BIGINT)
-                   END) AS qv
-        FROM e
+                   CAST(FLOOR(x::DOUBLE * 127 / ma) AS BIGINT)) AS qv
+        FROM e WHERE ma > 0
     ),
     n AS (
         SELECT vec_id, qv,
@@ -650,18 +657,14 @@ QUANT_TOPK_SQL = """
         FROM q8
     ),
     scored AS (
-        -- qsq = 0 (an all-zero embedding) would make cosine_q 0/0 =
-        -- NaN, which sorts FIRST under the descending rank in both
-        -- engines and would pollute every top-5; zero vectors have no
-        -- defined cosine, so both sides are filtered out (advice).
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                list_reduce(
                    list_transform(range(1, len(q.qv) + 1),
                                   i -> q.qv[i] * c.qv[i]),
                    (x, y) -> x + y) AS qdot,
                q.qsq AS q_qsq, c.qsq AS c_qsq
-        FROM (SELECT * FROM n WHERE vec_id % 100 = 0 AND qsq > 0) q
-        JOIN n c ON c.vec_id <> q.vec_id AND c.qsq > 0
+        FROM (SELECT * FROM n WHERE vec_id % 100 = 0) q
+        JOIN n c ON c.vec_id <> q.vec_id
     ),
     ranked AS (
         SELECT query_id, cand_id, qdot,
@@ -723,18 +726,27 @@ def q_sim_topk_quantized(spark, sf_dir):
     cosine_q one IEEE division per pair. Same plan shape as q_sim_topk
     (broadcast query block, ONE corpus scan, per-query rank window);
     recall vs the full-precision top-5 is asserted in
-    tests/test_r15_ops.py. All-zero embeddings (qsq = 0) are filtered
-    from BOTH sides of the scored join — their cosine is 0/0 = NaN,
-    which would sort ahead of every real neighbor (advice fix,
-    mirrored in QUANT_TOPK_SQL)."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tests/test_r15_ops.py. All-zero embeddings are filtered at SOURCE
+    on the cheap max-magnitude test (ma > 0 <=> qsq > 0: the
+    max-magnitude element quantizes to FLOOR(+-127.0) = +-127, so a
+    nonzero vector's qsq >= 127^2) — their cosine is 0/0 = NaN, which
+    would sort ahead of every real neighbor. Filtering on qsq itself
+    made Catalyst re-evaluate the 64-element square fold inside the
+    Filter node for every candidate row (+50% on the rung, measured —
+    the r16 drift flag's root cause); ma is already computed for the
+    scale. Mirrored in QUANT_TOPK_SQL."""
+    ma = F.array_max(
+        F.transform("embedding", lambda v: F.abs(v.cast("double")))
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding").filter(ma > 0)
     n = int8_codes(e)
-    q = n.filter((F.col("vec_id") % 100 == 0) & (F.col("qsq") > 0)).select(
+    q = n.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
         F.col("qsq").alias("q_qsq"),
     )
-    scored = n.filter(F.col("qsq") > 0).join(
+    scored = n.join(
         F.broadcast(q), F.col("query_id") != F.col("vec_id")
     ).select(
         "query_id",
@@ -773,16 +785,17 @@ IVF_QUANT_SQL = f"""
         FROM embeddings
     ),
     n AS (
+        -- Zero-vector guard at source on the cheap ma (ma > 0 <=>
+        -- qsq > 0, see QUANT_TOPK_SQL): spares the per-candidate
+        -- re-evaluation of the square fold inside a Filter node.
         SELECT vec_id, label, qv,
                list_reduce(list_transform(qv, x -> x * x),
                            (x, y) -> x + y) AS qsq
         FROM (
             SELECT vec_id, label,
                    list_transform(embedding, x ->
-                       CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
-                            ELSE CAST(FLOOR(x::DOUBLE * 127 / ma) AS BIGINT)
-                       END) AS qv
-            FROM e
+                       CAST(FLOOR(x::DOUBLE * 127 / ma) AS BIGINT)) AS qv
+            FROM e WHERE ma > 0
         )
     ),
     cent0 AS (
@@ -817,7 +830,7 @@ IVF_QUANT_SQL = f"""
     ),
     qn AS (
         SELECT vec_id AS query_id, qv AS q_qv, qsq AS q_qsq
-        FROM n WHERE vec_id % 100 = 0 AND qsq > 0
+        FROM n WHERE vec_id % 100 = 0
     ),
     scored AS (
         SELECT p.query_id, c.vec_id AS cand_id,
@@ -829,7 +842,7 @@ IVF_QUANT_SQL = f"""
         FROM probed p
         JOIN qn ON qn.query_id = p.query_id
         JOIN n c ON c.label = p.c_label
-        WHERE c.vec_id <> p.query_id AND c.qsq > 0
+        WHERE c.vec_id <> p.query_id
     ),
     ranked AS (
         SELECT query_id, cand_id, qdot,
@@ -874,7 +887,15 @@ def q_sim_ivf_quantized(spark, sf_dir):
     )
     # int8 codes + integer square norms: the SHARED quantization block
     # (int8_codes — q_embed_quantize arithmetic, one copy per contract).
-    n = int8_codes(e)
+    # Candidates drop zero vectors at SOURCE on the cheap ma test
+    # (ma > 0 <=> qsq > 0, see q_sim_topk_quantized) — filtering on
+    # qsq re-evaluated the square fold per candidate row. Centroids
+    # still train on the FULL corpus (routing geometry is independent
+    # of the scoring guard), matching the oracle's cent0.
+    ma = F.array_max(
+        F.transform("embedding", lambda v: F.abs(v.cast("double")))
+    )
+    n = int8_codes(e.filter(ma > 0))
     # Coarse quantizer: q_sim_ivf's exact-decimal per-cell centroids,
     # via the shared helper (ivf_cell_centroids).
     cent = ivf_cell_centroids(e).select(
@@ -898,7 +919,7 @@ def q_sim_ivf_quantized(spark, sf_dir):
         .filter(F.col("rn") <= IVF_QUANT_NPROBE)
         .select("query_id", "c_label")
     )
-    qn = n.filter((F.col("vec_id") % 100 == 0) & (F.col("qsq") > 0)).select(
+    qn = n.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
         F.col("qsq").alias("q_qsq"),
@@ -908,8 +929,7 @@ def q_sim_ivf_quantized(spark, sf_dir):
     # probe routing broadcast).
     routed = probed.join(F.broadcast(qn), "query_id")
     scored = (
-        n.filter(F.col("qsq") > 0)
-        .join(F.broadcast(routed), F.col("label") == F.col("c_label"))
+        n.join(F.broadcast(routed), F.col("label") == F.col("c_label"))
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
