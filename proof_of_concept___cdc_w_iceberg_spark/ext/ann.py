@@ -1286,11 +1286,43 @@ def _pq_topk_sql() -> str:
                row_number() OVER (PARTITION BY query_id
                    ORDER BY adc_dot DESC, cand_id) AS rn
         FROM scored
-    )
-    SELECT query_id, cand_id, ROUND(adc_dot, 6) AS adc_dot,
-           CAST(rn AS BIGINT) AS rn
-    FROM ranked WHERE rn <= 5""")
+    )""")
     return "".join(chain)
 
 
-PQ_TOPK_SQL = _pq_topk_sql()
+PQ_TOPK_SQL = _pq_topk_sql() + """
+    SELECT query_id, cand_id, ROUND(adc_dot, 6) AS adc_dot,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5"""
+
+PQ_RERANK_SHORTLIST = 50
+
+# The production serving twin (pq_rerank_topk): ADC shortlist from the
+# same chain, then EXACT rescore of the shortlist's full-precision
+# vectors only (sequential-fold dot — the DOT_SQL chain) for the final
+# top-5. Staged for the r17 registration of q_sim_topk_pq_rerank;
+# cross-engine equality law-tested alongside PQ_TOPK_SQL's.
+PQ_RERANK_SQL = _pq_topk_sql() + f""",
+    shortlist AS (
+        SELECT query_id, cand_id FROM ranked
+        WHERE rn <= {PQ_RERANK_SHORTLIST}
+    ),
+    resc AS (
+        SELECT s.query_id, s.cand_id,
+               list_reduce(
+                   list_transform(range(1, {PQ_M} * {PQ_SUBDIM} + 1),
+                       i -> CAST(eq.embedding[i] AS DOUBLE)
+                            * CAST(ec.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y) AS dot
+        FROM shortlist s
+        JOIN e eq ON eq.vec_id = s.query_id
+        JOIN e ec ON ec.vec_id = s.cand_id
+    ),
+    rr AS (
+        SELECT query_id, cand_id, dot,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot DESC, cand_id) AS rn
+        FROM resc
+    )
+    SELECT query_id, cand_id, ROUND(dot, 6) AS dot, CAST(rn AS BIGINT) AS rn
+    FROM rr WHERE rn <= 5"""

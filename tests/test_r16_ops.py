@@ -720,3 +720,34 @@ def test_pq_oracle_cross_engine_equality(spark, duck, sf_dir):
     want = sorted(map(tuple, duck.sql(ann.PQ_TOPK_SQL).fetchall()))
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_pq_rerank_oracle_cross_engine_equality(spark, duck, sf_dir):
+    """PQ_RERANK_SQL (the staged r17 oracle for the serving twin)
+    replays pq_rerank_topk bit-for-bit: the ADC shortlist from the
+    same unrolled chain, then the exact sequential-fold rescore of
+    shortlist vectors only. Row-set equality on (query_id, cand_id,
+    dot@6dp, rn) at the library defaults."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = ann.pq_train(e)
+    codes = ann.pq_encode(e, cb)
+    got = sorted(
+        map(
+            tuple,
+            ann.pq_rerank_topk(
+                e, cb, codes, k=5, shortlist=ann.PQ_RERANK_SHORTLIST
+            )
+            .select(
+                "query_id", "cand_id",
+                F.round("dot", 6).alias("dot"),
+                F.col("rn").cast("long").alias("rn"),
+            )
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, duck.sql(ann.PQ_RERANK_SQL).fetchall()))
+    assert len(got) == len(want) > 0
+    assert got == want
