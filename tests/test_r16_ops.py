@@ -751,3 +751,76 @@ def test_pq_rerank_oracle_cross_engine_equality(spark, duck, sf_dir):
     want = sorted(map(tuple, duck.sql(ann.PQ_RERANK_SQL).fetchall()))
     assert len(got) == len(want) > 0
     assert got == want
+
+
+# --- IVF x PQ (library-only; the terminal serving composition) -----------
+
+
+def test_ivf_pq_composition_laws(spark, sf_dir):
+    """The IVFADC composition's three laws on one build: (1) BOUNDED —
+    every scored candidate lives in one of its query's nprobe probed
+    cells (the candidate count is Σ|probed cells|, never the corpus);
+    (2) GOOD — exact rescore of the ADC shortlist recovers ≥0.7 of the
+    exact top-5 RESTRICTED to the probed cells (the probe ceiling —
+    routing loss is the router's property, law-tested on q_sim_ivf,
+    not this rung's), measured 0.92; ADC alone beats in-pool chance;
+    (3) DETERMINISTIC — the end-to-end top-k is identical under
+    different input partitionings."""
+    import numpy as np
+
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding")
+    cent, cb, codes = ann.ivf_pq_build(e)
+    adc = ann.ivf_pq_topk(e, cent, cb, codes, k=5).collect()
+    rer = ann.ivf_pq_rerank_topk(e, cent, cb, codes, k=5).collect()
+
+    rows = e.collect()
+    V = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+         for r in rows}
+    L = {r["vec_id"]: r["label"] for r in rows}
+    C = {r["label"]: np.array(r["centroid"]) for r in cent.collect()}
+
+    def probed_cells(qid):
+        qv = V[qid]
+        qn = np.sqrt(qv @ qv)
+        return sorted(
+            C, key=lambda l: (-(qv @ C[l]) / (qn * np.sqrt(C[l] @ C[l])), l)
+        )[:ann.IVF_PQ_NPROBE]
+
+    recs_adc, recs_rer = [], []
+    for qid in (v for v in V if v % 100 == 0):
+        cells = probed_cells(qid)
+        pool = [c for c in V if c != qid and L[c] in cells]
+        pdots = sorted(((np.dot(V[qid], V[c]), c) for c in pool),
+                       key=lambda t: (-t[0], t[1]))
+        ceiling5 = {c for _, c in pdots[:5]}
+        got_adc = {r["cand_id"] for r in adc if r["query_id"] == qid}
+        got_rer = {r["cand_id"] for r in rer if r["query_id"] == qid}
+        # (1) bounded: scored candidates only from probed cells.
+        assert all(L[c] in cells for c in got_adc | got_rer), qid
+        recs_adc.append(len(ceiling5 & got_adc) / 5)
+        recs_rer.append(len(ceiling5 & got_rer) / 5)
+        assert len(pool) >= 20, "fixture too small for a recall law"
+    mean_rer = sum(recs_rer) / len(recs_rer)
+    mean_adc = sum(recs_adc) / len(recs_adc)
+    assert mean_rer >= 0.7, recs_rer
+    assert mean_adc >= 3 * 5 / 150, recs_adc  # >> in-pool chance
+    assert mean_rer >= mean_adc, "exact rescore must not lose recall"
+
+    # (3) end-to-end determinism under partitioning.
+    def run(df):
+        c2, cb2, co2 = ann.ivf_pq_build(df)
+        return sorted(
+            map(
+                tuple,
+                ann.ivf_pq_rerank_topk(df, c2, cb2, co2, k=5)
+                .select("query_id", "cand_id",
+                        F.round("dot", 6).alias("dot"), "rn")
+                .collect(),
+            )
+        )
+
+    assert run(e.repartition(1)) == run(e.repartition(7))
