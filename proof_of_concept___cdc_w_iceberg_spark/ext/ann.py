@@ -1390,7 +1390,14 @@ def ivf_pq_topk(e, cent, cb, codes, k: int = 5,
     candidate data read. The cross-term sum goes through the decimal
     cast (order-independent), every fold is sequential — the same
     hash-checkability discipline as PQ_TOPK_SQL. Returns (query_id,
-    cand_id, adc_dot, rn <= k)."""
+    cand_id, adc_dot, rn <= k).
+
+    Plan note: the one nested-loop join in the plan is the
+    query × |centroids| probe-routing cross join — bounded by design
+    (|queries|·|cells| rows, centroids broadcast), the exact shape
+    already allowlisted for q_sim_ivf in tests/test_plan_sweep.py;
+    candidate scoring itself is equi-joins on (label) and
+    (query_id, sub, code)."""
     from .similarity import _dot, _sqnorm
 
     emb_d = e.select(
