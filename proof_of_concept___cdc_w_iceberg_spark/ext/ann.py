@@ -1503,3 +1503,45 @@ def ivf_pq_rerank_topk(e, cent, cb, codes, k: int = 5, shortlist: int = 40,
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def ivf_pq_upsert(cent, cb, codes, e_new, delete_ids=None, m: int = PQ_M):
+    """Maintain the IVFADC index under a CDC batch with the routing
+    geometry and codebook FROZEN — the production regime (FAISS/
+    vector-store practice: codebooks retrain offline and rarely; the
+    online path only routes + encodes). ``delete_ids`` drop; ``e_new``
+    rows (vec_id, label, embedding) insert or REPLACE. The batch must
+    be per-key RESOLVED (one op per vec_id — the envelope-decode
+    latest-wins contract upstream, cdc/queries.py); a key in both
+    ``e_new`` and ``delete_ids`` is taken as insert here, but don't
+    rely on that — resolve first. Cost: O(|batch|·d) to encode
+    + one broadcast of the centroid/codebook relations — the index
+    never rewrites untouched rows, the same touched-only discipline
+    as the bucketed CDC apply.
+
+    Law (tests/test_r16_ops.py): upsert(build(S₀), batch) produces
+    code-for-code the index that encoding the final survivor corpus
+    with the SAME frozen centroids/codebook would — so serving over
+    the maintained index equals serving over a rebuild, under any
+    batch arrival. (Codebook REFRESH is deliberately out of scope:
+    retraining changes every code by design and is a rebuild, not a
+    maintenance op.)"""
+    resid = e_new.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            "centroid",
+            lambda x, c: x - c,
+        ).alias("embedding"),
+    )
+    new_codes = pq_encode(resid, cb, m=m).join(
+        resid.select("vec_id", "label"), "vec_id"
+    )
+    gone = e_new.select("vec_id")
+    if delete_ids is not None:
+        gone = gone.unionByName(delete_ids.select("vec_id"))
+    survivors = codes.join(gone, "vec_id", "left_anti")
+    return survivors.unionByName(
+        new_codes.select(*codes.columns)
+    )

@@ -824,3 +824,70 @@ def test_ivf_pq_composition_laws(spark, sf_dir):
         )
 
     assert run(e.repartition(1)) == run(e.repartition(7))
+
+
+def test_ivf_pq_upsert_equals_rebuild_under_frozen_codebook(spark, sf_dir):
+    """The IVFADC maintenance law: applying a mixed CDC batch
+    (deletes + inserts + replacements) to the built index with the
+    routing geometry and codebook frozen lands code-for-code on the
+    index a full re-encode of the survivor corpus (same codebook)
+    produces — and serving over the maintained index equals serving
+    over the rebuild. The apply==rebuild contract of the knn-graph
+    IVM family, extended to the terminal serving rung."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding")
+    base = e.filter(F.col("vec_id") < 400)
+    cent, cb, codes0 = ann.ivf_pq_build(base)
+
+    # Mixed batch: brand-new tail vectors, REPLACED versions of some
+    # existing ids (scaled embeddings -> different residuals/codes),
+    # and deletes.
+    inserts = e.filter(F.col("vec_id") >= 400)
+    # Disjoint op sets: a key carrying both a replace and a delete in
+    # one batch must be resolved to ONE op upstream (latest-wins per
+    # key — the envelope-decode contract, cdc/queries.py), so the
+    # index maintenance op takes per-key-resolved batches.
+    replaced = base.filter(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") % 41 != 0)
+    ).select(
+        "vec_id", "label",
+        F.transform("embedding",
+                    lambda x: x.cast("double") * 0.5).alias("embedding"),
+    )
+    batch = inserts.unionByName(replaced)
+    deletes = base.select("vec_id").filter(F.col("vec_id") % 41 == 0)
+
+    maintained = ann.ivf_pq_upsert(cent, cb, codes0, batch,
+                                   delete_ids=deletes)
+
+    survivors = (
+        e.filter(F.col("vec_id") < 400)
+        .join(replaced.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(replaced)
+        .unionByName(inserts)
+        .join(deletes, "vec_id", "left_anti")
+    )
+    resid = survivors.join(F.broadcast(cent), "label").select(
+        "vec_id", "label",
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            "centroid",
+            lambda x, c: x - c,
+        ).alias("embedding"),
+    )
+    rebuilt = ann.pq_encode(resid, cb).join(
+        resid.select("vec_id", "label"), "vec_id"
+    )
+    assert sorted(map(tuple, maintained.select("vec_id", "sub", "code", "label").collect())) == \
+        sorted(map(tuple, rebuilt.select("vec_id", "sub", "code", "label").collect()))
+
+    # Serving equality over an embedding view of the survivor corpus.
+    view = survivors
+    got = sorted(map(tuple, ann.ivf_pq_topk(
+        view, cent, cb, maintained, k=5).collect()))
+    want = sorted(map(tuple, ann.ivf_pq_topk(
+        view, cent, cb, rebuilt, k=5).collect()))
+    assert got == want and len(got) > 0
