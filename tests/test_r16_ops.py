@@ -891,3 +891,54 @@ def test_ivf_pq_upsert_equals_rebuild_under_frozen_codebook(spark, sf_dir):
     want = sorted(map(tuple, ann.ivf_pq_topk(
         view, cent, cb, rebuilt, k=5).collect()))
     assert got == want and len(got) > 0
+
+
+def test_ref_cas_race_across_real_processes(tmp_path):
+    """TRUE multi-process CAS race (the flock claims proven with
+    separate PROCESSES, not just separate fds): eight concurrent
+    writers all attempt set_ref('main', 1, expect=0) on one ledger —
+    exactly ONE wins, the other seven get the documented
+    CommitConflictError, and the ref lands on the winner's version.
+    Workers are plain filesystem actors (no Spark), started behind a
+    barrier file so the attempts genuinely overlap."""
+    import json as _json
+    import subprocess
+    import sys
+    import time as _time
+
+    path = str(tmp_path / "mirror")
+    os.makedirs(os.path.join(path, "manifests"))
+    os.makedirs(os.path.join(path, "refs"))
+    for v in (0, 1):
+        with open(os.path.join(path, "manifests", f"v{v}.json"), "w") as f:
+            _json.dump({"version": v, "buckets": {}, "schema": "{}"}, f)
+    with open(os.path.join(path, "refs", "main.json"), "w") as f:
+        _json.dump({"version": 0}, f)
+    barrier = str(tmp_path / "go")
+
+    worker = f"""
+import os, sys, time
+sys.path.insert(0, {os.getcwd()!r})
+from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import BranchedMirror
+from proof_of_concept___cdc_w_iceberg_spark.cdc.versioned import CommitConflictError
+m = BranchedMirror(None, {path!r}, keys=["k"], n_buckets=4)
+while not os.path.exists({barrier!r}):
+    time.sleep(0.001)
+try:
+    m.set_ref("main", 1, expect=0)
+    print("WIN")
+except CommitConflictError:
+    print("CONFLICT")
+"""
+    procs = [
+        subprocess.Popen([sys.executable, "-c", worker],
+                         stdout=subprocess.PIPE, text=True)
+        for _ in range(8)
+    ]
+    _time.sleep(0.3)  # let every worker reach the barrier spin
+    with open(barrier, "w") as f:
+        f.write("go")
+    outs = [p.communicate(timeout=60)[0].strip() for p in procs]
+    assert sorted(outs) == ["CONFLICT"] * 7 + ["WIN"], outs
+    with open(os.path.join(path, "refs", "main.json")) as f:
+        assert _json.load(f)["version"] == 1
