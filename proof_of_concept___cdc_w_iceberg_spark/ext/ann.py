@@ -1217,9 +1217,11 @@ def _pq_means_sql(src: str, out: str) -> str:
     )"""
 
 
-def _pq_assign_sql(cb: str, out: str) -> str:
+def _pq_assign_sql(cb: str, out: str, src: str = "subs") -> str:
     """Nearest-centroid assignment CTE — the SQL twin of _pq_assign
-    (sequential-fold squared distance, ties on centroid id)."""
+    (sequential-fold squared distance, ties on centroid id).
+    ``src`` names the subvector CTE (raw subvectors for the plain PQ
+    chain, residual subvectors for the IVF×PQ one)."""
     return f"""
     {out} AS (
         SELECT vec_id, sub, subvec, cid FROM (
@@ -1228,7 +1230,7 @@ def _pq_assign_sql(cb: str, out: str) -> str:
                        PARTITION BY s.vec_id, s.sub
                        ORDER BY {_PQ_D2_SQL.format(sd=PQ_SUBDIM)}, c.cid
                    ) AS rn
-            FROM subs s JOIN {cb} c ON c.sub = s.sub
+            FROM {src} s JOIN {cb} c ON c.sub = s.sub
         ) WHERE rn = 1
     )"""
 
@@ -1545,3 +1547,122 @@ def ivf_pq_upsert(cent, cb, codes, e_new, delete_ids=None, m: int = PQ_M):
     return survivors.unionByName(
         new_codes.select(*codes.columns)
     )
+
+
+def _ivf_pq_sql() -> str:
+    """DuckDB oracle for the full IVFADC pipeline at the library
+    defaults (ivf_pq_build → ivf_pq_topk): cell centroids from
+    decimal sums (the q_sim_ivf geometry), residuals per vector, the
+    PQ Lloyd chain unrolled over RESIDUAL subvectors, probe routing
+    at full precision (cosine ties on label), and the decomposed ADC
+    score qc_dot + Σ table lookups — every step the bit-identical
+    twin of the DataFrame stage. Staged for an r17+ registration of
+    q_sim_ivf_pq; cross-engine equality law-tested in
+    tests/test_r16_ops.py."""
+    d = PQ_M * PQ_SUBDIM
+    chain = [f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    cent0 AS (
+        SELECT label, p.pos,
+               CAST(SUM(CAST(CAST(embedding[p.pos + 1] AS DOUBLE)
+                             AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cv
+        FROM e, (SELECT unnest(range(0, {d})) AS pos) p
+        GROUP BY label, p.pos
+    ),
+    centn AS (
+        SELECT label, centroid,
+               {SQNORM_SQL.format(a='centroid')} AS c_sq
+        FROM (SELECT label, list(cv ORDER BY pos) AS centroid
+              FROM cent0 GROUP BY label)
+    ),
+    resid AS (
+        SELECT e.vec_id, e.label,
+               list_transform(range(1, {d} + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                   AS remb
+        FROM e JOIN centn c ON c.label = e.label
+    ),
+    rsubs AS (
+        SELECT r.vec_id, m.sub,
+               list_transform(
+                   range({PQ_SUBDIM} * m.sub + 1,
+                         {PQ_SUBDIM} * m.sub + {PQ_SUBDIM} + 1),
+                   i -> r.remb[i]) AS subvec
+        FROM resid r, (SELECT unnest(range(0, {PQ_M})) AS sub) m
+    ),
+    seeded AS (
+        SELECT vec_id, sub, subvec, vec_id % {PQ_KS} AS cid FROM rsubs
+    ),{_pq_means_sql('seeded', 'rcb0')}"""]
+    cb = "rcb0"
+    for i in range(1, PQ_ITERS + 1):
+        chain.append("," + _pq_assign_sql(cb, f"ra{i}", src="rsubs"))
+        chain.append("," + _pq_means_sql(f"ra{i}", f"rcb{i}"))
+        cb = f"rcb{i}"
+    chain.append(f""",{_pq_assign_sql(cb, 'renc', src='rsubs')},
+    codes AS (
+        SELECT rn.vec_id, rn.sub, rn.cid AS code, r.label
+        FROM renc rn JOIN resid r ON r.vec_id = rn.vec_id
+    ),
+    q AS (
+        SELECT vec_id AS query_id,
+               list_transform(range(1, {d} + 1),
+                   i -> CAST(embedding[i] AS DOUBLE)) AS qv
+        FROM e WHERE vec_id % {PQ_QUERY_MOD} = 0
+    ),
+    qn AS (
+        SELECT query_id, qv, {SQNORM_SQL.format(a='qv')} AS q_sq FROM q
+    ),
+    simc AS (
+        SELECT qn.query_id, qn.qv, c.label,
+               {DOT_SQL.format(a='qn.qv', b='c.centroid')}
+                   / sqrt(qn.q_sq * c.c_sq) AS c_cos,
+               ROUND({DOT_SQL.format(a='qn.qv', b='c.centroid')}, 9)
+                   AS qc_dot
+        FROM qn, centn c
+    ),
+    probed AS (
+        SELECT query_id, qv, label, qc_dot FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY c_cos DESC, label) AS rn
+            FROM simc
+        ) WHERE rn <= {IVF_PQ_NPROBE}
+    ),
+    qsubs AS (
+        SELECT q.query_id, m.sub,
+               list_transform(
+                   range({PQ_SUBDIM} * m.sub + 1,
+                         {PQ_SUBDIM} * m.sub + {PQ_SUBDIM} + 1),
+                   i -> q.qv[i]) AS subvec
+        FROM q, (SELECT unnest(range(0, {PQ_M})) AS sub) m
+    ),
+    tbl AS (
+        SELECT s.query_id, c.sub, c.cid AS code,
+               ROUND(list_reduce(
+                   list_transform(range(1, {PQ_SUBDIM} + 1),
+                                  i -> s.subvec[i] * c.centroid[i]),
+                   (x, y) -> x + y), 9) AS t
+        FROM qsubs s JOIN {cb} c ON c.sub = s.sub
+    ),
+    scored AS (
+        SELECT p.query_id, co.vec_id AS cand_id,
+               p.qc_dot + CAST(SUM(CAST(t.t AS DECIMAL(28,12)))
+                               AS DOUBLE) AS adc_dot
+        FROM codes co
+        JOIN probed p ON p.label = co.label AND co.vec_id <> p.query_id
+        JOIN tbl t ON t.query_id = p.query_id AND t.sub = co.sub
+                  AND t.code = co.code
+        GROUP BY p.query_id, co.vec_id, p.qc_dot
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, adc_dot,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dot DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, cand_id, ROUND(adc_dot, 6) AS adc_dot,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5""")
+    return "".join(chain)
+
+
+IVF_PQ_SQL = _ivf_pq_sql()

@@ -942,3 +942,32 @@ except CommitConflictError:
     assert sorted(outs) == ["CONFLICT"] * 7 + ["WIN"], outs
     with open(os.path.join(path, "refs", "main.json")) as f:
         assert _json.load(f)["version"] == 1
+
+
+def test_ivf_pq_oracle_cross_engine_equality(spark, duck, sf_dir):
+    """IVF_PQ_SQL (the staged IVFADC oracle) replays
+    ivf_pq_build → ivf_pq_topk bit-for-bit: routing geometry,
+    residual Lloyd chain, probe decisions, and the decomposed ADC
+    score. Row-set equality on (query_id, cand_id, adc_dot@6dp, rn)
+    at the library defaults."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding")
+    cent, cb, codes = ann.ivf_pq_build(e)
+    got = sorted(
+        map(
+            tuple,
+            ann.ivf_pq_topk(e, cent, cb, codes, k=5)
+            .select(
+                "query_id", "cand_id",
+                F.round("adc_dot", 6).alias("adc_dot"),
+                F.col("rn").cast("long").alias("rn"),
+            )
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, duck.sql(ann.IVF_PQ_SQL).fetchall()))
+    assert len(got) == len(want) > 0
+    assert got == want
