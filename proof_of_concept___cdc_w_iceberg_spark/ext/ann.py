@@ -1658,11 +1658,42 @@ def _ivf_pq_sql() -> str:
                row_number() OVER (PARTITION BY query_id
                    ORDER BY adc_dot DESC, cand_id) AS rn
         FROM scored
-    )
-    SELECT query_id, cand_id, ROUND(adc_dot, 6) AS adc_dot,
-           CAST(rn AS BIGINT) AS rn
-    FROM ranked WHERE rn <= 5""")
+    )""")
     return "".join(chain)
 
 
-IVF_PQ_SQL = _ivf_pq_sql()
+IVF_PQ_SQL = _ivf_pq_sql() + """
+    SELECT query_id, cand_id, ROUND(adc_dot, 6) AS adc_dot,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5"""
+
+IVF_PQ_RERANK_SHORTLIST = 40
+
+# The serving twin (ivf_pq_rerank_topk): ADC shortlist within probed
+# cells from the same chain, then the exact sequential-fold rescore of
+# only the shortlist's full-precision vectors. Staged alongside
+# IVF_PQ_SQL; equality law-tested in tests/test_r16_ops.py.
+IVF_PQ_RERANK_SQL = _ivf_pq_sql() + f""",
+    shortlist AS (
+        SELECT query_id, cand_id FROM ranked
+        WHERE rn <= {IVF_PQ_RERANK_SHORTLIST}
+    ),
+    resc AS (
+        SELECT s.query_id, s.cand_id,
+               list_reduce(
+                   list_transform(range(1, {PQ_M} * {PQ_SUBDIM} + 1),
+                       i -> CAST(eq.embedding[i] AS DOUBLE)
+                            * CAST(ec.embedding[i] AS DOUBLE)),
+                   (x, y) -> x + y) AS dot
+        FROM shortlist s
+        JOIN e eq ON eq.vec_id = s.query_id
+        JOIN e ec ON ec.vec_id = s.cand_id
+    ),
+    rr AS (
+        SELECT query_id, cand_id, dot,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot DESC, cand_id) AS rn
+        FROM resc
+    )
+    SELECT query_id, cand_id, ROUND(dot, 6) AS dot, CAST(rn AS BIGINT) AS rn
+    FROM rr WHERE rn <= 5"""

@@ -971,3 +971,35 @@ def test_ivf_pq_oracle_cross_engine_equality(spark, duck, sf_dir):
     want = sorted(map(tuple, duck.sql(ann.IVF_PQ_SQL).fetchall()))
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_ivf_pq_rerank_oracle_cross_engine_equality(spark, duck, sf_dir):
+    """IVF_PQ_RERANK_SQL replays ivf_pq_rerank_topk bit-for-bit: the
+    IVFADC shortlist from the same chain, exact rescore of shortlist
+    vectors only. Completes the staged ANN serving set — all four
+    rungs (PQ, PQ+rerank, IVFADC, IVFADC+rerank) registration-ready
+    with proven oracles."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding")
+    cent, cb, codes = ann.ivf_pq_build(e)
+    got = sorted(
+        map(
+            tuple,
+            ann.ivf_pq_rerank_topk(
+                e, cent, cb, codes, k=5,
+                shortlist=ann.IVF_PQ_RERANK_SHORTLIST,
+            )
+            .select(
+                "query_id", "cand_id",
+                F.round("dot", 6).alias("dot"),
+                F.col("rn").cast("long").alias("rn"),
+            )
+            .collect(),
+        )
+    )
+    want = sorted(map(tuple, duck.sql(ann.IVF_PQ_RERANK_SQL).fetchall()))
+    assert len(got) == len(want) > 0
+    assert got == want
