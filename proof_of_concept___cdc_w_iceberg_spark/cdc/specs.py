@@ -1,0 +1,229 @@
+"""Partition-spec evolution over the snapshot ledger (r16, library-only).
+
+Iceberg's flagship v2 metadata feature: a table's partition spec can
+CHANGE mid-life — ``ALTER TABLE ... REPLACE PARTITION FIELD
+bucket(16, k) WITH bucket(32, k)`` — without rewriting a byte. Files
+written under the old spec stay valid; scan planning unions specs;
+data migrates to the new layout only when a write happens to touch it
+(`pom.xml:15` pins Iceberg 1.9.2; the reference's sink table would
+evolve exactly this way when a CDC mirror outgrows its bucket count).
+
+Rebuilt here on SnapshotMirror's manifest ledger:
+
+- every manifest bucket entry is SPEC-QUALIFIED: ``"{n}:{b}"`` means
+  "bucket b under the n-bucket layout"; the manifest also records the
+  CURRENT spec (``n_buckets``) that future writes use;
+- ``evolve_spec(new_n)`` is a METADATA-ONLY commit (Iceberg's spec
+  change): same bucket entries, new current spec — zero data moves;
+- ``apply`` routes the batch by the CURRENT spec and rewrites, per
+  touched new-spec bucket, ONLY the manifest entries that can hold
+  its keys. The containment proof that keeps this touched-only:
+  specs only grow by integer MULTIPLES, so every live entry's
+  ``n_e`` divides the current ``N``, and a key in new bucket
+  ``t = pmod(h, N)`` lives in old bucket ``pmod(h, n_e) =
+  pmod(t, n_e)`` — exactly one candidate entry per (touched bucket,
+  old spec). Rewritten rows land under the CURRENT spec, so old-spec
+  entries drain as writes touch them — Iceberg's lazy migration —
+  while untouched entries carry verbatim (file reuse);
+- ``read`` is untouched: the base reader unions all manifest dirs,
+  which is spec-agnostic by construction (scan planning across
+  specs).
+
+At 100 TB: evolve is one manifest write; each apply still reads and
+rewrites only the touched slice (at worst the touched new buckets'
+old-spec parents — the same rows a COW merge must rewrite anyway);
+nothing ever rewrites the table wholesale. The multiple-of-current
+restriction is the modular-arithmetic price of COW key routing —
+real Iceberg permits arbitrary re-specs because its merge-on-read
+scan does not need key co-location; a general re-spec here is
+``compact()``-style full rewrite, deliberately out of scope.
+
+Laws in tests/test_r16_ops.py: content-invisibility across an evolve
+(oracle = the same latest-wins relation a plain mirror produces),
+mid-migration reads, lazy-drain + file-reuse on the manifest, and the
+multiple-only refusal. Staged for a later registered rung
+(q_cdc_evolve_spec) once a driver window has slots — the oracle is
+the existing sequential-apply relation (WAP_RACE_MIRROR_SQL shape).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+from .apply import apply_changes
+from .bucketed import BUCKET_COL, bucket_expr
+from .versioned import CommitConflictError, SnapshotMirror
+
+from pyspark.sql import functions as F
+
+
+def _parse_label(label: str) -> tuple[int, int]:
+    """("{n}:{b}") -> (n, b)."""
+    n, b = label.split(":", 1)
+    return int(n), int(b)
+
+
+class SpecEvolvingMirror(SnapshotMirror):
+    """SnapshotMirror whose bucket layout can evolve mid-table."""
+
+    def init(self, snapshot: DataFrame) -> int:
+        buckets = {
+            f"{self.n_buckets}:{b}": d
+            for b, d in self._write_commit_data(snapshot, 0).items()
+        }
+        return self._commit_spec(buckets, snapshot.schema.json(),
+                                 spec=self.n_buckets, parent=-1)
+
+    # --- spec-aware manifest plumbing ---
+
+    def _commit_spec(self, buckets: dict[str, str], schema_json: str,
+                     spec: int, parent: int) -> int:
+        """_commit, carrying the CURRENT spec in the manifest. Reuses
+        the base linear commit (exclusive-create, stale-base
+        CommitConflictError) by stashing the spec where _commit's
+        manifest write can see it."""
+        self._pending_spec = spec
+        try:
+            return self._commit(buckets, schema_json, parent=parent,
+                                linear=True)
+        finally:
+            del self._pending_spec
+
+    def _commit(self, buckets, schema_json, parent=None, linear=False):
+        # Base _commit writes the manifest dict itself; inject the
+        # spec by wrapping the file after the atomic publish would be
+        # racy, so rewrite the manifest payload through the base
+        # path: stage spec inside the bucket map's sibling key via a
+        # shadow manifest rewrite is NOT atomic. Instead, the spec
+        # rides in a reserved bucket-map entry ("__spec__" -> str(n)),
+        # kept out of every data path by the overrides below.
+        if hasattr(self, "_pending_spec"):
+            buckets = dict(buckets)
+            buckets["__spec__"] = str(self._pending_spec)
+        return super()._commit(buckets, schema_json, parent=parent,
+                               linear=linear)
+
+    def _entries(self, manifest: dict) -> dict[str, str]:
+        """Data entries only (the reserved __spec__ rider stripped)."""
+        return {k: v for k, v in manifest["buckets"].items()
+                if k != "__spec__"}
+
+    def current_spec(self, manifest: dict | None = None) -> int:
+        m = manifest if manifest is not None else self._load_manifest(
+            self.current_version())
+        return int(m["buckets"].get("__spec__", self.n_buckets))
+
+    def read(self, version: int | None = None) -> DataFrame:
+        import os
+
+        v = self.current_version() if version is None else version
+        # Same tombstone discipline as the base reader: marker first
+        # (crash-window safe), then the manifest flag.
+        if os.path.exists(
+                os.path.join(self.path, "manifests", f"v{v}.tomb")):
+            raise ValueError(
+                f"snapshot v{v} is expired: its data was reclaimed; "
+                f"only its lineage tombstone remains")
+        m = self._load_manifest(v)
+        if m.get("expired"):
+            raise ValueError(
+                f"snapshot v{m['version']} is expired: its data was "
+                f"reclaimed; only its lineage tombstone remains")
+        return self._read_dirs(sorted(self._entries(m).values()),
+                               m["schema"])
+
+    # --- the evolved operations ---
+
+    def evolve_spec(self, new_n: int) -> int:
+        """Metadata-only spec change: same data entries, new CURRENT
+        spec for future writes. Refuses a spec that is not a proper
+        integer multiple of the current one — divisibility is what
+        keeps every later apply touched-only (module docstring)."""
+        base = self.current_version()
+        m = self._load_manifest(base)
+        cur = self.current_spec(m)
+        if new_n <= cur or new_n % cur != 0:
+            raise ValueError(
+                f"spec can only grow by an integer multiple: current "
+                f"{cur}, requested {new_n}")
+        return self._commit_spec(self._entries(m), m["schema"],
+                                 spec=new_n, parent=base)
+
+    def apply(self, changes: DataFrame, op_col: str = "op",
+              base_version: int | None = None, max_retries: int = 5) -> int:
+        """Touched-only COW merge under the manifest's CURRENT spec,
+        across however many specs the live entries span. Affected
+        entries rewrite UNDER THE CURRENT SPEC (lazy migration);
+        unaffected entries carry verbatim."""
+        if max_retries < 1:
+            raise ValueError("max_retries must be >= 1")
+        from .apply import compact_latest
+
+        latest = compact_latest(changes, self.keys, self.order_cols)
+        last_conflict: CommitConflictError | None = None
+        for _ in range(max_retries):
+            base = (self.current_version() if base_version is None
+                    else base_version)
+            m = self._load_manifest(base)
+            spec = self.current_spec(m)
+            touched = {
+                int(r[0]) for r in
+                latest.select(bucket_expr(self.keys, spec)).distinct()
+                .collect()
+            }
+            entries = self._entries(m)
+            affected = {
+                label: d for label, d in entries.items()
+                if _parse_label(label)[1] in
+                {t % _parse_label(label)[0] for t in touched}
+            }
+            try:
+                if not touched:
+                    return self._commit_spec(entries, m["schema"],
+                                             spec=spec, parent=base)
+                subset = self._read_dirs(
+                    sorted(affected.values()), m["schema"]).drop(BUCKET_COL)
+                merged = apply_changes(subset, latest, self.keys,
+                                       op_col=op_col,
+                                       order_cols=self.order_cols)
+                written = self._write_commit_data(
+                    merged, self.current_version() + 1, n_buckets=spec)
+                buckets = {label: d for label, d in entries.items()
+                           if label not in affected}
+                for b, d in written.items():
+                    # Children-partition invariant: a rewritten row can
+                    # only land in a bucket whose finer entry does not
+                    # already live (its coarse ancestor died the first
+                    # time that bucket was touched). A collision here
+                    # means the invariant broke — refuse loudly rather
+                    # than shadow live data.
+                    label = f"{spec}:{b}"
+                    if label in buckets:
+                        raise RuntimeError(
+                            f"spec-migration invariant violated: rewrite "
+                            f"produced {label} but a live entry exists")
+                    buckets[label] = d
+                return self._commit_spec(buckets, m["schema"],
+                                         spec=spec, parent=base)
+            except CommitConflictError as e:
+                if base_version is not None:
+                    raise
+                last_conflict = e
+        raise last_conflict
+
+    def spec_census(self) -> dict[int, int]:
+        """{spec: live entry count} at the head — the lazy-migration
+        progress gauge (old specs drain to zero as writes touch
+        them)."""
+        m = self._load_manifest(self.current_version())
+        out: dict[int, int] = {}
+        for label in self._entries(m):
+            n, _ = _parse_label(label)
+            out[n] = out.get(n, 0) + 1
+        return out
+
+
+# json import used by subclass consumers via base; keep linters honest.
+_ = json

@@ -195,19 +195,23 @@ class SnapshotMirror:
 
     # --- data IO ---
 
-    def _write_commit_data(self, df: DataFrame, version: int) -> dict[str, str]:
+    def _write_commit_data(self, df: DataFrame, version: int,
+                           n_buckets: int | None = None) -> dict[str, str]:
         """Write df's buckets under data/commit_{version}_{uniq};
         return bucket → dir entries for the buckets that produced
         files. The uniquifier makes concurrent writers' data dirs
         disjoint (the manifest carries full paths, so readers and the
         orphan vacuum never depend on the dir NAME matching the
-        version the writer eventually wins in ``_commit``)."""
+        version the writer eventually wins in ``_commit``).
+        ``n_buckets`` overrides the layout spec (cdc/specs.py writes
+        under the manifest's CURRENT spec, not the constructor's)."""
         import uuid
 
         commit_dir = os.path.join(
             self.path, "data",
             f"commit_{version:05d}_{uuid.uuid4().hex[:8]}")
-        (df.withColumn(BUCKET_COL, bucket_expr(self.keys, self.n_buckets))
+        n = self.n_buckets if n_buckets is None else n_buckets
+        (df.withColumn(BUCKET_COL, bucket_expr(self.keys, n))
          .repartition(BUCKET_COL)
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir))
         out: dict[str, str] = {}

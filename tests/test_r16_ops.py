@@ -1003,3 +1003,128 @@ def test_ivf_pq_rerank_oracle_cross_engine_equality(spark, duck, sf_dir):
     want = sorted(map(tuple, duck.sql(ann.IVF_PQ_RERANK_SQL).fetchall()))
     assert len(got) == len(want) > 0
     assert got == want
+
+
+# --- partition-spec evolution (library-only; cdc/specs.py) ---------------
+
+
+def _spec_mirror(spark, tmp_path, n=4):
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.specs import (
+        SpecEvolvingMirror,
+    )
+
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("v"))
+    m = SpecEvolvingMirror(spark, str(tmp_path / "specm"), keys=["k"],
+                           n_buckets=n)
+    m.init(df)
+    return m, df
+
+
+def test_spec_evolution_content_invisible(spark, tmp_path):
+    """The whole point of spec evolution: evolve(4→8→16) between
+    applies and the table reads EXACTLY what a fixed-spec mirror
+    produces from the same batches — layout is metadata, never
+    content. Also: evolve itself moves zero data (the new manifest
+    reuses every data dir verbatim)."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.versioned import (
+        SnapshotMirror,
+    )
+
+    m, df = _spec_mirror(spark, tmp_path)
+    plain = SnapshotMirror(spark, str(tmp_path / "plain"), keys=["k"],
+                           n_buckets=4)
+    plain.init(df)
+
+    entries_before = dict(m._entries(m._load_manifest(m.current_version())))
+    m.evolve_spec(8)
+    entries_after = dict(m._entries(m._load_manifest(m.current_version())))
+    assert entries_after == entries_before, "evolve must move zero data"
+
+    b1 = _batch(df, 0, 19, 2000)
+    b2 = _batch(df, 15, 40, 3000, mul=3.0)
+    m.apply(b1)
+    plain.apply(b1)
+    m.evolve_spec(16)
+    m.apply(b2)
+    plain.apply(b2)
+    assert sorted(map(tuple, m.read().drop("__bucket").collect())) == \
+        sorted(map(tuple, plain.read().drop("__bucket").collect()))
+
+
+def test_spec_evolution_lazy_migration_and_file_reuse(spark, tmp_path):
+    """Lazy drain: an apply after an evolve rewrites ONLY the old-spec
+    entries that can hold the touched keys (their fine children land
+    under the new spec), while every unaffected old-spec entry carries
+    its data dir VERBATIM (file reuse); the spec census shows old
+    specs draining as writes touch them."""
+    m, df = _spec_mirror(spark, tmp_path)
+    assert set(m.spec_census()) == {4}
+    m.evolve_spec(8)
+    before = m._entries(m._load_manifest(m.current_version()))
+
+    m.apply(df.filter(F.col("k") == 7).select(
+        "k", (F.col("v") * 2).alias("v"), F.lit("u").alias("op"),
+        F.lit(2000).cast("long").alias("ts_ms"),
+        F.col("k").cast("long").alias("off")))
+    after = m._entries(m._load_manifest(m.current_version()))
+    census = m.spec_census()
+
+    # Exactly one coarse entry died (the touched key's 4-bucket
+    # parent); its children entered under spec 8.
+    died = {l for l in before if l not in after}
+    assert len(died) == 1 and died.pop().startswith("4:")
+    assert all(l.startswith("8:") for l in set(after) - set(before))
+    # Every surviving old entry kept its exact data dir (no rewrite).
+    for label, d in before.items():
+        if label in after:
+            assert after[label] == d, (label, "rewritten but untouched")
+    assert census.get(4, 0) == len(before) - 1 and census.get(8, 0) >= 1
+
+
+def test_spec_evolution_refuses_non_multiple(spark, tmp_path):
+    """Divisibility is the touched-only routing proof — a non-multiple
+    spec (or a shrink) is refused, not mis-routed."""
+    m, df = _spec_mirror(spark, tmp_path)
+    with pytest.raises(ValueError, match="integer multiple"):
+        m.evolve_spec(6)
+    with pytest.raises(ValueError, match="integer multiple"):
+        m.evolve_spec(2)
+    m.evolve_spec(8)
+    with pytest.raises(ValueError, match="integer multiple"):
+        m.evolve_spec(12)  # multiple of 4 but not of CURRENT 8
+
+
+def test_spec_evolution_multi_epoch_reads_and_time_travel(spark, tmp_path):
+    """Mid-migration reads are correct at every point: entries spanning
+    three specs read as one table, and time travel to pre-evolution
+    versions still reads the old layout."""
+    m, df = _spec_mirror(spark, tmp_path, n=8)
+    v0 = m.current_version()
+    m.apply(_batch(df, 0, 9, 2000))
+    v1 = m.current_version()
+    # Narrow single-key batches so most entries stay UNTOUCHED and the
+    # head genuinely spans three spec epochs.
+    m.evolve_spec(16)
+    m.apply(_batch(df, 5, 5, 3000, mul=4.0))
+    m.evolve_spec(32)
+    m.apply(_batch(df, 20, 20, 4000, mul=5.0))
+    assert len(m.spec_census()) >= 2, "fixture must actually span specs"
+
+    rows = {r["k"]: r["v"] for r in m.read().select("k", "v").collect()}
+    for k in range(60):
+        base = k * 1.5
+        if k == 20:
+            want = base * 5.0
+        elif k == 5:
+            want = base * 4.0
+        elif k <= 9:
+            want = base * 2.0
+        else:
+            want = base
+        assert rows[k] == want, (k, rows[k], want)
+    # Time travel across the spec boundary.
+    assert {r["k"]: r["v"] for r in m.read(v0).select("k", "v").collect()}[7] \
+        == 7 * 1.5
+    assert {r["k"]: r["v"] for r in m.read(v1).select("k", "v").collect()}[7] \
+        == 7 * 1.5 * 2.0
