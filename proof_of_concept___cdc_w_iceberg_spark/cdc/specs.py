@@ -48,8 +48,6 @@ the existing sequential-apply relation (WAP_RACE_MIRROR_SQL shape).
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame
 
 from .apply import apply_changes
@@ -224,6 +222,3 @@ class SpecEvolvingMirror(SnapshotMirror):
             out[n] = out.get(n, 0) + 1
         return out
 
-
-# json import used by subclass consumers via base; keep linters honest.
-_ = json
