@@ -222,3 +222,33 @@ class SpecEvolvingMirror(SnapshotMirror):
             out[n] = out.get(n, 0) + 1
         return out
 
+
+    def migrate(self) -> int:
+        """FINISH the lazy migration: rewrite every old-spec entry
+        under the current spec in one maintenance commit (Iceberg's
+        ``rewrite_data_files`` closing out a spec change). Current-spec
+        entries carry verbatim (file reuse — the action touches only
+        the stragglers); content-invisible like compaction. A no-op
+        commit-free return when nothing is left to migrate."""
+        base = self.current_version()
+        m = self._load_manifest(base)
+        spec = self.current_spec(m)
+        entries = self._entries(m)
+        old = {l: d for l, d in entries.items()
+               if _parse_label(l)[0] != spec}
+        if not old:
+            return base
+        moved = self._read_dirs(sorted(old.values()),
+                                m["schema"]).drop(BUCKET_COL)
+        written = self._write_commit_data(
+            moved, self.current_version() + 1, n_buckets=spec)
+        buckets = {l: d for l, d in entries.items() if l not in old}
+        for b, d in written.items():
+            label = f"{spec}:{b}"
+            if label in buckets:
+                raise RuntimeError(
+                    f"spec-migration invariant violated: migrate "
+                    f"produced {label} but a live entry exists")
+            buckets[label] = d
+        return self._commit_spec(buckets, m["schema"], spec=spec,
+                                 parent=base)

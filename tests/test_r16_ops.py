@@ -1128,3 +1128,32 @@ def test_spec_evolution_multi_epoch_reads_and_time_travel(spark, tmp_path):
         == 7 * 1.5
     assert {r["k"]: r["v"] for r in m.read(v1).select("k", "v").collect()}[7] \
         == 7 * 1.5 * 2.0
+
+
+def test_spec_migration_completes_and_is_content_invisible(spark, tmp_path):
+    """migrate() finishes what lazy drain started: one maintenance
+    commit rewrites exactly the old-spec stragglers under the current
+    spec (current-spec entries keep their data dirs verbatim), the
+    census collapses to one spec, the table reads byte-identically
+    before and after, and a second migrate is a commit-free no-op."""
+    m, df = _spec_mirror(spark, tmp_path, n=8)
+    m.apply(_batch(df, 0, 9, 2000))
+    m.evolve_spec(16)
+    m.apply(_batch(df, 5, 5, 3000, mul=4.0))
+    assert len(m.spec_census()) >= 2
+    before_rows = sorted(map(tuple, m.read().drop("__bucket").collect()))
+    kept_before = {
+        l: d for l, d in
+        m._entries(m._load_manifest(m.current_version())).items()
+        if l.startswith("16:")
+    }
+
+    v = m.migrate()
+    assert m.current_version() == v
+    assert set(m.spec_census()) == {16}, m.spec_census()
+    after = m._entries(m._load_manifest(v))
+    for l, d in kept_before.items():
+        assert after[l] == d, (l, "migrate rewrote a current-spec entry")
+    assert sorted(map(tuple, m.read().drop("__bucket").collect())) == \
+        before_rows, "migration changed content"
+    assert m.migrate() == v, "second migrate must be a commit-free no-op"
