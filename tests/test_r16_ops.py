@@ -1157,3 +1157,95 @@ def test_spec_migration_completes_and_is_content_invisible(spark, tmp_path):
     assert sorted(map(tuple, m.read().drop("__bucket").collect())) == \
         before_rows, "migration changed content"
     assert m.migrate() == v, "second migrate must be a commit-free no-op"
+
+
+def test_durable_guard_live_foreachbatch_restart(spark, sf_dir):
+    """The durable guard under the REAL streaming engine — the live
+    twin of the registered q_stream_quantile_durable row (whose
+    failure schedule drives batch splits by hand): a readStream +
+    foreachBatch query feeds ENGINE batch ids into DurableReplayGuard;
+    the query terminates (availableNow), the driver-side guard object
+    is dropped, MORE files arrive, and a NEW guard + a NEW query over
+    the SAME checkpoint continue — engine epochs keep increasing
+    across the restart, the guard's watermark survives via
+    CURRENT.json, a stale redelivery is skipped post-restart, and the
+    final durable state equals the one-shot bottom-k over everything
+    delivered in either run."""
+    import shutil
+    import tempfile
+
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        kq_sample,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+    from proof_of_concept___cdc_w_iceberg_spark.streaming.queries import (
+        DurableReplayGuard,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("value").cast("double").alias("v"),
+        F.md5(
+            F.concat(F.lit("skq|"), F.col("event_id").cast("string"))
+        ).alias("h"),
+        "event_id",
+    )
+    k = 256
+    src = tempfile.mkdtemp(prefix="kq_live_src_")
+    gpath = tempfile.mkdtemp(prefix="kq_live_guard_")
+    ckpt = src + "_ckpt"
+    empty = ev.select("v", "h").limit(0)
+
+    def quantile_apply(state, batch):
+        return kq_sample(state.unionByName(kq_sample(batch, k=k)), k=k)
+
+    def run_query(guard):
+        stream = (
+            spark.readStream.schema("v double, h string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/_b=*")
+        )
+
+        def step(batch_df, bid):
+            guard.apply(bid, batch_df.select("v", "h"))
+
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    try:
+        # Wave 1: half the stream; first incarnation of the guard.
+        ev.filter(F.col("event_id") % 4 < 2).withColumn(
+            "_b", (F.col("event_id") % 4).cast("int")
+        ).write.partitionBy("_b").mode("overwrite").parquet(src)
+        g1 = DurableReplayGuard(spark, gpath, empty, quantile_apply)
+        run_query(g1)
+        first_last = g1.last_batch_id()
+        assert first_last >= 1, "wave 1 must span multiple engine batches"
+
+        # "Crash": g1 dropped. Wave 2 lands; a NEW guard and a NEW
+        # query over the SAME checkpoint pick up exactly the unseen
+        # files with CONTINUING engine epochs.
+        ev.filter(F.col("event_id") % 4 >= 2).withColumn(
+            "_b", (F.col("event_id") % 4).cast("int")
+        ).write.partitionBy("_b").mode("append").parquet(src)
+        g2 = DurableReplayGuard(spark, gpath, empty, quantile_apply)
+        assert g2.last_batch_id() == first_last, \
+            "watermark must survive the driver-object loss"
+        run_query(g2)
+        assert g2.last_batch_id() > first_last, \
+            "engine epochs must continue across the checkpointed restart"
+        # At-least-once: a stale redelivery after the restart is skipped.
+        assert g2.apply(0, ev.limit(5).select("v", "h")) is False
+
+        got = sorted(map(tuple, g2.state().collect()))
+        want = sorted(map(tuple, kq_sample(ev.select("v", "h"), k=k).collect()))
+        assert got == want, "live restart must land on the exact rebuild"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(gpath, ignore_errors=True)
+    spark.catalog.clearCache()
