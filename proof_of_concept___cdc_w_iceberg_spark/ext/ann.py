@@ -1697,3 +1697,40 @@ IVF_PQ_RERANK_SQL = _ivf_pq_sql() + f""",
     )
     SELECT query_id, cand_id, ROUND(dot, 6) AS dot, CAST(rn AS BIGINT) AS rn
     FROM rr WHERE rn <= 5"""
+
+
+@query("q_sim_ivf_pq", oracle=IVF_PQ_RERANK_SQL)
+def q_sim_ivf_pq(spark, sf_dir):
+    """IVFADC serving — the terminal ANN rung (r17 registration of the
+    r16-staged IVF×PQ library): IVF probe routing bounds the CANDIDATE
+    count (nprobe=3 cells per query, never the corpus), residual
+    product-quantization codes bound the BYTES per candidate (~32x —
+    PQ_M=8 small ints instead of 64 floats), ADC scores candidates
+    with m+1 table lookups each, and ONLY the shortlist's
+    full-precision vectors are fetched for the exact rescore
+    (|queries|·shortlist vector reads). This is the Jégou et al. 2011
+    IVFADC layout production vector stores (FAISS IndexIVFPQ) serve
+    from, end-to-end hash-checked: routing geometry and codebooks are
+    decimal-exact, every fold sequential, every top-k tied on id —
+    the oracle (IVF_PQ_RERANK_SQL) replays build→shortlist→rerank
+    bit-for-bit (law-tested cross-engine in tests/test_r16_ops.py
+    before registration; recall 0.92 vs the exact probe ceiling at
+    shortlist=40 on the fixture, 0.32 ADC-only).
+
+    At 100 TB: centroids/codebook/probe-table all broadcast (≤ cells +
+    m·ks rows); codes co-partition by cell label; the one nested-loop
+    join is the bounded query×|centroids| probe routing (allowlisted,
+    same shape as q_sim_ivf). Reference parity: the Trino pass-through
+    surface (`init_for_test.py:66-79`) has no ANN — this rung extends
+    the engine for LLM-pipeline retrieval workloads."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cent, cb, codes = ivf_pq_build(e)
+    return ivf_pq_rerank_topk(
+        e, cent, cb, codes, k=5, shortlist=IVF_PQ_RERANK_SHORTLIST
+    ).select(
+        "query_id", "cand_id",
+        F.round("dot", 6).alias("dot"),
+        F.col("rn").cast("long").alias("rn"),
+    )

@@ -57,6 +57,10 @@ NESTED_LOOP_OK = {
     "bounded routing as q_sim_ivf); in-cell scoring joins on the cell "
     "label — the composed serving layout the q_sim_topk_quantized "
     "allowlist entry names as its scale path",
+    "q_sim_ivf_pq": "query x |centroids| probe routing — bounded by "
+    "design, same shape as q_sim_ivf; ADC scoring is equi-joins on "
+    "(label) and (query_id, sub, code), the rerank reads only "
+    "|queries|·shortlist vectors",
     "q_stream_watermark": "1-row max-event-time cutoff broadcast",
     "q_histogram": "1-row global min/max broadcast for bin edges",
     "q_benford": "1-row digit-total broadcast for observed frequencies",
