@@ -246,6 +246,10 @@ BENCH_QUERIES = [
     # r16: bottom-k quantile stream through the same guard (the other
     # replay-corruptible transition; oracle = one-shot sketch).
     "q_stream_quantile_durable",
+    # r17: IVFADC serving (IVF probe routing over residual-PQ codes,
+    # ADC shortlist, exact rerank of shortlist vectors only — the
+    # terminal ANN compression rung).
+    "q_sim_ivf_pq",
 ]
 
 
@@ -319,6 +323,65 @@ def _loadavg() -> float | None:
         return None
 
 
+# End-of-run contamination margin (r16 verdict item 4): the settle
+# gate samples loadavg only at START, so a workload that joins the box
+# MID-run (the two discarded r16 runs: pytest alongside bench, end
+# loadavg 22 vs 4 at the gate, a contiguous drift segment up to 5.9x
+# on sub-second rows) passes the gate yet poisons the timings. The
+# rule the r16 SCALING.md addendum stated in prose — "a run whose
+# end-loadavg is far above its gate loadavg should be treated as
+# contaminated and re-run idle" — is enforced here mechanically: a
+# run whose end loadavg exceeds the gate value by more than this
+# margin, OR exceeds the settle threshold itself, is stamped
+# ``end_contaminated`` in the artifact (env block of BOTH the stdout
+# headline the driver captures and BENCH_DETAIL.json) and its
+# BENCH_HISTORY snapshot carries ``"contaminated": true`` so no future
+# drift/floor reading can silently trust it. Calibration of the
+# margin: the committed r16 close (gate 4.08 -> end 7.35, judged
+# regime-inflated but usable) stays CLEAN under both prongs; the
+# discarded runs (gate ~4 -> end 22) trip both.
+END_CONTAMINATION_MARGIN = 4.0
+
+
+def _end_contamination(gate: dict, end_la: float | None) -> dict:
+    """Verdict on end-of-run loadavg vs the settle gate's. Returns the
+    stamps to merge into the env block; prints a loud stderr warning
+    when contaminated (the bench must be re-run idle — its drift rows
+    are attribution-free and its snapshot is tagged in history)."""
+    thr = gate.get("settle_threshold")
+    base = gate.get("loadavg_after_gate")
+    if not isinstance(base, (int, float)):
+        base = gate.get("loadavg_at_gate")
+    contaminated = False
+    reason = None
+    if isinstance(end_la, (int, float)):
+        if isinstance(thr, (int, float)) and end_la > thr:
+            contaminated = True
+            reason = f"end loadavg {end_la} > settle threshold {thr}"
+        elif (
+            isinstance(base, (int, float))
+            and end_la > base + END_CONTAMINATION_MARGIN
+        ):
+            contaminated = True
+            reason = (
+                f"end loadavg {end_la} > gate {base} + "
+                f"{END_CONTAMINATION_MARGIN}"
+            )
+    if contaminated:
+        print(
+            f"# WARNING: {reason} — another workload joined the box "
+            "mid-run; timings are contaminated (the settle gate only "
+            "samples at START). This run's drift rows are not "
+            "attributable to plans and its history snapshot is tagged "
+            "contaminated — re-run the bench alone.",
+            file=sys.stderr,
+        )
+    return {
+        "end_contaminated": contaminated,
+        "end_contamination_reason": reason,
+    }
+
+
 def _cache_state(sf_dir: str) -> dict:
     """Stamp whether the materialized-stage caches were warm at run
     start, plus machine load — round-7 verdict: without this, a
@@ -386,8 +449,14 @@ def _append_history(
     sf: float,
     calib_s: float | None = None,
     noop_s: float | None = None,
+    contaminated: bool = False,
 ) -> None:
     snap = {"label": "latest", "total": total, "queries": timings, "sf": sf}
+    if contaminated:
+        # A workload joined the box mid-run (end-loadavg rule): the
+        # snapshot stays for continuity but is tagged so no future
+        # floor/drift reading trusts it silently.
+        snap["contaminated"] = True
     if calib_s is not None:
         # Box-speed stamp travels WITH the snapshot so future drift
         # reports can normalize this run's floors by calib ratio.
@@ -429,8 +498,18 @@ def _history_at_sf(history: list[dict], sf: float) -> list[dict]:
     appended to sf0.1 history would LOWER every floor ~10x and flag
     the whole next driver run as drift (found r12 while smoke-testing
     the settle gate). Legacy snapshots without an sf stamp are treated
-    as the driver's default scale (0.1) — that is what recorded them."""
-    return [s for s in history if float(s.get("sf", 0.1)) == sf]
+    as the driver's default scale (0.1) — that is what recorded them.
+
+    Contaminated snapshots (end-loadavg rule) are excluded from
+    COMPARISON too: an inflated snapshot can never lower a min-floor,
+    but it occupies a rolling-window slot and would evict a fast
+    snapshot — quietly RAISING the 3-snapshot floor and masking the
+    next real regression. It stays on disk (continuity, human
+    forensics); it just never competes."""
+    return [
+        s for s in history
+        if float(s.get("sf", 0.1)) == sf and not s.get("contaminated")
+    ]
 
 
 def _load_floors() -> dict:
@@ -806,6 +885,13 @@ def main() -> None:
     noop_run = noop_samples[len(noop_samples) // 2] if noop_samples else None
     cache_state["noop_s_run"] = noop_run
     total = round(sum(timings.values()), 3)
+    # End-of-run loadavg SAMPLED HERE — the instant the measurement
+    # window closes, before history/floors are written, so a
+    # contaminated run can be tagged in the snapshot it creates (r16
+    # verdict item 4; the later stamps — cpu pressure, calib_s_end —
+    # still run after, outside the window as before).
+    cache_state["loadavg_1m_end"] = end_la = _loadavg()
+    cache_state.update(_end_contamination(cache_state["settle_gate"], end_la))
     drift = _drift_report(history, timings, calib_now=calib_s,
                           noop_now=noop_run, stages=stages)
     # Re-read the raw history for the append: other-scale snapshots
@@ -813,7 +899,8 @@ def main() -> None:
     # undetermined scale records nothing (it has no valid bucket).
     if sf is not None:
         _append_history(_load_history(), timings, total, sf, calib_s=calib_s,
-                        noop_s=noop_run)
+                        noop_s=noop_run,
+                        contaminated=cache_state["end_contaminated"])
         # All-time minima (never re-floored): secular growth of the
         # fixed term or the suite is visible here even when every
         # rolling-window floor has grown along with it.
@@ -833,7 +920,6 @@ def main() -> None:
     # a compact headline (metric/value/sf plus the handful of flagship
     # timings that BASELINE.md names), and the full per-query map goes
     # to stderr and to BENCH_DETAIL.json next to this script.
-    cache_state["loadavg_1m_end"] = _loadavg()
     # Pressure snapshot FIRST, probe second: the end probe burns ~0.3 s
     # of 100% single-core hashing, and running it inside the
     # measurement window would inflate the suite's own cpu attribution

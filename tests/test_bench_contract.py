@@ -488,3 +488,64 @@ def test_update_floors_resets_suite_min_on_queryset_change(
                                total=120.0)
     assert rec["suite_min"] == 120.0 and rec["suite_queries_n"] == 3
     assert rec["noop_s_min"] == 0.1 and rec["calib_s_min"] == 0.4
+
+
+def test_end_contamination_clean_within_margin():
+    # The committed r16 close (gate 4.08 -> end 7.35, settle threshold
+    # 8.0) was judged regime-inflated but usable: it must stay CLEAN
+    # under both prongs — the rule targets mid-run arrivals, not the
+    # bench's own tail load.
+    gate = {"settle_threshold": 8.0, "loadavg_at_gate": 4.08,
+            "loadavg_after_gate": 4.08}
+    out = bench._end_contamination(gate, 7.35)
+    assert out["end_contaminated"] is False
+    assert out["end_contamination_reason"] is None
+
+
+def test_end_contamination_threshold_prong(capsys):
+    # End above the settle threshold itself: contaminated regardless
+    # of the gate value (the r16 discarded runs: end 22 vs gate 4).
+    gate = {"settle_threshold": 8.0, "loadavg_at_gate": 4.0,
+            "loadavg_after_gate": 4.0}
+    out = bench._end_contamination(gate, 22.0)
+    assert out["end_contaminated"] is True
+    assert "settle threshold" in out["end_contamination_reason"]
+    assert "WARNING" in capsys.readouterr().err
+
+
+def test_end_contamination_margin_prong():
+    # Under the threshold but far above the gate: a quiet-gate run
+    # (gate 0.5) whose end reads 6.0 means something joined mid-run.
+    gate = {"settle_threshold": 8.0, "loadavg_at_gate": 0.5,
+            "loadavg_after_gate": 0.5}
+    out = bench._end_contamination(gate, 6.0)
+    assert out["end_contaminated"] is True
+    assert "gate" in out["end_contamination_reason"]
+
+
+def test_end_contamination_tolerates_missing_values():
+    # None loadavg (unsupported platform) and absent gate fields must
+    # degrade to clean, never crash after a full timed suite.
+    assert bench._end_contamination({}, None)["end_contaminated"] is False
+    assert bench._end_contamination({}, 9.9)["end_contaminated"] is False
+    gate = {"settle_threshold": None, "loadavg_at_gate": None,
+            "loadavg_after_gate": None}
+    assert bench._end_contamination(gate, 9.9)["end_contaminated"] is False
+
+
+def test_append_history_tags_contaminated(monkeypatch, tmp_path):
+    import json as _json
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    bench._append_history([], {"q": 1.0}, 1.0, 0.1, contaminated=True)
+    bench._append_history(
+        bench._load_history(), {"q": 0.5}, 0.5, 0.1, contaminated=False
+    )
+    with open(tmp_path / "BENCH_HISTORY.json") as f:
+        snaps = _json.load(f)
+    assert [s.get("contaminated", False) for s in snaps] == [True, False]
+    # Comparison load excludes the tagged snapshot (it may never evict
+    # a fast one from the 3-snapshot floor window) but disk keeps it.
+    kept = bench._history_at_sf(snaps, 0.1)
+    assert len(kept) == 1 and kept[0]["total"] == 0.5
