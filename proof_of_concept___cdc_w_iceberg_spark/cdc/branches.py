@@ -186,10 +186,16 @@ class BranchedMirror(SnapshotMirror):
         critical section (``create_only``), so two concurrent creates
         of one name serialize: one wins, the other gets the refusal
         instead of a silent clobber (review finding r16)."""
-        if from_ref not in self.refs():
+        # One read, exception-mapped — not refs()-then-get_ref: a
+        # concurrent drop_branch between the membership check and the
+        # read would leak a raw FileNotFoundError past the documented
+        # ValueError contract (r16 advice).
+        try:
+            v = self.get_ref(from_ref)
+        except FileNotFoundError:
             raise ValueError(
-                f"branch_create source ref {from_ref!r} does not exist")
-        v = self.get_ref(from_ref)
+                f"branch_create source ref {from_ref!r} does not exist"
+            ) from None
         self.set_ref(name, v, create_only=True)
         return v
 
@@ -229,11 +235,12 @@ class BranchedMirror(SnapshotMirror):
         if max_retries < 1:
             raise ValueError("max_retries must be >= 1")
         last: CommitConflictError | None = None
-        # Prepared ONCE: the compacted batch and touched-bucket set are
-        # pure functions of ``changes``, so a CAS retry re-merges from
-        # the new head but never re-runs the batch-compaction job (the
-        # same hoist versioned.apply applies to its own retry loop —
-        # review finding r16).
+        # Prepared (and MATERIALIZED — _prepare_batch localCheckpoints
+        # the compacted batch) once: a CAS retry re-merges from the new
+        # head but never re-runs the batch-compaction job, because the
+        # retry's plan reads checkpoint blocks, not the lazy compaction
+        # (r16 advice: the hoist alone left ``latest`` lazy, so each
+        # retry's apply_changes still re-executed compact_latest).
         latest, touched = self._prepare_batch(changes)
         for _ in range(max_retries):
             base = self.get_ref(name)

@@ -77,60 +77,31 @@ class SpecEvolvingMirror(SnapshotMirror):
     # --- spec-aware manifest plumbing ---
 
     def _commit_spec(self, buckets: dict[str, str], schema_json: str,
-                     spec: int, parent: int) -> int:
-        """_commit, carrying the CURRENT spec in the manifest. Reuses
-        the base linear commit (exclusive-create, stale-base
-        CommitConflictError) by stashing the spec where _commit's
-        manifest write can see it."""
-        self._pending_spec = spec
-        try:
-            return self._commit(buckets, schema_json, parent=parent,
-                                linear=True)
-        finally:
-            del self._pending_spec
-
-    def _commit(self, buckets, schema_json, parent=None, linear=False):
-        # Base _commit writes the manifest dict itself; inject the
-        # spec by wrapping the file after the atomic publish would be
-        # racy, so rewrite the manifest payload through the base
-        # path: stage spec inside the bucket map's sibling key via a
-        # shadow manifest rewrite is NOT atomic. Instead, the spec
-        # rides in a reserved bucket-map entry ("__spec__" -> str(n)),
-        # kept out of every data path by the overrides below.
-        if hasattr(self, "_pending_spec"):
-            buckets = dict(buckets)
-            buckets["__spec__"] = str(self._pending_spec)
-        return super()._commit(buckets, schema_json, parent=parent,
-                               linear=linear)
+                     spec: int, parent: int, linear: bool = True) -> int:
+        """_commit, carrying the CURRENT spec as a TOP-LEVEL manifest
+        field (``manifest["spec"]`` — r16 advice: the first cut smuggled
+        it as a reserved "__spec__" entry inside the buckets map, a
+        non-path value every base consumer that walks bucket values
+        (expire's referenced-dir scan, the orphan vacuum) would have to
+        know to skip). Reuses the base commit protocol verbatim:
+        exclusive-create publish, stale-base CommitConflictError when
+        ``linear``, free-version allocation when not (pinned branch
+        commits — the base-class contract)."""
+        return self._commit(buckets, schema_json, parent=parent,
+                            linear=linear, extra={"spec": spec})
 
     def _entries(self, manifest: dict) -> dict[str, str]:
-        """Data entries only (the reserved __spec__ rider stripped)."""
-        return {k: v for k, v in manifest["buckets"].items()
-                if k != "__spec__"}
+        """The spec-qualified data entries ("{n}:{b}" -> dir)."""
+        return dict(manifest["buckets"])
 
     def current_spec(self, manifest: dict | None = None) -> int:
         m = manifest if manifest is not None else self._load_manifest(
             self.current_version())
-        return int(m["buckets"].get("__spec__", self.n_buckets))
+        return int(m.get("spec", self.n_buckets))
 
-    def read(self, version: int | None = None) -> DataFrame:
-        import os
-
-        v = self.current_version() if version is None else version
-        # Same tombstone discipline as the base reader: marker first
-        # (crash-window safe), then the manifest flag.
-        if os.path.exists(
-                os.path.join(self.path, "manifests", f"v{v}.tomb")):
-            raise ValueError(
-                f"snapshot v{v} is expired: its data was reclaimed; "
-                f"only its lineage tombstone remains")
-        m = self._load_manifest(v)
-        if m.get("expired"):
-            raise ValueError(
-                f"snapshot v{m['version']} is expired: its data was "
-                f"reclaimed; only its lineage tombstone remains")
-        return self._read_dirs(sorted(self._entries(m).values()),
-                               m["schema"])
+    # read() needs no override: bucket values are plain data dirs
+    # (the spec rides top-level), so the base reader's union of all
+    # manifest dirs is already spec-agnostic scan planning.
 
     # --- the evolved operations ---
 
@@ -159,7 +130,19 @@ class SpecEvolvingMirror(SnapshotMirror):
             raise ValueError("max_retries must be >= 1")
         from .apply import compact_latest
 
-        latest = compact_latest(changes, self.keys, self.order_cols)
+        # Materialized once, like _prepare_batch: the touched-bucket
+        # collect AND every retry's merge read checkpoint blocks
+        # instead of re-running the compaction job.
+        latest = compact_latest(
+            changes, self.keys, self.order_cols
+        ).localCheckpoint(eager=True)
+        # Pinned base => branch-commit shape: version numbers may
+        # interleave with other writers, so the commit allocates the
+        # next free version instead of demanding parent+1 (linear).
+        # This is the base-class contract plumbed through _commit_spec
+        # (r16 advice: always-linear made every pinned non-head base
+        # an instant, unretryable CommitConflictError).
+        linear = base_version is None
         last_conflict: CommitConflictError | None = None
         for _ in range(max_retries):
             base = (self.current_version() if base_version is None
@@ -180,7 +163,8 @@ class SpecEvolvingMirror(SnapshotMirror):
             try:
                 if not touched:
                     return self._commit_spec(entries, m["schema"],
-                                             spec=spec, parent=base)
+                                             spec=spec, parent=base,
+                                             linear=linear)
                 subset = self._read_dirs(
                     sorted(affected.values()), m["schema"]).drop(BUCKET_COL)
                 merged = apply_changes(subset, latest, self.keys,
@@ -204,7 +188,8 @@ class SpecEvolvingMirror(SnapshotMirror):
                             f"produced {label} but a live entry exists")
                     buckets[label] = d
                 return self._commit_spec(buckets, m["schema"],
-                                         spec=spec, parent=base)
+                                         spec=spec, parent=base,
+                                         linear=linear)
             except CommitConflictError as e:
                 if base_version is not None:
                     raise

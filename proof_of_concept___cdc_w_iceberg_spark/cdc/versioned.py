@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +36,11 @@ from pyspark.sql import functions as F
 from .apply import apply_changes, compact_latest
 from .bucketed import BUCKET_COL, bucket_expr
 from .diff import table_changes
+
+# Strict manifest-file name parse (r16 advice): a stray
+# ``v2.json.bak`` or editor droppings in manifests/ must be IGNORED,
+# not crash every versions() walk with ValueError on int().
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
 
 class CommitConflictError(RuntimeError):
@@ -75,8 +81,9 @@ class SnapshotMirror:
         snapshot onto a dead ancestor's identity)."""
         mdir = os.path.join(self.path, "manifests")
         return sorted(
-            int(n[1:-5]) for n in os.listdir(mdir)
-            if n.startswith("v") and n.endswith(".json")
+            int(m.group(1)) for m in
+            (_MANIFEST_RE.match(n) for n in os.listdir(mdir))
+            if m
         )
 
     def versions(self) -> list[int]:
@@ -97,12 +104,18 @@ class SnapshotMirror:
         mdir = os.path.join(self.path, "manifests")
         try:
             names = set(os.listdir(mdir))
-        except OSError:
+        except FileNotFoundError:
+            # Only a genuinely-uninitialized mirror reads as empty; a
+            # permissions/IO failure must SURFACE, not masquerade as
+            # "mirror has no committed version" from current_version()
+            # (r16 advice: the old blanket OSError swallow hid the
+            # real error behind a misleading ValueError).
             return []
         return [
             v for v in sorted(
-                int(n[1:-5]) for n in names
-                if n.startswith("v") and n.endswith(".json")
+                int(m.group(1)) for m in
+                (_MANIFEST_RE.match(n) for n in names)
+                if m
             )
             if f"v{v}.tomb" not in names
         ]
@@ -118,7 +131,8 @@ class SnapshotMirror:
             return json.load(f)
 
     def _commit(self, buckets: dict[str, str], schema_json: str,
-                parent: int | None = None, linear: bool = False) -> int:
+                parent: int | None = None, linear: bool = False,
+                extra: dict | None = None) -> int:
         """Write the next manifest — the atomic commit point.
 
         Version allocation is OPTIMISTIC-CONCURRENCY safe (the Iceberg
@@ -150,8 +164,13 @@ class SnapshotMirror:
                 raise CommitConflictError(
                     f"head moved past v{parent} (next free version is "
                     f"v{version}): bucket map is stale — re-read and re-merge")
-            manifest = {"version": version, "schema": schema_json,
-                        "buckets": buckets}
+            # ``extra``: subclass metadata riders (cdc/specs.py stores
+            # the table's CURRENT partition spec as a TOP-LEVEL field —
+            # r16 advice: a sentinel entry inside the buckets map would
+            # break any base consumer that treats bucket values as data
+            # paths). Core keys always win over a rider collision.
+            manifest = {**(extra or {}), "version": version,
+                        "schema": schema_json, "buckets": buckets}
             if parent is not None:
                 manifest["base"] = parent
             tmp = self._manifest_path(version) + f".tmp{os.getpid()}"
@@ -285,8 +304,18 @@ class SnapshotMirror:
         set — pure functions of ``changes``, computed ONCE and reused
         across every conflict retry (this ledger's retry loop AND the
         ref-CAS loop one level up in branches.py, which used to re-run
-        the compaction job per retry — review finding r16)."""
-        latest = compact_latest(changes, self.keys, self.order_cols)
+        the compaction job per retry — review finding r16).
+
+        ``latest`` is MATERIALIZED (localCheckpoint), not just hoisted:
+        a lazy plan would re-execute the compaction job inside every
+        retry's ``apply_changes`` — and even the no-retry path would
+        pay it twice (once for the touched-bucket collect, once in the
+        merge). Checkpointed, the window/shuffle runs exactly once and
+        retries re-read batch-sized checkpoint blocks (r16 advice: the
+        hoist alone only saved the collect)."""
+        latest = compact_latest(
+            changes, self.keys, self.order_cols
+        ).localCheckpoint(eager=True)
         touched = {
             str(r[0]) for r in
             latest.select(bucket_expr(self.keys, self.n_buckets)).distinct()

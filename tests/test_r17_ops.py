@@ -96,3 +96,150 @@ def test_q_sim_ivf_pq_in_driver_window(sf_dir):
         "q_win_percentile",
     }
     assert r10_block <= set(window), sorted(r10_block - set(window))
+
+
+# --- r16 ADVICE fixes (versioned / branches / specs) ----------------------
+
+import pytest
+
+
+def _mk_mirror(spark, tmp_path, cls=None):
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.versioned import (
+        SnapshotMirror,
+    )
+
+    cls = cls or SnapshotMirror
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("v"))
+    m = cls(spark, str(tmp_path / "mirror"), keys=["k"], n_buckets=4)
+    m.init(df)
+    return m, df
+
+
+def _batch(df, lo, hi, ts, mul=2.0):
+    return df.filter(F.col("k").between(lo, hi)).select(
+        "k",
+        (F.col("v") * mul).alias("v"),
+        F.lit("u").alias("op"),
+        F.lit(ts).cast("long").alias("ts_ms"),
+        F.col("k").cast("long").alias("off"),
+    )
+
+
+def test_versions_ignores_stray_manifest_files(spark, tmp_path):
+    """A stray v2.json.bak / editor dropping in manifests/ must be
+    invisible to the version walk (the old int(n[1:-5]) parse raised
+    ValueError on it), in BOTH versions() and _all_versions()."""
+    import os
+
+    m, df = _mk_mirror(spark, tmp_path)
+    m.apply(_batch(df, 0, 9, 2000))
+    before_live = m.versions()
+    before_all = m._all_versions()
+    mdir = os.path.join(m.path, "manifests")
+    for stray in ("v2.json.bak", "foo.json", "vX.json", "v1.json.tmp99"):
+        with open(os.path.join(mdir, stray), "w") as f:
+            f.write("{}")
+    assert m.versions() == before_live
+    assert m._all_versions() == before_all
+
+
+def test_versions_surfaces_real_io_errors(spark, tmp_path, monkeypatch):
+    """Only a missing manifests dir reads as 'no versions'; a
+    permissions failure must SURFACE, not masquerade as 'mirror has
+    no committed version' (the old blanket OSError swallow)."""
+    import os
+
+    m, _df = _mk_mirror(spark, tmp_path)
+    real_listdir = os.listdir
+
+    def deny(path):
+        if "manifests" in str(path):
+            raise PermissionError(13, "denied", str(path))
+        return real_listdir(path)
+
+    monkeypatch.setattr(os, "listdir", deny)
+    with pytest.raises(PermissionError):
+        m.versions()
+
+
+def test_branch_create_from_just_dropped_ref_is_valueerror(spark, tmp_path):
+    """The documented contract survives the refs()-then-read race: a
+    source ref vanishing between check and read surfaces as ValueError,
+    never a raw FileNotFoundError (r16 advice — simulated by dropping
+    the ref first; the fixed code path is the same single read)."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+    )
+
+    m, _df = _mk_mirror(spark, tmp_path, cls=BranchedMirror)
+    m.branch_create("tmp")
+    m.drop_branch("tmp")
+    with pytest.raises(ValueError, match="does not exist"):
+        m.branch_create("b2", from_ref="tmp")
+
+
+def test_spec_rides_top_level_and_buckets_are_paths(spark, tmp_path):
+    """The manifest stores the CURRENT spec as manifest['spec'] and
+    every bucket value is a real data directory — no sentinel entry a
+    base-class consumer (expire's referenced-dir walk, the orphan
+    vacuum) could trip over (r16 advice)."""
+    import os
+
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.specs import (
+        SpecEvolvingMirror,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path, cls=SpecEvolvingMirror)
+    m.apply(_batch(df, 0, 9, 2000))
+    m.evolve_spec(8)
+    m.apply(_batch(df, 5, 14, 3000))
+    man = m._load_manifest(m.current_version())
+    assert man["spec"] == 8
+    assert "__spec__" not in man["buckets"]
+    for label, d in man["buckets"].items():
+        n, b = label.split(":")
+        assert int(n) in (4, 8) and 0 <= int(b) < int(n)
+        assert os.path.isdir(d), (label, d)
+    # expire() walks those values as paths (the referenced-dir scan
+    # that motivated the advice) — run it to prove the base consumer
+    # digests a spec-evolving manifest.
+    m.expire(keep_last=2)
+    got = sorted(map(tuple, m.read().drop("__bucket").collect()))
+    assert len(got) == 40
+
+
+def test_spec_apply_pinned_base_commits_branch_shape(spark, tmp_path):
+    """apply(base_version=non-head) is the BRANCH-commit contract: it
+    must allocate a free version parented on the pin (linear=False),
+    not die on an unretryable CommitConflictError (r16 advice: the
+    always-linear _commit_spec made the inherited contract unusable
+    on this subclass)."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.specs import (
+        SpecEvolvingMirror,
+    )
+
+    m, df = _mk_mirror(spark, tmp_path, cls=SpecEvolvingMirror)
+    v0 = m.current_version()
+    m.apply(_batch(df, 0, 9, 2000))       # head moves to v1
+    v = m.apply(_batch(df, 10, 19, 3000), base_version=v0)  # pin v0
+    assert v in m._all_versions()
+    man = m._load_manifest(v)
+    assert man["base"] == v0, "pinned commit must parent on the pin"
+    assert man["spec"] == 4
+    # The pinned snapshot contains ONLY its own batch over v0.
+    got = {r["k"]: r["v"] for r in m.read(version=v).collect()}
+    assert got[15] == 15 * 1.5 * 2.0 and got[5] == 5 * 1.5
+
+
+def test_prepare_batch_is_materialized(spark, tmp_path):
+    """_prepare_batch's compacted batch reads as checkpoint blocks —
+    a retry (or the first merge) must never re-run the compaction
+    window (r16 advice: the hoist alone left it lazy)."""
+    m, df = _mk_mirror(spark, tmp_path)
+    latest, touched = m._prepare_batch(_batch(df, 0, 9, 2000))
+    assert latest.isLocalCheckpoint() if hasattr(latest, "isLocalCheckpoint") \
+        else True
+    plan = latest._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan and "Window" not in plan, plan
+    assert touched and all(isinstance(t, str) for t in touched)
