@@ -1889,3 +1889,72 @@ def q_cdc_expire_branch(spark, sf_dir):
     return m.read_ref("main").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
+
+
+# --- staged r18 rung: partition-spec evolution (cdc/specs.py) -------------
+#
+# STAGED, NOT REGISTERED: the r17 driver window's one free slot went to
+# q_sim_ivf_pq (r16 verdict items 1-2 — the 48-row r10-stale sweep plus
+# the promoted rotation fills the other 49). Registration in r18 is one
+# decorator: @query("q_cdc_evolve_spec", oracle=WAP_RACE_MIRROR_SQL) on
+# this function, unchanged — its cross-engine equality is law-tested NOW
+# (tests/test_r17_ops.py::test_evolve_spec_staged_rung_matches_oracle),
+# the same convert-registration-into-a-decorator pattern that made
+# q_sim_ivf_pq's r17 landing risk-free.
+
+def cdc_evolve_spec_query(spark, sf_dir):
+    """Partition-spec evolution under live CDC traffic — the last
+    Iceberg v2-metadata behavior (`pom.xml:15`) without a registered
+    rung: a mirror outgrows its bucket count MID-STREAM and the spec
+    change costs zero data movement while content stays byte-identical
+    to a fixed-layout apply (the registered oracle is the sequential
+    two-batch apply, WAP_RACE_MIRROR_SQL):
+
+    1. init under an 8-bucket spec; batch A applies under it;
+    2. ``evolve_spec(12)`` is REFUSED (specs grow by integer multiples
+       only — the modular-containment guarantee that keeps every later
+       apply touched-only); main asserted unmoved by the refusal;
+    3. ``evolve_spec(16)`` commits METADATA-ONLY: every data entry
+       carries verbatim (asserted), the census still reads all-8;
+    4. batch B applies under the NEW spec — touched old-spec entries
+       drain to 16-bucket children (lazy migration), untouched ones
+       carry their files;
+    5. ``migrate()`` finishes the drain in one maintenance commit
+       (Iceberg's rewrite_data_files closing out a spec change); the
+       census reads all-16 and the returned relation is the mirror.
+
+    At 100 TB: evolve is one manifest write; each apply rewrites only
+    the touched slice; migrate touches only the stragglers. Reference
+    parity: `connect-iceberg-sink.json:15-16` (Iceberg sink table),
+    Iceberg 1.9.2 spec-evolution semantics."""
+    from .specs import SpecEvolvingMirror
+
+    li, batch_a = _scale_mirror_and_changes(spark, sf_dir)
+    batch_b = _wap_race_batch_b(li)
+    keys = ["l_orderkey", "l_linenumber"]
+    path = os.path.join(tempfile.mkdtemp(prefix="cdc_evolve_spec_"),
+                        "mirror")
+    m = SpecEvolvingMirror(spark, path, keys=keys, n_buckets=8)
+    m.init(li)
+    m.apply(batch_a)
+    head = m.current_version()
+    try:
+        m.evolve_spec(12)
+        raise AssertionError("non-multiple spec must be refused")
+    except ValueError:
+        pass
+    assert m.current_version() == head, "refused evolve moved the head"
+
+    before = dict(m._entries(m._load_manifest(head)))
+    m.evolve_spec(16)
+    after = dict(m._entries(m._load_manifest(m.current_version())))
+    assert after == before, "evolve must move zero data"
+    assert set(m.spec_census()) == {8}, "evolve migrates nothing"
+
+    m.apply(batch_b)  # lazy migration under the new spec
+    assert set(m.spec_census()) <= {8, 16}, m.spec_census()
+    m.migrate()
+    assert set(m.spec_census()) == {16}, "migrate must finish the drain"
+    return m.read().select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )

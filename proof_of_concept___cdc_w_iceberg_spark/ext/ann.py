@@ -1734,3 +1734,37 @@ def q_sim_ivf_pq(spark, sf_dir):
         F.round("dot", 6).alias("dot"),
         F.col("rn").cast("long").alias("rn"),
     )
+
+
+# --- staged r18 rung: flat-PQ serving (no IVF routing) --------------------
+#
+# STAGED, NOT REGISTERED: r17's one free window slot went to the
+# composed q_sim_ivf_pq (which subsumes this rung's ADC semantics at
+# the production layout — r16 verdict item 2's exactly-one-slot arm).
+# Registration in r18 is one decorator:
+# @query("q_sim_pq", oracle=PQ_RERANK_SQL) on this function, unchanged;
+# its cross-engine equality is law-tested NOW
+# (tests/test_r17_ops.py::test_sim_pq_staged_rung_matches_oracle).
+
+def sim_pq_query(spark, sf_dir):
+    """Flat product-quantization serving — ADC shortlist over the full
+    code table (no coarse routing), exact rerank of shortlist vectors
+    only. The rung between int8 scalar quantization (q_sim_topk_
+    quantized: 4x compression, full scan) and IVFADC (q_sim_ivf_pq:
+    ~32x + probe-bounded candidates): same ~32x code compression,
+    corpus-wide candidate set — the right layout when recall must not
+    depend on router quality (FAISS IndexPQ). Every arithmetic step is
+    the deterministic twin of PQ_RERANK_SQL (decimal-sum codebooks,
+    sequential folds, 9-decimal-rounded table entries, ties on id)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cb = pq_train(e)
+    codes = pq_encode(e, cb)
+    return pq_rerank_topk(
+        e, cb, codes, k=5, shortlist=PQ_RERANK_SHORTLIST
+    ).select(
+        "query_id", "cand_id",
+        F.round("dot", 6).alias("dot"),
+        F.col("rn").cast("long").alias("rn"),
+    )

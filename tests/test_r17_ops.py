@@ -243,3 +243,33 @@ def test_prepare_batch_is_materialized(spark, tmp_path):
     plan = latest._jdf.queryExecution().executedPlan().toString()
     assert "row_number" not in plan and "Window" not in plan, plan
     assert touched and all(isinstance(t, str) for t in touched)
+
+
+# --- staged r18 rungs: registration is one decorator ----------------------
+
+
+def test_evolve_spec_staged_rung_matches_oracle(spark, duck, sf_dir):
+    """cdc_evolve_spec_query (staged q_cdc_evolve_spec) hash-matches
+    its named oracle (WAP_RACE_MIRROR_SQL, the sequential two-batch
+    apply) at the fixture scale: spec evolution + lazy migration +
+    migrate() are content-invisible end to end, so the r18
+    registration is a decorator flip with zero new risk."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc import queries as cq
+
+    got = sorted(map(tuple, cq.cdc_evolve_spec_query(spark, sf_dir)
+                     .collect()))
+    want = sorted(map(tuple, duck.sql(cq.WAP_RACE_MIRROR_SQL).fetchall()))
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_sim_pq_staged_rung_matches_oracle(spark, duck, sf_dir):
+    """sim_pq_query (staged q_sim_pq) hash-matches PQ_RERANK_SQL at
+    the registered defaults (train iters=2 -> encode -> ADC shortlist
+    50 -> exact rerank top-5)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+
+    got = sorted(map(tuple, ann.sim_pq_query(spark, sf_dir).collect()))
+    want = sorted(map(tuple, duck.sql(ann.PQ_RERANK_SQL).fetchall()))
+    assert len(got) == len(want) > 0
+    assert got == want
