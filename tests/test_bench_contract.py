@@ -490,47 +490,44 @@ def test_update_floors_resets_suite_min_on_queryset_change(
     assert rec["noop_s_min"] == 0.1 and rec["calib_s_min"] == 0.4
 
 
-def test_end_contamination_clean_within_margin():
-    # The committed r16 close (gate 4.08 -> end 7.35, settle threshold
-    # 8.0) was judged regime-inflated but usable: it must stay CLEAN
-    # under both prongs — the rule targets mid-run arrivals, not the
-    # bench's own tail load.
-    gate = {"settle_threshold": 8.0, "loadavg_at_gate": 4.08,
-            "loadavg_after_gate": 4.08}
-    out = bench._end_contamination(gate, 7.35)
+def test_end_contamination_clean_cases():
+    # The rule's margin is calibrated on MEASURED clean regimes — both
+    # must stay clean:
+    # (a) a strictly-alone idle-gate run ends at ~4.7 purely from the
+    #     bench's own final minute of local[32] work (r17 measurement;
+    #     the first-cut margin of 4.0 false-flagged exactly this);
+    gate = {"settle_threshold": 8.0, "loadavg_at_gate": 0.05,
+            "loadavg_after_gate": 0.05}
+    out = bench._end_contamination(gate, 4.72)
     assert out["end_contaminated"] is False
     assert out["end_contamination_reason"] is None
+    # (b) the committed r16 close (gate 4.08 -> end 7.35, judged
+    #     regime-inflated but usable).
+    gate = {"settle_threshold": 8.0, "loadavg_at_gate": 4.08,
+            "loadavg_after_gate": 4.08}
+    assert bench._end_contamination(gate, 7.35)["end_contaminated"] is False
 
 
-def test_end_contamination_threshold_prong(capsys):
-    # End above the settle threshold itself: contaminated regardless
-    # of the gate value (the r16 discarded runs: end 22 vs gate 4).
+def test_end_contamination_flags_co_tenant(capsys):
+    # The failure mode the rule exists for: another workload joining
+    # the 32-core box mid-run (the r16 discarded pytest-alongside
+    # runs: gate ~4 -> end 22).
     gate = {"settle_threshold": 8.0, "loadavg_at_gate": 4.0,
             "loadavg_after_gate": 4.0}
     out = bench._end_contamination(gate, 22.0)
     assert out["end_contaminated"] is True
-    assert "settle threshold" in out["end_contamination_reason"]
-    assert "WARNING" in capsys.readouterr().err
-
-
-def test_end_contamination_margin_prong():
-    # Under the threshold but far above the gate: a quiet-gate run
-    # (gate 0.5) whose end reads 6.0 means something joined mid-run.
-    gate = {"settle_threshold": 8.0, "loadavg_at_gate": 0.5,
-            "loadavg_after_gate": 0.5}
-    out = bench._end_contamination(gate, 6.0)
-    assert out["end_contaminated"] is True
     assert "gate" in out["end_contamination_reason"]
+    assert "WARNING" in capsys.readouterr().err
 
 
 def test_end_contamination_tolerates_missing_values():
     # None loadavg (unsupported platform) and absent gate fields must
     # degrade to clean, never crash after a full timed suite.
     assert bench._end_contamination({}, None)["end_contaminated"] is False
-    assert bench._end_contamination({}, 9.9)["end_contaminated"] is False
+    assert bench._end_contamination({}, 30.0)["end_contaminated"] is False
     gate = {"settle_threshold": None, "loadavg_at_gate": None,
             "loadavg_after_gate": None}
-    assert bench._end_contamination(gate, 9.9)["end_contaminated"] is False
+    assert bench._end_contamination(gate, 30.0)["end_contaminated"] is False
 
 
 def test_append_history_tags_contaminated(monkeypatch, tmp_path):
