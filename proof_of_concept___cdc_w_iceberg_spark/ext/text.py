@@ -1155,3 +1155,145 @@ def q_text_hashing_trick(spark, sf_dir):
         "tf",
         F.round(F.col("tf").cast("double") / F.col("n"), 6).alias("w"),
     )
+
+
+# --- staged r19 rung: hybrid retrieval with reciprocal rank fusion --------
+#
+# STAGED, NOT REGISTERED (window budget: r18's two free slots are
+# spoken for by q_sim_pq + q_cdc_evolve_spec; r19's single free slot
+# is this rung's). Registration is one decorator:
+# @query("q_search_hybrid", oracle=HYBRID_RRF_SQL) on hybrid_rrf_query,
+# unchanged — cross-engine equality is law-tested NOW
+# (tests/test_r17_ops.py::test_hybrid_rrf_staged_rung_matches_oracle).
+#
+# The op: HYBRID SEARCH — the production RAG retrieval shape every
+# serving stack ships (Elasticsearch/OpenSearch RRF, Vespa, Weaviate):
+# a LEXICAL arm (the registered q_bm25 pipeline, fixed 3-term query)
+# and a DENSE arm (cosine top-k against a fixed query embedding) each
+# produce a ranked list, fused by Reciprocal Rank Fusion
+# (Cormack, Clarke & Buettcher 2009): score(d) = Σ_lists 1/(K + rank_d)
+# with K=60 — rank arithmetic only, so the fusion is score-scale-free
+# (the reason RRF won over score interpolation in practice: BM25 and
+# cosine live on incomparable scales).
+#
+# Determinism (hash-check contract): both arms rank on ROUNDED scores
+# with id tiebreaks (the registered q_bm25 / q_sim_topk disciplines);
+# RRF terms are 1/(60 + rank) — IEEE divisions of exact integers,
+# identical in both engines, summed in a fixed (lex + dense) order.
+# At 100 TB: the lexical arm is q_bm25's shape (one tokenize pass,
+# broadcast stats), the dense arm is one broadcast of the query vector
+# (the scale path swaps in the IVF/PQ index — q_sim_ivf_pq — for the
+# brute-force scan without touching the fusion); the fusion itself
+# joins two ≤LIST-row relations.
+
+RRF_K = 60          # Cormack et al.'s constant; rank damping
+HYBRID_LIST = 20    # per-arm candidate list length
+HYBRID_TOP = 10     # fused results returned
+HYBRID_QVEC = 0     # vec_id of the fixed dense query embedding
+
+HYBRID_RRF_SQL = f"""
+        WITH bm AS ({BM25_SQL}),
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+            FROM bm
+        ),
+        e AS (
+            SELECT vec_id, embedding,
+                   {{sqnorm}} AS sq
+            FROM embeddings
+        ),
+        qv AS (SELECT embedding AS q, sq AS q_sq FROM e
+               WHERE vec_id = {HYBRID_QVEC}),
+        dsc AS (
+            SELECT e.vec_id,
+                   ROUND({{dot}} / sqrt(e.sq * qv.q_sq), 6) AS cos
+            FROM e, qv
+            WHERE e.vec_id <> {HYBRID_QVEC} AND e.sq > 0
+        ),
+        dense AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY cos DESC, vec_id) AS r_dense
+            FROM dsc
+            ORDER BY cos DESC, vec_id LIMIT {HYBRID_LIST}
+        ),
+        fused AS (
+            SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                   l.r_lex, d.r_dense,
+                   COALESCE(1.0 / ({RRF_K} + l.r_lex), 0)
+                   + COALESCE(1.0 / ({RRF_K} + d.r_dense), 0) AS rrf
+            FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+        )
+        SELECT doc_id, ROUND(rrf, 9) AS rrf,
+               r_lex, r_dense
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOP}
+    """
+
+
+def hybrid_rrf_query(spark, sf_dir):
+    """Hybrid BM25 + dense-cosine retrieval fused by RRF — see the
+    module comment above. Returns the fused top-{HYBRID_TOP} as
+    (doc_id, rrf, r_lex, r_dense); a doc missing from one arm simply
+    contributes nothing for it (NULL rank, zero term)."""
+    from .similarity import _dot, _sqnorm
+
+    bm = q_bm25(spark, sf_dir)
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = bm.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("r_lex")
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    )
+    qv = e.filter(F.col("vec_id") == HYBRID_QVEC).select(
+        F.col("embedding").alias("q"), F.col("sq").alias("q_sq")
+    )
+    dsc = (
+        e.filter((F.col("vec_id") != HYBRID_QVEC) & (F.col("sq") > 0))
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("q"))
+                / F.sqrt(F.col("sq") * F.col("q_sq")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    # Distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), then rank WITHIN the bounded 20-row
+    # result; a corpus-wide row_number window here would be the
+    # single-partition global-sort bottleneck the plan sweep bans.
+    top = dsc.orderBy(F.col("cos").desc(), "vec_id").limit(HYBRID_LIST)
+    w_dense = Window.orderBy(F.col("cos").desc(), "vec_id")
+    dense = top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_dense).cast("long").alias("r_dense"),
+    )
+
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id", "r_lex", "r_dense",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_lex")),
+                       F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_dense")),
+                         F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(HYBRID_TOP)
+        .select("doc_id", F.round("rrf", 9).alias("rrf"),
+                "r_lex", "r_dense")
+    )
+
+
+from .similarity import DOT_SQL, SQNORM_SQL  # noqa: E402 (no cycle:
+#   similarity imports nothing from text; deferred to keep the module
+#   header untouched for fingerprint stability of registered queries)
+
+HYBRID_RRF_SQL = HYBRID_RRF_SQL.format(
+    sqnorm=SQNORM_SQL.format(a="embedding"),
+    dot=DOT_SQL.format(a="e.embedding", b="qv.q"),
+)

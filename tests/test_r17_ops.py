@@ -273,3 +273,39 @@ def test_sim_pq_staged_rung_matches_oracle(spark, duck, sf_dir):
     want = sorted(map(tuple, duck.sql(ann.PQ_RERANK_SQL).fetchall()))
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_hybrid_rrf_staged_rung_matches_oracle(spark, duck, sf_dir):
+    """hybrid_rrf_query (staged q_search_hybrid, r19 slot) hash-matches
+    HYBRID_RRF_SQL: BM25 arm + dense-cosine arm + reciprocal rank
+    fusion, rank arithmetic identical in both engines."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import text
+
+    df = text.hybrid_rrf_query(spark, sf_dir)
+    cols = sorted(df.columns)
+    got = sorted(map(tuple, df.select(*cols).collect()))
+    rel = duck.sql(text.HYBRID_RRF_SQL)
+    order = [rel.columns.index(c) for c in sorted(rel.columns)]
+    want = sorted(tuple(r[i] for i in order) for r in rel.fetchall())
+    assert sorted(rel.columns) == cols
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_hybrid_rrf_semantics(spark, sf_dir):
+    """RRF fusion laws on the staged rung: a doc ranked by BOTH arms
+    outscores the same ranks taken singly; scores are bounded by
+    2/(K+1); every returned doc carries at least one rank; the dense
+    arm never returns the query vector itself."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import text
+
+    rows = text.hybrid_rrf_query(spark, sf_dir).collect()
+    assert 0 < len(rows) <= text.HYBRID_TOP
+    for r in rows:
+        assert r.r_lex is not None or r.r_dense is not None
+        both = (1.0 / (text.RRF_K + (r.r_lex or 10**9))
+                + 1.0 / (text.RRF_K + (r.r_dense or 10**9)))
+        assert abs(r.rrf - round(both, 9)) < 1e-9
+        assert r.rrf <= 2.0 / (text.RRF_K + 1) + 1e-12
+        if r.r_dense is not None:
+            assert r.doc_id != text.HYBRID_QVEC
