@@ -1297,3 +1297,152 @@ HYBRID_RRF_SQL = HYBRID_RRF_SQL.format(
     sqnorm=SQNORM_SQL.format(a="embedding"),
     dot=DOT_SQL.format(a="e.embedding", b="qv.q"),
 )
+
+
+# --- staged r20 rung: incremental BM25 index maintenance under CDC --------
+#
+# STAGED, NOT REGISTERED (window budget: r18 = q_sim_pq +
+# q_cdc_evolve_spec, r19 = q_search_hybrid; r20's single free slot is
+# this rung's). Registration is one decorator:
+# @query("q_bm25_incremental", oracle=INC_BM25_SQL) on
+# bm25_incremental_query — cross-engine equality law-tested NOW
+# (tests/test_r17_ops.py::test_bm25_incremental_staged_rung).
+#
+# The op: SEARCH-INDEX IVM — the retrieval twin of the CDC mirror.
+# A production lexical index (Lucene segments, warehouse BM25 marts)
+# is never rebuilt per document batch; it maintains sufficient
+# statistics under churn. The BM25 state here is exactly the
+# sufficient-statistics relations:
+#   dl (doc_id → token count, every live doc)   — N and avgdl derive;
+#   tf (doc_id, term → count, query terms only) — df derives.
+# A per-key-resolved CDC batch (deletes / replacements / inserts)
+# maintains both with one anti-join (drop every batched key) + one
+# tokenize pass over THE BATCH ONLY, so maintenance is O(batch
+# tokens) with untouched documents never re-read — the same
+# touched-only contract as the bucketed CDC apply, and the oracle is
+# the full REBUILD over the final corpus (apply == rebuild, the IVM
+# law, hash-checked end to end through the ranking).
+#
+# Determinism: identical to q_bm25's argument — per-doc sums have at
+# most |terms| addends over identical doubles; stats are exact integer
+# aggregates; ranking on the ROUNDED score with doc_id tiebreak.
+
+# The deterministic churn batch (SQL-expressible so the rebuild oracle
+# can replay it): doc_id % 7 == 0 deleted; % 5 == 0 (and not % 7)
+# replaced with two extra query-term occurrences appended (shifts both
+# its tf and every doc's avgdl); two brand-new docs inserted.
+INC_BM25_INS = (
+    (10_000_001, "vector merge stream"),
+    (10_000_002, "merge stream storage vector"),
+)
+
+_INC_FINAL_SQL = f"""final AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, text || ' vector merge vector' AS text
+            FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+            UNION ALL
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+            FROM (VALUES {", ".join(f"({i}, '{t}')" for i, t in INC_BM25_INS)})
+                 AS ins(doc_id, text)
+        )"""
+
+# The rebuild oracle = the registered BM25_SQL chain verbatim, scanning
+# the post-churn corpus instead of the base table (string-rewritten so
+# BM25_SQL itself stays byte-identical — its registered fingerprint
+# must not move).
+INC_BM25_SQL = (
+    "\n        WITH " + _INC_FINAL_SQL + ","
+    + BM25_SQL.replace("WITH toks AS", "toks AS", 1)
+               .replace("FROM documents", "FROM final", 1).lstrip("\n")
+)
+
+
+def _bm25_rank(dl, tf):
+    """BM25 top-20 from the sufficient-statistics relations — the
+    serving arm shared by build and maintain paths. (A formula twin of
+    the registered q_bm25 tail; not factored out of it because editing
+    q_bm25's body would move its fingerprint and spend a window slot
+    on a refactor.)"""
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    df = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term_score = (
+        idf
+        * F.col("tf") * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("s"))
+    )
+    return (
+        scored.select("doc_id", F.round("s", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+def _bm25_state(docs):
+    """(dl, tf) sufficient statistics from a (doc_id, text) relation —
+    one tokenize pass feeds both (the q_bm25 scan shape)."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    return dl, tf
+
+
+def bm25_incremental_query(spark, sf_dir):
+    """Incremental BM25 under CDC churn — see the module comment.
+    Builds the index state from the base corpus, applies the
+    deterministic batch by MAINTENANCE (anti-join survivors + tokenize
+    the batch only — never re-reads an untouched document), and serves
+    the post-churn top-20. The oracle rebuilds from the final corpus,
+    so the driver hash check IS the apply == rebuild law through the
+    full ranking."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dl0, tf0 = _bm25_state(docs)
+
+    dels = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("d").alias("op"),
+    )
+    upds = docs.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)
+    ).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" vector merge vector")).alias("text"),
+        F.lit("u").alias("op"),
+    )
+    ins = spark.createDataFrame(
+        [(i, t, "u") for i, t in INC_BM25_INS],
+        "doc_id long, text string, op string",
+    )
+    batch = dels.unionByName(upds).unionByName(ins)
+
+    # Maintenance: O(batch). Every batched key leaves the state; the
+    # upserted docs' stats come from tokenizing THE BATCH alone.
+    keys = batch.select("doc_id")
+    dl_b, tf_b = _bm25_state(batch.filter(F.col("op") == "u"))
+    dl = dl0.join(keys, "doc_id", "left_anti").unionByName(dl_b)
+    tf = tf0.join(keys, "doc_id", "left_anti").unionByName(tf_b)
+    return _bm25_rank(dl, tf)

@@ -309,3 +309,70 @@ def test_hybrid_rrf_semantics(spark, sf_dir):
         assert r.rrf <= 2.0 / (text.RRF_K + 1) + 1e-12
         if r.r_dense is not None:
             assert r.doc_id != text.HYBRID_QVEC
+
+
+def test_bm25_incremental_staged_rung(spark, duck, sf_dir):
+    """bm25_incremental_query (staged q_bm25_incremental, r20 slot)
+    hash-matches INC_BM25_SQL — the full REBUILD over the post-churn
+    corpus — so maintenance == rebuild holds through the entire
+    ranking (the search-index IVM law)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import text
+
+    df = text.bm25_incremental_query(spark, sf_dir)
+    cols = sorted(df.columns)
+    got = sorted(map(tuple, df.select(*cols).collect()))
+    rel = duck.sql(text.INC_BM25_SQL)
+    order = [rel.columns.index(c) for c in sorted(rel.columns)]
+    want = sorted(tuple(r[i] for i in order) for r in rel.fetchall())
+    assert sorted(rel.columns) == cols
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_bm25_incremental_semantics(spark, sf_dir):
+    """IVM semantics on the staged rung: deleted docs (％7) never rank;
+    the two inserted query-term-dense docs DO rank; and the maintained
+    state matches a from-scratch _bm25_state build of the final corpus
+    relation-for-relation (not just through the ranking)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import text
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    rows = text.bm25_incremental_query(spark, sf_dir).collect()
+    ids = {r.doc_id for r in rows}
+    assert not any(i % 7 == 0 for i in ids if i < 10_000_000)
+    assert {i for i, _ in text.INC_BM25_INS} <= ids, ids
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    final = (
+        docs.filter((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 5 != 0))
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 0)
+            ).select(
+                "doc_id",
+                F.concat(F.col("text"),
+                         F.lit(" vector merge vector")).alias("text"),
+            )
+        )
+        .unionByName(
+            spark.createDataFrame(list(text.INC_BM25_INS),
+                                  "doc_id long, text string")
+        )
+    )
+    dl_r, tf_r = text._bm25_state(final)
+    # Re-derive the maintained state exactly as the query does.
+    dl0, tf0 = text._bm25_state(docs)
+    keys = docs.filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 5 == 0)
+    ).select("doc_id").unionByName(
+        spark.createDataFrame([(i,) for i, _ in text.INC_BM25_INS],
+                              "doc_id long")
+    )
+    ups = final.join(keys, "doc_id", "semi")
+    dl_b, tf_b = text._bm25_state(ups)
+    dl_m = dl0.join(keys, "doc_id", "left_anti").unionByName(dl_b)
+    tf_m = tf0.join(keys, "doc_id", "left_anti").unionByName(tf_b)
+    assert sorted(map(tuple, dl_m.collect())) == \
+        sorted(map(tuple, dl_r.collect()))
+    assert sorted(map(tuple, tf_m.collect())) == \
+        sorted(map(tuple, tf_r.collect()))
