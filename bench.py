@@ -421,6 +421,14 @@ def _prev_timings(sf: float) -> dict[str, float]:
         # {} like any other garbage, not crash on .get.
         if not isinstance(doc, dict) or float(doc.get("sf", 0.1)) != sf:
             return {}
+        # A contaminated previous run's timings are inflated (up to
+        # ~6x on sub-second rows) — trusting them would fire the
+        # mover-rerun on nearly every query and double the next clean
+        # run's wall-clock (review finding r17: the stamp exists so no
+        # future reading silently trusts the artifact, including this
+        # one).
+        if (doc.get("env") or {}).get("end_contaminated"):
+            return {}
         q = doc.get("queries", {})
         return {k: float(v) for k, v in q.items()}
     except (OSError, ValueError, TypeError, AttributeError):
@@ -476,12 +484,23 @@ def _append_history(
     history = history + [snap]
     # Retention is per scale: a smoke run at another sf must neither
     # feed the floors (filtered at load) nor push the driver-scale
-    # snapshots out of the rolling window here.
+    # snapshots out of the rolling window here. Contaminated snapshots
+    # are capped SEPARATELY (2 per sf, forensics only) and never count
+    # against the 6 clean slots — otherwise a noisy week of tagged
+    # runs would evict every clean floor snapshot from disk and the
+    # next clean run would compare against nothing (review finding
+    # r17: regression detection silently disabled exactly when the
+    # box had been noisy).
     kept_rev: list[dict] = []
     counts: dict[float, int] = {}
+    dirty_counts: dict[float, int] = {}
     for s in reversed(history):
         key = float(s.get("sf", 0.1))
-        if counts.get(key, 0) < 6:
+        if s.get("contaminated"):
+            if dirty_counts.get(key, 0) < 2:
+                kept_rev.append(s)
+                dirty_counts[key] = dirty_counts.get(key, 0) + 1
+        elif counts.get(key, 0) < 6:
             kept_rev.append(s)
             counts[key] = counts.get(key, 0) + 1
     path = os.path.join(

@@ -1187,7 +1187,10 @@ def q_text_hashing_trick(spark, sf_dir):
 # joins two ≤LIST-row relations.
 
 RRF_K = 60          # Cormack et al.'s constant; rank damping
-HYBRID_LIST = 20    # per-arm candidate list length
+HYBRID_DENSE_LIST = 20  # DENSE-arm list length only: the lexical
+#   arm is the registered q_bm25, whose top-20 is pinned by its own
+#   oracle (review finding r17: the old name promised a per-arm knob
+#   this constant never controlled)
 HYBRID_TOP = 10     # fused results returned
 HYBRID_QVEC = 0     # vec_id of the fixed dense query embedding
 
@@ -1215,7 +1218,7 @@ HYBRID_RRF_SQL = f"""
             SELECT vec_id AS doc_id,
                    row_number() OVER (ORDER BY cos DESC, vec_id) AS r_dense
             FROM dsc
-            ORDER BY cos DESC, vec_id LIMIT {HYBRID_LIST}
+            ORDER BY cos DESC, vec_id LIMIT {HYBRID_DENSE_LIST}
         ),
         fused AS (
             SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
@@ -1228,6 +1231,19 @@ HYBRID_RRF_SQL = f"""
                r_lex, r_dense
         FROM fused ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOP}
     """
+
+# Formatted IMMEDIATELY (review finding r17): @query captures the
+# oracle BY VALUE at decoration time, so the r19 decorator flip on
+# hybrid_rrf_query below must see the final SQL, not the {sqnorm}/{dot}
+# template. The deferred import is cycle-safe (similarity imports
+# nothing from text) and sits here rather than the header to keep the
+# registered queries above fingerprint-stable.
+from .similarity import DOT_SQL, SQNORM_SQL  # noqa: E402
+
+HYBRID_RRF_SQL = HYBRID_RRF_SQL.format(
+    sqnorm=SQNORM_SQL.format(a="embedding"),
+    dot=DOT_SQL.format(a="e.embedding", b="qv.q"),
+)
 
 
 def hybrid_rrf_query(spark, sf_dir):
@@ -1262,10 +1278,10 @@ def hybrid_rrf_query(spark, sf_dir):
         )
     )
     # Distributed top-k FIRST (TakeOrderedAndProject — per-partition
-    # heaps, no global sort), then rank WITHIN the bounded 20-row
+    # heaps, no global sort), then rank WITHIN the bounded HYBRID_DENSE_LIST-row
     # result; a corpus-wide row_number window here would be the
     # single-partition global-sort bottleneck the plan sweep bans.
-    top = dsc.orderBy(F.col("cos").desc(), "vec_id").limit(HYBRID_LIST)
+    top = dsc.orderBy(F.col("cos").desc(), "vec_id").limit(HYBRID_DENSE_LIST)
     w_dense = Window.orderBy(F.col("cos").desc(), "vec_id")
     dense = top.select(
         F.col("vec_id").alias("doc_id"),
@@ -1289,14 +1305,6 @@ def hybrid_rrf_query(spark, sf_dir):
     )
 
 
-from .similarity import DOT_SQL, SQNORM_SQL  # noqa: E402 (no cycle:
-#   similarity imports nothing from text; deferred to keep the module
-#   header untouched for fingerprint stability of registered queries)
-
-HYBRID_RRF_SQL = HYBRID_RRF_SQL.format(
-    sqnorm=SQNORM_SQL.format(a="embedding"),
-    dot=DOT_SQL.format(a="e.embedding", b="qv.q"),
-)
 
 
 # --- staged r20 rung: incremental BM25 index maintenance under CDC --------
@@ -1397,11 +1405,14 @@ def _bm25_rank(dl, tf):
 
 def _bm25_state(docs):
     """(dl, tf) sufficient statistics from a (doc_id, text) relation —
-    one tokenize pass feeds both (the q_bm25 scan shape)."""
+    one tokenize pass feeds both. tok is PERSISTED like the registered
+    q_bm25's (review finding r17: lazy, the corpus explode re-ran once
+    per downstream consumer — dl, tf, and _bm25_rank's double
+    consumption of each); the bench loop's clearCache releases it."""
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
-    )
+    ).persist()
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     tf = (
         tok.filter(F.col("token").isin(*BM25_TERMS))

@@ -546,3 +546,40 @@ def test_append_history_tags_contaminated(monkeypatch, tmp_path):
     # a fast one from the 3-snapshot floor window) but disk keeps it.
     kept = bench._history_at_sf(snaps, 0.1)
     assert len(kept) == 1 and kept[0]["total"] == 0.5
+
+
+def test_prev_timings_ignores_contaminated_artifact(tmp_path, monkeypatch):
+    import json as _json
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    doc = {"sf": 0.1, "queries": {"q": 9.9},
+           "env": {"end_contaminated": True}}
+    with open(tmp_path / "BENCH_DETAIL.json", "w") as f:
+        _json.dump(doc, f)
+    assert bench._prev_timings(0.1) == {}
+    doc["env"]["end_contaminated"] = False
+    with open(tmp_path / "BENCH_DETAIL.json", "w") as f:
+        _json.dump(doc, f)
+    assert bench._prev_timings(0.1) == {"q": 9.9}
+
+
+def test_append_history_contaminated_never_evicts_clean(monkeypatch, tmp_path):
+    import json as _json
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    for i in range(6):
+        bench._append_history(bench._load_history(), {"q": 1.0 + i},
+                              1.0 + i, 0.1)
+    for i in range(5):
+        bench._append_history(bench._load_history(), {"q": 99.0},
+                              99.0, 0.1, contaminated=True)
+    with open(tmp_path / "BENCH_HISTORY.json") as f:
+        snaps = _json.load(f)
+    clean = [s for s in snaps if not s.get("contaminated")]
+    dirty = [s for s in snaps if s.get("contaminated")]
+    # All 6 clean snapshots survive a contaminated streak; the streak
+    # itself is capped at 2 forensic copies.
+    assert len(clean) == 6 and len(dirty) == 2
+    assert bench._history_at_sf(snaps, 0.1) == clean

@@ -238,9 +238,10 @@ def test_prepare_batch_is_materialized(spark, tmp_path):
     window (r16 advice: the hoist alone left it lazy)."""
     m, df = _mk_mirror(spark, tmp_path)
     latest, touched = m._prepare_batch(_batch(df, 0, 9, 2000))
-    assert latest.isLocalCheckpoint() if hasattr(latest, "isLocalCheckpoint") \
-        else True
     plan = latest._jdf.queryExecution().executedPlan().toString()
+    # A checkpointed relation reads back as an RDD scan; the compaction
+    # window must be GONE from the executed plan.
+    assert "ExistingRDD" in plan, plan
     assert "row_number" not in plan and "Window" not in plan, plan
     assert touched and all(isinstance(t, str) for t in touched)
 
