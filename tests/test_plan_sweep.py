@@ -61,6 +61,15 @@ NESTED_LOOP_OK = {
     "design, same shape as q_sim_ivf; ADC scoring is equi-joins on "
     "(label) and (query_id, sub, code), the rerank reads only "
     "|queries|·shortlist vectors",
+    # Pre-staged for the r19/r20 registrations (plan pre-flighted r17:
+    # both inherit q_bm25's 1-row corpus-stats broadcast; the hybrid
+    # rung adds a 1-row query-vector broadcast on the dense arm) —
+    # unused until the decorator flips land.
+    "q_search_hybrid": "inherits q_bm25's 1-row corpus-stats broadcast "
+    "(lex arm) + a 1-row query-vector broadcast (dense arm); the RRF "
+    "fusion joins two bounded lists",
+    "q_bm25_incremental": "inherits q_bm25's 1-row corpus-stats "
+    "broadcast in the ranking tail over the maintained state",
     "q_stream_watermark": "1-row max-event-time cutoff broadcast",
     "q_histogram": "1-row global min/max broadcast for bin edges",
     "q_benford": "1-row digit-total broadcast for observed frequencies",
