@@ -1360,6 +1360,11 @@ _INC_FINAL_SQL = f"""final AS (
 # the post-churn corpus instead of the base table (string-rewritten so
 # BM25_SQL itself stays byte-identical — its registered fingerprint
 # must not move).
+# Surgery guard: the rewrite below redirects BM25_SQL's single corpus
+# scan; if a future edit to BM25_SQL ever adds another "FROM documents",
+# the 1-count replace would silently rewrite only the first and the
+# rebuild oracle would mix corpora — fail loudly at import instead.
+assert BM25_SQL.count("FROM documents") == 1, "INC_BM25_SQL surgery stale"
 INC_BM25_SQL = (
     "\n        WITH " + _INC_FINAL_SQL + ","
     + BM25_SQL.replace("WITH toks AS", "toks AS", 1)
