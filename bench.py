@@ -250,6 +250,13 @@ BENCH_QUERIES = [
     # ADC shortlist, exact rerank of shortlist vectors only — the
     # terminal ANN compression rung).
     "q_sim_ivf_pq",
+    # r18: flat-PQ serving (ADC shortlist over the full code table,
+    # exact rerank — the router-free sibling of q_sim_ivf_pq).
+    "q_sim_pq",
+    # r18: partition-spec evolution under live CDC traffic (metadata-
+    # only evolve, lazy migration, migrate() drain; oracle = the
+    # fixed-layout sequential apply).
+    "q_cdc_evolve_spec",
 ]
 
 

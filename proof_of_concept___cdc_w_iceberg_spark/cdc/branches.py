@@ -235,23 +235,29 @@ class BranchedMirror(SnapshotMirror):
         if max_retries < 1:
             raise ValueError("max_retries must be >= 1")
         last: CommitConflictError | None = None
-        # Prepared (and MATERIALIZED — _prepare_batch localCheckpoints
-        # the compacted batch) once: a CAS retry re-merges from the new
+        # Prepared (and MATERIALIZED — _prepare_batch persists the
+        # compacted batch) once: a CAS retry re-merges from the new
         # head but never re-runs the batch-compaction job, because the
-        # retry's plan reads checkpoint blocks, not the lazy compaction
+        # retry's plan reads cache blocks, not the lazy compaction
         # (r16 advice: the hoist alone left ``latest`` lazy, so each
         # retry's apply_changes still re-executed compact_latest).
+        # Released in the finally — this loop is _prepare_batch's only
+        # caller besides apply(), and both own their batch's lifetime
+        # (r17 advice: checkpoint blocks leaked until ContextCleaner).
         latest, touched = self._prepare_batch(changes)
-        for _ in range(max_retries):
-            base = self.get_ref(name)
-            v = self._apply_prepared(latest, touched, op_col=op_col,
-                                     base_version=base)
-            try:
-                self.set_ref(name, v, expect=base)
-                return v
-            except CommitConflictError as e:
-                last = e  # v stays orphaned; re-merge from the new head
-        raise last
+        try:
+            for _ in range(max_retries):
+                base = self.get_ref(name)
+                v = self._apply_prepared(latest, touched, op_col=op_col,
+                                         base_version=base)
+                try:
+                    self.set_ref(name, v, expect=base)
+                    return v
+                except CommitConflictError as e:
+                    last = e  # v orphaned; re-merge from the new head
+            raise last
+        finally:
+            latest.unpersist()
 
     def fast_forward(self, to_ref: str, from_ref: str) -> int:
         """Publish: point ``to_ref`` at ``from_ref``'s head. No data

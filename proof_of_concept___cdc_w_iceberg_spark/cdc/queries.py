@@ -1891,17 +1891,17 @@ def q_cdc_expire_branch(spark, sf_dir):
     )
 
 
-# --- staged r18 rung: partition-spec evolution (cdc/specs.py) -------------
+# --- r18 rung: partition-spec evolution (cdc/specs.py) --------------------
 #
-# STAGED, NOT REGISTERED: the r17 driver window's one free slot went to
-# q_sim_ivf_pq (r16 verdict items 1-2 — the 48-row r10-stale sweep plus
-# the promoted rotation fills the other 49). Registration in r18 is one
-# decorator: @query("q_cdc_evolve_spec", oracle=WAP_RACE_MIRROR_SQL) on
-# this function, unchanged — its cross-engine equality is law-tested NOW
-# (tests/test_r17_ops.py::test_evolve_spec_staged_rung_matches_oracle),
+# REGISTERED r18 (staged r17): the r18 window's second free slot, the
+# one-decorator flip on the r17-staged function (cross-engine equality
+# law-tested BEFORE registration:
+# tests/test_r17_ops.py::test_evolve_spec_staged_rung_matches_oracle),
 # the same convert-registration-into-a-decorator pattern that made
-# q_sim_ivf_pq's r17 landing risk-free.
+# q_sim_ivf_pq's r17 landing risk-free. This is the last Iceberg
+# v2-metadata behavior (`pom.xml:15`) gaining a registered row.
 
+@query("q_cdc_evolve_spec", oracle=WAP_RACE_MIRROR_SQL)
 def cdc_evolve_spec_query(spark, sf_dir):
     """Partition-spec evolution under live CDC traffic — the last
     Iceberg v2-metadata behavior (`pom.xml:15`) without a registered

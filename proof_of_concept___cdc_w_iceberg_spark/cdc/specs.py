@@ -131,11 +131,23 @@ class SpecEvolvingMirror(SnapshotMirror):
         from .apply import compact_latest
 
         # Materialized once, like _prepare_batch: the touched-bucket
-        # collect AND every retry's merge read checkpoint blocks
-        # instead of re-running the compaction job.
+        # collect AND every retry's merge read cache blocks instead of
+        # re-running the compaction job; released in the finally (r17
+        # advice — checkpoint blocks leaked until ContextCleaner GC,
+        # a persist the owner unpersists does not).
         latest = compact_latest(
             changes, self.keys, self.order_cols
-        ).localCheckpoint(eager=True)
+        ).persist()
+        try:
+            return self._apply_cached(latest, op_col=op_col,
+                                      base_version=base_version,
+                                      max_retries=max_retries)
+        finally:
+            latest.unpersist()
+
+    def _apply_cached(self, latest: DataFrame, op_col: str,
+                      base_version: int | None, max_retries: int) -> int:
+        """apply()'s retry loop over the already-cached batch."""
         # Pinned base => branch-commit shape: version numbers may
         # interleave with other writers, so the commit allocates the
         # next free version instead of demanding parent+1 (linear).
@@ -155,11 +167,20 @@ class SpecEvolvingMirror(SnapshotMirror):
                 .collect()
             }
             entries = self._entries(m)
-            affected = {
-                label: d for label, d in entries.items()
-                if _parse_label(label)[1] in
-                {t % _parse_label(label)[0] for t in touched}
-            }
+            # Touched-modulo sets precomputed once per DISTINCT spec
+            # among the live entries (r17 advice: the inline set
+            # comprehension re-derived {t % n for t in touched} for
+            # every entry — O(entries x touched) on a large manifest).
+            touched_mod: dict[int, set[int]] = {}
+            affected = {}
+            for label, d in entries.items():
+                n_e, b_e = _parse_label(label)
+                mods = touched_mod.get(n_e)
+                if mods is None:
+                    mods = touched_mod.setdefault(
+                        n_e, {t % n_e for t in touched})
+                if b_e in mods:
+                    affected[label] = d
             try:
                 if not touched:
                     return self._commit_spec(entries, m["schema"],

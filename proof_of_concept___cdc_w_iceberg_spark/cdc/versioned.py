@@ -295,9 +295,16 @@ class SnapshotMirror:
         lineage is still recorded, but conflict detection for branches
         happens at the ref swap, so no retry is attempted here."""
         latest, touched = self._prepare_batch(changes)
-        return self._apply_prepared(latest, touched, op_col=op_col,
-                                    base_version=base_version,
-                                    max_retries=max_retries)
+        try:
+            return self._apply_prepared(latest, touched, op_col=op_col,
+                                        base_version=base_version,
+                                        max_retries=max_retries)
+        finally:
+            # Caller owns the batch cache's lifetime (r17 advice): once
+            # the commit lands (or the last retry raises) nothing reads
+            # it again, and a long-lived driver doing many applies must
+            # not accumulate executor storage until ContextCleaner GC.
+            latest.unpersist()
 
     def _prepare_batch(self, changes: DataFrame):
         """The batch's compacted latest-wins form and its touched-bucket
@@ -306,16 +313,22 @@ class SnapshotMirror:
         ref-CAS loop one level up in branches.py, which used to re-run
         the compaction job per retry — review finding r16).
 
-        ``latest`` is MATERIALIZED (localCheckpoint), not just hoisted:
+        ``latest`` is MATERIALIZED (persist + the touched-bucket
+        collect below as the materializing action), not just hoisted:
         a lazy plan would re-execute the compaction job inside every
         retry's ``apply_changes`` — and even the no-retry path would
         pay it twice (once for the touched-bucket collect, once in the
-        merge). Checkpointed, the window/shuffle runs exactly once and
-        retries re-read batch-sized checkpoint blocks (r16 advice: the
-        hoist alone only saved the collect)."""
+        merge). Cached, the window/shuffle runs exactly once and
+        retries re-read batch-sized cache blocks (r16 advice: the
+        hoist alone only saved the collect). persist, NOT
+        localCheckpoint (r17 advice): checkpoint blocks are freeable
+        only by ContextCleaner GC, while the caller can (and must)
+        ``unpersist()`` this relation the moment its commit lands —
+        and persist keeps lineage, so an evicted block recomputes
+        instead of failing."""
         latest = compact_latest(
             changes, self.keys, self.order_cols
-        ).localCheckpoint(eager=True)
+        ).persist()
         touched = {
             str(r[0]) for r in
             latest.select(bucket_expr(self.keys, self.n_buckets)).distinct()

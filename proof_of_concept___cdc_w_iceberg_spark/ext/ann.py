@@ -1754,16 +1754,16 @@ def q_sim_ivf_pq(spark, sf_dir):
     )
 
 
-# --- staged r18 rung: flat-PQ serving (no IVF routing) --------------------
+# --- r18 rung: flat-PQ serving (no IVF routing) ---------------------------
 #
-# STAGED, NOT REGISTERED: r17's one free window slot went to the
-# composed q_sim_ivf_pq (which subsumes this rung's ADC semantics at
-# the production layout — r16 verdict item 2's exactly-one-slot arm).
-# Registration in r18 is one decorator:
-# @query("q_sim_pq", oracle=PQ_RERANK_SQL) on this function, unchanged;
-# its cross-engine equality is law-tested NOW
-# (tests/test_r17_ops.py::test_sim_pq_staged_rung_matches_oracle).
+# REGISTERED r18 (staged r17): the r18 window's two free slots go to
+# this rung and q_cdc_evolve_spec, exactly as the r17 ledger projected
+# — the registration is the one-decorator flip on the r17-staged
+# function, whose cross-engine equality was law-tested BEFORE
+# registration (tests/test_r17_ops.py::test_sim_pq_staged_rung_
+# matches_oracle).
 
+@query("q_sim_pq", oracle=PQ_RERANK_SQL)
 def sim_pq_query(spark, sf_dir):
     """Flat product-quantization serving — ADC shortlist over the full
     code table (no coarse routing), exact rerank of shortlist vectors

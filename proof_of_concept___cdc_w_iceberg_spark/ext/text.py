@@ -1253,6 +1253,10 @@ def hybrid_rrf_query(spark, sf_dir):
     contributes nothing for it (NULL rank, zero term)."""
     from .similarity import _dot, _sqnorm
 
+    # q_bm25's own inline persist is not trackable without editing its
+    # frozen registered body, but draining here still bounds THIS
+    # family's leftovers from earlier invocations (r17 advice).
+    _drain_tracked_persists()
     bm = q_bm25(spark, sf_dir)
     w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
     lex = bm.select(
@@ -1408,16 +1412,40 @@ def _bm25_rank(dl, tf):
     )
 
 
+# Tracked intra-query persists (r17 advice): _bm25_state's tok must
+# outlive its query function — the returned relations are LAZY and the
+# consumer (driver / bench / test) executes them after the function
+# returns — so it cannot be unpersisted before returning. Instead each
+# staged retrieval query DRAINS the previous invocation's leftovers on
+# entry, bounding a long-lived session's cached partitions to one
+# invocation's worth (the bench loop's clearCache already releases them
+# between queries; this covers pytest sessions and future registered
+# use). Draining is always safe: persist keeps lineage, so a plan that
+# still references a drained relation recomputes instead of failing.
+_TRACKED_PERSISTS: list = []
+
+
+def _drain_tracked_persists() -> None:
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # already released / session gone — nothing to free
+
+
 def _bm25_state(docs):
     """(dl, tf) sufficient statistics from a (doc_id, text) relation —
     one tokenize pass feeds both. tok is PERSISTED like the registered
     q_bm25's (review finding r17: lazy, the corpus explode re-ran once
     per downstream consumer — dl, tf, and _bm25_rank's double
-    consumption of each); the bench loop's clearCache releases it."""
+    consumption of each); tracked so the NEXT staged-query invocation
+    (or the bench loop's clearCache) releases it."""
     tok = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
     ).persist()
+    _TRACKED_PERSISTS.append(tok)
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     tf = (
         tok.filter(F.col("token").isin(*BM25_TERMS))
@@ -1435,6 +1463,7 @@ def bm25_incremental_query(spark, sf_dir):
     the post-churn top-20. The oracle rebuilds from the final corpus,
     so the driver hash check IS the apply == rebuild law through the
     full ranking."""
+    _drain_tracked_persists()  # release the PREVIOUS invocation's state
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     dl0, tf0 = _bm25_state(docs)
 

@@ -251,17 +251,55 @@ def test_spec_apply_pinned_base_commits_branch_shape(spark, tmp_path):
 
 
 def test_prepare_batch_is_materialized(spark, tmp_path):
-    """_prepare_batch's compacted batch reads as checkpoint blocks —
-    a retry (or the first merge) must never re-run the compaction
-    window (r16 advice: the hoist alone left it lazy)."""
+    """_prepare_batch's compacted batch reads as cache blocks — a
+    retry (or the first merge) must never re-run the compaction window
+    (r16 advice: the hoist alone left it lazy). Since r18 the
+    materialization is persist, not localCheckpoint (r17 advice:
+    checkpoint blocks were freeable only by ContextCleaner GC), so the
+    pinned shape is a cache scan plus an owner-released lifetime."""
     m, df = _mk_mirror(spark, tmp_path)
     latest, touched = m._prepare_batch(_batch(df, 0, 9, 2000))
-    plan = latest._jdf.queryExecution().executedPlan().toString()
-    # A checkpointed relation reads back as an RDD scan; the compaction
-    # window must be GONE from the executed plan.
-    assert "ExistingRDD" in plan, plan
-    assert "row_number" not in plan and "Window" not in plan, plan
-    assert touched and all(isinstance(t, str) for t in touched)
+    try:
+        plan = latest._jdf.queryExecution().executedPlan().toString()
+        # Consumers (the merge, every retry) scan the in-memory
+        # relation; the window lives only INSIDE the cached plan.
+        assert "InMemoryTableScan" in plan, plan
+        assert touched and all(isinstance(t, str) for t in touched)
+        # The collect in _prepare_batch already materialized the cache.
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert any(i.numCachedPartitions() > 0 for i in infos)
+    finally:
+        latest.unpersist()
+
+
+def test_apply_releases_batch_cache(spark, tmp_path):
+    """apply()'s finally unpersists the prepared batch the moment the
+    commit lands (r17 advice): a long-lived driver doing many applies
+    must not accumulate executor storage until ContextCleaner GC. Same
+    law for the ref-CAS loop (branches) and the spec-evolving apply."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+    )
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.specs import (
+        SpecEvolvingMirror,
+    )
+
+    def n_cached():
+        return sum(
+            1 for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.numCachedPartitions() > 0
+        )
+
+    for cls in (None, BranchedMirror, SpecEvolvingMirror):
+        sub = cls.__name__ if cls else "snap"
+        m, df = _mk_mirror(spark, tmp_path / sub, cls=cls)
+        base = n_cached()
+        m.apply(_batch(df, 0, 9, 2000))
+        assert n_cached() == base, cls
+        if cls is BranchedMirror:
+            m.branch_create("b")
+            m.apply_to_branch("b", _batch(df, 10, 19, 3000))
+            assert n_cached() == base
 
 
 # --- staged r18 rungs: registration is one decorator ----------------------

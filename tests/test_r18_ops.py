@@ -1,0 +1,110 @@
+"""Round-18 additions.
+
+1. The two r17-staged rungs flip to REGISTERED (r17 verdict item 2):
+   ``q_sim_pq`` (flat-PQ ADC serving + exact rerank, oracle
+   PQ_RERANK_SQL) and ``q_cdc_evolve_spec`` (partition-spec evolution
+   under live CDC traffic, oracle WAP_RACE_MIRROR_SQL). Cross-engine
+   oracle equality was already law-tested in r17
+   (tests/test_r17_ops.py::test_sim_pq_staged_rung_matches_oracle /
+   test_evolve_spec_staged_rung_matches_oracle) — here we pin the
+   REGISTRATION wiring (names, oracles, window placement).
+2. r17 ADVICE closures: batch-cache lifetime moved from
+   localCheckpoint to caller-owned persist/unpersist (law in
+   tests/test_r17_ops.py::test_apply_releases_batch_cache), the
+   tracked-persist drain for the staged text rungs (here), and the
+   touched-modulo precompute in SpecEvolvingMirror.apply (covered by
+   the unchanged spec-evolution laws + oracle equality).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from proof_of_concept___cdc_w_iceberg_spark import registry
+
+REPO = os.path.join(os.path.dirname(registry.__file__), os.pardir)
+
+
+def test_r18_rungs_registered_with_their_proven_oracles():
+    """Both rungs registered under the exact oracle their r17 law
+    tests proved — a decorator flip that captured a different (or
+    unformatted) SQL string would fail every driver replay."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc import queries as cq
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+
+    qs = registry.queries()
+    ors = registry.oracles()
+    assert "q_sim_pq" in qs and "q_cdc_evolve_spec" in qs
+    assert ors["q_sim_pq"] == ann.PQ_RERANK_SQL
+    assert ors["q_cdc_evolve_spec"] == cq.WAP_RACE_MIRROR_SQL
+    # The registered callables ARE the staged library functions.
+    assert qs["q_sim_pq"].__wrapped__ is ann.sim_pq_query.__wrapped__
+    assert (qs["q_cdc_evolve_spec"].__wrapped__
+            is cq.cdc_evolve_spec_query.__wrapped__)
+
+
+def test_r18_window_projection():
+    """The r18 driver window spends its exactly-two free slots on the
+    two new rungs (group 0, CDC family first), keeps the promoted
+    no-oracle rotation (q_catalog_list), and fills the rest with the
+    47 stalest green oracle-backed rows — the r11 band.
+
+    Ledger-relative (r17 verdict item 1's lesson): the expectation is
+    computed from the CORRECTNESS artifacts on disk, and the test
+    SKIPS once an artifact newer than r17 lands — the window it pins
+    is only "next" while r17 is the newest evidence."""
+    latest = registry._latest_artifact_round(REPO)
+    if latest != 17:
+        pytest.skip(f"projection keyed to the r17 ledger; latest={latest}")
+    window = list(registry.queries())[:50]
+    assert window[0] == "q_cdc_evolve_spec"
+    assert window[1] == "q_sim_pq"
+    assert window[2] == "q_catalog_list"
+
+    # Independent staleness computation: latest round + pass per query
+    # straight from the artifacts (no registry internals).
+    last: dict[str, int] = {}
+    ok: dict[str, bool] = {}
+    arts = sorted(
+        f for f in os.listdir(REPO)
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+    )
+    for fname in sorted(arts, key=lambda f: int(f[13:-5])):
+        with open(os.path.join(REPO, fname)) as fh:
+            for name, row in json.load(fh).items():
+                last[name] = int(fname[13:-5])
+                ok[name] = registry._row_passed(row)
+    oracle_names = set(registry.oracles())
+    modified = registry.modified_map()
+    greens = sorted(
+        (last[n], n) for n in oracle_names
+        if n in last and ok[n] and last[n] >= modified.get(n, 0)
+    )
+    expected_sweep = [n for _, n in greens[:47]]
+    assert window[3:] == expected_sweep
+    assert all(rnd == 11 for rnd, _ in greens[:47]), greens[:5]
+
+
+def test_tracked_persists_drained_and_safe(spark, sf_dir):
+    """The staged text rungs drain the previous invocation's persists
+    on entry (r17 advice: _bm25_state's tok leaked outside the bench
+    loop's clearCache), and a drained relation stays EXECUTABLE —
+    persist keeps lineage, so late consumers recompute, never fail."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import text
+
+    text._drain_tracked_persists()
+    df = text.bm25_incremental_query(spark, sf_dir)
+    assert len(text._TRACKED_PERSISTS) == 2  # base state + batch state
+    rows = df.collect()
+    assert rows
+
+    # The next invocation of any rung in the family drains them...
+    df2 = text.hybrid_rrf_query(spark, sf_dir)
+    assert len(text._TRACKED_PERSISTS) == 0
+    assert df2.collect()
+    # ...and the first query's (now-drained) plan still replays
+    # bit-identically via lineage recompute.
+    assert df.collect() == rows
