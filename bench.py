@@ -758,6 +758,23 @@ def _stages_in_group(sc, group: str) -> int:
 # 2.59<->3.89 s) from round-over-round tables at bounded extra cost.
 MOVER_RATIO = 1.4
 
+# Multi-commit CDC plans pay a 2-3x FIRST-EXECUTION term in a fresh
+# session (codegen compile + Hadoop committer init on plans that run
+# several write-commit jobs inside one query) — measured r17
+# (q_cdc_apply_partitioned 11.7 cold-first vs 4.4 warm, 23/23 stages,
+# SCALING.md r17 addendum) and re-measured r18 (q_cdc_partial_update
+# 3.88 -> 1.33/1.29, 8/8 stages; partitioned-apply 8.76 -> 5.3/5.36,
+# 23/23). Every bench run is a fresh session, so whether the term
+# landed in the kept timing depended on whether the mover-rerun
+# happened to fire — these two rows bounced between their warm and
+# cold-first bands across the 8-snapshot history and re-entered the
+# drift ledger three rounds running only to be re-discharged by the
+# same idle probe. One UNTIMED warm-up execution before the timed run
+# removes the term for exactly the queries where it was measured
+# (r17 verdict item 6); the set is stamped into the artifact's env
+# block so the one-time floor re-basing reads as what it is.
+FIRST_EXECUTION_WARMUP = ("q_cdc_apply_partitioned", "q_cdc_partial_update")
+
 
 def _settle_gate() -> dict:
     """Loadavg settle gate (r11 verdict: the driver bench started at
@@ -889,7 +906,12 @@ def main() -> None:
     reruns: dict[str, dict] = {}
     stages: dict[str, int] = {}
     mid_at = len(BENCH_QUERIES) // 2
+    cache_state["first_execution_warmup"] = list(FIRST_EXECUTION_WARMUP)
     for i, name in enumerate(BENCH_QUERIES):
+        if name in FIRST_EXECUTION_WARMUP:
+            # Untimed, discarded: pays the fresh-session codegen +
+            # committer term so the timed run below measures the PLAN.
+            _time_query(spark, qs, name, sf_dir)
         dt = _time_query(spark, qs, name, sf_dir, stages=stages)
         p = prev.get(name)
         # dt is rounded to 3 decimals — a sub-0.5ms query rounds to

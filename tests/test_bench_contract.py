@@ -29,6 +29,26 @@ def test_bench_queries_unique():
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
 
 
+def test_first_execution_warmup_contract():
+    """The fresh-session warm-up set (r17 verdict item 6): every member
+    must be a timed suite query (warming a name outside BENCH_QUERIES
+    would burn wall-clock warming nothing), the untimed warm-up must
+    run BEFORE the timed call in main()'s loop, and the set must be
+    stamped into the env block so a floor re-basing after a membership
+    change is attributable from the artifact alone."""
+    import inspect
+
+    assert bench.FIRST_EXECUTION_WARMUP  # non-empty: the term is real
+    assert set(bench.FIRST_EXECUTION_WARMUP) <= set(bench.BENCH_QUERIES)
+    assert len(set(bench.FIRST_EXECUTION_WARMUP)) == len(
+        bench.FIRST_EXECUTION_WARMUP)
+    src = inspect.getsource(bench.main)
+    warm = src.index("if name in FIRST_EXECUTION_WARMUP")
+    timed = src.index("dt = _time_query")
+    assert warm < timed, "warm-up must precede the timed run"
+    assert 'cache_state["first_execution_warmup"]' in src
+
+
 def test_cache_state_stamp_fields(tmp_path):
     # Unknown sf_dir -> both caches cold; fields always present.
     state = bench._cache_state(str(tmp_path / "no_such_sf"))
