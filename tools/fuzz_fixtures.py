@@ -1,0 +1,313 @@
+"""Randomized micro-fixture generator for cross-engine oracle fuzzing.
+
+The driver proves Spark == DuckDB on ONE fixed dataset (seed=42,
+TESTDATA.md). That leaves a blind spot: an oracle could agree with its
+query on the fixture by accident — e.g. both could depend on "no ties
+in o_totalprice" or "no duplicate texts", properties the fixed fixture
+happens to have. This module generates schema-identical tables with a
+DIFFERENT seed and deliberately hostile-but-plausible distributions
+(tie clusters, exact duplicate documents, zipf-skewed keys), so
+``tools/fuzz_oracle.py`` / ``tests/test_fuzz_oracle.py`` can replay
+the driver compare on data the queries have never seen.
+
+Schemas, categorical domains, value ranges, and integrity invariants
+mirror /root/testdata (TESTDATA.md): TPC-H-ish star schema + events +
+documents + embeddings. Literals appearing in registered predicates
+('ASIA', 'BUILDING', 'Brand#…', the 1995–2001 date band, the five
+event types) are preserved so fuzzed queries still select non-trivial
+subsets. Row counts are randomized within sf0.001-like bands.
+
+Determinism: everything derives from the numpy Generator seeded with
+``seed`` — same seed, byte-identical parquet.
+
+Edge tiers:
+- tier="plain":  clean data, fixture-like distributions only.
+- tier="hostile" (default): adds tie clusters in sort/top-k value
+  columns, exact-duplicate and near-duplicate documents, zipf-skewed
+  user_id/custkey hot keys — all properties a 100 TB corpus WILL have
+  and the fixed fixture does NOT.
+(Empty/unicode documents are deliberately NOT generated: several
+registered tokenizer oracles divide by document length, and declaring
+their empty-doc behavior is a semantics change to frozen queries.
+See SCALING.md r18 addendum.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_LANGS = ["de", "en", "es", "fr", "zh"]
+_VOCAB = (
+    "the a spark table join order sort merge filter scan hash key row "
+    "column data batch stream window group agg query part line customer "
+    "value vector big small fast slow dup"
+).split()
+_PNAME_ADJ = ["cold", "small", "large", "fast", "slow", "hot", "dim", "new"]
+_PNAME_NOUN = ["widget", "gadget", "gear", "bolt", "plate", "tube"]
+
+_DAY_US = 86_400_000_000  # microseconds per day
+
+
+def _ts_us(arr_us: np.ndarray) -> pa.Array:
+    return pa.array(arr_us.astype("int64"), type=pa.timestamp("us"))
+
+
+def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
+    """Build all ten tables as pyarrow Tables, deterministic in seed."""
+    if tier not in ("plain", "hostile"):
+        raise ValueError(f"unknown tier: {tier}")
+    rng = np.random.default_rng(seed)
+    hostile = tier == "hostile"
+
+    n_cust = int(rng.integers(100, 201))
+    n_supp = int(rng.integers(8, 16))
+    n_part = int(rng.integers(150, 251))
+    n_ord = int(rng.integers(900, 1801))
+    n_evt = int(rng.integers(700, 1301))
+    n_doc = int(rng.integers(350, 551))
+    n_emb = int(rng.integers(350, 551))
+    n_users = int(rng.integers(12, 25))
+
+    out: dict[str, pa.Table] = {}
+
+    out["region"] = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(5, dtype="int32"), pa.int32()),
+            "r_name": _REGIONS,
+        }
+    )
+
+    out["nation"] = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(25, dtype="int32"), pa.int32()),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pa.array(
+                rng.integers(0, 5, size=25).astype("int32"), pa.int32()
+            ),
+        }
+    )
+
+    out["customer"] = pa.table(
+        {
+            "c_custkey": np.arange(n_cust, dtype="int64"),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": pa.array(
+                rng.integers(0, 25, size=n_cust).astype("int32"), pa.int32()
+            ),
+            "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, size=n_cust), 2),
+            "c_mktsegment": [
+                _SEGMENTS[i] for i in rng.integers(0, len(_SEGMENTS), size=n_cust)
+            ],
+        }
+    )
+
+    out["supplier"] = pa.table(
+        {
+            "s_suppkey": np.arange(n_supp, dtype="int64"),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": pa.array(
+                rng.integers(0, 25, size=n_supp).astype("int32"), pa.int32()
+            ),
+            "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, size=n_supp), 2),
+        }
+    )
+
+    out["part"] = pa.table(
+        {
+            "p_partkey": np.arange(n_part, dtype="int64"),
+            "p_name": [
+                f"{_PNAME_ADJ[a]} {_PNAME_NOUN[b]}"
+                for a, b in zip(
+                    rng.integers(0, len(_PNAME_ADJ), size=n_part),
+                    rng.integers(0, len(_PNAME_NOUN), size=n_part),
+                )
+            ],
+            "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, size=n_part)],
+            "p_type": [
+                _PTYPES[i] for i in rng.integers(0, len(_PTYPES), size=n_part)
+            ],
+            "p_size": pa.array(
+                rng.integers(1, 51, size=n_part).astype("int32"), pa.int32()
+            ),
+            "p_retailprice": np.round(rng.uniform(900.0, 2100.0, size=n_part), 2),
+        }
+    )
+
+    # orders: hot-key skew on custkey (hostile), tie clusters in
+    # o_totalprice (hostile) — a real top-k tiebreaker workout.
+    if hostile:
+        zipf_w = 1.0 / np.arange(1, n_cust + 1) ** 1.2
+        custkeys = rng.choice(n_cust, size=n_ord, p=zipf_w / zipf_w.sum())
+    else:
+        custkeys = rng.integers(0, n_cust, size=n_ord)
+    totalprice = np.round(rng.uniform(800.0, 450000.0, size=n_ord), 2)
+    if hostile:
+        # ~10% of orders collapse onto a handful of exact price values.
+        n_tie = n_ord // 10
+        tie_idx = rng.choice(n_ord, size=n_tie, replace=False)
+        tie_vals = np.round(rng.uniform(800.0, 450000.0, size=4), 2)
+        totalprice[tie_idx] = tie_vals[rng.integers(0, 4, size=n_tie)]
+    base = np.datetime64("1995-01-01", "us").astype("int64")
+    span_days = (
+        np.datetime64("2001-08-01", "us").astype("int64") - base
+    ) // _DAY_US
+    odate = base + rng.integers(0, span_days + 1, size=n_ord) * _DAY_US
+    out["orders"] = pa.table(
+        {
+            "o_orderkey": np.arange(n_ord, dtype="int64"),
+            "o_custkey": custkeys.astype("int64"),
+            "o_orderstatus": [
+                "FOP"[i]
+                for i in rng.choice(3, size=n_ord, p=[0.48, 0.48, 0.04])
+            ],
+            "o_totalprice": totalprice,
+            "o_orderdate": _ts_us(odate),
+            "o_orderpriority": [
+                _PRIORITIES[i] for i in rng.integers(0, len(_PRIORITIES), size=n_ord)
+            ],
+        }
+    )
+
+    # lineitem: 1–12 lines per order, l_linenumber sequential within
+    # the order, shipdate after orderdate (as in the fixed fixture).
+    lines_per = rng.integers(1, 13, size=n_ord)
+    n_li = int(lines_per.sum())
+    l_orderkey = np.repeat(np.arange(n_ord, dtype="int64"), lines_per)
+    l_linenumber = np.concatenate([np.arange(1, k + 1) for k in lines_per])
+    qty = rng.integers(1, 51, size=n_li).astype("float64")
+    out["lineitem"] = pa.table(
+        {
+            "l_orderkey": l_orderkey,
+            "l_partkey": rng.integers(0, n_part, size=n_li).astype("int64"),
+            "l_suppkey": rng.integers(0, n_supp, size=n_li).astype("int64"),
+            "l_linenumber": pa.array(l_linenumber.astype("int32"), pa.int32()),
+            "l_quantity": qty,
+            "l_extendedprice": np.round(
+                qty * rng.uniform(900.0, 1100.0, size=n_li), 2
+            ),
+            "l_discount": np.round(rng.uniform(0.0, 0.1, size=n_li), 2),
+            "l_tax": np.round(rng.uniform(0.0, 0.08, size=n_li), 2),
+            "l_returnflag": [
+                "ANR"[i] for i in rng.choice(3, size=n_li, p=[0.25, 0.5, 0.25])
+            ],
+            "l_linestatus": ["FO"[i] for i in rng.integers(0, 2, size=n_li)],
+            "l_shipdate": _ts_us(
+                np.repeat(odate, lines_per)
+                + rng.integers(1, 121, size=n_li) * _DAY_US
+            ),
+        }
+    )
+
+    # events: ts monotone in event_id (the fixed fixture's invariant —
+    # sessionize/as-of queries may rely on it), zipf-skewed users when
+    # hostile.
+    ts0 = np.datetime64("2024-01-01", "us").astype("int64")
+    gaps = rng.exponential(2_500_000_000.0, size=n_evt)  # ~2500 s mean
+    ts = ts0 + np.cumsum(gaps).astype("int64")
+    if hostile:
+        zipf_u = 1.0 / np.arange(1, n_users + 1) ** 1.3
+        users = rng.choice(n_users, size=n_evt, p=zipf_u / zipf_u.sum())
+    else:
+        users = rng.integers(0, n_users, size=n_evt)
+    out["events"] = pa.table(
+        {
+            "event_id": np.arange(n_evt, dtype="int64"),
+            "ts": _ts_us(ts),
+            "user_id": users.astype("int64"),
+            "event_type": [
+                _EVENT_TYPES[i]
+                for i in rng.integers(0, len(_EVENT_TYPES), size=n_evt)
+            ],
+            "value": np.round(rng.uniform(0.01, 330.0, size=n_evt), 2),
+            "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n_evt)],
+        }
+    )
+
+    # documents: word-salad text from the fixture vocab; hostile tier
+    # plants exact duplicates (~8%) and near-duplicates (~6%, one word
+    # substituted) — the dedup family's real-world input shape.
+    texts: list[str] = []
+    for _ in range(n_doc):
+        n_words = int(rng.integers(10, 100))
+        texts.append(
+            " ".join(_VOCAB[i] for i in rng.integers(0, len(_VOCAB), size=n_words))
+        )
+    if hostile and n_doc >= 50:
+        n_exact = n_doc * 8 // 100
+        n_near = n_doc * 6 // 100
+        srcs = rng.choice(n_doc // 2, size=n_exact + n_near, replace=False)
+        dsts = n_doc // 2 + rng.choice(
+            n_doc - n_doc // 2, size=n_exact + n_near, replace=False
+        )
+        for j in range(n_exact):
+            texts[int(dsts[j])] = texts[int(srcs[j])]
+        for j in range(n_exact, n_exact + n_near):
+            words = texts[int(srcs[j])].split(" ")
+            words[int(rng.integers(0, len(words)))] = _VOCAB[
+                int(rng.integers(0, len(_VOCAB)))
+            ]
+            texts[int(dsts[j])] = " ".join(words)
+    out["documents"] = pa.table(
+        {
+            "doc_id": np.arange(n_doc, dtype="int64"),
+            "text": texts,
+            "lang": [_LANGS[i] for i in rng.integers(0, len(_LANGS), size=n_doc)],
+            "source": [f"src{i}" for i in rng.integers(0, 20, size=n_doc)],
+            "n_chars": np.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+
+    emb = rng.normal(0.0, 0.125, size=(n_emb, 64)).astype("float32")
+    if hostile and n_emb >= 40:
+        # duplicate embedding rows (distinct vec_ids): exercises
+        # cosine==1 ties in top-k and SemDeDup cell collapse.
+        n_dup = n_emb * 5 // 100
+        s = rng.choice(n_emb // 2, size=n_dup, replace=False)
+        t = n_emb // 2 + rng.choice(n_emb - n_emb // 2, size=n_dup, replace=False)
+        emb[t] = emb[s]
+    out["embeddings"] = pa.table(
+        {
+            "vec_id": np.arange(n_emb, dtype="int64"),
+            "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
+            "label": pa.array(
+                rng.integers(0, 10, size=n_emb).astype("int32"), pa.int32()
+            ),
+        }
+    )
+
+    return out
+
+
+def write_fixture(seed: int, out_dir: str, tier: str = "hostile") -> dict[str, int]:
+    """Write all ten tables as ``{out_dir}/{table}.parquet``; returns
+    row counts. Idempotent per (seed, tier)."""
+    os.makedirs(out_dir, exist_ok=True)
+    tables = make_tables(seed, tier=tier)
+    counts = {}
+    for name, tbl in tables.items():
+        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+        counts[name] = tbl.num_rows
+    return counts
+
+
+if __name__ == "__main__":
+    import sys
+
+    seed = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/fuzzfix_{seed}"
+    tier = sys.argv[3] if len(sys.argv) > 3 else "hostile"
+    print(write_fixture(seed, out, tier=tier), "->", out)
