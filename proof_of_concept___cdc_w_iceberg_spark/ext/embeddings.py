@@ -512,20 +512,19 @@ OUTLIER_SQL = """
     ),
     d AS (
         SELECT vec_id, label,
-               ROUND(CAST(SUM(CAST(term AS DECIMAL(20,8))) AS DOUBLE), 6)
-                   AS dist2
+               ROUND(SUM(CAST(term AS DECIMAL(20,8))), 6) AS dist2d
         FROM terms GROUP BY vec_id, label
     ),
     lab AS (
-        SELECT label,
-               ROUND(CAST(SUM(CAST(dist2 AS DECIMAL(20,6))) AS DOUBLE)
-                     / COUNT(*), 6) AS avg_d
+        SELECT label, CAST(SUM(dist2d) AS DECIMAL(20,6)) AS sum_d,
+               COUNT(*) AS n_lab
         FROM d GROUP BY label
     )
-    SELECT d.vec_id, d.label, d.dist2,
-           d.dist2 > {factor} * lab.avg_d AS is_outlier
+    SELECT d.vec_id, d.label, CAST(d.dist2d AS DOUBLE) AS dist2,
+           CAST(d.dist2d AS DECIMAL(14,6)) * CAST(n_lab AS DECIMAL(12,0))
+               * {factor100} > sum_d * {factor100x} AS is_outlier
     FROM d JOIN lab ON lab.label = d.label
-""".format(factor=OUTLIER_FACTOR)
+""".format(factor100=100, factor100x=int(round(OUTLIER_FACTOR * 100)))
 
 
 @query("q_embed_outlier", oracle=OUTLIER_SQL)
@@ -540,8 +539,14 @@ def q_embed_outlier(spark, sf_dir):
     (|labels| rows). The corpus is scanned twice (centroid pass +
     distance pass) but shuffled only as micro-aggregates — at 100 TB
     both exchanges stay KB-sized. Determinism: rounded centroids,
-    per-term round(·,8) then exact decimal summation, so the outlier
-    comparison sees bit-identical doubles on both engines."""
+    per-term round(·,8) then exact decimal summation; dist2 is rounded
+    IN DECIMAL (cross-engine-identical half-away ties — double ROUND
+    diverges at the 1%-per-row decimal-tie boundaries a quantized sum
+    creates; found by the r18 oracle fuzzer, seed 1), and the outlier
+    test is the multiplied-out EXACT decimal comparison
+    n·dist2·100 > 105·Σdist2 — no double division anywhere, so the
+    flag is deterministic even when a distance sits exactly on the
+    factor×mean boundary."""
     e = load(spark, sf_dir, "embeddings")
     exploded = e.select(
         "vec_id",
@@ -559,18 +564,22 @@ def q_embed_outlier(spark, sf_dir):
         F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 8).alias("term"),
     )
     d = terms.groupBy("vec_id", "label").agg(
-        F.round(F.sum(F.col("term").cast("decimal(20,8)")).cast("double"), 6).alias("dist2")
+        F.round(F.sum(F.col("term").cast("decimal(20,8)")), 6).alias("dist2d")
     )
     lab = d.groupBy("label").agg(
-        F.round(
-            F.sum(F.col("dist2").cast("decimal(20,6)")).cast("double") / F.count("*"), 6
-        ).alias("avg_d")
+        F.sum("dist2d").cast("decimal(20,6)").alias("sum_d"),
+        F.count("*").alias("n_lab"),
     )
     return d.join(F.broadcast(lab), "label").select(
         "vec_id",
         "label",
-        "dist2",
-        (F.col("dist2") > OUTLIER_FACTOR * F.col("avg_d")).alias("is_outlier"),
+        F.col("dist2d").cast("double").alias("dist2"),
+        (
+            F.col("dist2d").cast("decimal(14,6)")
+            * F.col("n_lab").cast("decimal(12,0)")
+            * F.lit(100)
+            > F.col("sum_d") * F.lit(int(round(OUTLIER_FACTOR * 100)))
+        ).alias("is_outlier"),
     )
 
 
@@ -588,8 +597,8 @@ CLASSIFY_SQL = """
     ),
     dists AS (
         SELECT e.vec_id, e.label AS true_label, cent.c_label,
-               ROUND(CAST(SUM(CAST(ROUND((e.x - cent.c) * (e.x - cent.c), 8)
-                                   AS DECIMAL(20,8))) AS DOUBLE), 6) AS d2
+               ROUND(SUM(CAST(ROUND((e.x - cent.c) * (e.x - cent.c), 8)
+                              AS DECIMAL(20,8))), 6) AS d2
         FROM exploded e JOIN cent ON cent.dim = e.dim
         GROUP BY e.vec_id, e.label, cent.c_label
     ),
@@ -643,7 +652,11 @@ def q_centroid_classify(spark, sf_dir):
             F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 8).alias("t"),
         )
         .groupBy("vec_id", "true_label", "c_label")
-        .agg(F.round(F.sum(F.col("t").cast("decimal(20,8)")).cast("double"), 6).alias("d2"))
+        # d2 stays DECIMAL end-to-end: it only feeds the argmin rank
+        # below, and rounding the quantized decimal sum in DOUBLE
+        # diverges cross-engine at 1%-per-row decimal-tie boundaries
+        # (the r18 fuzzer proved the pattern on q_embed_outlier).
+        .agg(F.round(F.sum(F.col("t").cast("decimal(20,8)")), 6).alias("d2"))
     )
     from pyspark.sql import Window as W
 

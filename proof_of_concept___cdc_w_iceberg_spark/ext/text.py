@@ -785,14 +785,19 @@ _CE_U32 = (
 @query(
     "q_rerank",
     oracle=f"""
-        WITH bm AS ({BM25_SQL})
-        SELECT doc_id, bm25,
-               ROUND({_CE_U32} / 4294967296.0, 6) AS ce_score,
-               ROUND(bm25 + {RERANK_W_CE} * ROUND({_CE_U32} / 4294967296.0, 6), 4)
+        WITH bm AS ({BM25_SQL}),
+        ce AS (
+            SELECT doc_id, bm25,
+                   ROUND({_CE_U32} / 4294967296.0, 6) AS ce_score
+            FROM bm
+        )
+        SELECT doc_id, bm25, ce_score,
+               CAST(ROUND(CAST(bm25 AS DECIMAL(14,4))
+                          + CAST({RERANK_W_CE} AS DECIMAL(3,1))
+                            * CAST(ce_score AS DECIMAL(12,6)), 4) AS DOUBLE)
                    AS final_score
-        FROM bm
-        ORDER BY ROUND(bm25 + {RERANK_W_CE} * ROUND({_CE_U32} / 4294967296.0, 6), 4)
-                 DESC, doc_id
+        FROM ce
+        ORDER BY final_score DESC, doc_id
         LIMIT {RERANK_TOP}
     """,
 )
@@ -808,16 +813,25 @@ def q_rerank(spark, sf_dir):
     Scale shape: stage 1 is the full q_bm25 pipeline (one tokenize
     pass, broadcast stats); stage 2 is a narrow projection over 20
     rows — free. Ordering on the ROUNDED blended score with doc_id
-    tiebreak keeps the final ranking cross-engine exact."""
+    tiebreak keeps the final ranking cross-engine exact; the blend is
+    rounded IN DECIMAL (bm25 is 4-dp- and ce 6-dp-quantized, so the
+    double sum sits exactly on a 5th-decimal tie ~1% of the time and
+    double ROUND diverges across engines there — found live by the
+    r18 oracle fuzzer, seed 1, final_score 6.20865)."""
     bm = q_bm25(spark, sf_dir)
     ce = F.round(
         F.expr(_CE_U32.replace("AS VARCHAR", "AS STRING")) / F.lit(4294967296.0), 6
     )
-    scored = bm.select(
+    blend = (
+        F.col("bm25").cast("decimal(14,4)")
+        + F.lit(RERANK_W_CE).cast("decimal(3,1)")
+        * F.col("ce_score").cast("decimal(12,6)")
+    )
+    scored = bm.select("doc_id", "bm25", ce.alias("ce_score")).select(
         "doc_id",
         "bm25",
-        ce.alias("ce_score"),
-        F.round(F.col("bm25") + RERANK_W_CE * ce, 4).alias("final_score"),
+        "ce_score",
+        F.round(blend, 4).cast("double").alias("final_score"),
     )
     return scored.orderBy(F.desc("final_score"), "doc_id").limit(RERANK_TOP)
 

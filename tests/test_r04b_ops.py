@@ -152,15 +152,25 @@ def test_knn_graph_is_blocked_and_k_bounded(spark, sf_dir):
 
 
 def test_embed_outlier_threshold_holds(spark, sf_dir):
+    # The flag law is the multiplied-out EXACT decimal comparison
+    # n·dist2·100 > 105·Σdist2 (r18: double division/rounding left the
+    # boundary cross-engine-nondeterministic; output dist2 is an exact
+    # 6-dp decimal rendered as double, so casting back recovers it).
     out = QS["q_embed_outlier"](spark, sf_dir).persist()
+    factor100 = int(round(OUTLIER_FACTOR * 100))
     avg = out.groupBy("label").agg(
-        F.round(
-            F.sum(F.col("dist2").cast("decimal(20,6)")).cast("double") / F.count("*"), 6
-        ).alias("avg_d")
+        F.sum(F.col("dist2").cast("decimal(14,6)")).alias("sum_d"),
+        F.count("*").alias("n_lab"),
     )
     joined = out.join(avg, "label")
     bad = joined.filter(
-        F.col("is_outlier") != (F.col("dist2") > OUTLIER_FACTOR * F.col("avg_d"))
+        F.col("is_outlier")
+        != (
+            F.col("dist2").cast("decimal(14,6)")
+            * F.col("n_lab").cast("decimal(12,0)")
+            * F.lit(100)
+            > F.col("sum_d") * F.lit(factor100)
+        )
     )
     assert bad.count() == 0
     n = out.count()

@@ -290,16 +290,21 @@ def test_apply_releases_batch_cache(spark, tmp_path):
             if i.numCachedPartitions() > 0
         )
 
+    # <= not ==: the session is suite-shared, and ContextCleaner may
+    # asynchronously collect an UNRELATED earlier test's RDD while the
+    # apply runs, dropping the global count below the baseline (seen
+    # live in r18: 9 == 10 failure). The leak law is one-sided — apply
+    # must not leave the count HIGHER than it found it.
     for cls in (None, BranchedMirror, SpecEvolvingMirror):
         sub = cls.__name__ if cls else "snap"
         m, df = _mk_mirror(spark, tmp_path / sub, cls=cls)
         base = n_cached()
         m.apply(_batch(df, 0, 9, 2000))
-        assert n_cached() == base, cls
+        assert n_cached() <= base, cls
         if cls is BranchedMirror:
             m.branch_create("b")
             m.apply_to_branch("b", _batch(df, 10, 19, 3000))
-            assert n_cached() == base
+            assert n_cached() <= base
 
 
 # --- staged r18 rungs: registration is one decorator ----------------------
