@@ -11,7 +11,14 @@ Cross-engine determinism rules used throughout (see tests):
 - float vector math uses *sequential left folds* (Spark ``aggregate``
   / DuckDB ``list_reduce``), which are bit-identical IEEE754 chains;
 - every LIMIT/top-k is fully ordered with a unique tiebreaker;
-- collected lists are sorted+joined to a canonical string.
+- collected lists are sorted+joined to a canonical string;
+- final roundings of DECIMAL-QUANTIZED values happen on the DECIMAL,
+  never the double (r18 fuzzer finding): ``ROUND(double, k)`` on an
+  input already quantized at k+2 places sits on a k-dp tie ~1% of
+  the time per row, where Spark (HALF_UP on the exact binary) and
+  DuckDB (multiply-and-rint) disagree. ``ROUND(DECIMAL, k)`` is
+  half-away-from-zero in both engines (verified, negatives
+  included); decimal→decimal CAST is NOT safe (DuckDB truncates).
 """
 
 from __future__ import annotations
