@@ -61,17 +61,29 @@ def q_udf_pandas(spark, sf_dir):
 @query(
     "q_udaf_grouped",
     oracle="""
-        SELECT c_nationkey,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                     / COUNT(*), 4) AS mean_bal
-        FROM customer GROUP BY c_nationkey
+        WITH g AS (
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS cents
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, n,
+               (CASE WHEN cents >= 0 THEN 1 ELSE -1 END)
+                 * FLOOR((2.0 * ABS(cents) * 100 + n) / (2.0 * n)) / 10000.0
+                   AS mean_bal
+        FROM g
     """,
 )
 def q_udaf_grouped(spark, sf_dir):
     """Grouped custom aggregate via applyInPandas. Sums in integer
-    cents (exact, order-independent) so the result matches the
-    decimal-sum oracle bit-for-bit."""
+    cents (exact, order-independent), then rounds the mean to 4 dp
+    half-away-from-zero in EXACT integer arithmetic inside the UDF —
+    (2·|cents|·100 + n) // (2n) in 1e-4 units. The r18 fuzzer (seed 2)
+    proved ROUND(double, 4) diverges cross-engine exactly when the
+    group size is 2^a·5^b (the quotient of a 2-dp-quantized sum then
+    TERMINATES at ≥5 dp and ties at the 4th: n=8 mean 4323.76125 →
+    Spark 4323.7613, DuckDB 4323.7612). The oracle replays the same
+    integer formula with FLOOR over doubles — exact below 2^53, and
+    the quotient is never within one ulp of a non-attained integer."""
     out_schema = T.StructType(
         [
             T.StructField("c_nationkey", T.IntegerType()),
@@ -81,16 +93,15 @@ def q_udaf_grouped(spark, sf_dir):
     )
 
     def mean_bal(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["c_acctbal"] * 100).round().astype("int64").sum()
+        # int(): numpy int64 -> Python bignum before the *200 headroom
+        cents = int((pdf["c_acctbal"] * 100).round().astype("int64").sum())
         n = len(pdf)
+        q = (2 * abs(cents) * 100 + n) // (2 * n)  # half away from zero
         return pd.DataFrame(
             {
                 "c_nationkey": [pdf["c_nationkey"].iloc[0]],
                 "n": [n],
-                # raw mean; HALF_UP rounding happens SQL-side below so
-                # both engines round identically (Python round() is
-                # banker's rounding — deliberately not used)
-                "mean_bal": [cents / 100.0 / n],
+                "mean_bal": [(q if cents >= 0 else -q) / 10000.0],
             }
         )
 
@@ -99,7 +110,7 @@ def q_udaf_grouped(spark, sf_dir):
         .select("c_nationkey", "c_acctbal")
         .groupBy("c_nationkey")
         .applyInPandas(mean_bal, schema=out_schema)
-        .select("c_nationkey", "n", F.round("mean_bal", 4).alias("mean_bal"))
+        .select("c_nationkey", "n", "mean_bal")
     )
 
 

@@ -93,41 +93,48 @@ def test_fuzz_oracle_agreement(spark, fuzz_dir, fuzz_duck, registry, name):
     assert nrows is not None
 
 
-# --- regression: the three queries seed 1 caught ------------------------
+# --- regression: the queries the r18 sweeps caught -----------------------
 #
-# The first full-registry fuzz sweep (r18, seed 1 hostile) proved
+# The first full-registry fuzz sweeps (r18, hostile seeds 1-3) proved
 # ROUND(double, k) diverges cross-engine when its input is already
-# decimal-quantized at k+2 places (a ~1%-per-row tie probability):
-# q_embed_outlier's dist2 (1.036597 vs 1.036596) and q_rerank's
-# final_score (6.20865 blend boundary). Both — plus the same pattern
-# feeding q_centroid_classify's argmin — now round IN DECIMAL
-# (half-away ties, verified identical in both engines). Pin the fix
-# at the exact seed that fired.
+# decimal-quantized at a few places past k (a ~1%-per-row tie
+# probability): q_embed_outlier's dist2 (1.036597 vs 1.036596, seed
+# 1), q_rerank's final_score (6.20865 blend boundary, seed 1), and
+# q_udaf_grouped's mean (group size 8 → the 2-dp sum's quotient
+# TERMINATES at 5 dp: 4323.76125, seed 2). All — plus the same
+# pattern feeding q_centroid_classify's argmin — now round in exact
+# DECIMAL/integer arithmetic. Pin each fix at the seed that fired.
 
-FUZZ_REGRESSION = ["q_embed_outlier", "q_rerank", "q_centroid_classify"]
+FUZZ_REGRESSION = [
+    ("q_embed_outlier", 1),
+    ("q_rerank", 1),
+    ("q_centroid_classify", 1),
+    ("q_udaf_grouped", 2),
+]
 
 
 @pytest.fixture(scope="module")
-def seed1_dir(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("fuzzfix_s1"))
-    write_fixture(1, d, tier="hostile")
-    return d
+def regression_fixtures(tmp_path_factory):
+    """seed -> (fixture dir, duckdb con with views), one per seed used."""
+    out = {}
+    for seed in sorted({s for _, s in FUZZ_REGRESSION}):
+        d = str(tmp_path_factory.mktemp(f"fuzzfix_s{seed}"))
+        write_fixture(seed, d, tier="hostile")
+        con = duckdb.connect()
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+        out[seed] = (d, con)
+    yield out
+    for _, con in out.values():
+        con.close()
 
 
-@pytest.fixture(scope="module")
-def seed1_duck(seed1_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{seed1_dir}/{t}.parquet'")
-    yield con
-    con.close()
-
-
-@pytest.mark.parametrize("name", FUZZ_REGRESSION)
-def test_decimal_round_fix_regression(spark, seed1_dir, seed1_duck, registry, name):
+@pytest.mark.parametrize("name,seed", FUZZ_REGRESSION)
+def test_decimal_round_fix_regression(spark, regression_fixtures, registry, name, seed):
     qs, orc = registry
-    status, _, detail = compare_one(spark, seed1_duck, qs[name], orc[name], seed1_dir)
-    assert status == "OK", f"{name} regressed on the seed-1 boundary: {detail}"
+    d, con = regression_fixtures[seed]
+    status, _, detail = compare_one(spark, con, qs[name], orc[name], d)
+    assert status == "OK", f"{name} regressed on the seed-{seed} boundary: {detail}"
 
 
 # --- generator fidelity -------------------------------------------------

@@ -48,14 +48,15 @@ def test_r18_rungs_registered_with_their_proven_oracles():
 
 def test_r18_window_projection():
     """The r18 driver window fronts the two new rungs (group 0, CDC
-    family first) plus the three queries the r18 oracle fuzzer
+    family first) plus the four queries the r18 oracle fuzzer
     re-fronted with determinism fixes (q_centroid_classify /
-    q_embed_outlier / q_rerank — double-ROUND at decimal-tie
-    boundaries; the first two were already in the r11 sweep band so
-    their re-front is displacement-free, q_rerank displaces exactly
-    one r11 row, q_tpch_q9, to head the r19 sweep), keeps the
-    promoted no-oracle rotation (q_catalog_list), and fills the rest
-    with the stalest green oracle-backed rows — the r11 band.
+    q_embed_outlier / q_rerank at seed 1, q_udaf_grouped at seed 2 —
+    double-ROUND at decimal-tie boundaries; the embed pair were
+    already in the r11 sweep band so their re-front is
+    displacement-free, q_rerank + q_udaf_grouped displace exactly two
+    r11 rows, q_tpch_q8 and q_tpch_q9, to head the r19 sweep), keeps
+    the promoted no-oracle rotation (q_catalog_list), and fills the
+    rest with the stalest green oracle-backed rows — the r11 band.
 
     Ledger-relative (r17 verdict item 1's lesson): the expectation is
     computed from the CORRECTNESS artifacts on disk, and the test
@@ -67,8 +68,13 @@ def test_r18_window_projection():
     window = list(registry.queries())[:50]
     assert window[0] == "q_cdc_evolve_spec"
     assert window[1] == "q_sim_pq"
-    assert window[2:5] == ["q_centroid_classify", "q_embed_outlier", "q_rerank"]
-    assert window[5] == "q_catalog_list"
+    assert window[2:6] == [
+        "q_centroid_classify",
+        "q_embed_outlier",
+        "q_rerank",
+        "q_udaf_grouped",
+    ]
+    assert window[6] == "q_catalog_list"
 
     # Independent staleness computation: latest round + pass per query
     # straight from the artifacts (no registry internals).
@@ -89,9 +95,9 @@ def test_r18_window_projection():
         (last[n], n) for n in oracle_names
         if n in last and ok[n] and last[n] >= modified.get(n, 0)
     )
-    expected_sweep = [n for _, n in greens[:44]]
-    assert window[6:] == expected_sweep
-    assert all(rnd == 11 for rnd, _ in greens[:44]), greens[:5]
+    expected_sweep = [n for _, n in greens[:43]]
+    assert window[7:] == expected_sweep
+    assert all(rnd == 11 for rnd, _ in greens[:43]), greens[:5]
 
 
 def test_tracked_persists_drained_and_safe(spark, sf_dir):
