@@ -233,26 +233,32 @@ def q_win_first_last(spark, sf_dir):
                    AS sum_1h
         FROM events
         WINDOW w AS (
-            PARTITION BY user_id ORDER BY epoch(ts)
-            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def q_win_time_range(spark, sf_dir):
     """Time-based sliding frame: per user, rolling 1-hour event count
     and value sum ending at each event (RANGE frame over event-time —
     the rate-limiter / rolling-exposure primitive). Spark's
-    rangeBetween is numeric, so the frame runs over epoch seconds;
-    the oracle uses the identical epoch ordering, making tie handling
-    (same-second events share a frame) explicit and cross-engine
-    exact. Decimal-cast sum keeps the rolling total order-independent.
+    rangeBetween is numeric, so the frame runs over epoch
+    MICROSECONDS (unix_micros — exact integers on both engines). The
+    r18 fuzzer (seed 5) proved the previous second-granularity frame
+    diverged: Spark's unix_timestamp TRUNCATES to seconds while
+    DuckDB's epoch() keeps the µs fraction, so an event 3600.02 s back
+    fell inside Spark's frame and outside DuckDB's — a real
+    semantics gap on any fractional-second stream, not a rounding
+    nit. µs keys also kill truncation peers (same-second followers
+    sharing a frame). Decimal-cast sum keeps the rolling total
+    order-independent.
 
     Scale shape: one shuffle on user_id, per-key local sort — the same
     single-Exchange shape as every window in this module; RANGE frames
     add no extra pass over ROWS frames in Spark's window operator."""
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return load(spark, sf_dir, "events").select(
         "user_id",

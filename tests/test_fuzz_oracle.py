@@ -110,6 +110,11 @@ FUZZ_REGRESSION = [
     ("q_rerank", 1),
     ("q_centroid_classify", 1),
     ("q_udaf_grouped", 2),
+    # seed 5: Spark unix_timestamp TRUNCATES to seconds vs DuckDB
+    # epoch()'s fractional DOUBLE — a RANGE frame admitted an event
+    # 3600.02 s back on one side only. Fixed by µs-integer keys
+    # (unix_micros / epoch_us) on both engines.
+    ("q_win_time_range", 5),
 ]
 
 

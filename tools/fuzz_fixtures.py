@@ -26,6 +26,16 @@ Edge tiers:
   columns, exact-duplicate and near-duplicate documents, zipf-skewed
   user_id/custkey hot keys — all properties a 100 TB corpus WILL have
   and the fixed fixture does NOT.
+- tier="ties": the decimal-tie hunter. Every natural GROUP SIZE is
+  forced to a 2-adically tie-eligible value (n with v2(n) = v2(sum)+
+  round_gap, e.g. 32 events/user, 160 lineitems per (flag,status),
+  8 customers/nation, 32-word documents): a mean of k-dp-quantized
+  values over such a group ties at the rounding scale with
+  probability ~1/2 PER GROUP, so any ROUND(double)-after-division
+  site diverges cross-engine within a seed or two instead of once in
+  10^3 random datasets. Random-size tiers can't separate a 1e-3/seed
+  latent bug from a safe site; this tier turns the class into a
+  deterministic alarm.
 (Empty/unicode documents are deliberately NOT generated: several
 registered tokenizer oracles divide by document length, and declaring
 their empty-doc behavior is a semantics change to frozen queries.
@@ -68,19 +78,28 @@ def _ts_us(arr_us: np.ndarray) -> pa.Array:
 
 def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     """Build all ten tables as pyarrow Tables, deterministic in seed."""
-    if tier not in ("plain", "hostile"):
+    if tier not in ("plain", "hostile", "ties"):
         raise ValueError(f"unknown tier: {tier}")
     rng = np.random.default_rng(seed)
     hostile = tier == "hostile"
+    ties = tier == "ties"
 
-    n_cust = int(rng.integers(100, 201))
-    n_supp = int(rng.integers(8, 16))
-    n_part = int(rng.integers(150, 251))
-    n_ord = int(rng.integers(900, 1801))
-    n_evt = int(rng.integers(700, 1301))
-    n_doc = int(rng.integers(350, 551))
-    n_emb = int(rng.integers(350, 551))
-    n_users = int(rng.integers(12, 25))
+    if ties:
+        n_cust, n_supp, n_part = 160, 10, 200
+        # 40/44/48 orders per priority: 40 makes the plain mean tie
+        # (v2=3 for 2-dp sums), 44 makes the 5%-trimmed count 40,
+        # 48 covers integer-sum aggregates — cycle by seed.
+        n_ord = (200, 220, 240)[seed % 3]
+        n_evt, n_doc, n_emb, n_users = 1600, 800, 320, 50
+    else:
+        n_cust = int(rng.integers(100, 201))
+        n_supp = int(rng.integers(8, 16))
+        n_part = int(rng.integers(150, 251))
+        n_ord = int(rng.integers(900, 1801))
+        n_evt = int(rng.integers(700, 1301))
+        n_doc = int(rng.integers(350, 551))
+        n_emb = int(rng.integers(350, 551))
+        n_users = int(rng.integers(12, 25))
 
     out: dict[str, pa.Table] = {}
 
@@ -101,13 +120,16 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
         }
     )
 
+    cust_nations = (
+        (np.arange(n_cust) % 20)  # ties: exactly 8 customers/nation
+        if ties
+        else rng.integers(0, 25, size=n_cust)
+    )
     out["customer"] = pa.table(
         {
             "c_custkey": np.arange(n_cust, dtype="int64"),
             "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
-            "c_nationkey": pa.array(
-                rng.integers(0, 25, size=n_cust).astype("int32"), pa.int32()
-            ),
+            "c_nationkey": pa.array(cust_nations.astype("int32"), pa.int32()),
             "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, size=n_cust), 2),
             "c_mktsegment": [
                 _SEGMENTS[i] for i in rng.integers(0, len(_SEGMENTS), size=n_cust)
@@ -177,14 +199,23 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
             "o_totalprice": totalprice,
             "o_orderdate": _ts_us(odate),
             "o_orderpriority": [
-                _PRIORITIES[i] for i in rng.integers(0, len(_PRIORITIES), size=n_ord)
+                _PRIORITIES[i]
+                for i in (
+                    np.arange(n_ord) % 5  # ties: exact n_ord/5 per class
+                    if ties
+                    else rng.integers(0, len(_PRIORITIES), size=n_ord)
+                )
             ],
         }
     )
 
     # lineitem: 1–12 lines per order, l_linenumber sequential within
     # the order, shipdate after orderdate (as in the fixed fixture).
-    lines_per = rng.integers(1, 13, size=n_ord)
+    # ties: exactly 4 lines/order so (returnflag, linestatus) groups
+    # assigned round-robin land at n_li/6 = tie-eligible sizes.
+    lines_per = (
+        np.full(n_ord, 4) if ties else rng.integers(1, 13, size=n_ord)
+    )
     n_li = int(lines_per.sum())
     l_orderkey = np.repeat(np.arange(n_ord, dtype="int64"), lines_per)
     l_linenumber = np.concatenate([np.arange(1, k + 1) for k in lines_per])
@@ -202,9 +233,19 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
             "l_discount": np.round(rng.uniform(0.0, 0.1, size=n_li), 2),
             "l_tax": np.round(rng.uniform(0.0, 0.08, size=n_li), 2),
             "l_returnflag": [
-                "ANR"[i] for i in rng.choice(3, size=n_li, p=[0.25, 0.5, 0.25])
+                "ANR"[i]
+                for i in (
+                    np.arange(n_li) % 6 // 2  # ties: n_li/6 per (flag,status)
+                    if ties
+                    else rng.choice(3, size=n_li, p=[0.25, 0.5, 0.25])
+                )
             ],
-            "l_linestatus": ["FO"[i] for i in rng.integers(0, 2, size=n_li)],
+            "l_linestatus": [
+                "FO"[i]
+                for i in (
+                    np.arange(n_li) % 2 if ties else rng.integers(0, 2, size=n_li)
+                )
+            ],
             "l_shipdate": _ts_us(
                 np.repeat(odate, lines_per)
                 + rng.integers(1, 121, size=n_li) * _DAY_US
@@ -218,7 +259,9 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     ts0 = np.datetime64("2024-01-01", "us").astype("int64")
     gaps = rng.exponential(2_500_000_000.0, size=n_evt)  # ~2500 s mean
     ts = ts0 + np.cumsum(gaps).astype("int64")
-    if hostile:
+    if ties:
+        users = np.arange(n_evt) % n_users  # exactly 32 events/user
+    elif hostile:
         zipf_u = 1.0 / np.arange(1, n_users + 1) ** 1.3
         users = rng.choice(n_users, size=n_evt, p=zipf_u / zipf_u.sum())
     else:
@@ -230,7 +273,11 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
             "user_id": users.astype("int64"),
             "event_type": [
                 _EVENT_TYPES[i]
-                for i in rng.integers(0, len(_EVENT_TYPES), size=n_evt)
+                for i in (
+                    np.arange(n_evt) % 5  # ties: 320/type
+                    if ties
+                    else rng.integers(0, len(_EVENT_TYPES), size=n_evt)
+                )
             ],
             "value": np.round(rng.uniform(0.01, 330.0, size=n_evt), 2),
             "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n_evt)],
@@ -241,8 +288,10 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     # plants exact duplicates (~8%) and near-duplicates (~6%, one word
     # substituted) — the dedup family's real-world input shape.
     texts: list[str] = []
-    for _ in range(n_doc):
-        n_words = int(rng.integers(10, 100))
+    for di in range(n_doc):
+        # ties: word counts cycle tie-eligible sizes (32 tokens; 34
+        # words → 32 trigram shingles; 40 for the 2^3·5 class).
+        n_words = (32, 34, 40)[di % 3] if ties else int(rng.integers(10, 100))
         texts.append(
             " ".join(_VOCAB[i] for i in rng.integers(0, len(_VOCAB), size=n_words))
         )
@@ -265,8 +314,22 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
         {
             "doc_id": np.arange(n_doc, dtype="int64"),
             "text": texts,
-            "lang": [_LANGS[i] for i in rng.integers(0, len(_LANGS), size=n_doc)],
-            "source": [f"src{i}" for i in rng.integers(0, 20, size=n_doc)],
+            "lang": [
+                _LANGS[i]
+                for i in (
+                    np.arange(n_doc) % 5  # ties: 160/lang
+                    if ties
+                    else rng.integers(0, len(_LANGS), size=n_doc)
+                )
+            ],
+            "source": [
+                f"src{i}"
+                for i in (
+                    np.arange(n_doc) % 20  # ties: 40/source
+                    if ties
+                    else rng.integers(0, 20, size=n_doc)
+                )
+            ],
             "n_chars": np.array([len(t) for t in texts], dtype="int64"),
         }
     )
@@ -284,7 +347,12 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
             "vec_id": np.arange(n_emb, dtype="int64"),
             "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
             "label": pa.array(
-                rng.integers(0, 10, size=n_emb).astype("int32"), pa.int32()
+                (
+                    np.arange(n_emb) % 10  # ties: 32/label
+                    if ties
+                    else rng.integers(0, 10, size=n_emb)
+                ).astype("int32"),
+                pa.int32(),
             ),
         }
     )

@@ -136,7 +136,7 @@ def run(seeds, names, tier, report_path):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--seeds", default="1,2")
-    p.add_argument("--tier", default="hostile", choices=["plain", "hostile"])
+    p.add_argument("--tier", default="hostile", choices=["plain", "hostile", "ties"])
     p.add_argument("--report", default="")
     p.add_argument("names", nargs="*")
     a = p.parse_args(argv)
