@@ -31,6 +31,7 @@ from contextlib import contextmanager
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators._util import rdiv, rdiv_sql
 from ..registry import query
 from ..sources.tables import load
 from .shingles import (
@@ -1377,8 +1378,8 @@ CONTAIN_T = 0.7  # asymmetric containment threshold (doc-in-doc)
 CONTAINMENT_SQL = f"""
     WITH {_CAPPED_PAIRS_CTE}
     SELECT id_a, id_b,
-           ROUND(CAST(n_inter AS DOUBLE) / n_a, 4) AS contain_a_in_b,
-           ROUND(CAST(n_inter AS DOUBLE) / n_b, 4) AS contain_b_in_a
+           {rdiv_sql("n_inter", "n_a", 4)} AS contain_a_in_b,
+           {rdiv_sql("n_inter", "n_b", 4)} AS contain_b_in_a
     FROM pairs_base
     WHERE CAST(n_inter AS DOUBLE) / n_a >= {CONTAIN_T}
        OR CAST(n_inter AS DOUBLE) / n_b >= {CONTAIN_T}
@@ -1419,8 +1420,10 @@ def q_dedup_containment(spark, sf_dir):
         .select(
             "id_a",
             "id_b",
-            F.round(c_ab, 4).alias("contain_a_in_b"),
-            F.round(c_ba, 4).alias("contain_b_in_a"),
+            # rdiv: int/int containment ratios tie at the 4dp grid for
+            # 2-adic shingle-set sizes (r18 fuzzer class)
+            rdiv(F.col("n_inter"), F.col("sa.n_sh"), 4).alias("contain_a_in_b"),
+            rdiv(F.col("n_inter"), F.col("sb.n_sh"), 4).alias("contain_b_in_a"),
         )
     )
 

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from ..operators._util import rdiv_sql
 from ..registry import query
 from ..sources.tables import load
 
@@ -164,9 +165,14 @@ def extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(payload)
             out["doc_id"].append(int(doc_id))
-            # raw mean — HALF_UP rounding happens SQL-side so both
-            # engines round identically (python round() is banker's)
-            out["mean_byte"].append(sum(b) / len(b) if b else 0.0)
+            # mean rounded to 4dp half-away in EXACT integer math
+            # (r18 fuzzer class: int-sum/len ties at the 4dp grid for
+            # 2-adic lengths, where SQL double-ROUND diverges)
+            out["mean_byte"].append(
+                ((2 * sum(b) * 10**4 + len(b)) // (2 * len(b))) / 1e4
+                if b
+                else 0.0
+            )
             out["max_byte"].append(max(b) if b else 0)
             out["n_distinct_bytes"].append(len(set(b)))
         yield pd.DataFrame(out)
@@ -181,21 +187,20 @@ def extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ),
         by_doc AS (
             SELECT doc_id,
-                   ROUND(SUM(ord(c)) / COUNT(*), 4) AS mean_byte,
+                   {mean_expr} AS mean_byte,
                    CAST(MAX(ord(c)) AS INT) AS max_byte,
                    CAST(COUNT(DISTINCT c) AS INT) AS n_distinct_bytes
             FROM chars WHERE c <> '' GROUP BY doc_id
         )
         SELECT * FROM by_doc
-    """,
+    """.replace("{mean_expr}", rdiv_sql("SUM(ord(c))", "COUNT(*)", 4)),
 )
 def q_multimodal_features(spark, sf_dir):
     """Feature extraction over binary payloads via mapInPandas (byte
     statistics stand in for a real embedding model; ASCII fixture text
     makes char ordinals == byte values for the oracle)."""
     payloads = with_binary_payload(load(spark, sf_dir, "documents"))
-    feats = payloads.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
-    return feats.withColumn("mean_byte", F.round("mean_byte", 4))
+    return payloads.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
 
 
 RESIZE_TO = 256

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from ..operators._util import rdiv, rdiv_sql
 from ..registry import query
 from ..sources.tables import load
 
@@ -140,12 +141,15 @@ def q_text_langid(spark, sf_dir):
             FROM documents
         )
         SELECT doc_id,
-               ROUND(LEAST(1.0, n / 400.0) * 0.5
-                     + LEAST(1.0, CAST(n_stop AS DOUBLE) / n_tok * 10.0) * 0.3
-                     + (1.0 - CAST(n_punct AS DOUBLE) / n) * 0.2, 6) AS quality,
+               {q_expr} AS quality,
                n, n_tok, n_stop, n_punct
         FROM m
-    """,
+    """.replace("{q_expr}", rdiv_sql(
+        "LEAST(n, 400) * 10 * n_tok * n"
+        " + 2400 * LEAST(CAST(n_tok AS BIGINT), 10 * n_stop) * n"
+        " + 1600 * (n - n_punct) * n_tok",
+        "8000 * n_tok * n", 6
+    )),
 )
 def q_text_quality(spark, sf_dir):
     """Quality score: length saturation + stopword-rate + punctuation
@@ -158,12 +162,21 @@ def q_text_quality(spark, sf_dir):
         (F.length(padded) - F.length(F.replace(padded, F.lit(" the "), F.lit("")))) / 5
     ).cast("int")
     n_punct = n - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9\s]", ""))
-    # round at 6 decimals: the score's terminating components end at
-    # <=5 decimals, so no cross-engine tie-breaking at this precision
-    quality = F.round(
-        F.least(F.lit(1.0), n / F.lit(400.0)) * 0.5
-        + F.least(F.lit(1.0), n_stop.cast("double") / n_tok * 10.0) * 0.3
-        + (F.lit(1.0) - n_punct.cast("double") / n) * 0.2,
+    # Exact integer rounding (rdiv): the old "components terminate at
+    # <=5 dp" claim was FALSE for 2^7-divisible char counts (1/128 =
+    # 0.0078125 — 7 dp), exactly the tie class the r18 fuzzer proved
+    # cross-engine-divergent. The score is min(n,400)/800 +
+    # 3·min(tok,10·stop)/(10·tok) + (n−punct)/(5n), multiplied out
+    # over the common denominator 8000·tok·n.
+    nl = n.cast("long")
+    tokl = n_tok.cast("long")
+    stopl = n_stop.cast("long")
+    punctl = (n_punct).cast("long")
+    quality = rdiv(
+        F.least(nl, F.lit(400)) * 10 * tokl * nl
+        + F.lit(2400) * F.least(tokl, F.lit(10) * stopl) * nl
+        + F.lit(1600) * (nl - punctl) * tokl,
+        F.lit(8000) * tokl * nl,
         6,
     )
     return load(spark, sf_dir, "documents").select(
@@ -1055,10 +1068,13 @@ READABILITY_SQL = """
         FROM documents
     )
     SELECT doc_id, lang, n_words, n_sents, n_syll,
-           ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
-                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+           {flesch_expr} AS flesch
     FROM m
-"""
+""".replace("{flesch_expr}", rdiv_sql(
+    "206835 * n_sents * n_words - 1015 * n_words * n_words"
+    " - 84600 * n_syll * n_sents",
+    "1000 * n_sents * n_words", 4
+))
 
 
 @query("q_text_readability", oracle=READABILITY_SQL)
@@ -1091,10 +1107,16 @@ def q_text_readability(spark, sf_dir):
     )
     n_sents = runs(text, r"[.!?]+")
     n_syll = runs(low, r"[aeiouy]+")
-    flesch = F.round(
-        F.lit(206.835)
-        - 1.015 * (n_words.cast("double") / n_sents)
-        - 84.6 * (n_syll.cast("double") / n_words),
+    # Flesch rounded via the exact integer formula (rdiv): the three
+    # coefficients are 3-dp rationals and w/s, syll/w are int ratios,
+    # so the score TERMINATES for 2-adic denominators right at the 4dp
+    # tie where double-ROUND diverges cross-engine (r18 fuzzer class).
+    # Multiplied out over the common denominator 1000·s·w.
+    flesch = rdiv(
+        F.lit(206835) * n_sents * n_words
+        - F.lit(1015) * n_words * n_words
+        - F.lit(84600) * n_syll * n_sents,
+        F.lit(1000) * n_sents * n_words,
         4,
     )
     return load(spark, sf_dir, "documents").select(

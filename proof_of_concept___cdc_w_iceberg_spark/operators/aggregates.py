@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load
-from ._util import dec_avg, dec_sum
+from ._util import avg_sql, dec_avg, dec_sum, rdiv, rdiv_sql
 
 
 @query(
@@ -37,12 +37,11 @@ def q_agg_count(spark, sf_dir):
 
 @query(
     "q_agg_groupby",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                     / COUNT(l_quantity), 4) AS avg_qty,
+               {avg_sql("l_quantity", "COUNT(l_quantity)", 18, 2, 4)} AS avg_qty,
                MIN(l_extendedprice) AS min_price,
                MAX(l_extendedprice) AS max_price,
                CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -260,19 +259,21 @@ def q_sample_stratified(spark, sf_dir):
     """Stratified sampling (seeded sampleBy) — the class-balanced
     subset draw of a training pipeline. The RNG is engine-specific, so
     the contract is per-stratum: population count (exact) + a flag that
-    the seeded 10% sample landed within +/-50% of expectation (wide
-    bound: small strata at sf0.001 have high variance; determinism of
-    the seed itself is covered by the driver running the query twice)."""
+    the seeded 10% sample landed within a BINOMIAL bound of
+    expectation — |n_sampled − 0.1·n| ≤ 4.5·√(0.1·0.9·n) + 1. The
+    r16-era ±50% band was a fixed-fraction bound that a legitimate
+    Bin(40, 0.1) draw violates ~19% of the time (caught by the r18
+    forced-size fuzz tier at 40-row strata); the σ-scaled bound keeps
+    the false-alarm rate ~1e-5 at EVERY stratum size. Determinism of
+    the seed itself is covered by the driver running the query twice."""
     o = load(spark, sf_dir, "orders")
     fracs = {r[0]: 0.1 for r in o.select("o_orderpriority").distinct().collect()}
     sample = o.sampleBy("o_orderpriority", fractions=fracs, seed=42)
     got = sample.groupBy("o_orderpriority").agg(F.count("*").alias("n_sampled"))
     totals = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_total"))
     joined = totals.join(got, "o_orderpriority", "left").fillna(0, ["n_sampled"])
-    ok = (
-        (F.col("n_sampled") >= F.col("n_total") * 0.05)
-        & (F.col("n_sampled") <= F.col("n_total") * 0.15)
-    )
+    tol = F.lit(4.5) * F.sqrt(F.col("n_total") * F.lit(0.09)) + F.lit(1.0)
+    ok = F.abs(F.col("n_sampled") - F.col("n_total") * F.lit(0.1)) <= tol
     return joined.select(
         "o_orderpriority", "n_total", F.when(ok, 1).otherwise(0).alias("sample_ok")
     )
@@ -911,19 +912,22 @@ def q_percentile_exact_dist(spark, sf_dir):
     return out
 
 
-MOMENTS_SQL = """
+MOMENTS_SQL = f"""
     WITH m AS (
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
                CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS s2,
                CAST(SUM(CAST(o_totalprice * o_totalprice * o_totalprice
-                             AS DECIMAL(38,6))) AS DOUBLE) AS s3
+                             AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DOUBLE) AS u1,
+               CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) * 10000
+                    AS DOUBLE) AS u2
         FROM orders GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, n,
-           ROUND(s1 / n, 4) AS mean,
-           ROUND((s2 - s1 * s1 / n) / n, 4) AS var_pop,
+           {rdiv_sql("u1", "n * 100", 4)} AS mean,
+           {rdiv_sql("u2 * n - u1 * u1", "10000.0 * n * n", 4)} AS var_pop,
            ROUND((s3 - 3.0 * (s1 / n) * s2 + 2.0 * n * (s1 / n) * (s1 / n) * (s1 / n))
                  / (n * ((s2 - s1 * s1 / n) / n)
                       * sqrt((s2 - s1 * s1 / n) / n)), 4) AS skew
@@ -949,8 +953,12 @@ def q_agg_moments(spark, sf_dir):
         F.sum(p.cast("decimal(18,2)")).cast("double").alias("s1"),
         F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("s2"),
         F.sum((p * p * p).cast("decimal(38,6)")).cast("double").alias("s3"),
+        # integer units (cents / cents²) for the exact-rounded moments
+        (F.sum(p.cast("decimal(18,2)")) * 100).cast("double").alias("u1"),
+        (F.sum((p * p).cast("decimal(28,4)")) * 10000).cast("double").alias("u2"),
     )
     n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    u1, u2 = F.col("u1"), F.col("u2")
     mean = s1 / n
     var_pop = (s2 - s1 * s1 / n) / n
     # v^1.5 as v*sqrt(v), NOT pow(v, 1.5): sqrt is correctly rounded
@@ -959,11 +967,16 @@ def q_agg_moments(spark, sf_dir):
     skew = (s3 - 3.0 * mean * s2 + 2.0 * n * mean * mean * mean) / (
         n * var_pop * F.sqrt(var_pop)
     )
+    # mean/var_pop round through the EXACT integer-units formula (rdiv):
+    # the r18 'ties' fuzz tier proved ROUND(s1/n, 4) diverges
+    # cross-engine when the group size makes the quotient terminate at
+    # the tie (mean = cents/(100·n); var = (u2·n - u1²)/(10⁴·n²)). The
+    # skew's sqrt keeps it off the decimal grid — double-round is safe.
     return m.select(
         "o_orderpriority",
         "n",
-        F.round(mean, 4).alias("mean"),
-        F.round(var_pop, 4).alias("var_pop"),
+        rdiv(u1, n * 100, 4).alias("mean"),
+        rdiv(u2 * n - u1 * u1, F.lit(10000.0) * n * n, 4).alias("var_pop"),
         F.round(skew, 4).alias("skew"),
     )
 
@@ -1075,8 +1088,7 @@ TRIMMED_SQL = f"""
     )
     SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 4) AS trimmed_mean
+           {avg_sql("o_totalprice", "COUNT(*)", 18, 2, 4)} AS trimmed_mean
     FROM ranked
     WHERE rn > n // {TRIM_DIV} AND rn <= n - n // {TRIM_DIV}
     GROUP BY o_orderpriority, n
@@ -1109,9 +1121,12 @@ def q_agg_trimmed(spark, sf_dir):
     kept = ranked.filter((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
     return kept.groupBy("o_orderpriority", "n").agg(
         F.count("*").alias("n_kept"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            / F.count("*"),
+        # exact-integer rounded mean (rdiv): the kept-count can be
+        # 2-adically tie-eligible, where ROUND(double/n, 4) diverges
+        # cross-engine (r18 'ties' fuzz tier)
+        rdiv(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100,
+            F.count("*") * 100,
             4,
         ).alias("trimmed_mean"),
     ).select(
@@ -1286,9 +1301,7 @@ WINSOR_SQL = f"""
         FROM ranked GROUP BY o_orderpriority, n
     )
     SELECT o.o_orderpriority, CAST(b.n AS BIGINT) AS n, b.p05, b.p95,
-           ROUND(CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, b.p05), b.p95)
-                               AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 4) AS mean_winsorized
+           {avg_sql("LEAST(GREATEST(o.o_totalprice, b.p05), b.p95)", "COUNT(*)", 18, 2, 4)} AS mean_winsorized
     FROM orders o JOIN bounds b ON b.o_orderpriority = o.o_orderpriority
     GROUP BY o.o_orderpriority, b.n, b.p05, b.p95
 """
@@ -1341,9 +1354,10 @@ def q_agg_winsorized(spark, sf_dir):
     return (
         clipped.groupBy("o_orderpriority", "n", "p05", "p95")
         .agg(
-            F.round(
-                F.sum(F.col("cl").cast("decimal(18,2)")).cast("double")
-                / F.count("*"),
+            # exact-integer rounded mean (rdiv) — see q_agg_trimmed
+            rdiv(
+                F.sum(F.col("cl").cast("decimal(18,2)")) * 100,
+                F.count("*") * 100,
                 4,
             ).alias("mean_winsorized")
         )

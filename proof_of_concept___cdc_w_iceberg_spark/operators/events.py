@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load, register_views
+from ._util import rdiv, rdiv_sql
 
 # funnel step windows: click within 1h of first view, purchase within
 # 24h of first qualifying click
@@ -805,8 +806,8 @@ ATTRIBUTION_SQL = f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_touches,
            CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
-           ROUND(CAST(SUM(CAST(ROUND(1.0 / n, 8) AS DECIMAL(18,8)))
-                      AS DOUBLE), 4) AS credit
+           CAST(ROUND(SUM(CAST({rdiv_sql("1", "n", 8)} AS DECIMAL(18,8))), 4)
+                AS DOUBLE) AS credit
     FROM sized GROUP BY event_type
 """
 
@@ -844,9 +845,12 @@ def q_attribution(spark, sf_dir):
     return sized.groupBy("event_type").agg(
         F.count("*").alias("n_touches"),
         F.countDistinct("p_id").alias("n_purchases"),
+        # inner share 1/n rounded via exact integers (1/2^a is a pure
+        # dyadic that sits ON the 8dp tie); outer rounding happens in
+        # DECIMAL — identical half-away ties on both engines
         F.round(
-            F.sum(F.round(1.0 / F.col("n"), 8).cast("decimal(18,8)")).cast("double"), 4
-        ).alias("credit"),
+            F.sum(rdiv(F.lit(1), F.col("n"), 8).cast("decimal(18,8)")), 4
+        ).cast("double").alias("credit"),
     )
 
 
@@ -1171,15 +1175,21 @@ SEASONAL_SQL = """
         FROM events GROUP BY 1, 2
     ),
     tot AS (
-        SELECT event_type, CAST(SUM(s) AS DOUBLE) AS s_all,
+        SELECT event_type, SUM(s) AS s_all,
                CAST(SUM(n) AS BIGINT) AS n_all
         FROM hourly GROUP BY event_type
     )
     SELECT h.event_type, h.hr, h.n,
-           ROUND(CAST(h.s AS DOUBLE) / h.n, 6) AS hourly_mean,
-           ROUND(CAST(h.s AS DOUBLE) / h.n - t.s_all / t.n_all, 6) AS seasonal_dev
+           {mean_expr} AS hourly_mean,
+           {dev_expr} AS seasonal_dev
     FROM hourly h JOIN tot t ON t.event_type = h.event_type
-"""
+""".replace("{mean_expr}", rdiv_sql(
+    "CAST(h.s * 1000000 AS DOUBLE)", "h.n * 1000000.0", 6
+)).replace("{dev_expr}", rdiv_sql(
+    "CAST(h.s * 1000000 AS DOUBLE) * t.n_all"
+    " - CAST(t.s_all * 1000000 AS DOUBLE) * h.n",
+    "1000000.0 * h.n * t.n_all", 6
+))
 
 
 @query("q_ts_seasonal", oracle=SEASONAL_SQL)
@@ -1206,15 +1216,23 @@ def q_ts_seasonal(spark, sf_dir):
         .persist()  # feeds both the totals agg and the final join
     )
     tot = hourly.groupBy("event_type").agg(
-        F.sum("s").cast("double").alias("s_all"), F.sum("n").alias("n_all")
+        F.sum("s").alias("s_all"), F.sum("n").alias("n_all")
     )
-    h_mean = F.col("s").cast("double") / F.col("n")
+    # exact-integer rounded mean/deviation (rdiv, units of 1e-6): the
+    # r18 'ties' fuzz tier proved ROUND(s/n, 6) diverges cross-engine
+    # at 2-adically tie-eligible hourly group sizes
+    u_h = (F.col("s") * 1000000).cast("double")
+    u_t = (F.col("s_all") * 1000000).cast("double")
     return hourly.join(F.broadcast(tot), "event_type").select(
         "event_type",
         "hr",
         "n",
-        F.round(h_mean, 6).alias("hourly_mean"),
-        F.round(h_mean - F.col("s_all") / F.col("n_all"), 6).alias("seasonal_dev"),
+        rdiv(u_h, F.col("n") * F.lit(1000000.0), 6).alias("hourly_mean"),
+        rdiv(
+            u_h * F.col("n_all") - u_t * F.col("n"),
+            F.lit(1000000.0) * F.col("n") * F.col("n_all"),
+            6,
+        ).alias("seasonal_dev"),
     )
 
 
@@ -1232,10 +1250,11 @@ OOO_SQL = """
            CAST(COALESCE(MAX(CASE WHEN ts < prev_max
                     THEN date_diff('second', ts, prev_max) END), 0) AS BIGINT)
                AS max_delay_s,
-           ROUND(CAST(COUNT(CASE WHEN ts < prev_max THEN 1 END) AS DOUBLE)
-                 / COUNT(*), 4) AS late_frac
+           {frac_expr} AS late_frac
     FROM arrivals GROUP BY user_id
-"""
+""".replace("{frac_expr}", rdiv_sql(
+    "COUNT(CASE WHEN ts < prev_max THEN 1 END)", "COUNT(*)", 4
+))
 
 
 @query("q_ts_out_of_order", oracle=OOO_SQL)
@@ -1272,7 +1291,10 @@ def q_ts_out_of_order(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.count(late).alias("n_late"),
         F.coalesce(F.max(delay), F.lit(0)).cast("long").alias("max_delay_s"),
-        F.round(F.count(late).cast("double") / F.count("*"), 4).alias("late_frac"),
+        # rdiv: late/n is a PURE dyadic when n is a power of two (the
+        # exact double sits ON the 4dp tie), where Spark's HALF_UP and
+        # DuckDB's nearbyint disagree half the time (r18 fuzzer class)
+        rdiv(F.count(late), F.count("*"), 4).alias("late_frac"),
     )
 
 
@@ -1292,12 +1314,12 @@ FUNNEL_LAT_SQL = """
     SELECT CAST((SELECT COUNT(*) FROM firsts WHERE v_ts IS NOT NULL) AS BIGINT)
                AS n_viewers,
            CAST(COUNT(*) AS BIGINT) AS n_converted,
-           ROUND(CAST(SUM(CAST(date_diff('second', v_ts, c_ts)
-                               AS DECIMAL(18,0))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_delay_s,
+           {avg_expr} AS avg_delay_s,
            CAST(MAX(date_diff('second', v_ts, c_ts)) AS BIGINT) AS max_delay_s
     FROM conv
-"""
+""".replace("{avg_expr}", rdiv_sql(
+    "SUM(CAST(date_diff('second', v_ts, c_ts) AS DECIMAL(18,0)))", "COUNT(*)", 4
+))
 
 
 @query("q_funnel_latency", oracle=FUNNEL_LAT_SQL)
@@ -1335,8 +1357,9 @@ def q_funnel_latency(spark, sf_dir):
     return (
         conv.agg(
             F.count("*").alias("n_converted"),
-            F.round(
-                F.sum(delay.cast("decimal(18,0)")).cast("double") / F.count("*"), 4
+            # rdiv: integer-seconds mean — same exact-rounding class
+            rdiv(
+                F.sum(delay.cast("decimal(18,0)")), F.count("*"), 4
             ).alias("avg_delay_s"),
             F.max(delay).cast("long").alias("max_delay_s"),
         )

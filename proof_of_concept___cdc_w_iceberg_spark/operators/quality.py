@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ._util import rdiv, rdiv_sql
 from ..sources.tables import load
 
 QUALITY_SQL = """
@@ -130,12 +131,13 @@ SKEW_SQL = """
         FROM per_key
     )
     SELECT n_rows, n_keys, max_key_rows, min_key_rows,
-           ROUND(CAST(n_rows AS DOUBLE) / n_keys, 4) AS avg_key_rows,
-           ROUND(CAST(max_key_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys), 4)
-               AS skew_factor,
-           ROUND(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top_key_share
+           {avg_expr} AS avg_key_rows,
+           {skew_expr} AS skew_factor,
+           {share_expr} AS top_key_share
     FROM stats
-"""
+""".replace("{avg_expr}", rdiv_sql("n_rows", "n_keys", 4)).replace(
+    "{skew_expr}", rdiv_sql("max_key_rows * n_keys", "n_rows", 4)
+).replace("{share_expr}", rdiv_sql("max_key_rows", "n_rows", 6))
 
 
 @query("q_skew_diagnose", oracle=SKEW_SQL)
@@ -163,17 +165,21 @@ def q_skew_diagnose(spark, sf_dir):
         F.max("cnt").cast("long").alias("max_key_rows"),
         F.min("cnt").cast("long").alias("min_key_rows"),
     )
-    avg = F.col("n_rows").cast("double") / F.col("n_keys")
+    # all three ratios are integer/integer — rounded via the exact
+    # rdiv formula (r18 fuzzer class: int ratios with 2-adic
+    # denominators sit ON the decimal tie, where double-ROUND
+    # diverges cross-engine); skew_factor = max/(n_rows/n_keys)
+    # multiplied out to max·n_keys/n_rows so no intermediate division
     return stats.select(
         "n_rows",
         "n_keys",
         "max_key_rows",
         "min_key_rows",
-        F.round(avg, 4).alias("avg_key_rows"),
-        F.round(F.col("max_key_rows").cast("double") / avg, 4).alias("skew_factor"),
-        F.round(
-            F.col("max_key_rows").cast("double") / F.col("n_rows"), 6
-        ).alias("top_key_share"),
+        rdiv(F.col("n_rows"), F.col("n_keys"), 4).alias("avg_key_rows"),
+        rdiv(
+            F.col("max_key_rows") * F.col("n_keys"), F.col("n_rows"), 4
+        ).alias("skew_factor"),
+        rdiv(F.col("max_key_rows"), F.col("n_rows"), 6).alias("top_key_share"),
     )
 
 

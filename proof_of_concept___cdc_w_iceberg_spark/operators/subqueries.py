@@ -19,6 +19,7 @@ scaffold side stays tiny while the probe side scales with data.
 from __future__ import annotations
 
 from ..registry import query
+from ._util import rdiv_sql
 from ..sources.tables import register_views
 
 # Shared between the Spark side and the DuckDB oracle: both engines
@@ -40,16 +41,19 @@ _IN_SQL = """
     )
 """
 
+# The scalar threshold rounds through the exact integer formula
+# (rdiv_sql, r18 fuzzer class) — the SAME string runs on Spark SQL and
+# DuckDB, so the fix lands on both engines at once.
 _SCALAR_SQL = """
     SELECT o_orderkey, o_totalprice
     FROM orders
     WHERE o_totalprice > (
-        SELECT ROUND(
-            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                / COUNT(*), 4)
+        SELECT {mean_expr}
         FROM orders
     )
-"""
+""".replace("{mean_expr}", rdiv_sql(
+    "SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100", "COUNT(*) * 100", 4
+))
 
 _LATERAL_SQL = """
     SELECT c.c_custkey, t.o_orderkey, t.o_totalprice

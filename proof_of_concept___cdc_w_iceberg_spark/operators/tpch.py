@@ -14,18 +14,18 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load, register_views
-from ._util import dec_avg, dec_sum
+from ._util import avg_sql, dec_avg, dec_sum, rdiv, rdiv_sql
 from .skew import salted_join
 
 
 @query(
     "q_tpch_q1",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
                CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
-               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_quantity), 4) AS avg_qty,
+               {avg_sql("l_quantity", "COUNT(l_quantity)", 20, 4, 4)} AS avg_qty,
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -106,40 +106,56 @@ def test_fuzz_oracle_agreement(spark, fuzz_dir, fuzz_duck, registry, name):
 # DECIMAL/integer arithmetic. Pin each fix at the seed that fired.
 
 FUZZ_REGRESSION = [
-    ("q_embed_outlier", 1),
-    ("q_rerank", 1),
-    ("q_centroid_classify", 1),
-    ("q_udaf_grouped", 2),
+    ("q_embed_outlier", 1, "hostile"),
+    ("q_rerank", 1, "hostile"),
+    ("q_centroid_classify", 1, "hostile"),
+    ("q_udaf_grouped", 2, "hostile"),
     # seed 5: Spark unix_timestamp TRUNCATES to seconds vs DuckDB
     # epoch()'s fractional DOUBLE — a RANGE frame admitted an event
     # 3600.02 s back on one side only. Fixed by µs-integer keys
     # (unix_micros / epoch_us) on both engines.
-    ("q_win_time_range", 5),
+    ("q_win_time_range", 5, "hostile"),
+    # The forced-size 'ties' tier caught the ROUND-after-division
+    # class live (means over 2-adically tie-eligible group sizes) and
+    # q_sample_stratified's fixed-fraction sampling bound (legit
+    # Bin(40, 0.1) noise); all now exact-integer rdiv / σ-scaled.
+    ("q_agg_moments", 48, "ties"),
+    ("q_sample_stratified", 48, "ties"),
+    ("q_ts_seasonal", 49, "ties"),
+    # Representatives of the census-fixed integer-ratio family, on the
+    # forced-size fixtures that make their denominators tie-eligible.
+    ("q_ts_out_of_order", 48, "ties"),
+    ("q_skew_diagnose", 48, "ties"),
+    ("q_text_readability", 49, "ties"),
 ]
 
 
 @pytest.fixture(scope="module")
 def regression_fixtures(tmp_path_factory):
-    """seed -> (fixture dir, duckdb con with views), one per seed used."""
+    """(tier, seed) -> (fixture dir, duckdb con with views)."""
     out = {}
-    for seed in sorted({s for _, s in FUZZ_REGRESSION}):
-        d = str(tmp_path_factory.mktemp(f"fuzzfix_s{seed}"))
-        write_fixture(seed, d, tier="hostile")
+    for tier, seed in sorted({(t, s) for _, s, t in FUZZ_REGRESSION}):
+        d = str(tmp_path_factory.mktemp(f"fuzzfix_{tier}_s{seed}"))
+        write_fixture(seed, d, tier=tier)
         con = duckdb.connect()
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
-        out[seed] = (d, con)
+        out[(tier, seed)] = (d, con)
     yield out
     for _, con in out.values():
         con.close()
 
 
-@pytest.mark.parametrize("name,seed", FUZZ_REGRESSION)
-def test_decimal_round_fix_regression(spark, regression_fixtures, registry, name, seed):
+@pytest.mark.parametrize("name,seed,tier", FUZZ_REGRESSION)
+def test_decimal_round_fix_regression(
+    spark, regression_fixtures, registry, name, seed, tier
+):
     qs, orc = registry
-    d, con = regression_fixtures[seed]
+    d, con = regression_fixtures[(tier, seed)]
     status, _, detail = compare_one(spark, con, qs[name], orc[name], d)
-    assert status == "OK", f"{name} regressed on the seed-{seed} boundary: {detail}"
+    assert status == "OK", (
+        f"{name} regressed on the {tier} seed-{seed} boundary: {detail}"
+    )
 
 
 # --- generator fidelity -------------------------------------------------

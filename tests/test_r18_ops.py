@@ -47,34 +47,40 @@ def test_r18_rungs_registered_with_their_proven_oracles():
 
 
 def test_r18_window_projection():
-    """The r18 driver window fronts the two new rungs (group 0, CDC
-    family first) plus the four queries the r18 oracle fuzzer
-    re-fronted with determinism fixes (q_centroid_classify /
-    q_embed_outlier / q_rerank at seed 1, q_udaf_grouped at seed 2 —
-    double-ROUND at decimal-tie boundaries; the embed pair were
-    already in the r11 sweep band so their re-front is
-    displacement-free, q_rerank + q_udaf_grouped displace exactly two
-    r11 rows, q_tpch_q8 and q_tpch_q9, to head the r19 sweep), keeps
-    the promoted no-oracle rotation (q_catalog_list), and fills the
-    rest with the stalest green oracle-backed rows — the r11 band.
+    """The r18 driver window fronts the two new rungs plus every
+    query the r18 oracle-fuzzing campaign re-fronted with determinism
+    fixes (the double-ROUND-at-decimal-tie class: seeds 1/2/5 caught
+    4 live, the forced-size 'ties' tier caught 3 more, and the
+    integer-ratio/quantized-mean census fixed the rest of the class
+    pre-emptively — 21 re-fronts total, recorded mechanically by
+    their fingerprint since-stamps), keeps the promoted no-oracle
+    rotation (q_catalog_list), and fills the rest with the stalest
+    green oracle-backed rows — the head of the r11 band; the
+    displaced r11 tail heads the r19 sweep.
 
     Ledger-relative (r17 verdict item 1's lesson): the expectation is
-    computed from the CORRECTNESS artifacts on disk, and the test
-    SKIPS once an artifact newer than r17 lands — the window it pins
-    is only "next" while r17 is the newest evidence."""
+    computed from the CORRECTNESS artifacts + fingerprint stamps on
+    disk, and the test SKIPS once an artifact newer than r17 lands —
+    the window it pins is only "next" while r17 is the newest
+    evidence."""
     latest = registry._latest_artifact_round(REPO)
     if latest != 17:
         pytest.skip(f"projection keyed to the r17 ledger; latest={latest}")
     window = list(registry.queries())[:50]
-    assert window[0] == "q_cdc_evolve_spec"
-    assert window[1] == "q_sim_pq"
-    assert window[2:6] == [
-        "q_centroid_classify",
-        "q_embed_outlier",
-        "q_rerank",
-        "q_udaf_grouped",
-    ]
-    assert window[6] == "q_catalog_list"
+
+    # Front block: the two never-checked rungs + the fingerprint
+    # re-fronts, ordered by (risk family, name) — recomputed here from
+    # the fingerprint file, not from check_order.
+    with open(os.path.join(REPO, "QUERY_FINGERPRINTS.json")) as fh:
+        fps = json.load(fh)
+    refronted = {k for k, v in fps.items() if int(v.get("since", 0)) >= 18}
+    front = sorted(
+        {"q_cdc_evolve_spec", "q_sim_pq"} | refronted,
+        key=lambda n: (registry._family_rank(n), n),
+    )
+    assert len(front) == 23, sorted(front)
+    assert window[: len(front)] == front
+    assert window[len(front)] == "q_catalog_list"
 
     # Independent staleness computation: latest round + pass per query
     # straight from the artifacts (no registry internals).
@@ -95,9 +101,10 @@ def test_r18_window_projection():
         (last[n], n) for n in oracle_names
         if n in last and ok[n] and last[n] >= modified.get(n, 0)
     )
-    expected_sweep = [n for _, n in greens[:43]]
-    assert window[7:] == expected_sweep
-    assert all(rnd == 11 for rnd, _ in greens[:43]), greens[:5]
+    n_sweep = 50 - len(front) - 1
+    expected_sweep = [n for _, n in greens[:n_sweep]]
+    assert window[len(front) + 1 :] == expected_sweep
+    assert all(rnd == 11 for rnd, _ in greens[:n_sweep]), greens[:5]
 
 
 def test_tracked_persists_drained_and_safe(spark, sf_dir):

@@ -260,6 +260,15 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     gaps = rng.exponential(2_500_000_000.0, size=n_evt)  # ~2500 s mean
     ts = ts0 + np.cumsum(gaps).astype("int64")
     if ties:
+        # Late arrivals: ~12% of events carry an event-time EARLIER
+        # than something already ingested (ts pushed back 1–5000 s).
+        # The fixed fixture is fully monotone, so the out-of-orderness
+        # operators' late paths are otherwise NEVER exercised by any
+        # compare. Hostile/plain stay monotone (regression-pin seeds
+        # must keep their byte-identical fixtures).
+        late_idx = np.arange(n_evt) % 8 == 5
+        ts = ts - late_idx * rng.integers(1, 5_000, size=n_evt) * 1_000_000
+    if ties:
         users = np.arange(n_evt) % n_users  # exactly 32 events/user
     elif hostile:
         zipf_u = 1.0 / np.arange(1, n_users + 1) ** 1.3
