@@ -257,6 +257,10 @@ BENCH_QUERIES = [
     # only evolve, lazy migration, migrate() drain; oracle = the
     # fixed-layout sequential apply).
     "q_cdc_evolve_spec",
+    # r19: hybrid BM25 + dense retrieval fused by RRF (the production
+    # RAG serving shape: lexical arm = q_bm25's pipeline, dense arm =
+    # broadcast query vector, fusion joins two ≤20-row relations).
+    "q_search_hybrid",
 ]
 
 

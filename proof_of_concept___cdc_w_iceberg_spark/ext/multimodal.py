@@ -21,7 +21,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from ..operators._util import rdiv_sql
 from ..registry import query
 from ..sources.tables import load
 
@@ -193,12 +192,21 @@ def extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             FROM chars WHERE c <> '' GROUP BY doc_id
         )
         SELECT * FROM by_doc
-    """.replace("{mean_expr}", rdiv_sql("SUM(ord(c))", "COUNT(*)", 4)),
+    """.replace(
+        "{mean_expr}",
+        # Exact integer twin of the UDF's Python bignum floordiv (r18
+        # advice): HUGEINT // on all-positive operands is the same
+        # floor division, so agreement is exact at any magnitude —
+        # not FLOOR over doubles resting on the 2^53 bound.
+        "((2 * CAST(SUM(ord(c)) AS HUGEINT) * 10000 + COUNT(*))"
+        " // (2 * COUNT(*))) / 10000.0",
+    ),
 )
 def q_multimodal_features(spark, sf_dir):
     """Feature extraction over binary payloads via mapInPandas (byte
     statistics stand in for a real embedding model; ASCII fixture text
-    makes char ordinals == byte values for the oracle)."""
+    makes char ordinals == byte values for the oracle). The oracle's
+    mean is the exact-integer twin of extract_features' floordiv."""
     payloads = with_binary_payload(load(spark, sf_dir, "documents"))
     return payloads.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
 

@@ -1193,14 +1193,13 @@ def q_text_hashing_trick(spark, sf_dir):
     )
 
 
-# --- staged r19 rung: hybrid retrieval with reciprocal rank fusion --------
+# --- r19 rung: hybrid retrieval with reciprocal rank fusion ---------------
 #
-# STAGED, NOT REGISTERED (window budget: r18's two free slots are
-# spoken for by q_sim_pq + q_cdc_evolve_spec; r19's single free slot
-# is this rung's). Registration is one decorator:
-# @query("q_search_hybrid", oracle=HYBRID_RRF_SQL) on hybrid_rrf_query,
-# unchanged — cross-engine equality is law-tested NOW
-# (tests/test_r17_ops.py::test_hybrid_rrf_staged_rung_matches_oracle).
+# REGISTERED in r19 (the staged decorator flip, per the four-rung
+# schedule: r18 = q_sim_pq + q_cdc_evolve_spec, r19 = this, r20 =
+# q_bm25_incremental). Cross-engine equality was law-tested while
+# staged (tests/test_r17_ops.py::test_hybrid_rrf_staged_rung_matches_oracle)
+# and is now driver-hash-checked like every registered row.
 #
 # The op: HYBRID SEARCH — the production RAG retrieval shape every
 # serving stack ships (Elasticsearch/OpenSearch RRF, Vespa, Weaviate):
@@ -1282,11 +1281,13 @@ HYBRID_RRF_SQL = HYBRID_RRF_SQL.format(
 )
 
 
+@query("q_search_hybrid", oracle=HYBRID_RRF_SQL)
 def hybrid_rrf_query(spark, sf_dir):
     """Hybrid BM25 + dense-cosine retrieval fused by RRF — see the
     module comment above. Returns the fused top-{HYBRID_TOP} as
     (doc_id, rrf, r_lex, r_dense); a doc missing from one arm simply
-    contributes nothing for it (NULL rank, zero term)."""
+    contributes nothing for it (NULL rank, zero term). Registered in
+    r19 per the staged four-rung schedule (SURVEY.md §2.12)."""
     from .similarity import _dot, _sqnorm
 
     # q_bm25's own inline persist is not trackable without editing its

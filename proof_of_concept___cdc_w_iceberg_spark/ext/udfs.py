@@ -68,8 +68,8 @@ def q_udf_pandas(spark, sf_dir):
         )
         SELECT c_nationkey, n,
                (CASE WHEN cents >= 0 THEN 1 ELSE -1 END)
-                 * FLOOR((2.0 * ABS(cents) * 100 + n) / (2.0 * n)) / 10000.0
-                   AS mean_bal
+                 * ((2 * CAST(ABS(cents) AS HUGEINT) * 100 + n) // (2 * n))
+                 / 10000.0 AS mean_bal
         FROM g
     """,
 )
@@ -82,8 +82,10 @@ def q_udaf_grouped(spark, sf_dir):
     group size is 2^a·5^b (the quotient of a 2-dp-quantized sum then
     TERMINATES at ≥5 dp and ties at the 4th: n=8 mean 4323.76125 →
     Spark 4323.7613, DuckDB 4323.7612). The oracle replays the same
-    integer formula with FLOOR over doubles — exact below 2^53, and
-    the quotient is never within one ulp of a non-attained integer."""
+    formula in EXACT integer arithmetic too (DuckDB HUGEINT ``//``,
+    r18 advice) — both sides are true bignum floordiv, so agreement no
+    longer rests on the 2·|cents|·100+n < 2^53 magnitude bound; only
+    the final /10000.0 touches doubles, identically on both sides."""
     out_schema = T.StructType(
         [
             T.StructField("c_nationkey", T.IntegerType()),

@@ -2,8 +2,21 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Debug guard for rdiv's exactness premise (r18 advice): with this env
+# var set, every rdiv() whose caller claims the exact regime
+# (exact=True, the default) asserts 2·|num|·10^r + den < 2^53 at
+# runtime — the bound below which floor-division in doubles IS true
+# half-away rounding. Callers that knowingly operate beyond the bound
+# (documented determinism-only regime, e.g. q_agg_moments' var_pop
+# numerator) pass exact=False and are exempt. tools/fuzz_oracle.py
+# sets this for its sweeps so a query silently crossing the bound
+# fails loudly instead of degrading.
+RDIV_DEBUG_ENV = "SPARK_GRAFT_RDIV_DEBUG"
 
 
 def dec_sum(col: Column | str, prec: int = 18, scale: int = 2) -> Column:
@@ -30,13 +43,33 @@ def dec_sum(col: Column | str, prec: int = 18, scale: int = 2) -> Column:
 # vs true rounding while 2·|num|·10^r + den < 2^53, documented).
 
 
-def rdiv(num: Column, den: Column, round_to: int) -> Column:
+def rdiv(num: Column, den: Column, round_to: int, *, exact: bool = True) -> Column:
     """round_half_away(num/den, round_to) for integer-valued columns
-    (den > 0), exact and engine-portable. SQL twin: ``rdiv_sql``."""
+    (den > 0), exact and engine-portable. SQL twin: ``rdiv_sql``.
+
+    ``exact=True`` (default) declares the caller inside the exactness
+    bound 2·|num|·10^r + den < 2^53 — true half-away rounding, checked
+    at runtime when ``RDIV_DEBUG_ENV`` is set. ``exact=False`` declares
+    the documented DEGRADED regime: beyond the bound the result is
+    still cross-engine deterministic (identical IEEE chains both
+    sides) but no longer guaranteed to be true half-away rounding of
+    the exact rational (num itself may not round-trip through double).
+    """
     m = 10 ** round_to
     n_abs = F.abs(num.cast("double"))
     d = den.cast("double")
-    q = F.floor((F.lit(2.0) * n_abs * m + d) / (F.lit(2.0) * d))
+    arg = F.lit(2.0) * n_abs * m + d
+    if exact and os.environ.get(RDIV_DEBUG_ENV):
+        # assert_true returns NULL when the predicate holds (and
+        # raises otherwise), so coalesce is a zero-cost pass-through.
+        arg = F.coalesce(
+            F.assert_true(
+                arg < F.lit(float(2 ** 53)),
+                F.lit("rdiv(exact=True) input beyond the 2^53 bound"),
+            ).cast("double"),
+            arg,
+        )
+    q = F.floor(arg / (F.lit(2.0) * d))
     return (
         F.when(num >= 0, q).otherwise(-q).cast("double") / F.lit(float(m))
     )
@@ -44,14 +77,49 @@ def rdiv(num: Column, den: Column, round_to: int) -> Column:
 
 def rdiv_sql(num: str, den: str, round_to: int) -> str:
     """DuckDB twin of ``rdiv``: num/den are integer-valued SQL
-    expressions (den > 0)."""
+    expressions (den > 0). Both interpolations are parenthesized
+    (r18 advice): splicing a lower-precedence expression (comparison,
+    OR) into ``CASE WHEN {num} >= 0`` or ``2.0 * CAST({den} ...)``
+    unparenthesized would silently change semantics."""
     m = 10 ** round_to
+    num, den = f"({num})", f"({den})"
     return (
         f"(CASE WHEN {num} >= 0 THEN 1 ELSE -1 END) * "
         f"FLOOR((2.0 * ABS(CAST({num} AS DOUBLE)) * {m} "
         f"+ CAST({den} AS DOUBLE)) / (2.0 * CAST({den} AS DOUBLE))) "
         f"/ {m}.0"
     )
+
+
+# --- tracked persists (r18 advice / r19 persist census) ----------------
+#
+# Many registered query bodies persist a relation that their RETURNED
+# DataFrame still references, so the owner cannot unpersist before
+# returning (the text.py BM25 family hit this first, r17). The drain
+# pattern bounds steady-state cache growth to one invocation's
+# footprint: each new invocation of a participating query releases the
+# PREVIOUS invocation's tracked relations before persisting its own.
+# Harnesses that clearCache() between queries (drive_entry, bench,
+# pytest fixtures) are unaffected; long-lived library consumers stop
+# accumulating.
+
+_TRACKED_PERSISTS: list = []
+
+
+def track_persist(df):
+    """Persist ``df`` and register it for ``drain_tracked_persists``."""
+    df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def drain_tracked_persists() -> None:
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
 
 
 def dec_avg(col: Column | str, prec: int = 18, scale: int = 2, round_to: int = 4) -> Column:

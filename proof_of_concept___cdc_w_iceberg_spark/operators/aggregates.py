@@ -967,16 +967,22 @@ def q_agg_moments(spark, sf_dir):
     skew = (s3 - 3.0 * mean * s2 + 2.0 * n * mean * mean * mean) / (
         n * var_pop * F.sqrt(var_pop)
     )
-    # mean/var_pop round through the EXACT integer-units formula (rdiv):
-    # the r18 'ties' fuzz tier proved ROUND(s1/n, 4) diverges
-    # cross-engine when the group size makes the quotient terminate at
-    # the tie (mean = cents/(100·n); var = (u2·n - u1²)/(10⁴·n²)). The
-    # skew's sqrt keeps it off the decimal grid — double-round is safe.
+    # mean/var_pop round through the integer-units formula (rdiv): the
+    # r18 'ties' fuzz tier proved ROUND(s1/n, 4) diverges cross-engine
+    # when the group size makes the quotient terminate at the tie
+    # (mean = cents/(100·n); var = (u2·n - u1²)/(10⁴·n²)). var_pop's
+    # numerator u2·n - u1² exceeds 2^53 already at fixture scale
+    # (u2 ~ 7e17), so it runs in rdiv's DEGRADED regime (exact=False,
+    # r18 advice): cross-engine deterministic — identical IEEE chains
+    # both sides, which is what the hash-check needs — but not true
+    # half-away rounding of the exact rational. The skew's sqrt keeps
+    # it off the decimal grid — double-round is safe.
     return m.select(
         "o_orderpriority",
         "n",
         rdiv(u1, n * 100, 4).alias("mean"),
-        rdiv(u2 * n - u1 * u1, F.lit(10000.0) * n * n, 4).alias("var_pop"),
+        rdiv(u2 * n - u1 * u1, F.lit(10000.0) * n * n, 4, exact=False)
+        .alias("var_pop"),
         F.round(skew, 4).alias("skew"),
     )
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load, register_views
-from ._util import rdiv, rdiv_sql
+from ._util import drain_tracked_persists, rdiv, rdiv_sql, track_persist
 
 # funnel step windows: click within 1h of first view, purchase within
 # 24h of first qualifying click
@@ -1206,14 +1206,13 @@ def q_ts_seasonal(spark, sf_dir):
     q_rollup_incremental), so the raw table is scanned exactly once.
     The totals relation (|types| rows) broadcasts back onto the
     hourly rows."""
+    drain_tracked_persists()  # release the PREVIOUS invocation's cache
     ev = load(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy("event_type", F.hour("ts").cast("int").alias("hr"))
-        .agg(
+    hourly = track_persist(  # feeds both the totals agg and the final join
+        ev.groupBy("event_type", F.hour("ts").cast("int").alias("hr")).agg(
             F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
             F.count("*").alias("n"),
         )
-        .persist()  # feeds both the totals agg and the final join
     )
     tot = hourly.groupBy("event_type").agg(
         F.sum("s").alias("s_all"), F.sum("n").alias("n_all")

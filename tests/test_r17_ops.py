@@ -284,27 +284,41 @@ def test_apply_releases_batch_cache(spark, tmp_path):
         SpecEvolvingMirror,
     )
 
-    def n_cached():
-        return sum(
-            1 for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    def cached_ids():
+        return {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
             if i.numCachedPartitions() > 0
-        )
+        }
 
-    # <= not ==: the session is suite-shared, and ContextCleaner may
-    # asynchronously collect an UNRELATED earlier test's RDD while the
-    # apply runs, dropping the global count below the baseline (seen
-    # live in r18: 9 == 10 failure). The leak law is one-sided — apply
-    # must not leave the count HIGHER than it found it.
+    # Per-id, not a global count (r18 advice): the session is
+    # suite-shared and ContextCleaner may asynchronously collect an
+    # UNRELATED earlier test's garbage RDD while the apply runs (seen
+    # live in r18: 9 == 10 failure), so a count compare is flaky in
+    # one direction and blind in the other. Tracking ids keeps the
+    # check two-sided: (a) apply leaves no NEW cached RDD behind (the
+    # leak law), and (b) apply does not unpersist a cached RDD it does
+    # not own — proven via a sentinel the test still references, which
+    # ContextCleaner therefore never touches.
     for cls in (None, BranchedMirror, SpecEvolvingMirror):
         sub = cls.__name__ if cls else "snap"
         m, df = _mk_mirror(spark, tmp_path / sub, cls=cls)
-        base = n_cached()
-        m.apply(_batch(df, 0, 9, 2000))
-        assert n_cached() <= base, cls
-        if cls is BranchedMirror:
-            m.branch_create("b")
-            m.apply_to_branch("b", _batch(df, 10, 19, 3000))
-            assert n_cached() <= base
+        sentinel = spark.sparkContext.parallelize(range(8), 2).cache()
+        sentinel.count()
+        base = cached_ids()
+        assert sentinel.id() in base
+        try:
+            m.apply(_batch(df, 0, 9, 2000))
+            after = cached_ids()
+            assert not (after - base), (cls, after - base)
+            assert sentinel.id() in after, cls
+            if cls is BranchedMirror:
+                m.branch_create("b")
+                m.apply_to_branch("b", _batch(df, 10, 19, 3000))
+                after = cached_ids()
+                assert not (after - base), (cls, after - base)
+                assert sentinel.id() in after, cls
+        finally:
+            sentinel.unpersist()
 
 
 # --- staged r18 rungs: registration is one decorator ----------------------

@@ -36,10 +36,35 @@ Edge tiers:
   10^3 random datasets. Random-size tiers can't separate a 1e-3/seed
   latent bug from a safe site; this tier turns the class into a
   deterministic alarm.
-(Empty/unicode documents are deliberately NOT generated: several
-registered tokenizer oracles divide by document length, and declaring
-their empty-doc behavior is a semantics change to frozen queries.
-See SCALING.md r18 addendum.)
+- tier="nulls" (r19): the NULL/degenerate-distribution hunter. A
+  100 TB corpus HAS missing payloads; the fixed fixture has none, so
+  no compare had ever exercised: NULL ordering in sorts/windows/top-k
+  (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST — a silent top-k
+  divergence unless the query pins it), COUNT(*) vs COUNT(col)
+  asymmetries in means, NULL-key groups, NULL propagation through
+  UDF kernels. Injects NULLs into every nullable PAYLOAD column
+  (acctbal/totalprice/discount/tax/quantity/value/props/lang/source/
+  label — never keys, never document text), plus three degenerate
+  shapes: a ZERO-VARIANCE group ('5-LOW' orders all at 1000.00 and
+  user 0's events all at 50.00 — var=0 makes skew/corr/z-score hit
+  0/0, where Spark gives NaN and DuckDB NULL), an ALL-NEGATIVE group
+  (nation-3 customer balances — sign paths through rdiv/half-away),
+  and an ABSENT CLASS ('signup' events never occur — empty funnel
+  legs and empty grouped subsets).
+- tier="unicode" (r19): multi-byte text through the tokenizer /
+  quality / fingerprint / dedup families — documents.text mixes
+  accented Latin, CJK, Cyrillic, Greek, and astral-plane emoji words
+  (~40%) into the fixture vocab (kept at ~60% so registered query
+  terms still select non-trivial subsets). n_chars stays the
+  CODEPOINT count (Python len == Spark length == DuckDB len — all
+  codepoints, not UTF-16 units or bytes). Queries whose DECLARED
+  contract is ASCII-only are excluded per tier in fuzz_oracle.py
+  (the md5-stub multimodal codecs: payload bytes vs char ordinals
+  genuinely differ on multi-byte text).
+(Empty documents are deliberately NOT generated: several registered
+tokenizer oracles divide by document length, and declaring their
+empty-doc behavior is a semantics change to frozen queries. See
+SCALING.md r18 addendum.)
 """
 
 from __future__ import annotations
@@ -69,6 +94,19 @@ _VOCAB = (
 _PNAME_ADJ = ["cold", "small", "large", "fast", "slow", "hot", "dim", "new"]
 _PNAME_NOUN = ["widget", "gadget", "gear", "bolt", "plate", "tube"]
 
+# unicode tier: multi-byte words mixed into documents.text (~40%).
+# Deliberate coverage: Latin accents (2-byte UTF-8), CJK (3-byte),
+# Cyrillic/Greek (2-byte), astral-plane emoji (4-byte, 2 UTF-16 units
+# — the case where a code-unit-counting length() would diverge), and
+# the German sharp s (case-mapping expands it: upper('ß') = 'SS').
+_UNI_VOCAB = (
+    "données zähler straße café niño "
+    "数据 表格 流式 查询 合并 "
+    "данные поток таблица "
+    "δεδομένα ροή "
+    "🚀 ✨ 日本語🎉"
+).split()
+
 _DAY_US = 86_400_000_000  # microseconds per day
 
 
@@ -76,13 +114,26 @@ def _ts_us(arr_us: np.ndarray) -> pa.Array:
     return pa.array(arr_us.astype("int64"), type=pa.timestamp("us"))
 
 
+def _null_mask(rng: np.random.Generator, n: int, frac: float) -> np.ndarray:
+    return rng.random(n) < frac
+
+
+def _with_nulls(vals, mask) -> list:
+    """Python list with None where mask — works for numeric and string
+    columns alike and keeps the arrow type identical to the dense
+    column (arrow infers from the non-null values)."""
+    return [None if m else v for v, m in zip(vals.tolist(), mask)]
+
+
 def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     """Build all ten tables as pyarrow Tables, deterministic in seed."""
-    if tier not in ("plain", "hostile", "ties"):
+    if tier not in ("plain", "hostile", "ties", "nulls", "unicode"):
         raise ValueError(f"unknown tier: {tier}")
     rng = np.random.default_rng(seed)
     hostile = tier == "hostile"
     ties = tier == "ties"
+    nulls = tier == "nulls"
+    uni = tier == "unicode"
 
     if ties:
         n_cust, n_supp, n_part = 160, 10, 200
@@ -125,15 +176,28 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
         if ties
         else rng.integers(0, 25, size=n_cust)
     )
+    acctbal = np.round(rng.uniform(-999.99, 9999.99, size=n_cust), 2)
+    segments = [
+        _SEGMENTS[i] for i in rng.integers(0, len(_SEGMENTS), size=n_cust)
+    ]
+    if nulls:
+        # all-negative group: nation-3 balances strictly < 0 (sign
+        # paths through rdiv/half-away and negative-sum aggregates)
+        neg = cust_nations == 3
+        acctbal[neg] = -np.abs(acctbal[neg]) - 0.01
+        bal_mask = _null_mask(rng, n_cust, 0.15) & ~neg
+        seg_mask = _null_mask(rng, n_cust, 0.05)
+        acctbal_col = _with_nulls(acctbal, bal_mask)
+        segments = [None if m else s for s, m in zip(segments, seg_mask)]
+    else:
+        acctbal_col = acctbal
     out["customer"] = pa.table(
         {
             "c_custkey": np.arange(n_cust, dtype="int64"),
             "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
             "c_nationkey": pa.array(cust_nations.astype("int32"), pa.int32()),
-            "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, size=n_cust), 2),
-            "c_mktsegment": [
-                _SEGMENTS[i] for i in rng.integers(0, len(_SEGMENTS), size=n_cust)
-            ],
+            "c_acctbal": pa.array(acctbal_col, pa.float64()),
+            "c_mktsegment": segments,
         }
     )
 
@@ -144,7 +208,13 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
             "s_nationkey": pa.array(
                 rng.integers(0, 25, size=n_supp).astype("int32"), pa.int32()
             ),
-            "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, size=n_supp), 2),
+            "s_acctbal": pa.array(
+                _with_nulls(
+                    np.round(rng.uniform(-999.99, 9999.99, size=n_supp), 2),
+                    _null_mask(rng, n_supp, 0.10) if nulls else np.zeros(n_supp, bool),
+                ),
+                pa.float64(),
+            ),
         }
     )
 
@@ -165,7 +235,13 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
             "p_size": pa.array(
                 rng.integers(1, 51, size=n_part).astype("int32"), pa.int32()
             ),
-            "p_retailprice": np.round(rng.uniform(900.0, 2100.0, size=n_part), 2),
+            "p_retailprice": pa.array(
+                _with_nulls(
+                    np.round(rng.uniform(900.0, 2100.0, size=n_part), 2),
+                    _null_mask(rng, n_part, 0.10) if nulls else np.zeros(n_part, bool),
+                ),
+                pa.float64(),
+            ),
         }
     )
 
@@ -188,24 +264,34 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
         np.datetime64("2001-08-01", "us").astype("int64") - base
     ) // _DAY_US
     odate = base + rng.integers(0, span_days + 1, size=n_ord) * _DAY_US
+    # rng consumption order below (status, then priorities) matches the
+    # pre-r19 inline construction — regression-pin seeds of the plain/
+    # hostile/ties tiers must keep their byte-identical fixtures.
+    status_idx = rng.choice(3, size=n_ord, p=[0.48, 0.48, 0.04])
+    prio_idx = (
+        np.arange(n_ord) % 5  # ties: exact n_ord/5 per class
+        if ties
+        else rng.integers(0, len(_PRIORITIES), size=n_ord)
+    )
+    if nulls:
+        # zero-variance group: every '5-LOW' order at exactly 1000.00
+        # (var_pop = 0 → skew/z-score hit 0/0: Spark NaN vs DuckDB
+        # NULL unless the query guards the degenerate denominator)
+        zv = prio_idx == 4
+        totalprice[zv] = 1000.00
+        tp_col = _with_nulls(
+            totalprice, _null_mask(rng, n_ord, 0.10) & ~zv
+        )
+    else:
+        tp_col = totalprice
     out["orders"] = pa.table(
         {
             "o_orderkey": np.arange(n_ord, dtype="int64"),
             "o_custkey": custkeys.astype("int64"),
-            "o_orderstatus": [
-                "FOP"[i]
-                for i in rng.choice(3, size=n_ord, p=[0.48, 0.48, 0.04])
-            ],
-            "o_totalprice": totalprice,
+            "o_orderstatus": ["FOP"[i] for i in status_idx],
+            "o_totalprice": pa.array(tp_col, pa.float64()),
             "o_orderdate": _ts_us(odate),
-            "o_orderpriority": [
-                _PRIORITIES[i]
-                for i in (
-                    np.arange(n_ord) % 5  # ties: exact n_ord/5 per class
-                    if ties
-                    else rng.integers(0, len(_PRIORITIES), size=n_ord)
-                )
-            ],
+            "o_orderpriority": [_PRIORITIES[i] for i in prio_idx],
         }
     )
 
@@ -226,12 +312,30 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
             "l_partkey": rng.integers(0, n_part, size=n_li).astype("int64"),
             "l_suppkey": rng.integers(0, n_supp, size=n_li).astype("int64"),
             "l_linenumber": pa.array(l_linenumber.astype("int32"), pa.int32()),
-            "l_quantity": qty,
+            "l_quantity": pa.array(
+                _with_nulls(
+                    qty,
+                    _null_mask(rng, n_li, 0.05) if nulls else np.zeros(n_li, bool),
+                ),
+                pa.float64(),
+            ),
             "l_extendedprice": np.round(
                 qty * rng.uniform(900.0, 1100.0, size=n_li), 2
             ),
-            "l_discount": np.round(rng.uniform(0.0, 0.1, size=n_li), 2),
-            "l_tax": np.round(rng.uniform(0.0, 0.08, size=n_li), 2),
+            "l_discount": pa.array(
+                _with_nulls(
+                    np.round(rng.uniform(0.0, 0.1, size=n_li), 2),
+                    _null_mask(rng, n_li, 0.05) if nulls else np.zeros(n_li, bool),
+                ),
+                pa.float64(),
+            ),
+            "l_tax": pa.array(
+                _with_nulls(
+                    np.round(rng.uniform(0.0, 0.08, size=n_li), 2),
+                    _null_mask(rng, n_li, 0.05) if nulls else np.zeros(n_li, bool),
+                ),
+                pa.float64(),
+            ),
             "l_returnflag": [
                 "ANR"[i]
                 for i in (
@@ -275,21 +379,34 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
         users = rng.choice(n_users, size=n_evt, p=zipf_u / zipf_u.sum())
     else:
         users = rng.integers(0, n_users, size=n_evt)
+    if ties:
+        etype_idx = np.arange(n_evt) % 5  # ties: 320/type
+    elif nulls:
+        # absent class: 'signup' never occurs — empty funnel legs,
+        # empty grouped subsets (aggregates over zero rows)
+        present = [i for i, t in enumerate(_EVENT_TYPES) if t != "signup"]
+        etype_idx = np.array(present)[rng.integers(0, len(present), size=n_evt)]
+    else:
+        etype_idx = rng.integers(0, len(_EVENT_TYPES), size=n_evt)
+    evalue = np.round(rng.uniform(0.01, 330.0, size=n_evt), 2)
+    props = [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n_evt)]
+    if nulls:
+        # zero-variance group: user 0's event values are constant
+        zv_u = users == 0
+        evalue[zv_u] = 50.00
+        evalue_col = _with_nulls(evalue, _null_mask(rng, n_evt, 0.10) & ~zv_u)
+        props_mask = _null_mask(rng, n_evt, 0.05)
+        props = [None if m else p for p, m in zip(props, props_mask)]
+    else:
+        evalue_col = evalue
     out["events"] = pa.table(
         {
             "event_id": np.arange(n_evt, dtype="int64"),
             "ts": _ts_us(ts),
             "user_id": users.astype("int64"),
-            "event_type": [
-                _EVENT_TYPES[i]
-                for i in (
-                    np.arange(n_evt) % 5  # ties: 320/type
-                    if ties
-                    else rng.integers(0, len(_EVENT_TYPES), size=n_evt)
-                )
-            ],
-            "value": np.round(rng.uniform(0.01, 330.0, size=n_evt), 2),
-            "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n_evt)],
+            "event_type": [_EVENT_TYPES[i] for i in etype_idx],
+            "value": pa.array(evalue_col, pa.float64()),
+            "props": props,
         }
     )
 
@@ -297,13 +414,23 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     # plants exact duplicates (~8%) and near-duplicates (~6%, one word
     # substituted) — the dedup family's real-world input shape.
     texts: list[str] = []
+    # unicode tier: ~40% multi-byte words, ~60% fixture vocab (query
+    # terms like 'vector merge stream' must still match documents)
+    doc_vocab = _VOCAB + _UNI_VOCAB if uni else _VOCAB
+    uni_weights = None
+    if uni:
+        w = np.array([1.5] * len(_VOCAB) + [1.0] * len(_UNI_VOCAB))
+        uni_weights = w / w.sum()
     for di in range(n_doc):
         # ties: word counts cycle tie-eligible sizes (32 tokens; 34
         # words → 32 trigram shingles; 40 for the 2^3·5 class).
         n_words = (32, 34, 40)[di % 3] if ties else int(rng.integers(10, 100))
-        texts.append(
-            " ".join(_VOCAB[i] for i in rng.integers(0, len(_VOCAB), size=n_words))
+        idx = (
+            rng.choice(len(doc_vocab), size=n_words, p=uni_weights)
+            if uni
+            else rng.integers(0, len(doc_vocab), size=n_words)
         )
+        texts.append(" ".join(doc_vocab[i] for i in idx))
     if hostile and n_doc >= 50:
         n_exact = n_doc * 8 // 100
         n_near = n_doc * 6 // 100
@@ -319,26 +446,33 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
                 int(rng.integers(0, len(_VOCAB)))
             ]
             texts[int(dsts[j])] = " ".join(words)
+    langs = [
+        _LANGS[i]
+        for i in (
+            np.arange(n_doc) % 5  # ties: 160/lang
+            if ties
+            else rng.integers(0, len(_LANGS), size=n_doc)
+        )
+    ]
+    sources = [
+        f"src{i}"
+        for i in (
+            np.arange(n_doc) % 20  # ties: 40/source
+            if ties
+            else rng.integers(0, 20, size=n_doc)
+        )
+    ]
+    if nulls:
+        lm = _null_mask(rng, n_doc, 0.05)
+        sm = _null_mask(rng, n_doc, 0.05)
+        langs = [None if m else v for v, m in zip(langs, lm)]
+        sources = [None if m else v for v, m in zip(sources, sm)]
     out["documents"] = pa.table(
         {
             "doc_id": np.arange(n_doc, dtype="int64"),
             "text": texts,
-            "lang": [
-                _LANGS[i]
-                for i in (
-                    np.arange(n_doc) % 5  # ties: 160/lang
-                    if ties
-                    else rng.integers(0, len(_LANGS), size=n_doc)
-                )
-            ],
-            "source": [
-                f"src{i}"
-                for i in (
-                    np.arange(n_doc) % 20  # ties: 40/source
-                    if ties
-                    else rng.integers(0, 20, size=n_doc)
-                )
-            ],
+            "lang": langs,
+            "source": sources,
             "n_chars": np.array([len(t) for t in texts], dtype="int64"),
         }
     )
@@ -356,11 +490,16 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
             "vec_id": np.arange(n_emb, dtype="int64"),
             "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
             "label": pa.array(
-                (
-                    np.arange(n_emb) % 10  # ties: 32/label
-                    if ties
-                    else rng.integers(0, 10, size=n_emb)
-                ).astype("int32"),
+                _with_nulls(
+                    (
+                        np.arange(n_emb) % 10  # ties: 32/label
+                        if ties
+                        else rng.integers(0, 10, size=n_emb)
+                    ).astype("int32"),
+                    _null_mask(rng, n_emb, 0.05)
+                    if nulls
+                    else np.zeros(n_emb, bool),
+                ),
                 pa.int32(),
             ),
         }
