@@ -235,16 +235,18 @@ def q_centroid_incremental(spark, sf_dir):
             )
         )
 
-    pc = partial(corpus).alias("c")
-    pb = partial(batch).alias("b")
-    merged = pc.join(pb, ["label", "dim"], "full").select(
-        "label",
-        "dim",
-        (
-            F.coalesce(F.col("c.s"), F.lit(0).cast("decimal(20,10)"))
-            + F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(20,10)"))
-        ).alias("s"),
-        (F.coalesce(F.col("c.n"), F.lit(0)) + F.coalesce(F.col("b.n"), F.lit(0))).alias("n"),
+    # Merge = union of partial states + re-aggregate (the monoid sum):
+    # NULL-label-safe by construction — groupBy keeps a NULL key as
+    # ONE group, where the previous full-outer join on the label key
+    # never matched NULL to NULL and emitted the corpus-side and
+    # batch-side NULL groups as separate rows (r19 'nulls' fuzz tier,
+    # rows 768 != 704). Same physics: one shuffle on (label, dim),
+    # partials stay exact decimals.
+    merged = (
+        partial(corpus)
+        .unionByName(partial(batch))
+        .groupBy("label", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
     )
     return merged.select(
         "label",

@@ -64,7 +64,8 @@ def q_udf_pandas(spark, sf_dir):
         WITH g AS (
             SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
                    SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS cents
-            FROM customer GROUP BY c_nationkey
+            FROM customer WHERE c_acctbal IS NOT NULL
+            GROUP BY c_nationkey
         )
         SELECT c_nationkey, n,
                (CASE WHEN cents >= 0 THEN 1 ELSE -1 END)
@@ -110,6 +111,10 @@ def q_udaf_grouped(spark, sf_dir):
     return (
         load(spark, sf_dir, "customer")
         .select("c_nationkey", "c_acctbal")
+        # observed balances only (r19 'nulls' fuzz tier: a NaN reaching
+        # the kernel's int64 cast raised, and n must be the non-null
+        # count on both sides)
+        .filter(F.col("c_acctbal").isNotNull())
         .groupBy("c_nationkey")
         .applyInPandas(mean_bal, schema=out_schema)
         .select("c_nationkey", "n", "mean_bal")

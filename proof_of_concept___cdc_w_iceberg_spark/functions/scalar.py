@@ -44,7 +44,10 @@ def q_str_funcs(spark, sf_dir):
         F.length(c).alias("name_len"),
         F.substring(c, 1, 8).alias("name_prefix"),
         F.split_part(c, F.lit("#"), F.lit(2)).alias("name_num"),
-        F.concat("c_mktsegment", F.lit(":"), c).alias("tagged"),
+        # concat_ws('') is the Spark twin of DuckDB concat()'s
+        # skip-NULL semantics (r19 'nulls' tier: Spark concat() is
+        # NULL-absorbing, so a NULL segment nulled the whole tag)
+        F.concat_ws("", "c_mktsegment", F.lit(":"), c).alias("tagged"),
         F.replace(c, F.lit("Customer"), F.lit("Cust")).alias("name_short"),
         F.trim(F.concat(F.lit(" "), c, F.lit(" "))).alias("name_trim"),
     )
@@ -429,5 +432,12 @@ def q_struct_ops(spark, sf_dir):
         F.col("profile.segment").alias("profile_segment"),
         # real field count of the reshaped struct (name, segment,
         # bal_adjusted), derived from the data not hardcoded
-        F.size(F.json_object_keys(F.to_json("profile"))).alias("n_fields"),
+        # ignoreNullFields=false: to_json drops NULL fields by
+        # default, so a NULL balance shrank the data-derived field
+        # count (r19 'nulls' tier)
+        F.size(
+            F.json_object_keys(
+                F.to_json("profile", {"ignoreNullFields": "false"})
+            )
+        ).alias("n_fields"),
     )

@@ -764,13 +764,14 @@ def q_benford(spark, sf_dir):
                        PARTITION BY c_mktsegment
                        ORDER BY c_acctbal, c_custkey
                    ) AS rn_min
-            FROM customer
+            FROM customer WHERE c_acctbal IS NOT NULL
         )
         SELECT m.c_mktsegment,
                m.c_name AS richest, m.c_acctbal AS max_bal,
                n.c_name AS poorest, n.c_acctbal AS min_bal
         FROM (SELECT * FROM ranked WHERE rn_max = 1) m
-        JOIN (SELECT * FROM ranked WHERE rn_min = 1) n USING (c_mktsegment)
+        JOIN (SELECT * FROM ranked WHERE rn_min = 1) n
+          ON m.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
     """,
 )
 def q_agg_argmax(spark, sf_dir):
@@ -782,9 +783,16 @@ def q_agg_argmax(spark, sf_dir):
 
     Scale: one map-side-combinable aggregate per segment; each partial
     carries a single (bal, custkey, name) candidate — constant state
-    per group per task, vs the window formulation's full sort."""
+    per group per task, vs the window formulation's full sort.
+
+    Extremes are over OBSERVED balances: NULL c_acctbal rows are
+    excluded on both sides (r19 'nulls' fuzz tier — a NULL measure
+    inside max_by's ordering struct vs the oracle's rank window sorts
+    differently per engine), and a NULL SEGMENT is a real group (the
+    oracle joins null-safely; plain JOIN USING would drop it)."""
     return (
         load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal").isNotNull())
         .groupBy("c_mktsegment")
         .agg(
             F.max_by("c_name", F.struct("c_acctbal", "c_custkey")).alias("richest"),
@@ -923,14 +931,15 @@ MOMENTS_SQL = f"""
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DOUBLE) AS u1,
                CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) * 10000
                     AS DOUBLE) AS u2
-        FROM orders GROUP BY o_orderpriority
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, n,
            {rdiv_sql("u1", "n * 100", 4)} AS mean,
            {rdiv_sql("u2 * n - u1 * u1", "10000.0 * n * n", 4)} AS var_pop,
+           CASE WHEN (s2 - s1 * s1 / n) = 0 THEN NULL ELSE
            ROUND((s3 - 3.0 * (s1 / n) * s2 + 2.0 * n * (s1 / n) * (s1 / n) * (s1 / n))
                  / (n * ((s2 - s1 * s1 / n) / n)
-                      * sqrt((s2 - s1 * s1 / n) / n)), 4) AS skew
+                      * sqrt((s2 - s1 * s1 / n) / n)), 4) END AS skew
     FROM m
 """
 
@@ -946,7 +955,10 @@ def q_agg_moments(spark, sf_dir):
     formulas, fp accumulation order) never would. This is also the
     distributed-merge-friendly form: power sums from two partitions
     ADD — the same monoid law the sketches rely on."""
-    o = load(spark, sf_dir, "orders")
+    # moments of the OBSERVED distribution: NULL prices excluded on
+    # both sides (r19 'nulls' fuzz tier — unfiltered, n = COUNT(*)
+    # diverges from the decimal sums that skip NULLs)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     p = F.col("o_totalprice")
     m = o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
@@ -967,6 +979,11 @@ def q_agg_moments(spark, sf_dir):
     skew = (s3 - 3.0 * mean * s2 + 2.0 * n * mean * mean * mean) / (
         n * var_pop * F.sqrt(var_pop)
     )
+    # zero-variance guard (r19 'nulls' tier: a constant group makes
+    # skew 0/0 — Spark ANSI raises DIVIDE_BY_ZERO, DuckDB yields NULL;
+    # declare NULL on both sides). The var_pop==0 test is the same
+    # exact IEEE chain in both engines, so the branch agrees.
+    skew = F.when(var_pop != 0, F.round(skew, 4))
     # mean/var_pop round through the integer-units formula (rdiv): the
     # r18 'ties' fuzz tier proved ROUND(s1/n, 4) diverges cross-engine
     # when the group size makes the quotient terminate at the tie
@@ -983,7 +1000,7 @@ def q_agg_moments(spark, sf_dir):
         rdiv(u1, n * 100, 4).alias("mean"),
         rdiv(u2 * n - u1 * u1, F.lit(10000.0) * n * n, 4, exact=False)
         .alias("var_pop"),
-        F.round(skew, 4).alias("skew"),
+        skew.alias("skew"),
     )
 
 
@@ -1090,7 +1107,7 @@ TRIMMED_SQL = f"""
                row_number() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice, o_orderkey) AS rn,
                COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
@@ -1113,7 +1130,9 @@ def q_agg_trimmed(spark, sf_dir):
     group sorts its own slice), tail filter, then the same
     exact-decimal mean as everywhere else. One Exchange total: the
     follow-up aggregate reuses the window's hash keys."""
-    o = load(spark, sf_dir, "orders")
+    # observed distribution only: NULL measures excluded on both
+    # sides (r19 'nulls' fuzz tier; see SCALING.md r19 addendum)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     w = Window.partitionBy("o_orderpriority")
     ranked = o.select(
         "o_orderpriority",
@@ -1146,7 +1165,7 @@ GINI_SQL = """
                row_number() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice, o_orderkey) AS rn,
                COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
            ROUND(2.0 * CAST(SUM(CAST(rn * o_totalprice AS DECIMAL(38,8)))
@@ -1172,7 +1191,9 @@ def q_agg_gini(spark, sf_dir):
     group-partitioned rank window feeding a map-combined aggregate —
     the rank window is the only ordered pass, and it orders each
     group's slice, never the table."""
-    o = load(spark, sf_dir, "orders")
+    # observed distribution only: NULL measures excluded on both
+    # sides (r19 'nulls' fuzz tier; see SCALING.md r19 addendum)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     w = Window.partitionBy("o_orderpriority")
     ranked = o.select(
         "o_orderpriority",
@@ -1200,7 +1221,7 @@ MAD_SQL = """
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY value, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     med AS (
         SELECT event_type, n, SUM(value) / COUNT(*) AS median
@@ -1213,7 +1234,8 @@ MAD_SQL = """
                row_number() OVER (PARTITION BY r.event_type
                                   ORDER BY ABS(r.value - m.median), r.event_id)
                    AS drn
-        FROM (SELECT event_type, value, event_id FROM events) r
+        FROM (SELECT event_type, value, event_id FROM events
+              WHERE value IS NOT NULL) r
         JOIN med m ON m.event_type = r.event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n, median,
@@ -1242,7 +1264,13 @@ def q_agg_mad(spark, sf_dir):
     and the final aggregate reuses the window's hash keys. A single
     giant group would switch to the two-pass histogram prune of
     q_percentile_exact_dist."""
-    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    # observed distribution only: NULL measures excluded on both
+    # sides (r19 'nulls' fuzz tier; see SCALING.md r19 addendum)
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
     w = Window.partitionBy("event_type")
     ranked = ev.select(
         "event_type",
@@ -1295,7 +1323,7 @@ WINSOR_SQL = f"""
                row_number() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice, o_orderkey) AS rn,
                COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     ),
     bounds AS (
         SELECT o_orderpriority, n,
@@ -1309,6 +1337,7 @@ WINSOR_SQL = f"""
     SELECT o.o_orderpriority, CAST(b.n AS BIGINT) AS n, b.p05, b.p95,
            {avg_sql("LEAST(GREATEST(o.o_totalprice, b.p05), b.p95)", "COUNT(*)", 18, 2, 4)} AS mean_winsorized
     FROM orders o JOIN bounds b ON b.o_orderpriority = o.o_orderpriority
+    WHERE o.o_totalprice IS NOT NULL
     GROUP BY o.o_orderpriority, b.n, b.p05, b.p95
 """
 
@@ -1329,8 +1358,12 @@ def q_agg_winsorized(spark, sf_dir):
     group), a |groups|-row bounds relation broadcast back onto the
     fact scan, and a map-combined final aggregate — the same
     single-Exchange template as q_agg_trimmed/q_agg_gini."""
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_orderkey", "o_totalprice"
+    # observed distribution only: NULL measures excluded on both
+    # sides (r19 'nulls' fuzz tier; see SCALING.md r19 addendum)
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
     )
     w = Window.partitionBy("o_orderpriority")
     ranked = o.select(
@@ -1384,7 +1417,7 @@ IQR_SQL = """
                row_number() OVER (PARTITION BY o_orderpriority
                                   ORDER BY o_totalprice, o_orderkey) AS rn,
                COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
            MAX(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS p25,
@@ -1408,8 +1441,12 @@ def q_agg_iqr(spark, sf_dir):
     One group-partitioned rank window feeding a map-combined
     conditional aggregate — the q_agg_trimmed/q_agg_winsorized
     single-Exchange template."""
-    o = load(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_orderkey", "o_totalprice"
+    # observed distribution only: NULL measures excluded on both
+    # sides (r19 'nulls' fuzz tier; see SCALING.md r19 addendum)
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .filter(F.col("o_totalprice").isNotNull())
     )
     w = Window.partitionBy("o_orderpriority")
     ranked = o.select(

@@ -42,7 +42,7 @@ RFM_SQL = f"""
            CAST(ntile({RFM_TILES}) OVER (PARTITION BY c_nationkey
                 ORDER BY n_orders, c_custkey) AS BIGINT) AS f_score,
            CAST(ntile({RFM_TILES}) OVER (PARTITION BY c_nationkey
-                ORDER BY monetary, c_custkey) AS BIGINT) AS m_score
+                ORDER BY monetary NULLS FIRST, c_custkey) AS BIGINT) AS m_score
     FROM base
 """
 
@@ -101,7 +101,10 @@ def q_orders_rfm(spark, sf_dir):
         .cast("long")
         .alias("f_score"),
         F.ntile(RFM_TILES)
-        .over(wn.orderBy(F.col("monetary"), F.col("c_custkey")))
+        # NULLS FIRST pinned (r19 'nulls' tier): monetary is NULL for
+        # a customer whose observed prices are all missing — lowest
+        # value tier, and Spark/DuckDB defaults disagree unpinned.
+        .over(wn.orderBy(F.col("monetary").asc_nulls_first(), F.col("c_custkey")))
         .cast("long")
         .alias("m_score"),
     )

@@ -249,6 +249,7 @@ def _outliers_sql() -> str:
                 WHEN ABS({MZ_K} * (e.value - m.median) / m.mad) > {MZ_T} THEN 1
                 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN mad m ON m.event_type = e.event_type
+    WHERE e.value IS NOT NULL
     GROUP BY e.event_type, m.n, m.median, m.mad
 """
 
@@ -274,7 +275,13 @@ def q_quality_outliers(spark, sf_dir):
     from .aggregates import q_agg_mad
 
     mad = q_agg_mad(spark, sf_dir)
-    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    # observed values only, matching the fixed q_agg_mad relation
+    # (r19 'nulls' fuzz tier)
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     is_out = F.when(
         F.col("mad") == 0.0, (F.col("value") != F.col("median")).cast("int")
     ).otherwise(

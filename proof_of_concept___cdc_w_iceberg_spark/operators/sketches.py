@@ -1424,7 +1424,7 @@ KQG_SKETCH_SQL = f"""
         SELECT o_orderpriority AS grp,
                CAST(o_totalprice AS DOUBLE) AS v,
                md5('kqg|' || CAST(o_orderkey AS VARCHAR)) AS h
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     ),
     samp AS (
         SELECT grp, v, h
@@ -1488,12 +1488,19 @@ def q_sketch_quantile_grouped(spark, sf_dir):
     exactly once."""
     from pyspark.sql import Window
 
-    o = load(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("grp"),
-        F.col("o_totalprice").cast("double").alias("v"),
-        F.md5(
-            F.concat(F.lit("kqg|"), F.col("o_orderkey").cast("string"))
-        ).alias("h"),
+    # quantiles of the OBSERVED distribution: NULL values excluded
+    # on both sides (r19 'nulls' fuzz tier — NULL rank placement
+    # differs per engine and poisons every downstream rank)
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_totalprice").cast("double").alias("v"),
+            F.md5(
+                F.concat(F.lit("kqg|"), F.col("o_orderkey").cast("string"))
+            ).alias("h"),
+        )
     )
     w_h = Window.partitionBy("grp").orderBy("h")
     w_g = Window.partitionBy("grp")
@@ -1685,7 +1692,7 @@ def _kq_rollup_oracle() -> str:
             SELECT CAST(YEAR(o_orderdate) AS VARCHAR) AS g,
                    CAST(o_totalprice AS DOUBLE) AS v,
                    {_KQR_HASH.format(vc="VARCHAR")} AS h
-            FROM orders
+            FROM orders WHERE o_totalprice IS NOT NULL
         ),
         leaf AS (
             SELECT g, v, h FROM (
@@ -1756,12 +1763,17 @@ def q_sketch_quantile_rollup(spark, sf_dir):
     range over the bounded ≤ (|years|+1)·k sample relation only."""
     from pyspark.sql import Window as W
 
-    o = load(spark, sf_dir, "orders").select(
-        F.year("o_orderdate").cast("string").alias("g"),
-        F.col("o_totalprice").cast("double").alias("v"),
-        F.md5(
-            F.concat(F.lit("kqr|"), F.col("o_orderkey").cast("string"))
-        ).alias("h"),
+    # observed values only — see q_sketch_quantile_grouped (r19)
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.year("o_orderdate").cast("string").alias("g"),
+            F.col("o_totalprice").cast("double").alias("v"),
+            F.md5(
+                F.concat(F.lit("kqr|"), F.col("o_orderkey").cast("string"))
+            ).alias("h"),
+        )
     )
     w_h = W.partitionBy("g").orderBy("h")
     leaf = (

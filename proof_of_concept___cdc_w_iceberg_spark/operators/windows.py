@@ -155,12 +155,14 @@ def q_win_range_frame(spark, sf_dir):
     "q_win_ntile",
     oracle="""
         SELECT o_orderkey,
-               ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+               ntile(4) OVER (ORDER BY o_totalprice NULLS FIRST,
+                              o_orderkey) AS quartile
         FROM orders
     """,
 )
 def q_win_ntile(spark, sf_dir):
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    # NULLS FIRST pinned on both sides (r19 'nulls' fuzz tier)
+    w = W.orderBy(F.col("o_totalprice").asc_nulls_first(), "o_orderkey")
     return load(spark, sf_dir, "orders").select(
         "o_orderkey", F.ntile(4).over(w).alias("quartile")
     )
@@ -173,7 +175,8 @@ def q_win_ntile(spark, sf_dir):
                ROUND(percent_rank() OVER w, 6) AS pct_rank,
                ROUND(cume_dist() OVER w, 6) AS cume
         FROM customer
-        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal NULLS FIRST, c_custkey)
     """,
 )
 def q_win_percentile(spark, sf_dir):
@@ -181,7 +184,10 @@ def q_win_percentile(spark, sf_dir):
     window pair (used for per-group score normalization in curation
     pipelines). Total order (acctbal, custkey) makes both functions
     tie-free and cross-engine exact."""
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # NULLS FIRST pinned on both sides (r19 'nulls' fuzz tier)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc_nulls_first(), "c_custkey"
+    )
     return load(spark, sf_dir, "customer").select(
         "c_custkey",
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
@@ -554,7 +560,8 @@ PCTRANK_SQL = """
            ROUND(percent_rank() OVER w, 8) AS pct_rank,
            ROUND(cume_dist() OVER w, 8) AS cume
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY value NULLS FIRST, event_id)
 """
 
 
@@ -572,7 +579,13 @@ def q_win_percent_rank(spark, sf_dir):
     event_id) ordering pins tie behavior. 8dp rounds only shorten the
     printed repr — the quotients are already deterministic."""
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("value", "event_id")
+    # NULL ordering pinned explicitly (r19 'nulls' fuzz tier): Spark
+    # ASC defaults to NULLS FIRST, DuckDB to NULLS LAST — unpinned,
+    # every rank past a NULL shifts and the hash diverges. Missing
+    # values rank lowest (the conventional missing-first feature).
+    w = W.partitionBy("user_id").orderBy(
+        F.col("value").asc_nulls_first(), "event_id"
+    )
     return ev.select(
         "user_id",
         "event_id",

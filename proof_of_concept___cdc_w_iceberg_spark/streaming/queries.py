@@ -502,7 +502,7 @@ STREAM_SKETCH_SQL = f"""
     WITH stream AS (
         SELECT CAST(value AS DOUBLE) AS v,
                md5('skq|' || CAST(event_id AS VARCHAR)) AS h
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     samp AS (SELECT v, h FROM stream ORDER BY h LIMIT 256),
     sord AS (
@@ -543,12 +543,18 @@ def q_stream_sketch(spark, sf_dir):
     the test exists, the file name was wrong)."""
     from ..operators.sketches import kq_sample
 
-    ev = load(spark, sf_dir, "events").select(
-        F.col("value").cast("double").alias("v"),
-        F.md5(
-            F.concat(F.lit("skq|"), F.col("event_id").cast("string"))
-        ).alias("h"),
-        "event_id",
+    # sketch over OBSERVED values: NULLs excluded on both sides
+    # (r19 'nulls' fuzz tier)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("value").cast("double").alias("v"),
+            F.md5(
+                F.concat(F.lit("skq|"), F.col("event_id").cast("string"))
+            ).alias("h"),
+            "event_id",
+        )
     )
     k = 256
     state = ev.select("v", "h").limit(0)
@@ -1205,12 +1211,18 @@ def q_stream_quantile_durable(spark, sf_dir):
 
     from ..operators.sketches import kq_sample
 
-    ev = load(spark, sf_dir, "events").select(
-        F.col("value").cast("double").alias("v"),
-        F.md5(
-            F.concat(F.lit("skq|"), F.col("event_id").cast("string"))
-        ).alias("h"),
-        "event_id",
+    # sketch over OBSERVED values: NULLs excluded on both sides
+    # (r19 'nulls' fuzz tier)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("value").cast("double").alias("v"),
+            F.md5(
+                F.concat(F.lit("skq|"), F.col("event_id").cast("string"))
+            ).alias("h"),
+            "event_id",
+        )
     )
     k = 256
     empty = ev.select("v", "h").limit(0)

@@ -127,6 +127,25 @@ FUZZ_REGRESSION = [
     ("q_ts_out_of_order", 48, "ties"),
     ("q_skew_diagnose", 48, "ties"),
     ("q_text_readability", 49, "ties"),
+    # r19 'nulls' tier (seed 3, first sweep: 20 queries diverged).
+    # The classes and one pinned representative each: window NULL
+    # ordering (Spark ASC=NULLS FIRST vs DuckDB ASC=NULLS LAST shifts
+    # every subsequent rank), rank statistics over a nullable measure
+    # (filtered to observed values on both sides), zero-variance 0/0
+    # (Spark ANSI DIVIDE_BY_ZERO vs DuckDB NULL — guarded to NULL),
+    # NaN through a Pandas-UDF int64 cast, NULL group keys through a
+    # full-outer IVM merge (join keys never match NULL; now a
+    # union+re-aggregate monoid merge), NULL-absorbing Spark concat vs
+    # NULL-skipping DuckDB concat, and to_json dropping NULL fields.
+    ("q_win_percent_rank", 3, "nulls"),
+    ("q_agg_trimmed", 3, "nulls"),
+    ("q_agg_moments", 3, "nulls"),
+    ("q_udaf_grouped", 3, "nulls"),
+    ("q_centroid_incremental", 3, "nulls"),
+    ("q_str_funcs", 3, "nulls"),
+    ("q_struct_ops", 3, "nulls"),
+    ("q_agg_argmax", 3, "nulls"),
+    ("q_stream_sketch", 3, "nulls"),
 ]
 
 
@@ -191,6 +210,110 @@ def test_plain_tier_is_clean():
     tbls = make_tables(SEED, tier="plain")
     texts = tbls["documents"].column("text").to_pylist()
     assert len(texts) == len(set(texts))
+
+
+def test_nulls_tier_injects_edges():
+    """The r19 'nulls' tier must actually produce the degenerate
+    shapes its sweep exists to exercise."""
+    tbls = make_tables(SEED, tier="nulls")
+    c = tbls["customer"]
+    assert c.column("c_acctbal").null_count > 0
+    assert c.column("c_mktsegment").null_count > 0
+    o = tbls["orders"]
+    assert o.column("o_totalprice").null_count > 0
+    # zero-variance group: every 5-LOW order at exactly 1000.00
+    low = [
+        v for p, v in zip(
+            o.column("o_orderpriority").to_pylist(),
+            o.column("o_totalprice").to_pylist(),
+        ) if p == "5-LOW"
+    ]
+    assert low and set(low) == {1000.00}
+    ev = tbls["events"]
+    assert "signup" not in set(ev.column("event_type").to_pylist())
+    u0 = [
+        v for u, v in zip(
+            ev.column("user_id").to_pylist(), ev.column("value").to_pylist()
+        ) if u == 0
+    ]
+    assert len(u0) > 1 and set(u0) == {50.00}
+    # all-negative group: nation-3 balances strictly < 0 (never NULL)
+    neg = [
+        b for nk, b in zip(
+            c.column("c_nationkey").to_pylist(),
+            c.column("c_acctbal").to_pylist(),
+        ) if nk == 3
+    ]
+    assert neg and all(b is not None and b < 0 for b in neg)
+    # keys and text stay dense — NULLs go in payloads only
+    assert tbls["documents"].column("text").null_count == 0
+    for t, k in [("customer", "c_custkey"), ("orders", "o_orderkey"),
+                 ("events", "event_id"), ("documents", "doc_id")]:
+        assert tbls[t].column(k).null_count == 0
+
+
+def test_unicode_tier_injects_multibyte():
+    """The r19 'unicode' tier mixes multi-byte words into documents
+    while keeping the codepoint-count law (n_chars == Python len ==
+    Spark length == DuckDB len) and the fixture vocab's query terms
+    selectable."""
+    tbls = make_tables(SEED, tier="unicode")
+    texts = tbls["documents"].column("text").to_pylist()
+    nonascii = sum(1 for t in texts if any(ord(ch) > 127 for ch in t))
+    assert nonascii > len(texts) * 0.5
+    # astral-plane coverage (the UTF-16-code-unit trap)
+    assert any(any(ord(ch) > 0xFFFF for ch in t) for t in texts)
+    assert tbls["documents"].column("n_chars").to_pylist() == [
+        len(t) for t in texts
+    ]
+    # the registered BM25/hybrid query terms still occur in the corpus
+    joined = " ".join(texts)
+    for term in ("vector", "merge", "stream"):
+        assert term in joined
+
+
+def test_merge_round_artifact(tmp_path, monkeypatch):
+    """FUZZ_r{N}.json accumulates across tier/seed sweeps (r18 verdict
+    item 3: the campaign evidence is machine-checkable, keyed
+    tier/seed/query, merged not clobbered)."""
+    import tools.fuzz_oracle as fo
+
+    monkeypatch.setattr(fo, "REPO", str(tmp_path))
+    p1 = fo.merge_round_artifact(
+        19, "nulls", {"3/q_x": {"status": "OK", "rows": 1, "detail": ""}}
+    )
+    p2 = fo.merge_round_artifact(
+        19, "unicode", {"3/q_x": {"status": "OK", "rows": 2, "detail": ""}}
+    )
+    assert p1 == p2 == str(tmp_path / "FUZZ_r19.json")
+    import json as _json
+
+    with open(p1) as fh:
+        doc = _json.load(fh)
+    assert doc["nulls/3/q_x"]["rows"] == 1
+    assert doc["unicode/3/q_x"]["rows"] == 2
+
+
+def test_tier_exclusions_are_declared_with_reasons():
+    """Every tier exclusion carries a non-empty contract reason and
+    names a registered query — the no-silent-caps discipline."""
+    import __spark_entry__ as entrymod
+    from tools.fuzz_oracle import TIER_EXCLUSIONS, TIERS
+
+    qs = entrymod.queries()
+    for tier, excl in TIER_EXCLUSIONS.items():
+        assert tier in TIERS
+        for name, reason in excl.items():
+            assert name in qs, name
+            assert reason.strip()
+
+
+def test_new_tiers_deterministic():
+    for tier in ("nulls", "unicode"):
+        a = make_tables(9, tier=tier)
+        b = make_tables(9, tier=tier)
+        for t in TABLES:
+            assert a[t].equals(b[t]), (tier, t)
 
 
 def test_fixture_invariants():

@@ -114,12 +114,16 @@ def test_udaf_oracle_is_exact_integer_twin():
 
 
 def test_r19_window_projection():
-    """The r19 driver window fronts the 16 fingerprint re-fronts from
-    the rdiv_sql parenthesization + exact-twin oracle fixes plus the
-    newly registered q_search_hybrid, keeps the promoted no-oracle
-    rotation (q_ddl_create re-earning its liveness row), then sweeps
-    ALL 17 remaining r11-stale rows and the 15 stalest r12 rows —
-    nothing staler than r12 survives into r20, per the r18 verdict.
+    """The r19 driver window fronts the 32 fingerprint re-fronts (16
+    from the rdiv_sql parenthesization + exact-twin oracle fixes, 18
+    from the 'nulls' fuzz-tier campaign, 2 overlapping) plus the newly
+    registered q_search_hybrid — 33 needs-check rows — keeps the
+    promoted no-oracle rotation (q_ddl_create re-earning its liveness
+    row), then sweeps the 16 stalest r11 rows: exactly 50. All 17
+    remaining r11-stale rows are covered (q_sketch_quantile_grouped,
+    itself r11-stale, rides in the front block as a nulls-campaign
+    re-front), so nothing staler than r12 survives into r20 AND every
+    determinism fix is re-verified by the driver in the same round.
 
     Ledger-relative: computed from the artifacts + fingerprint stamps
     on disk; SKIPS once an artifact newer than r18 lands (that skip is
@@ -138,9 +142,9 @@ def test_r19_window_projection():
         refronted | {"q_search_hybrid"},
         key=lambda n: (registry._family_rank(n), n),
     )
-    assert len(front) == 17, sorted(front)
+    assert len(front) == 33, sorted(front)
     assert window[: len(front)] == front
-    assert window[len(front)] == "q_ddl_create"
+    assert window[len(front)] == "q_ddl_create"  # promoted liveness slot
 
     # Independent staleness computation straight from the artifacts.
     last: dict[str, int] = {}
@@ -163,5 +167,5 @@ def test_r19_window_projection():
     n_sweep = 50 - len(front) - 1
     expected_sweep = [n for _, n in greens[:n_sweep]]
     assert window[len(front) + 1 :] == expected_sweep
-    # the whole r11 band fits: 17 r11 rows + 15 r12 rows
-    assert [rnd for rnd, _ in greens[:n_sweep]] == [11] * 17 + [12] * 15
+    # the whole remaining r11 band fits exactly
+    assert [rnd for rnd, _ in greens[:n_sweep]] == [11] * 16
