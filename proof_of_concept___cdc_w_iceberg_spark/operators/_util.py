@@ -19,6 +19,23 @@ from pyspark.sql import functions as F
 RDIV_DEBUG_ENV = "SPARK_GRAFT_RDIV_DEBUG"
 
 
+def dec2d_sql(expr: str) -> str:
+    """DuckDB decimal→double cast that matches Spark's at ANY
+    magnitude. DuckDB's native ``CAST(DECIMAL AS DOUBLE)`` converts
+    the int128 unscaled value to double FIRST and divides by 10^scale
+    AFTER — two roundings, up to an ulp below the true value once the
+    unscaled integer exceeds 2^53 (caught live by the r19 'nulls'
+    fuzz tier, seed 4: u2 = 176024561519819187.0000 cast to
+    …1917e17 while Spark's Decimal.toDouble gives the correctly
+    rounded …192e17, flipping an rdiv floor at a constructed tie).
+    Routing through VARCHAR makes the conversion strtod's single
+    correct rounding — exactly Spark's (BigDecimal.doubleValue falls
+    back to parseDouble beyond the compact range). Use this for any
+    oracle-side decimal→double cast whose unscaled value can exceed
+    2^53; below that bound the native cast is already exact."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+
+
 def dec_sum(col: Column | str, prec: int = 18, scale: int = 2) -> Column:
     """Order-independent (exact decimal) sum of a double column,
     surfaced back as DOUBLE. DuckDB twin:

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load
-from ._util import avg_sql, dec_avg, dec_sum, rdiv, rdiv_sql
+from ._util import avg_sql, dec2d_sql, dec_avg, dec_sum, rdiv, rdiv_sql
 
 
 @query(
@@ -922,15 +922,19 @@ def q_percentile_exact_dist(spark, sf_dir):
 
 MOMENTS_SQL = f"""
     WITH m AS (
+        -- every decimal→double goes through dec2d_sql (VARCHAR-
+        -- mediated): the unscaled power sums exceed 2^53 already at
+        -- fixture scale, where DuckDB's native cast double-rounds an
+        -- ulp below Spark's Decimal.toDouble (r19 nulls seed 4)
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-               CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS s2,
-               CAST(SUM(CAST(o_totalprice * o_totalprice * o_totalprice
-                             AS DECIMAL(38,6))) AS DOUBLE) AS s3,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS DOUBLE) AS u1,
-               CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4))) * 10000
-                    AS DOUBLE) AS u2
+               {dec2d_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))")} AS s1,
+               {dec2d_sql("SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4)))")} AS s2,
+               {dec2d_sql('''SUM(CAST(o_totalprice * o_totalprice * o_totalprice
+                             AS DECIMAL(38,6)))''')} AS s3,
+               {dec2d_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100")} AS u1,
+               {dec2d_sql('''SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4)))
+                    * 10000''')} AS u2
         FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, n,

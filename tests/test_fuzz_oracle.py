@@ -146,6 +146,13 @@ FUZZ_REGRESSION = [
     ("q_struct_ops", 3, "nulls"),
     ("q_agg_argmax", 3, "nulls"),
     ("q_stream_sketch", 3, "nulls"),
+    # nulls seed 4 caught a DIFFERENT class in q_agg_moments: DuckDB's
+    # native DECIMAL→DOUBLE cast double-rounds (int128→double, THEN
+    # /10^scale) and lands an ulp below Spark's correctly-rounded
+    # Decimal.toDouble once the unscaled value exceeds 2^53 — which
+    # flipped an rdiv floor at a constructed tie. Fixed by dec2d_sql
+    # (VARCHAR-mediated cast = strtod's single correct rounding).
+    ("q_agg_moments", 4, "nulls"),
 ]
 
 
