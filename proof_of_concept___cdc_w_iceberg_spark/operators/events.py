@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load, register_views
-from ._util import drain_tracked_persists, rdiv, rdiv_sql, track_persist
+from ._util import (
+    dec2d_sql,
+    drain_tracked_persists,
+    rdiv,
+    rdiv_sql,
+    track_persist,
+)
 
 # funnel step windows: click within 1h of first view, purchase within
 # 24h of first qualifying click
@@ -1184,10 +1190,14 @@ SEASONAL_SQL = """
            {dev_expr} AS seasonal_dev
     FROM hourly h JOIN tot t ON t.event_type = h.event_type
 """.replace("{mean_expr}", rdiv_sql(
-    "CAST(h.s * 1000000 AS DOUBLE)", "h.n * 1000000.0", 6
+    # dec2d_sql (r19): the decimal's unscaled value passes 2^53 at
+    # sf0.01 density, where DuckDB's native decimal→double cast lands
+    # an ulp below Spark's — which drops an rdiv floor exactly at the
+    # constructed half-ties this query exists to pin.
+    dec2d_sql("h.s * 1000000"), "h.n * 1000000.0", 6
 )).replace("{dev_expr}", rdiv_sql(
-    "CAST(h.s * 1000000 AS DOUBLE) * t.n_all"
-    " - CAST(t.s_all * 1000000 AS DOUBLE) * h.n",
+    dec2d_sql("h.s * 1000000") + " * t.n_all"
+    " - " + dec2d_sql("t.s_all * 1000000") + " * h.n",
     "1000000.0 * h.n * t.n_all", 6
 ))
 
