@@ -210,6 +210,15 @@ def _fingerprint(fn: Callable, oracle: str | None) -> str | None:
     # shifted-block scenario this guard exists for (review finding r14).
     if f"def {getattr(fn, '__name__', '')}(" not in src:
         return None  # shifted/foreign block: this process can't see truth
+    # The block must also START at a decorator or def line (r19: a
+    # +6-line shift above q_funnel made getsource return a block that
+    # STILL CONTAINED "def q_funnel(" but started mid-string — the
+    # containment check passed, a bogus fingerprint was persisted, and
+    # the unchanged query spuriously re-fronted with since=19).
+    first = src.lstrip().splitlines()[0].lstrip() if src.strip() else ""
+    if not (first.startswith("@") or first.startswith("def ")
+            or first.startswith("async def ")):
+        return None  # shifted block: starts mid-expression, not at the fn
     h = hashlib.sha256()
     h.update(src.encode())
     h.update(b"\x00")

@@ -110,6 +110,36 @@ def test_udaf_oracle_is_exact_integer_twin():
     assert "HUGEINT" in registry.oracles()["q_multimodal_features"]
 
 
+def test_fingerprint_guard_rejects_midstring_block():
+    """The stale-process guard must reject a getsource block that
+    CONTAINS the def line but does not START at the decorator/def
+    (r19: a +6-line import shift above q_funnel produced exactly that
+    — the containment check passed, a bogus fingerprint persisted,
+    and an unchanged query spuriously re-fronted)."""
+    from unittest import mock
+
+    def fake_fn():  # pragma: no cover - source never executed
+        pass
+
+    shifted = '    SELECT 1 AS x\n"""\n\n\n@query("q")\ndef fake_fn():\n    pass\n'
+    with mock.patch("inspect.getsource", return_value=shifted):
+        assert registry._fingerprint(fake_fn, None) is None
+    ok = '@query("q")\ndef fake_fn():\n    pass\n'
+    with mock.patch("inspect.getsource", return_value=ok):
+        assert registry._fingerprint(fake_fn, None) is not None
+
+
+def test_no_bogus_refronts():
+    """Every since>=19 stamp corresponds to a LIVE fingerprint match
+    (the registry reconciled it) — and the map is identical across two
+    consecutive loads, so no entry is flapping between a bogus and a
+    real fingerprint (the failure mode behind q_funnel's spurious
+    stamp)."""
+    m1 = dict(registry.modified_map())
+    m2 = dict(registry.modified_map())
+    assert m1 == m2
+
+
 # --- r19 window projection (ledger-relative) --------------------------------
 
 
