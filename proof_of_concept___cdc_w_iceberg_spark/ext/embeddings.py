@@ -26,9 +26,13 @@ from .similarity import SQNORM_SQL, _sqnorm
 @query(
     "q_embed_centroid",
     oracle="""
+        -- "+ 0" normalizes the SIGNED ZERO (r19 nulls seed 5): a
+        -- tiny-negative mean rounds to -0.0 in DuckDB's double ROUND
+        -- while Spark's round (BigDecimal HALF_UP) always returns
+        -- +0.0; IEEE -0.0 + 0 = +0.0, nonzero values unchanged.
         SELECT label, CAST(i - 1 AS BIGINT) AS dim,
                ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
-                     / COUNT(*), 6) AS centroid
+                     / COUNT(*), 6) + 0 AS centroid
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
         GROUP BY label, i
     """,
@@ -198,10 +202,11 @@ def q_embed_gram(spark, sf_dir):
 @query(
     "q_centroid_incremental",
     oracle="""
+        -- "+ 0": signed-zero normalization, see q_embed_centroid
         SELECT label, CAST(i - 1 AS BIGINT) AS dim,
                ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
                                    AS DECIMAL(20,10))) AS DOUBLE)
-                     / COUNT(*), 6) AS centroid,
+                     / COUNT(*), 6) + 0 AS centroid,
                CAST(COUNT(*) AS BIGINT) AS n_vecs
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
         GROUP BY label, i

@@ -153,6 +153,17 @@ FUZZ_REGRESSION = [
     # flipped an rdiv floor at a constructed tie. Fixed by dec2d_sql
     # (VARCHAR-mediated cast = strtod's single correct rounding).
     ("q_agg_moments", 4, "nulls"),
+    # nulls seed 5 caught the SIGNED-ZERO class: a tiny-negative mean
+    # rounds to -0.0 in DuckDB's double ROUND (rint keeps the sign)
+    # while Spark's round (BigDecimal HALF_UP) always returns +0.0 —
+    # and the hash canon distinguishes repr(-0.0) from repr(0.0).
+    # Fixed by "+ 0" on the oracle side (IEEE -0.0 + 0 = +0.0). The
+    # embedding-centroid family has the highest hit density (symmetric
+    # near-zero means, ~4% per fixture); a detector sweep over all 341
+    # oracle outputs at sf0.01 found zero ACTIVE emitters elsewhere
+    # (SCALING.md r19 addendum).
+    ("q_embed_centroid", 5, "nulls"),
+    ("q_centroid_incremental", 5, "nulls"),
 ]
 
 
