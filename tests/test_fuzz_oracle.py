@@ -290,6 +290,38 @@ def test_unicode_tier_injects_multibyte():
         assert term in joined
 
 
+def test_no_active_signed_zero_emitters(registry):
+    """No registered oracle emits -0.0 on the driver fixture (the r19
+    signed-zero class: DuckDB's double ROUND keeps the sign of a
+    tiny-negative value, Spark's round never does, and the hash canon
+    distinguishes the reprs). A query whose data drifts into emitting
+    one must normalize with '+ 0' oracle-side, as the embedding-
+    centroid family does. Incidentally proves every oracle runs clean
+    in DuckDB at sf0.001."""
+    import math
+
+    _, orc = registry
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    emitters = {}
+    for name, sql in orc.items():
+        rows = con.sql(sql).fetchall()
+        c = sum(
+            1
+            for r in rows
+            for v in r
+            if isinstance(v, float) and v == 0.0 and math.copysign(1, v) < 0
+        )
+        if c:
+            emitters[name] = c
+    con.close()
+    assert not emitters, f"active signed-zero emitters: {emitters}"
+
+
 def test_merge_round_artifact(tmp_path, monkeypatch):
     """FUZZ_r{N}.json accumulates across tier/seed sweeps (r18 verdict
     item 3: the campaign evidence is machine-checkable, keyed
