@@ -261,6 +261,10 @@ BENCH_QUERIES = [
     # RAG serving shape: lexical arm = q_bm25's pipeline, dense arm =
     # broadcast query vector, fusion joins two ≤20-row relations).
     "q_search_hybrid",
+    # r20: incremental BM25 (search-index IVM — O(batch-tokens)
+    # maintenance of the dl/tf sufficient statistics under a CDC churn
+    # batch, served by the shared ranking arm).
+    "q_bm25_incremental",
 ]
 
 

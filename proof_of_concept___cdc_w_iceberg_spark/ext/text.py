@@ -1348,14 +1348,11 @@ def hybrid_rrf_query(spark, sf_dir):
 
 
 
-# --- staged r20 rung: incremental BM25 index maintenance under CDC --------
+# --- r20 rung: incremental BM25 index maintenance under CDC ---------------
 #
-# STAGED, NOT REGISTERED (window budget: r18 = q_sim_pq +
-# q_cdc_evolve_spec, r19 = q_search_hybrid; r20's single free slot is
-# this rung's). Registration is one decorator:
-# @query("q_bm25_incremental", oracle=INC_BM25_SQL) on
-# bm25_incremental_query — cross-engine equality law-tested NOW
-# (tests/test_r17_ops.py::test_bm25_incremental_staged_rung).
+# Registered r20 (the round's single free window slot, staged since
+# r17 with the oracle law-tested the whole time:
+# tests/test_r17_ops.py::test_bm25_incremental_staged_rung).
 #
 # The op: SEARCH-INDEX IVM — the retrieval twin of the CDC mirror.
 # A production lexical index (Lucene segments, warehouse BM25 marts)
@@ -1492,6 +1489,7 @@ def _bm25_state(docs):
     return dl, tf
 
 
+@query("q_bm25_incremental", oracle=INC_BM25_SQL)
 def bm25_incremental_query(spark, sf_dir):
     """Incremental BM25 under CDC churn — see the module comment.
     Builds the index state from the base corpus, applies the

@@ -14,8 +14,12 @@ from pyspark.sql import functions as F
 # half-away rounding. Callers that knowingly operate beyond the bound
 # (documented determinism-only regime, e.g. q_agg_moments' var_pop
 # numerator) pass exact=False and are exempt. tools/fuzz_oracle.py
-# sets this for its sweeps so a query silently crossing the bound
-# fails loudly instead of degrading.
+# sets this for every sweep EXCEPT tier="magnitude" (r20, closing the
+# r19 advice gap where nothing actually set it): on plausible-
+# magnitude tiers a query silently crossing the bound fails loudly
+# instead of degrading; the magnitude tier deliberately drives values
+# beyond the bound, where the claim under test is degraded-regime
+# cross-engine determinism, not true rounding.
 RDIV_DEBUG_ENV = "SPARK_GRAFT_RDIV_DEBUG"
 
 
@@ -79,9 +83,13 @@ def rdiv(num: Column, den: Column, round_to: int, *, exact: bool = True) -> Colu
     if exact and os.environ.get(RDIV_DEBUG_ENV):
         # assert_true returns NULL when the predicate holds (and
         # raises otherwise), so coalesce is a zero-cost pass-through.
+        # NULL pass-through (r19 advice): a NULL num/den (e.g. an
+        # all-NULL group at an unfiltered dec_avg site) makes the
+        # comparison NULL, and assert_true raises on NULL — the
+        # result must instead propagate NULL like the undebugged path.
         arg = F.coalesce(
             F.assert_true(
-                arg < F.lit(float(2 ** 53)),
+                arg.isNull() | (arg < F.lit(float(2 ** 53))),
                 F.lit("rdiv(exact=True) input beyond the 2^53 bound"),
             ).cast("double"),
             arg,

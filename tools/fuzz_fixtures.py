@@ -61,6 +61,36 @@ Edge tiers:
   contract is ASCII-only are excluded per tier in fuzz_oracle.py
   (the md5-stub multimodal codecs: payload bytes vs char ordinals
   genuinely differ on multi-byte text).
+- tier="longdoc" (r20): the 1000+-word-document hunter. Fixture docs
+  are 10–99 words, so chunking (CHUNK_W=32/stride 24), sequence
+  packing (PACK_SEQ_LEN=256), and ExactSubstr spans had never seen a
+  document spanning MANY chunks / packed sequences. ~25% of docs run
+  1000–2200 words; the first docs are forced to boundary-exact sizes
+  (32/33/256/257/512/2048 and stride-aligned 24k+32); three long
+  docs share a planted 64-token span (the real substring-dup shape —
+  spans inside otherwise-distinct docs, not whole-doc copies).
+- tier="timeedge" (r20): calendar/window-boundary timestamps. Order
+  dates mix leap days (1996-02-29, 2000-02-29), month ends, and
+  year boundaries from the 1995–2001 band; events start EXACTLY at
+  2024-01-01T00:00:00 and advance by boundary-quanta gaps (1µs, 1s,
+  59s, 60s, 899s, 900s, 1799s, 1800s, 1800s+1µs, 3599s, 3600s,
+  86399s, 86400s) so cumulative timestamps land exactly ON tumbling/
+  sliding window edges, the 30-minute session-gap equality (strict
+  `>` both engines — a 1800.000000s gap must NOT break a session),
+  and ±1µs neighbors of midnight. Monotone ts preserved (gaps > 0).
+- tier="magnitude" (r20): the 2^53 hunter. Monetary/value columns
+  drawn log-uniformly up to ~1e8 (fixture max is 4.5e5), so SECOND-
+  MOMENT accumulations (x², variance/corr numerators ~1e16–1e19
+  unscaled) cross 2^53 while plain sums (~1e11) stay inside every
+  declared DECIMAL precision. This drives the documented degraded-
+  regime sites (rdiv exact=False, ROUND-after-quantized tails,
+  native decimal→double casts below the dec2d_sql rewrite) on data
+  where the degradation is ACTIVE — the class the r19 seed-4 catch
+  (DuckDB's double-rounding cast at 1.76e17) proved can hide there.
+  Run WITHOUT SPARK_GRAFT_RDIV_DEBUG: exact=True rdiv sites
+  legitimately exceed their bound here and the claim under test is
+  the degraded regime's cross-engine determinism, not true rounding
+  (fuzz_oracle.py wires the env accordingly).
 (Empty documents are deliberately NOT generated: several registered
 tokenizer oracles divide by document length, and declaring their
 empty-doc behavior is a semantics change to frozen queries. See
@@ -127,13 +157,19 @@ def _with_nulls(vals, mask) -> list:
 
 def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     """Build all ten tables as pyarrow Tables, deterministic in seed."""
-    if tier not in ("plain", "hostile", "ties", "nulls", "unicode"):
+    if tier not in (
+        "plain", "hostile", "ties", "nulls", "unicode",
+        "longdoc", "timeedge", "magnitude",
+    ):
         raise ValueError(f"unknown tier: {tier}")
     rng = np.random.default_rng(seed)
     hostile = tier == "hostile"
     ties = tier == "ties"
     nulls = tier == "nulls"
     uni = tier == "unicode"
+    longdoc = tier == "longdoc"
+    timeedge = tier == "timeedge"
+    magnitude = tier == "magnitude"
 
     if ties:
         n_cust, n_supp, n_part = 160, 10, 200
@@ -151,6 +187,11 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
         n_doc = int(rng.integers(350, 551))
         n_emb = int(rng.integers(350, 551))
         n_users = int(rng.integers(12, 25))
+    if longdoc:
+        # long docs are token-heavy (~1600 words each): a smaller doc
+        # count keeps the oracle-side token relations (~60k rows) in
+        # the same cost band as the other tiers.
+        n_doc = int(rng.integers(120, 181))
 
     out: dict[str, pa.Table] = {}
 
@@ -177,6 +218,12 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
         else rng.integers(0, 25, size=n_cust)
     )
     acctbal = np.round(rng.uniform(-999.99, 9999.99, size=n_cust), 2)
+    if magnitude:
+        acctbal = np.round(
+            np.where(rng.random(n_cust) < 0.3, -1.0, 1.0)
+            * 10 ** rng.uniform(1.0, 7.0, size=n_cust),
+            2,
+        )
     segments = [
         _SEGMENTS[i] for i in rng.integers(0, len(_SEGMENTS), size=n_cust)
     ]
@@ -201,16 +248,22 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
         }
     )
 
+    s_nat = rng.integers(0, 25, size=n_supp).astype("int32")
+    s_bal = np.round(rng.uniform(-999.99, 9999.99, size=n_supp), 2)
+    if magnitude:
+        s_bal = np.round(
+            np.where(rng.random(n_supp) < 0.3, -1.0, 1.0)
+            * 10 ** rng.uniform(1.0, 7.0, size=n_supp),
+            2,
+        )
     out["supplier"] = pa.table(
         {
             "s_suppkey": np.arange(n_supp, dtype="int64"),
             "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
-            "s_nationkey": pa.array(
-                rng.integers(0, 25, size=n_supp).astype("int32"), pa.int32()
-            ),
+            "s_nationkey": pa.array(s_nat, pa.int32()),
             "s_acctbal": pa.array(
                 _with_nulls(
-                    np.round(rng.uniform(-999.99, 9999.99, size=n_supp), 2),
+                    s_bal,
                     _null_mask(rng, n_supp, 0.10) if nulls else np.zeros(n_supp, bool),
                 ),
                 pa.float64(),
@@ -218,26 +271,29 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
         }
     )
 
+    p_names = [
+        f"{_PNAME_ADJ[a]} {_PNAME_NOUN[b]}"
+        for a, b in zip(
+            rng.integers(0, len(_PNAME_ADJ), size=n_part),
+            rng.integers(0, len(_PNAME_NOUN), size=n_part),
+        )
+    ]
+    p_brands = [f"Brand#{i}" for i in rng.integers(1, 26, size=n_part)]
+    p_types = [_PTYPES[i] for i in rng.integers(0, len(_PTYPES), size=n_part)]
+    p_sizes = rng.integers(1, 51, size=n_part).astype("int32")
+    p_price = np.round(rng.uniform(900.0, 2100.0, size=n_part), 2)
+    if magnitude:
+        p_price = np.round(10 ** rng.uniform(2.0, 8.0, size=n_part), 2)
     out["part"] = pa.table(
         {
             "p_partkey": np.arange(n_part, dtype="int64"),
-            "p_name": [
-                f"{_PNAME_ADJ[a]} {_PNAME_NOUN[b]}"
-                for a, b in zip(
-                    rng.integers(0, len(_PNAME_ADJ), size=n_part),
-                    rng.integers(0, len(_PNAME_NOUN), size=n_part),
-                )
-            ],
-            "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, size=n_part)],
-            "p_type": [
-                _PTYPES[i] for i in rng.integers(0, len(_PTYPES), size=n_part)
-            ],
-            "p_size": pa.array(
-                rng.integers(1, 51, size=n_part).astype("int32"), pa.int32()
-            ),
+            "p_name": p_names,
+            "p_brand": p_brands,
+            "p_type": p_types,
+            "p_size": pa.array(p_sizes, pa.int32()),
             "p_retailprice": pa.array(
                 _with_nulls(
-                    np.round(rng.uniform(900.0, 2100.0, size=n_part), 2),
+                    p_price,
                     _null_mask(rng, n_part, 0.10) if nulls else np.zeros(n_part, bool),
                 ),
                 pa.float64(),
@@ -253,6 +309,11 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     else:
         custkeys = rng.integers(0, n_cust, size=n_ord)
     totalprice = np.round(rng.uniform(800.0, 450000.0, size=n_ord), 2)
+    if magnitude:
+        # log-uniform up to ~1e8: first-moment sums (~1e11) stay inside
+        # every declared DECIMAL precision; second-moment accumulations
+        # (x^2 ~ 1e16, summed ~1e19 unscaled) cross 2^53.
+        totalprice = np.round(10 ** rng.uniform(2.0, 8.0, size=n_ord), 2)
     if hostile:
         # ~10% of orders collapse onto a handful of exact price values.
         n_tie = n_ord // 10
@@ -264,6 +325,30 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
         np.datetime64("2001-08-01", "us").astype("int64") - base
     ) // _DAY_US
     odate = base + rng.integers(0, span_days + 1, size=n_ord) * _DAY_US
+    if timeedge:
+        # ~50% of order dates snap to calendar edges inside the band:
+        # leap days (1996/2000 — 2000 is the every-400-years leap
+        # CENTURY), the day before/after each, month ends, and year
+        # boundaries. date_trunc / months_between / date_add chains
+        # cross these edges; l_shipdate = odate + 1..120 days then
+        # crosses them again downstream.
+        edge_pool = np.array(
+            [
+                np.datetime64(d, "us").astype("int64")
+                for d in (
+                    "1996-02-28", "1996-02-29", "1996-03-01",
+                    "2000-02-28", "2000-02-29", "2000-03-01",
+                    "1995-01-31", "1995-02-28", "1995-04-30",
+                    "1995-12-31", "1996-01-01", "1997-06-30",
+                    "1998-09-30", "1999-12-31", "2000-01-01",
+                    "2000-12-31", "2001-01-01", "2001-07-31",
+                )
+            ]
+        )
+        snap = rng.random(n_ord) < 0.5
+        odate[snap] = edge_pool[
+            rng.integers(0, len(edge_pool), size=int(snap.sum()))
+        ]
     # rng consumption order below (status, then priorities) matches the
     # pre-r19 inline construction — regression-pin seeds of the plain/
     # hostile/ties tiers must keep their byte-identical fixtures.
@@ -306,22 +391,25 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     l_orderkey = np.repeat(np.arange(n_ord, dtype="int64"), lines_per)
     l_linenumber = np.concatenate([np.arange(1, k + 1) for k in lines_per])
     qty = rng.integers(1, 51, size=n_li).astype("float64")
+    # hoisted in rng-consumption order (regression-pin seeds of the
+    # earlier tiers must keep their byte-identical fixtures)
+    li_part = rng.integers(0, n_part, size=n_li).astype("int64")
+    li_supp = rng.integers(0, n_supp, size=n_li).astype("int64")
+    qty_mask = _null_mask(rng, n_li, 0.05) if nulls else np.zeros(n_li, bool)
+    extprice = np.round(qty * rng.uniform(900.0, 1100.0, size=n_li), 2)
+    if magnitude:
+        extprice = np.round(10 ** rng.uniform(2.0, 8.0, size=n_li), 2)
     out["lineitem"] = pa.table(
         {
             "l_orderkey": l_orderkey,
-            "l_partkey": rng.integers(0, n_part, size=n_li).astype("int64"),
-            "l_suppkey": rng.integers(0, n_supp, size=n_li).astype("int64"),
+            "l_partkey": li_part,
+            "l_suppkey": li_supp,
             "l_linenumber": pa.array(l_linenumber.astype("int32"), pa.int32()),
             "l_quantity": pa.array(
-                _with_nulls(
-                    qty,
-                    _null_mask(rng, n_li, 0.05) if nulls else np.zeros(n_li, bool),
-                ),
+                _with_nulls(qty, qty_mask),
                 pa.float64(),
             ),
-            "l_extendedprice": np.round(
-                qty * rng.uniform(900.0, 1100.0, size=n_li), 2
-            ),
+            "l_extendedprice": extprice,
             "l_discount": pa.array(
                 _with_nulls(
                     np.round(rng.uniform(0.0, 0.1, size=n_li), 2),
@@ -363,6 +451,41 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     ts0 = np.datetime64("2024-01-01", "us").astype("int64")
     gaps = rng.exponential(2_500_000_000.0, size=n_evt)  # ~2500 s mean
     ts = ts0 + np.cumsum(gaps).astype("int64")
+    if timeedge:
+        # Boundary-quanta gaps from the midnight-aligned origin: the
+        # cumulative timestamps land exactly ON minute/hour/day edges
+        # (tumbling 1h / sliding 30min / date_trunc boundaries: window
+        # start inclusive, end exclusive — both engines must agree),
+        # on the 30-minute session-gap EQUALITY (1800s exactly — the
+        # strict `>` must NOT break the session; 1800s+1µs must), and
+        # on ±1µs/±1s neighbors of midnight. Gaps > 0 keeps the fixed
+        # fixture's monotone-ts invariant.
+        quanta = np.array(
+            [
+                1,                  # 1 µs — adjacent-timestamp edge
+                999_999,            # 1 s − 1 µs
+                1_000_000,          # 1 s
+                59_000_000,         # 59 s
+                60_000_000,         # 1 min
+                899_000_000,        # 15 min − 1 s
+                900_000_000,        # 15 min
+                1_799_000_000,      # session gap − 1 s
+                1_800_000_000,      # session gap exactly (no break)
+                1_800_000_001,      # session gap + 1 µs (break)
+                3_599_000_000,      # 1 h − 1 s
+                3_600_000_000,      # 1 h
+                86_399_000_000,     # 1 day − 1 s
+                86_400_000_000,     # 1 day
+            ],
+            dtype="int64",
+        )
+        q_w = np.array(
+            [.06, .05, .12, .08, .12, .08, .12, .07, .07, .06,
+             .05, .08, .02, .02]
+        )
+        ts = ts0 + np.cumsum(
+            rng.choice(quanta, size=n_evt, p=q_w / q_w.sum())
+        )
     if ties:
         # Late arrivals: ~12% of events carry an event-time EARLIER
         # than something already ingested (ts pushed back 1–5000 s).
@@ -389,6 +512,8 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     else:
         etype_idx = rng.integers(0, len(_EVENT_TYPES), size=n_evt)
     evalue = np.round(rng.uniform(0.01, 330.0, size=n_evt), 2)
+    if magnitude:
+        evalue = np.round(10 ** rng.uniform(-1.0, 7.0, size=n_evt), 2)
     props = [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n_evt)]
     if nulls:
         # zero-variance group: user 0's event values are constant
@@ -421,10 +546,26 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
     if uni:
         w = np.array([1.5] * len(_VOCAB) + [1.0] * len(_UNI_VOCAB))
         uni_weights = w / w.sum()
+    # longdoc: boundary-exact sizes for the first docs (chunking
+    # CHUNK_W=32/stride 24: 32 = one exact chunk, 33 = one word over,
+    # 1016 = 24·41+32 — the last chunk ends exactly at the doc end;
+    # packing PACK_SEQ_LEN=256: 255/256/257/512 straddle the pack
+    # boundary; 2048 spans 8 full sequences), then ~25% long docs.
+    _LD_SIZES = (32, 33, 255, 256, 257, 512, 1016, 2048)
     for di in range(n_doc):
         # ties: word counts cycle tie-eligible sizes (32 tokens; 34
         # words → 32 trigram shingles; 40 for the 2^3·5 class).
-        n_words = (32, 34, 40)[di % 3] if ties else int(rng.integers(10, 100))
+        if ties:
+            n_words = (32, 34, 40)[di % 3]
+        elif longdoc:
+            if di < len(_LD_SIZES):
+                n_words = _LD_SIZES[di]
+            elif rng.random() < 0.25:
+                n_words = int(rng.integers(1000, 2201))
+            else:
+                n_words = int(rng.integers(10, 100))
+        else:
+            n_words = int(rng.integers(10, 100))
         idx = (
             rng.choice(len(doc_vocab), size=n_words, p=uni_weights)
             if uni
@@ -446,6 +587,21 @@ def make_tables(seed: int, tier: str = "hostile") -> dict[str, pa.Table]:
                 int(rng.integers(0, len(_VOCAB)))
             ]
             texts[int(dsts[j])] = " ".join(words)
+    if longdoc:
+        # Three long docs share a planted 64-token span (SUBSTR_W=8 →
+        # 57 duplicated grams per pair) at DIFFERENT offsets — the
+        # real substring-duplication shape: a quoted passage inside
+        # otherwise-distinct documents, which whole-doc dup planting
+        # (hostile tier) never produces. Replacement (not insertion)
+        # keeps each doc's token count boundary-exact.
+        longs = [i for i, t in enumerate(texts) if t.count(" ") >= 999][:3]
+        if len(longs) == 3:
+            span = texts[longs[0]].split(" ")[100:164]
+            for d in longs[1:]:
+                w2 = texts[d].split(" ")
+                off = int(rng.integers(0, len(w2) - 64))
+                w2[off : off + 64] = span
+                texts[d] = " ".join(w2)
     langs = [
         _LANGS[i]
         for i in (

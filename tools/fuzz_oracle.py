@@ -43,7 +43,10 @@ from tools.fuzz_fixtures import TABLES, write_fixture
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-TIERS = ("plain", "hostile", "ties", "nulls", "unicode")
+TIERS = (
+    "plain", "hostile", "ties", "nulls", "unicode",
+    "longdoc", "timeedge", "magnitude",
+)
 
 # Queries excluded per tier, each with its declared-contract reason —
 # the same discipline as the plan-sweep allowlist: every exclusion is
@@ -130,6 +133,23 @@ def merge_round_artifact(round_no: int, tier: str, report: dict) -> str:
 
 
 def run(seeds, names, tier, report_path, round_no=None):
+    # rdiv exactness guard (operators/_util.py RDIV_DEBUG_ENV, r19
+    # advice: the comment there promised this wiring but nothing set
+    # it): every sweep on plausible-magnitude data runs with the
+    # 2^53-bound assertion armed, so an exact=True rdiv site whose
+    # inputs silently cross the bound ERRORs here instead of
+    # degrading. The magnitude tier drives values BEYOND the bound on
+    # purpose (its claim under test is degraded-regime cross-engine
+    # determinism), so the guard stays off there.
+    from proof_of_concept___cdc_w_iceberg_spark.operators._util import (
+        RDIV_DEBUG_ENV,
+    )
+
+    if tier == "magnitude":
+        os.environ.pop(RDIV_DEBUG_ENV, None)
+    else:
+        os.environ[RDIV_DEBUG_ENV] = "1"
+
     from pyspark.sql import SparkSession
 
     spark = (

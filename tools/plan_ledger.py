@@ -66,6 +66,16 @@ def plan_metrics(df) -> dict[str, int]:
     outline = txt.split("\n\n", 1)[0]
     out = {k: len(re.findall(rx, outline)) for k, rx in _METRICS}
     out["codegen_spans"] = len(set(re.findall(r"codegen id : (\d+)", txt)))
+    # r20 (verdict item 2): all-rows-through-one-task funnels, from the
+    # detail section's Arguments. Most are benign global-aggregate
+    # combines (O(partitions) rows through the funnel); the fatal
+    # window-over-SinglePartition case is banned registry-wide by
+    # tests/test_plan_sweep.py — this metric makes ANY drift in the
+    # funnel count a ledger diff rather than a wall-clock mystery.
+    from proof_of_concept___cdc_w_iceberg_spark.plans.explain import (
+        single_partition_exchange_ids,
+    )
+    out["single_partition_exchanges"] = len(single_partition_exchange_ids(txt))
     return out
 
 
