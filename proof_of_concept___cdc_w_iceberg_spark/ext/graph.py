@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..operators._util import rdiv, rdiv_sql
 from ..registry import query
 from ..sources.tables import load
 
@@ -264,7 +265,7 @@ BASKET_SQL = f"""
     ),
     tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items)
     SELECT p.part_a, p.part_b, p.n_ab,
-           ROUND(CAST(p.n_ab AS DOUBLE) * n_orders / (fa.n * fb.n), 6) AS lift
+           {rdiv_sql("p.n_ab * n_orders", "fa.n * fb.n", 6)} AS lift
     FROM pairs p
     JOIN freq fa ON fa.l_partkey = p.part_a
     JOIN freq fb ON fb.l_partkey = p.part_b
@@ -320,9 +321,14 @@ def q_basket_pairs(spark, sf_dir):
             "part_a",
             "part_b",
             "n_ab",
-            F.round(
-                F.col("n_ab").cast("double") * F.col("n_orders")
-                / (F.col("n_a") * F.col("n_b")),
+            # lift is a rational of integers: ROUND(double, 6) sits on
+            # an exact 6-dp tie whenever the reduced denominator is
+            # 2^a·5^b-structured (caught live by the r20 'magnitude'
+            # fuzz fixture at lift=2.0578125 — Spark HALF_UP vs DuckDB
+            # HALF_EVEN), so round in exact integer units instead.
+            rdiv(
+                F.col("n_ab") * F.col("n_orders"),
+                F.col("n_a") * F.col("n_b"),
                 6,
             ).alias("lift"),
         )

@@ -1229,18 +1229,30 @@ def q_ts_seasonal(spark, sf_dir):
     )
     # exact-integer rounded mean/deviation (rdiv, units of 1e-6): the
     # r18 'ties' fuzz tier proved ROUND(s/n, 6) diverges cross-engine
-    # at 2-adically tie-eligible hourly group sizes
+    # at 2-adically tie-eligible hourly group sizes.
+    # exact=False (r20): both sites run in rdiv's documented DEGRADED
+    # regime — seasonal_dev's numerator (s·1e6·n_all ~ 1e12+) crossed
+    # the 2·|num|·10^6 < 2^53 bound at every tested density, and the
+    # hourly_mean crosses it whenever boundary-clustered timestamps
+    # concentrate a (type, hour) group (the armed RDIV_DEBUG guard
+    # fired on the r20 'timeedge' fixture's hour-0 pileup). The SQL
+    # twin's dec2d_sql cast keeps the degraded chains bit-identical
+    # cross-engine, which is exactly the property the magnitude tier
+    # sweeps.
     u_h = (F.col("s") * 1000000).cast("double")
     u_t = (F.col("s_all") * 1000000).cast("double")
     return hourly.join(F.broadcast(tot), "event_type").select(
         "event_type",
         "hr",
         "n",
-        rdiv(u_h, F.col("n") * F.lit(1000000.0), 6).alias("hourly_mean"),
+        rdiv(u_h, F.col("n") * F.lit(1000000.0), 6, exact=False).alias(
+            "hourly_mean"
+        ),
         rdiv(
             u_h * F.col("n_all") - u_t * F.col("n"),
             F.lit(1000000.0) * F.col("n") * F.col("n_all"),
             6,
+            exact=False,
         ).alias("seasonal_dev"),
     )
 
