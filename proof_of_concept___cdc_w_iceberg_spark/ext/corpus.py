@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load
-from .shingles import TOKENS_SQL, tokens
+from .shingles import TOKENS_SQL, gram_select_sql, tokens
 
 SEG_W = 5          # tokens per "line" (fixture proxy for newline split)
 CONTAM_W = 3       # n-gram width for contamination (short enough to hit
@@ -135,13 +135,10 @@ def _ngrams_col(toks, w: int):
     )
 
 
-_CONTAM_GRAMS_SQL = f"""
-    SELECT doc_id, unnest(list_distinct(list_transform(
-        range(1, len({TOKENS_SQL}) - {CONTAM_W - 2}),
-        i -> {" || ' ' || ".join(f"{TOKENS_SQL}[i+{j}]" for j in range(CONTAM_W))}
-    ))) AS g
-    FROM documents WHERE len({TOKENS_SQL}) >= {CONTAM_W}
-"""
+# Token list bound once (gram_select_sql): the inlined form re-ran the
+# regex split per element access — O(L²), caught by the r20 'longdoc'
+# fuzz fixture (see shingles.py).
+_CONTAM_GRAMS_SQL = gram_select_sql("documents", CONTAM_W, alias="g")
 
 
 @query(

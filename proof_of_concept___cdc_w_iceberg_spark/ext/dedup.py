@@ -37,9 +37,9 @@ from ..sources.tables import load
 from .shingles import (
     DOC_SHINGLES_SQL,
     SHINGLE_W,
-    SHINGLES_SQL,
     TOKENS_SQL,
     doc_shingles,
+    gram_select_sql,
     tokens,
 )
 
@@ -839,10 +839,7 @@ DEDUP_INCR_SQL = f"""
         FROM documents WHERE doc_id % 13 = 5
     ),
     shc AS ({DOC_SHINGLES_SQL}),
-    shb AS (
-        SELECT doc_id, unnest({SHINGLES_SQL}) AS sh
-        FROM batch WHERE len({TOKENS_SQL}) >= {SHINGLE_W}
-    ),
+    shb AS ({gram_select_sql("batch", SHINGLE_W)}),
     seeds AS (SELECT unnest(range(0, {N_HASHES})) AS seed),
     sigc AS (
         SELECT doc_id, seed, MIN(md5(seed || '|' || sh)) AS mh

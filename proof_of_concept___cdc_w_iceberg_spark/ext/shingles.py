@@ -41,18 +41,29 @@ def shingles(text: Column) -> Column:
 
 # DuckDB twins (keep in sync with the Column builders above).
 TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
-SHINGLES_SQL = f"""
-    list_distinct(list_transform(
-        range(1, len({TOKENS_SQL}) - {SHINGLE_W - 2}),
-        i -> {" || ' ' || ".join(f"{TOKENS_SQL}[i+{j}]" for j in range(SHINGLE_W))}
-    ))
+
+
+def gram_select_sql(table: str, w: int, alias: str = "sh") -> str:
+    """Exploded ``(doc_id, gram)`` SELECT over ``table`` with the token
+    list BOUND ONCE in a subquery projection — the SQL twin of the
+    ``shingles_of`` docstring's rule. Inlining ``TOKENS_SQL`` inside
+    the transform lambda makes DuckDB re-run the regex split per
+    element access: O(L²) splits per document, invisible on the
+    ≤100-token fixture but a 4-minute-per-document wall on the r20
+    'longdoc' fuzz fixture's 2048-token docs (measured >240 s for
+    THREE docs inlined vs 0.1 s for the whole corpus bound)."""
+    expr = " || ' ' || ".join(f"t[i+{j}]" for j in range(w))
+    return f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(t) - {w - 2}),
+        i -> {expr}
+    ))) AS {alias}
+    FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM {table}) _toked_{table}
+    WHERE len(t) >= {w}
 """
 
 # Exploded (doc_id, shingle) relation over documents with >= W tokens.
-DOC_SHINGLES_SQL = f"""
-    SELECT doc_id, unnest({SHINGLES_SQL}) AS sh
-    FROM documents WHERE len({TOKENS_SQL}) >= {SHINGLE_W}
-"""
+DOC_SHINGLES_SQL = gram_select_sql("documents", SHINGLE_W)
 
 
 def doc_shingles(docs: DataFrame) -> DataFrame:

@@ -172,12 +172,20 @@ def q_text_quality(spark, sf_dir):
     tokl = n_tok.cast("long")
     stopl = n_stop.cast("long")
     punctl = (n_punct).cast("long")
+    # exact=False (r20 'longdoc' tier): the common-denominator numerator
+    # is ~8000·tok·n, which crosses the 2·|num|·10^6 < 2^53 exactness
+    # bound once tok·n exceeds ~5.6e5 — any 1000+-token document (the
+    # armed RDIV_DEBUG guard fired on the 2048-token fixture docs).
+    # Beyond the bound the chains stay bit-identical cross-engine
+    # (rdiv's documented degraded regime); a sub-ulp deviation from
+    # true half-away rounding is immaterial for a 6-dp quality score.
     quality = rdiv(
         F.least(nl, F.lit(400)) * 10 * tokl * nl
         + F.lit(2400) * F.least(tokl, F.lit(10) * stopl) * nl
         + F.lit(1600) * (nl - punctl) * tokl,
         F.lit(8000) * tokl * nl,
         6,
+        exact=False,
     )
     return load(spark, sf_dir, "documents").select(
         "doc_id",

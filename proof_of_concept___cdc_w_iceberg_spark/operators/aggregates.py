@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources.tables import load
-from ._util import avg_sql, dec2d_sql, dec_avg, dec_sum, rdiv, rdiv_sql
+from ._util import avg_sql, d2dec_sql, dec2d_sql, dec_avg, dec_sum, rdiv, rdiv_sql
 
 
 @query(
@@ -929,11 +929,15 @@ MOMENTS_SQL = f"""
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n,
                {dec2d_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2)))")} AS s1,
-               {dec2d_sql("SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4)))")} AS s2,
-               {dec2d_sql('''SUM(CAST(o_totalprice * o_totalprice * o_totalprice
-                             AS DECIMAL(38,6)))''')} AS s3,
+               -- p² / p³ go through d2dec_sql (r20 'magnitude' tier):
+               -- beyond 2^52·10^-scale the native double→DECIMAL cast
+               -- rounds binary-expansion noise that Spark's shortest-
+               -- repr cast never sees
+               {dec2d_sql(f"SUM({d2dec_sql('o_totalprice * o_totalprice', 28, 4)})")} AS s2,
+               {dec2d_sql(f'''SUM({d2dec_sql("o_totalprice * o_totalprice * o_totalprice",
+                             38, 6)})''')} AS s3,
                {dec2d_sql("SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100")} AS u1,
-               {dec2d_sql('''SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,4)))
+               {dec2d_sql(f'''SUM({d2dec_sql("o_totalprice * o_totalprice", 28, 4)})
                     * 10000''')} AS u2
         FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_orderpriority
     )
@@ -1015,16 +1019,21 @@ _CORR_PAIRS = [
 
 
 def _corr_sums_sql() -> str:
+    # r20 'magnitude' hardening: the product casts go through d2dec_sql
+    # (per-row double→DECIMAL(38,8) diverges cross-engine once x·y
+    # exceeds 2^52·10^-8 ≈ 4.5e7 — the q_agg_moments seed-2 class) and
+    # the power-sum read-backs through dec2d_sql (unscaled sums pass
+    # 2^53 — the r19 class). The first-moment sums stay on native
+    # casts: per-row values are scale-2-quantized far below 2^52·10^-2
+    # and their unscaled sums stay inside 2^53 at every tested density.
     sums = ["CAST(COUNT(*) AS DOUBLE) AS n"]
     for c in _CORR_COLS:
         sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}")
-        sums.append(
-            f"CAST(SUM(CAST({c} * {c} AS DECIMAL(38,8))) AS DOUBLE) AS ss_{c}"
-        )
+        sq = dec2d_sql("SUM(" + d2dec_sql(f"{c} * {c}", 38, 8) + ")")
+        sums.append(f"{sq} AS ss_{c}")
     for a, b in _CORR_PAIRS:
-        sums.append(
-            f"CAST(SUM(CAST({a} * {b} AS DECIMAL(38,8))) AS DOUBLE) AS sp_{a}_{b}"
-        )
+        sp = dec2d_sql("SUM(" + d2dec_sql(f"{a} * {b}", 38, 8) + ")")
+        sums.append(f"{sp} AS sp_{a}_{b}")
     return ", ".join(sums)
 
 
