@@ -1,0 +1,186 @@
+"""Spark-facing exact-chain vector scorers (r20 optimization).
+
+Guide §4.2: batch math belongs in vectorized native code. Every
+similarity-family query scores pairs with the sequential-left-fold
+cosine (similarity.py::_dot / _sqnorm) — a Catalyst
+HigherOrderFunction evaluated interpreted, per element, per row
+(measured r20: ~6-15 µs per 64-dim dot, which makes every pair pass
+CPU-bound on fold evaluation). The helpers here move that math into
+the NumPy kernels of ext/vecmath.py, which replay the IDENTICAL
+IEEE754 chain column-by-column — scores are bit-for-bit the fold's,
+so every oracle hash stands unchanged (pinned by
+tests/test_r20_vecmath.py).
+
+Two integration shapes:
+
+- ``cell_pair_scores`` / ``cogroup_pair_scores``: the cell-blocked
+  self-join (q_knn_graph family) becomes one
+  ``groupBy(cell).applyInPandas`` task per cell — members cross the
+  Python boundary once (m rows), the m² pair explosion happens
+  in-task in NumPy, and only (src, dst, cosine) triples come back.
+  The exchange moves m embedding payloads per cell instead of the
+  join's 2·m² (one per pair side); the pair bound stays Σ|cell|²,
+  skew stays bounded by the largest cell, exactly as before. Src rows
+  are processed in blocks of ``_BLOCK`` so in-task memory is
+  O(_BLOCK·|cell|), not |cell|² — the piece that keeps the shape
+  honest when a 100 TB corpus has multi-thousand-member cells.
+- ``pair_cosine`` / ``pair_dot``: Arrow-vectorized drop-ins for
+  already-bounded pair relations (reranks, probe assignments) — the
+  same plan skeleton with the fold expression swapped for one
+  ArrowEvalPython batch per task.
+
+Cell-null contract: a NULL cell key pairs with nothing under the
+equi-join these helpers replace, so both scorers filter NULL cells
+before grouping (groupBy would otherwise create a NULL *group* and
+emit pairs the oracle does not have — nulls-tier semantics).
+
+Density contract: embeddings are dense and non-null in every fixture
+and fuzz tier (only cell labels carry nulls). The scorers raise
+loudly on a NULL embedding rather than silently diverging from the
+fold's null-propagation semantics, which no oracle-checked corpus
+exercises.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from . import vecmath
+
+__all__ = [
+    "cell_pair_scores",
+    "cogroup_pair_scores",
+    "pair_cosine",
+    "pair_dot",
+]
+
+_PAIR_SCHEMA = "src bigint, dst bigint, cosine double"
+
+# Src-block size for the in-task pair explosion: bounds kernel memory
+# at _BLOCK x |cell| doubles per intermediate instead of |cell|^2.
+_BLOCK = 1024
+
+
+def _mat(series: pd.Series) -> np.ndarray:
+    """Embedding Series -> (n, d) float64 matrix. float32 -> float64
+    is exact, reproducing the fold's x.cast("double") element cast."""
+    if series.isna().any():
+        raise ValueError("vecexec: NULL embedding (density contract)")
+    if len(series) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.stack(series.to_numpy()).astype(np.float64, copy=False)
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "src": np.array([], dtype=np.int64),
+            "dst": np.array([], dtype=np.int64),
+            "cosine": np.array([], dtype=np.float64),
+        }
+    )
+
+
+def _block_pairs(
+    ida: np.ndarray, A: np.ndarray, idb: np.ndarray, B: np.ndarray
+) -> pd.DataFrame:
+    """All (src, dst) pairs with src-id != dst-id and the exact-chain
+    cosine: dot/(sqrt(sq_a*sq_b)) — each step one IEEE754 double op in
+    the fold's order (vecmath module docstring)."""
+    sqa = vecmath.seq_sqnorm(A)
+    sqb = vecmath.seq_sqnorm(B)
+    frames = []
+    for lo in range(0, len(ida), _BLOCK):
+        hi = min(lo + _BLOCK, len(ida))
+        dots = vecmath.seq_dot_matrix(A[lo:hi], B)
+        den = np.sqrt(sqa[lo:hi, None] * sqb[None, :])
+        cos = dots / den
+        mask = ida[lo:hi, None] != idb[None, :]
+        si, di = np.nonzero(mask)
+        frames.append(
+            pd.DataFrame(
+                {"src": ida[lo:hi][si], "dst": idb[di], "cosine": cos[si, di]}
+            )
+        )
+    if not frames:
+        return _empty_pairs()
+    return pd.concat(frames, ignore_index=True)
+
+
+def cell_pair_scores(e, cell_col: str = "label"):
+    """(src, dst, cosine) for every ordered intra-cell pair with
+    src != dst — the exact relation q_knn_graph's cell-blocked
+    self-join + fold produced, computed per cell in NumPy.
+
+    ``e`` must carry (vec_id, ``cell_col``, embedding); sq is
+    recomputed in-kernel via the identical fold chain, so callers may
+    drop their _sqnorm projection."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        M = _mat(pdf["embedding"])
+        return _block_pairs(ids, M, ids, M)
+
+    return (
+        e.filter(F.col(cell_col).isNotNull())
+        .select("vec_id", cell_col, "embedding")
+        .groupBy(cell_col)
+        .applyInPandas(score, _PAIR_SCHEMA)
+    )
+
+
+def cogroup_pair_scores(e_src, e_dst, cell_col: str = "label"):
+    """(src, dst, cosine) for every src-side x dst-side pair sharing a
+    cell, src-id != dst-id — the exact relation ann.py::_knn_scored's
+    equi-join + fold produced, computed per cell in NumPy."""
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return _empty_pairs()
+        return _block_pairs(
+            left["vec_id"].to_numpy(),
+            _mat(left["embedding"]),
+            right["vec_id"].to_numpy(),
+            _mat(right["embedding"]),
+        )
+
+    cols = ["vec_id", cell_col, "embedding"]
+    return (
+        e_src.filter(F.col(cell_col).isNotNull())
+        .select(*cols)
+        .groupBy(cell_col)
+        .cogroup(
+            e_dst.filter(F.col(cell_col).isNotNull())
+            .select(*cols)
+            .groupBy(cell_col)
+        )
+        .applyInPandas(lambda left, right: score(left, right), _PAIR_SCHEMA)
+    )
+
+
+@F.pandas_udf(DoubleType())
+def pair_cosine(
+    a_emb: pd.Series, b_emb: pd.Series, a_sq: pd.Series, b_sq: pd.Series
+) -> pd.Series:
+    """Drop-in for ``_dot(a, b) / sqrt(a_sq * b_sq)`` on a pair
+    relation — one Arrow batch per task instead of one interpreted
+    fold per row; bit-identical by the vecmath chain argument."""
+    if len(a_emb) == 0:
+        return pd.Series(np.array([], dtype=np.float64))
+    dots = vecmath.seq_dot_pairs(_mat(a_emb), _mat(b_emb))
+    den = np.sqrt(
+        a_sq.to_numpy(dtype=np.float64) * b_sq.to_numpy(dtype=np.float64)
+    )
+    return pd.Series(dots / den)
+
+
+@F.pandas_udf(DoubleType())
+def pair_dot(a_emb: pd.Series, b_emb: pd.Series) -> pd.Series:
+    """Drop-in for the bare sequential-fold ``_dot(a, b)``."""
+    if len(a_emb) == 0:
+        return pd.Series(np.array([], dtype=np.float64))
+    return pd.Series(vecmath.seq_dot_pairs(_mat(a_emb), _mat(b_emb)))
