@@ -129,24 +129,17 @@ def _nnd_init_edges(e, n_vecs: int):
     """Directed init edges for round 1: the cell-blocked kNN graph ∪
     the deterministic hash-bucket exploration graph (the paper's
     random initialization, rendered portable)."""
+    from .vecexec import cell_pair_scores
+
     b_cnt = max(1, math.ceil(n_vecs / NND_BUCKET))
 
-    b = e.select(
-        F.col("label").alias("b_label"),
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("b_emb"),
-        F.col("sq").alias("b_sq"),
-    )
+    # r20 (guide §4.2): per-cell NumPy pair scoring — same bits as the
+    # join + fold it replaces (vecexec module docstring).
     w_cell = Window.partitionBy("src").orderBy(
         F.col("cosine").desc(), F.col("dst")
     )
     cell_edges = (
-        e.join(b, (F.col("label") == F.col("b_label")) & (F.col("vec_id") != F.col("dst")))
-        .select(
-            F.col("vec_id").alias("src"),
-            "dst",
-            (_dot(F.col("embedding"), F.col("b_emb")) / F.sqrt(F.col("sq") * F.col("b_sq"))).alias("cosine"),
-        )
+        cell_pair_scores(e)
         .withColumn("rn", F.row_number().over(w_cell))
         .filter(F.col("rn") <= KNN_K)
         .select("src", "dst")
@@ -255,7 +248,13 @@ def nnd_rounds(e, n_vecs: int, rounds: int):
     final graph in q_knn_graph's (src, dst, cosine, rn) schema."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    g = _nnd_init_edges(e, n_vecs)
+    # r20 (guide §2.4/§5): the init graph is referenced ~5x by the
+    # first round's symmetrize + expand closure (g twice, the
+    # undirected set three more times); materialize it ONCE so those
+    # references read checkpoint blocks instead of re-running the
+    # whole init pipeline (cell scoring + bucket join + two windows)
+    # per reference. Same rows, one job earlier.
+    g = _nnd_init_edges(e, n_vecs).localCheckpoint(eager=True)
     ranked = None
     for i in range(rounds):
         ranked = _nnd_rerank(_nnd_expand(_nnd_symmetrize(g)), e)
@@ -340,7 +339,16 @@ ANN_BATCH_OFF = 100_000
 def _knn_scored(e_src, e_dst):
     """Cell-blocked scored pairs (src, dst, cosine) — unrounded
     internal form of q_knn_graph's scorer (ext/similarity.py), kept
-    separate so the frozen one-shot query is untouched."""
+    separate so the frozen one-shot query is untouched.
+
+    r20 measured negative result (kept as the join + fold ON PURPOSE):
+    swapping this for vecexec.cogroup_pair_scores REGRESSED every
+    incremental rung ~2x (q_knn_graph_delete 1.12 -> 2.18 s warm min,
+    upsert 2.12 -> 4.64). The batch sides here are small, so the fold
+    CPU is negligible while the cogroup costs two exchanges plus a
+    Python stage per call — and the IVM rungs call this several times
+    per apply. The one-shot full-corpus scorer (q_knn_graph), where
+    fold CPU dominates, DID win from the NumPy kernel and keeps it."""
     b = e_dst.select(
         F.col("label").alias("b_label"),
         F.col("vec_id").alias("dst"),

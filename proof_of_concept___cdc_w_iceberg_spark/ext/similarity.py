@@ -170,27 +170,23 @@ def q_dedup_embed(spark, sf_dir):
     """Embedding-cosine near-dup detection, label-blocked (IVF-style
     coarse partition): pairs only form inside a label cell, so
     candidate count stays ~n²/cells instead of n²."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / F.sqrt(
-        F.col("a.sq") * F.col("b.sq")
-    )
+    from .vecexec import cell_pair_scores
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # r20 (guide §4.2): per-cell NumPy pair scoring (exact-chain
+    # cosine, vecexec); src < dst keeps the a.vec_id < b.vec_id half
+    # of the symmetric pair set, whose cosines are the same bits.
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        cell_pair_scores(e)
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (F.col("cosine") >= DEDUP_EMBED_T)
         )
         .select(
-            F.col("a.vec_id").alias("keep_id"),
-            F.col("b.vec_id").alias("dup_id"),
-            cos.alias("cosine"),
+            F.col("src").alias("keep_id"),
+            F.col("dst").alias("dup_id"),
+            F.round("cosine", 6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= DEDUP_EMBED_T)
-        .select("keep_id", "dup_id", F.round("cosine", 6).alias("cosine"))
     )
 
 
@@ -287,11 +283,17 @@ def q_sim_ivf(spark, sf_dir):
         _sqnorm(F.col("embedding")).alias("q_sq"),
     )
     # Probe: top-3 centroids per query.
+    from .vecexec import pair_cosine
+
+    # r20 (guide §4.2): Arrow-batched exact-chain cosines at both the
+    # probe-routing and in-cell scoring sites — same bits as the folds.
     qc = q.join(F.broadcast(cent))
     sim_c = qc.select(
         "query_id", "q_emb", "q_sq", "label",
-        (_dot(F.col("q_emb"), F.col("centroid"))
-         / F.sqrt(F.col("q_sq") * F.col("c_sq"))).alias("c_cos"),
+        pair_cosine(
+            F.col("q_emb"), F.col("centroid"),
+            F.col("q_sq"), F.col("c_sq"),
+        ).alias("c_cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("label"))
     probed = sim_c.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= 3)
@@ -303,8 +305,10 @@ def q_sim_ivf(spark, sf_dir):
     scored = cand.filter(F.col("query_id") != F.col("vec_id")).select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        (_dot(F.col("q_emb"), F.col("embedding"))
-         / F.sqrt(F.col("q_sq") * F.col("sq"))).alias("cosine"),
+        pair_cosine(
+            F.col("q_emb"), F.col("embedding"),
+            F.col("q_sq"), F.col("sq"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -443,22 +447,14 @@ def q_sim_lsh(spark, sf_dir):
     planes = _hyperplanes(dim)
 
     def sig_bits(emb_col):
-        bits = []
-        for j, plane in enumerate(planes):
-            dot = F.aggregate(
-                F.zip_with(
-                    emb_col,
-                    F.array(*[F.lit(v) for v in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-        code = bits[0]
-        for b in bits[1:]:
-            code = code + b
-        return code
+        # r20 (guide §4.2): all 16 plane-dot folds per row moved into
+        # one Arrow batch — each plane's dot is the identical IEEE754
+        # chain (acc + x*plane[i], in index order, the same
+        # double-literal planes), so every sign bit matches the fold's
+        # (vecexec.lsh_code_udf).
+        from .vecexec import lsh_code_udf
+
+        return lsh_code_udf(planes)(emb_col)
 
     coded = e.select(
         "vec_id", "embedding", _sqnorm(F.col("embedding")).alias("sq"),
@@ -501,11 +497,16 @@ def q_sim_lsh(spark, sf_dir):
     cand = pairs.join(
         coded.select("vec_id", "embedding", "sq"), "vec_id"
     ).join(F.broadcast(q.select("query_id", "q_emb", "q_sq")), "query_id")
+    from .vecexec import pair_cosine
+
+    # r20 (guide §4.2): Arrow-batched exact-chain rerank — same bits.
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("cand_id"),
-        (_dot(F.col("q_emb"), F.col("embedding"))
-         / F.sqrt(F.col("q_sq") * F.col("sq"))).alias("cosine"),
+        pair_cosine(
+            F.col("q_emb"), F.col("embedding"),
+            F.col("q_sq"), F.col("sq"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -558,26 +559,15 @@ def q_knn_graph(spark, sf_dir):
     each vector to its 2 nearest cells) recovers them with 2× pair
     cost — implemented as q_knn_graph_multiprobe below, recall uplift
     asserted in tests/test_ext.py."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
-    )
-    b = e.select(
-        F.col("label").alias("b_label"),
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("b_emb"),
-        F.col("sq").alias("b_sq"),
-    )
-    scored = (
-        e.join(b, (F.col("label") == F.col("b_label")) & (F.col("vec_id") != F.col("dst")))
-        .select(
-            F.col("vec_id").alias("src"),
-            "dst",
-            (
-                _dot(F.col("embedding"), F.col("b_emb"))
-                / F.sqrt(F.col("sq") * F.col("b_sq"))
-            ).alias("cosine"),
-        )
-    )
+    from .vecexec import cell_pair_scores
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # r20 (guide §4.2): the cell-blocked self-join + per-pair fold was
+    # CPU-bound on interpreted fold evaluation; the pair explosion now
+    # happens in-task in NumPy with the identical IEEE754 chain
+    # (vecexec module docstring), one exchange on the cell key instead
+    # of the join's two embedding payloads per pair.
+    scored = cell_pair_scores(e)
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -752,9 +742,14 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
     )
+    from .vecexec import pair_cosine
+
     assign = multiprobe_assign(e).persist()
     pairs = _cell_blocked_pairs(e, assign)
-    cos = _dot(F.col("a_emb"), F.col("b_emb")) / F.sqrt(F.col("a_sq") * F.col("b_sq"))
+    # r20 (guide §4.2): Arrow-batched exact-chain cosine — same bits.
+    cos = pair_cosine(
+        F.col("a_emb"), F.col("b_emb"), F.col("a_sq"), F.col("b_sq")
+    )
     scored = pairs.select("id_a", "id_b", cos.alias("cosine"))
     # Both edge directions, then per-source top-k.
     sym = scored.select(
@@ -779,9 +774,14 @@ def semantic_edges_multiprobe(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
     )
+    from .vecexec import pair_cosine
+
     assign = multiprobe_assign(e).persist()
     pairs = _cell_blocked_pairs(e, assign)
-    cos = _dot(F.col("a_emb"), F.col("b_emb")) / F.sqrt(F.col("a_sq") * F.col("b_sq"))
+    # r20 (guide §4.2): Arrow-batched exact-chain cosine — same bits.
+    cos = pair_cosine(
+        F.col("a_emb"), F.col("b_emb"), F.col("a_sq"), F.col("b_sq")
+    )
     return pairs.filter(F.round(cos, 6) >= SEM_T).select("id_a", "id_b")
 
 
@@ -931,14 +931,19 @@ def q_mmr_diversify(spark, sf_dir):
     qv = e.filter(F.col("vec_id") == MMR_QUERY_ID).select(
         F.col("embedding").alias("q_emb"), F.col("sq").alias("q_sq")
     )
+    from .vecexec import pair_cosine
+
+    # r20 (guide §4.2): Arrow-batched exact-chain relevance — same bits.
     rel = (
         e.filter(F.col("vec_id") != MMR_QUERY_ID)
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("cand_id"),
             F.round(
-                _dot(F.col("q_emb"), F.col("embedding"))
-                / F.sqrt(F.col("q_sq") * F.col("sq")),
+                pair_cosine(
+                    F.col("q_emb"), F.col("embedding"),
+                    F.col("q_sq"), F.col("sq"),
+                ),
                 6,
             ).alias("rel"),
         )
@@ -1044,27 +1049,19 @@ def q_dedup_semantic(spark, sf_dir):
     small, so rounds ≈ 2-3. Oracle: recursive-CTE transitive closure,
     exactly as q_dedup_cluster."""
     from .dedup import connected_components
+    from .vecexec import cell_pair_scores
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
-    )
-    b = e.select(
-        F.col("label").alias("b_label"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("b_emb"),
-        F.col("sq").alias("b_sq"),
-    )
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # r20 (guide §4.2): per-cell NumPy pair scoring (exact-chain
+    # cosine, vecexec); src < dst keeps the ordered half of the
+    # symmetric pair set — same bits, same edges.
     pairs = (
-        e.join(b, (F.col("label") == F.col("b_label")) & (F.col("vec_id") < F.col("id_b")))
+        cell_pair_scores(e)
         .filter(
-            F.round(
-                _dot(F.col("embedding"), F.col("b_emb"))
-                / F.sqrt(F.col("sq") * F.col("b_sq")),
-                6,
-            )
-            >= SEM_T
+            (F.col("src") < F.col("dst"))
+            & (F.round(F.col("cosine"), 6) >= SEM_T)
         )
-        .select(F.col("vec_id").alias("id_a"), "id_b")
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     )
     nodes = e.select(F.col("vec_id").alias("node"))
     labels = connected_components(nodes, pairs)

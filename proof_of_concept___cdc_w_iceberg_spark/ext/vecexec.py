@@ -47,7 +47,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 from . import vecmath
 
@@ -56,6 +56,7 @@ __all__ = [
     "cogroup_pair_scores",
     "pair_cosine",
     "pair_dot",
+    "pair_qdot",
 ]
 
 _PAIR_SCHEMA = "src bigint, dst bigint, cosine double"
@@ -136,7 +137,13 @@ def cell_pair_scores(e, cell_col: str = "label"):
 def cogroup_pair_scores(e_src, e_dst, cell_col: str = "label"):
     """(src, dst, cosine) for every src-side x dst-side pair sharing a
     cell, src-id != dst-id — the exact relation ann.py::_knn_scored's
-    equi-join + fold produced, computed per cell in NumPy."""
+    equi-join + fold produced, computed per cell in NumPy.
+
+    The dst side's columns are renamed before grouping: both sides
+    routinely derive from the SAME base relation (the incremental
+    rungs cogroup a corpus with its own filtered batch), and shared
+    attribute ids would otherwise trip the ambiguous-self-join
+    analyzer check."""
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -144,19 +151,22 @@ def cogroup_pair_scores(e_src, e_dst, cell_col: str = "label"):
         return _block_pairs(
             left["vec_id"].to_numpy(),
             _mat(left["embedding"]),
-            right["vec_id"].to_numpy(),
-            _mat(right["embedding"]),
+            right["b_vec_id"].to_numpy(),
+            _mat(right["b_embedding"]),
         )
 
-    cols = ["vec_id", cell_col, "embedding"]
     return (
         e_src.filter(F.col(cell_col).isNotNull())
-        .select(*cols)
+        .select("vec_id", cell_col, "embedding")
         .groupBy(cell_col)
         .cogroup(
             e_dst.filter(F.col(cell_col).isNotNull())
-            .select(*cols)
-            .groupBy(cell_col)
+            .select(
+                F.col("vec_id").alias("b_vec_id"),
+                F.col(cell_col).alias("b_cell"),
+                F.col("embedding").alias("b_embedding"),
+            )
+            .groupBy("b_cell")
         )
         .applyInPandas(lambda left, right: score(left, right), _PAIR_SCHEMA)
     )
@@ -176,6 +186,45 @@ def pair_cosine(
         a_sq.to_numpy(dtype=np.float64) * b_sq.to_numpy(dtype=np.float64)
     )
     return pd.Series(dots / den)
+
+
+def lsh_code_udf(planes):
+    """Factory: a pandas_udf computing the random-hyperplane sign code
+    for q_sim_lsh — all plane-dot folds of a batch in NumPy, each
+    plane's dot the identical IEEE754 chain (acc + x*plane[i] in index
+    order over the same double literals), so every sign bit matches
+    the fold expression it replaces."""
+    P = np.array(planes, dtype=np.float64)  # (n_planes, dim)
+
+    @F.pandas_udf(LongType())
+    def lsh_code(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series(np.array([], dtype=np.int64))
+        M = _mat(emb)
+        code = np.zeros(len(emb), dtype=np.int64)
+        for j in range(P.shape[0]):
+            acc = np.zeros(len(emb), dtype=np.float64)
+            for i in range(M.shape[1]):
+                acc = acc + M[:, i] * P[j, i]
+            code = code + np.where(acc > 0, np.int64(1 << j), np.int64(0))
+        return pd.Series(code)
+
+    return lsh_code
+
+
+@F.pandas_udf(LongType())
+def pair_qdot(
+    a_qv: pd.Series, b_qv: pd.Series
+) -> pd.Series:
+    """Drop-in for the int64 fold ``aggregate(zip_with(a, b, x*y), 0L,
+    acc+v)`` over quantized code vectors — exact integer arithmetic,
+    order-independent, so a plain vectorized product-sum is identical
+    (values bounded by 127²·d, far from int64 overflow)."""
+    if len(a_qv) == 0:
+        return pd.Series(np.array([], dtype=np.int64))
+    A = np.stack(a_qv.to_numpy()).astype(np.int64, copy=False)
+    B = np.stack(b_qv.to_numpy()).astype(np.int64, copy=False)
+    return pd.Series((A * B).sum(axis=1))
 
 
 @F.pandas_udf(DoubleType())
