@@ -132,36 +132,50 @@ class BucketedMirror:
         data files outside them are read) → anti-join + union →
         dynamic partition overwrite of those buckets.
         """
-        latest = compact_latest(changes, self.keys, self.order_cols)
-        touched = self.touched_buckets(latest)
-        if not touched:
-            return []
-        if self._has_buckets():
-            mirror = self.spark.read.parquet(self.path)
-            subset = (mirror.filter(F.col(BUCKET_COL).isin(touched))
-                      .drop(BUCKET_COL))
-        else:
-            subset = self._empty()
-        merged = apply_changes(subset, latest, self.keys, op_col=op_col,
-                               order_cols=self.order_cols)
-        # Stage before overwriting partitions we are also reading from —
-        # the parquet-table analogue of Iceberg's snapshot commit.
-        staged = f"{self.path}_{tag}_staged"
-        (self._with_bucket(merged).repartition(BUCKET_COL)
-         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged))
-        if any(n.startswith(f"{BUCKET_COL}=") for n in os.listdir(staged)):
-            staged_df = self.spark.read.parquet(staged)
-            (staged_df.repartition(BUCKET_COL)
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy(BUCKET_COL).parquet(self.path))
-            out_buckets = {r[0] for r in
-                           staged_df.select(BUCKET_COL).distinct().collect()}
-        else:
-            out_buckets = set()  # every touched row was deleted
-        # Dynamic overwrite only replaces partitions PRESENT in the
-        # output; a bucket whose rows were all deleted writes nothing
-        # and must be cleared explicitly or its old files survive.
+        # Computed ONCE and persisted (r20, guide §5): the compaction
+        # window/shuffle used to run twice — once under the
+        # touched-bucket collect, once inside apply_changes' plan.
+        latest = compact_latest(changes, self.keys, self.order_cols).persist()
+        try:
+            touched = self.touched_buckets(latest)
+            if not touched:
+                return []
+            if self._has_buckets():
+                mirror = self.spark.read.parquet(self.path)
+                subset = (mirror.filter(F.col(BUCKET_COL).isin(touched))
+                          .drop(BUCKET_COL))
+            else:
+                subset = self._empty()
+            merged = apply_changes(subset, latest, self.keys, op_col=op_col,
+                                   order_cols=self.order_cols)
+            # Stage before overwriting partitions we are also reading
+            # from — the parquet-table analogue of Iceberg's snapshot
+            # commit.
+            staged = f"{self.path}_{tag}_staged"
+            (self._with_bucket(merged).repartition(BUCKET_COL)
+             .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged))
+        finally:
+            latest.unpersist()
+        # Publish = per-partition directory swap of the staged commit
+        # (r20, guide §1.2/§6): the old path re-READ the staged table,
+        # re-SHUFFLED it by bucket, and re-WROTE every staged byte
+        # through dynamic partition overwrite — a full second write job
+        # whose only effect a directory rename already has. This is the
+        # same swap discipline Iceberg's commit applies at the metadata
+        # pointer; content is byte-identical (the staged files ARE the
+        # files). The out-bucket set comes from the staged dir listing,
+        # not a collect job.
+        out_buckets = {
+            int(n.split("=", 1)[1]) for n in os.listdir(staged)
+            if n.startswith(f"{BUCKET_COL}=")
+        }
+        for b in out_buckets:
+            self._drop_partition(b)
+            os.rename(os.path.join(staged, f"{BUCKET_COL}={b}"),
+                      os.path.join(self.path, f"{BUCKET_COL}={b}"))
+        # A bucket whose rows were all deleted writes nothing to the
+        # staged dir and must be cleared explicitly or its old files
+        # survive.
         for b in set(touched) - out_buckets:
             self._drop_partition(b)
         shutil.rmtree(staged, ignore_errors=True)
@@ -211,10 +225,44 @@ class BucketedMirror:
         at the 100 TB/4096-bucket layout) — embarrassingly parallel
         across partitions, and a no-op scan-skip for compacted ones.
         """
-        done: dict[str, tuple[int, int]] = {}
-        for rel, files in sorted(self._leaf_partitions().items()):
-            if len(files) <= max_files:
-                continue
+        frag = {rel: files for rel, files in self._leaf_partitions().items()
+                if len(files) > max_files}
+        if not frag:
+            return {}
+        if max_files == 1:
+            # r20 (guide §2.6/§1.2): ONE Spark job over every
+            # fragmented leaf instead of a read→coalesce→write job PER
+            # leaf (the per-job fixed cost dominated — 16 sequential
+            # jobs for a freshly-ingested 16-bucket mirror). basePath
+            # keeps the partition columns; repartitioning by them gives
+            # exactly one file per leaf dir, which then swaps in by
+            # rename. Content is untouched either way (read() identical
+            # before/after — the law test).
+            part_cols = [p.split("=", 1)[0]
+                         for p in next(iter(frag)).split(os.sep)]
+            staged = os.path.join(
+                os.path.dirname(self.path.rstrip(os.sep)),
+                os.path.basename(self.path.rstrip(os.sep)) + "__compact_staged")
+            (self.spark.read.option("basePath", self.path)
+             .parquet(*[os.path.join(self.path, rel) for rel in sorted(frag)])
+             .repartition(*part_cols)
+             .write.mode("overwrite").partitionBy(*part_cols).parquet(staged))
+            done: dict[str, tuple[int, int]] = {}
+            for rel, files in sorted(frag.items()):
+                src = os.path.join(staged, rel)
+                new_files = ([f for f in os.listdir(src)
+                              if f.endswith(".parquet")]
+                             if os.path.isdir(src) else [])
+                full = os.path.join(self.path, rel)
+                for f in files:
+                    os.remove(os.path.join(full, f))
+                for f in new_files:
+                    os.rename(os.path.join(src, f), os.path.join(full, f))
+                done[rel] = (len(files), len(new_files))
+            shutil.rmtree(staged, ignore_errors=True)
+            return done
+        done = {}
+        for rel, files in sorted(frag.items()):
             full = os.path.join(self.path, rel)
             staged = f"{full}__compact_staged"
             # Leaf-dir read: partition values live in the dir name, not
@@ -291,38 +339,50 @@ class TwoLevelMirror(BucketedMirror):
         (batch dates) × (touched buckets) partitions → anti-join +
         union → dynamic overwrite of exactly those partitions, with
         explicit clearing of emptied ones. Returns the touched pairs."""
-        latest = compact_latest(changes, self.keys, self.order_cols)
-        touched = self.touched_partitions(latest)
-        if not touched:
-            return []
-        dates = sorted({d for d, _ in touched})
-        buckets = sorted({b for _, b in touched})
-        if self._has_buckets():
-            mirror = self.spark.read.parquet(self.path)
-            subset = (mirror.filter(F.col(self.date_col).isin(dates)
-                                    & F.col(BUCKET_COL).isin(buckets))
-                      .drop(BUCKET_COL))
-        else:
-            subset = self._empty()
-        merged = apply_changes(subset, latest, self.keys, op_col=op_col,
-                               order_cols=self.order_cols)
-        staged = f"{self.path}_{tag}_staged"
-        (self._with_bucket(merged).repartition(self.date_col, BUCKET_COL)
-         .write.mode("overwrite")
-         .partitionBy(self.date_col, BUCKET_COL).parquet(staged))
-        has_out = any(n.startswith(f"{self.date_col}=")
-                      for n in os.listdir(staged))
-        if has_out:
-            staged_df = self.spark.read.parquet(staged)
-            (staged_df.repartition(self.date_col, BUCKET_COL)
+        # Same r20 shape as BucketedMirror.apply: compaction persisted
+        # (one execution instead of two) and the staged commit
+        # published by per-partition directory swap instead of a
+        # second read+shuffle+write job.
+        latest = compact_latest(changes, self.keys, self.order_cols).persist()
+        try:
+            touched = self.touched_partitions(latest)
+            if not touched:
+                return []
+            dates = sorted({d for d, _ in touched})
+            buckets = sorted({b for _, b in touched})
+            if self._has_buckets():
+                mirror = self.spark.read.parquet(self.path)
+                subset = (mirror.filter(F.col(self.date_col).isin(dates)
+                                        & F.col(BUCKET_COL).isin(buckets))
+                          .drop(BUCKET_COL))
+            else:
+                subset = self._empty()
+            merged = apply_changes(subset, latest, self.keys, op_col=op_col,
+                                   order_cols=self.order_cols)
+            staged = f"{self.path}_{tag}_staged"
+            (self._with_bucket(merged).repartition(self.date_col, BUCKET_COL)
              .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy(self.date_col, BUCKET_COL).parquet(self.path))
-            out_parts = {(r[0], r[1]) for r in staged_df
-                         .select(self.date_col, BUCKET_COL).distinct().collect()}
-        else:
-            out_parts = set()
-        for d, b in set(touched) - out_parts:
+             .partitionBy(self.date_col, BUCKET_COL).parquet(staged))
+        finally:
+            latest.unpersist()
+        out_parts = set()
+        for dname in os.listdir(staged):
+            if not dname.startswith(f"{self.date_col}="):
+                continue
+            d = dname.split("=", 1)[1]
+            for bname in os.listdir(os.path.join(staged, dname)):
+                if not bname.startswith(f"{BUCKET_COL}="):
+                    continue
+                out_parts.add((d, int(bname.split("=", 1)[1])))
+                target = os.path.join(self.path, dname, bname)
+                shutil.rmtree(target, ignore_errors=True)
+                os.makedirs(os.path.join(self.path, dname), exist_ok=True)
+                os.rename(os.path.join(staged, dname, bname), target)
+        # touched_partitions() yields the date values as read back from
+        # parquet (native types); the staged dir names are their string
+        # forms — compare stringified.
+        touched_str = {(str(d), b) for d, b in touched}
+        for d, b in touched_str - {(str(d), b) for d, b in out_parts}:
             shutil.rmtree(
                 os.path.join(self.path, f"{self.date_col}={d}",
                              f"{BUCKET_COL}={b}"),

@@ -1062,34 +1062,28 @@ def _pq_sqdist():
 
 
 def _pq_assign(subs, codebook):
-    """Nearest-centroid id per (vec_id, sub): broadcast the codebook
-    (≤ m·ks rows), argmin by (sqdist, cid) — deterministic ties (cid
-    is unique within a group, so the struct comparison never reaches
-    the payload field).
+    """Nearest-centroid id per (vec_id, sub): argmin by (sqdist, cid) —
+    deterministic ties (cid is unique within a subspace).
 
-    Plan note (r17): MIN(struct) instead of a row_number window — the
-    window shuffled all |subvectors|·ks scored rows (15M at sf0.1)
-    into a per-group SORT; the aggregate computes the same argmin with
-    MAP-SIDE partial combine, so only one pre-reduced row per
-    (vec_id, sub) crosses the wire (ks=32x fewer). Output-identical by
-    construction (same key, same total order), held to the bit by the
-    PQ/IVFADC oracle-equality law tests. Measured honestly: sf0.1
-    wall-clock is FLAT (8.46 -> 8.58 warm min, same 60 stages — the
-    rung is CPU-bound on the distance folds, one shuffle either way);
-    the reduction is in shuffled BYTES, which is what matters on a
-    real cluster where the assign shuffle crosses a network instead of
-    local[32] memory (SCALING.md r17 addendum)."""
-    scored = subs.join(F.broadcast(codebook), "sub").select(
-        "vec_id", "sub",
-        F.struct(
-            _pq_sqdist().alias("d2"), F.col("cid"), F.col("subvec")
-        ).alias("sc"),
-    )
-    return (
-        scored.groupBy("vec_id", "sub")
-        .agg(F.min("sc").alias("m"))
-        .select("vec_id", "sub", F.col("m.subvec").alias("subvec"),
-                F.col("m.cid").alias("cid"))
+    Plan note (r20 optimization, guide §4.2): the r17 shape joined
+    every subvector against the broadcast codebook (ks=32x row
+    explosion), evaluated the sqdist as an interpreted
+    HigherOrderFunction fold per scored row, and re-aggregated with
+    MIN(struct) — CPU-bound on fold evaluation (the vecmath module's
+    measured ~6-15 µs/fold). Now the bounded codebook (≤ m·ks rows,
+    the SAME relation the old plan broadcast) is collected once into a
+    NumPy kernel (vecexec.pq_assign_udf) that replays the identical
+    IEEE754 sqdist chain batch-at-a-time and takes the identical
+    (d2, cid) argmin — one ArrowEvalPython projection, NO row
+    explosion, NO groupBy exchange. Output bit-identical by the
+    vecmath chain construction (held by the PQ/IVFADC oracle-equality
+    law tests and tests/test_r20_vecmath.py)."""
+    from . import vecexec
+
+    assign = vecexec.pq_assign_udf(codebook.collect())
+    return subs.select(
+        "vec_id", "sub", "subvec",
+        assign("sub", "subvec").alias("cid"),
     )
 
 

@@ -57,6 +57,7 @@ __all__ = [
     "pair_cosine",
     "pair_dot",
     "pair_qdot",
+    "pq_assign_udf",
 ]
 
 _PAIR_SCHEMA = "src bigint, dst bigint, cosine double"
@@ -210,6 +211,65 @@ def lsh_code_udf(planes):
         return pd.Series(code)
 
     return lsh_code
+
+
+def pq_assign_udf(cb_rows):
+    """Factory: a pandas_udf computing the nearest-codebook-centroid id
+    for ann.py::_pq_assign — the exact-chain NumPy replacement for the
+    |subvectors| x ks broadcast-join explosion + interpreted sqdist
+    folds + MIN(struct) re-aggregation (guide §4.2).
+
+    ``cb_rows`` is the COLLECTED codebook (≤ PQ_M·PQ_KS rows — the same
+    bounded relation the old plan broadcast; collecting it to build the
+    kernel tables is the identical driver/executor footprint). Per
+    batch, each subspace's rows score against that subspace's centroid
+    matrix via vecmath.seq_sqdist_matrix — the bit-identical IEEE754
+    chain of ann.py::_pq_sqdist — and take argmin along centroids
+    sorted by cid ascending, which reproduces the old
+    ``MIN(struct(d2, cid, subvec))`` / the oracle's
+    ``ORDER BY d2, cid`` tie rule exactly: NumPy argmin returns the
+    FIRST (= lowest-cid) occurrence of the minimum. NaN d2 (possible
+    only off the density contract) is mapped to +inf first, matching
+    Spark's NaN-sorts-last struct ordering for any group holding at
+    least one non-NaN distance."""
+    by_sub: dict[int, list] = {}
+    for r in cb_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["cid"]), r["centroid"])
+        )
+    tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for sub, lst in by_sub.items():
+        lst.sort(key=lambda t: t[0])
+        tables[sub] = (
+            np.array([c for c, _ in lst], dtype=np.int64),
+            np.array([v for _, v in lst], dtype=np.float64),
+        )
+
+    @F.pandas_udf(LongType())
+    def assign(sub: pd.Series, subvec: pd.Series) -> pd.Series:
+        n = len(sub)
+        if n == 0:
+            return pd.Series(np.array([], dtype=np.int64))
+        out = np.zeros(n, dtype=np.int64)
+        subv = sub.to_numpy()
+        A = _mat(subvec)
+        for s in np.unique(subv):
+            si = int(s)
+            if si not in tables:
+                # The old inner join silently DROPPED rows of a
+                # subspace absent from the codebook; that cannot occur
+                # (every subspace retains >= 1 centroid by
+                # construction), so fail loudly rather than silently
+                # diverge.
+                raise ValueError(f"pq_assign: subspace {si} not in codebook")
+            cids, C = tables[si]
+            mask = subv == s
+            D = vecmath.seq_sqdist_matrix(A[mask], C)
+            D = np.where(np.isnan(D), np.inf, D)
+            out[mask] = cids[np.argmin(D, axis=1)]
+        return pd.Series(out)
+
+    return assign
 
 
 @F.pandas_udf(LongType())

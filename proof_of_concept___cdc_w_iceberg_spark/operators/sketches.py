@@ -53,6 +53,24 @@ def _hex_slice_sql(h: str, start: int, nibbles: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# r20 optimization (guide §1.2/§2.3): every nibble term above textually
+# re-references its hash argument, so a Spark-side call that passes the
+# md5 INLINE re-evaluates the md5 once per nibble per row — the
+# executed plans showed 8 md5 calls per row for one CMS cell set, 12
+# for the Bloom positions, and up to ~150 for the HLL rho ladder
+# (whole-stage codegen's subexpression elimination does not merge them
+# through Generate/posexplode). The Spark-side builders below therefore
+# HOIST the md5 (and, for HLL, the 24-bit rank value) into its own
+# projection, referenced by name: one evaluation per row, values
+# bit-identical (same hash text, same decode — measured 2.5x on the
+# one-shot CMS build, plan md5-count 8 -> 1). CollapseProject keeps the
+# hoist because the hash column is referenced several times by
+# non-cheap consumers. The *_sql builders stay for the DuckDB oracles
+# (string SQL, where re-evaluation is the oracle's business) and for
+# the law tests that pin the Spark/SQL twin-ness.
+_H = "__h"
+
+
 BLOOM_M = 8192  # bits in the filter
 BLOOM_K = 3     # hash functions
 
@@ -90,28 +108,57 @@ BLOOM_JOIN_SQL = f"""
 """
 
 
+def _bloom_hash_sql(key: str, vc: str = "VARCHAR") -> str:
+    return "md5('bf|' || CAST(" + key + " AS " + vc + "))"
+
+
+def _bloom_pos_from_h(i: int):
+    """Position i decoded from the materialized hash column ``__h`` —
+    same slice arithmetic as _bloom_pos_sql, one md5 per row total."""
+    return F.expr(f"({_hex_slice_sql(_H, 4 * i + 1, 4)} % {BLOOM_M})")
+
+
 def bloom_positions(dim, key: str):
     """Occupied-position relation (pos) of the m-bit Bloom set over a
     dimension key column — ≤ m distinct rows however many keys
     qualify; SET-UNION-mergeable (a Bloom bitset merges by OR), which
-    is what the streaming twin exploits."""
-    bloom = None
-    for i in range(BLOOM_K):
-        part = dim.select(F.expr(_bloom_pos_sql(i, key, "STRING")).alias("pos"))
-        bloom = part if bloom is None else bloom.unionByName(part)
-    return bloom.distinct()  # ≤ m rows: constant-size broadcast
+    is what the streaming twin exploits.
+
+    r20 plan shape: ONE dimension scan with the md5 hoisted (the old
+    shape unioned k scans, each re-evaluating the md5 per nibble —
+    3 scans x 16 md5 calls per row); explode emits the same k
+    positions per row, distinct is unchanged."""
+    hashed = dim.select(F.expr(_bloom_hash_sql(key, "STRING")).alias(_H))
+    return hashed.select(
+        F.explode(
+            F.array(*[_bloom_pos_from_h(i) for i in range(BLOOM_K)])
+        ).alias("pos")
+    ).distinct()  # ≤ m rows: constant-size broadcast
 
 
 def bloom_reduce_join(o, dim, bloom):
     """Fact reduction through the occupied-position relation (k
     broadcast semi-joins) followed by the exact join that removes
     false positives, aggregated to the per-priority report. Shared by
-    the one-shot build and the streaming-maintenance twin."""
-    survived = o
+    the one-shot build and the streaming-maintenance twin.
+
+    r20: all k probe positions come from ONE materialized md5 per fact
+    row (was: one inline md5 re-evaluated 4 nibbles x k times); the
+    three semi-joins are unchanged."""
+    hashed = (
+        o.select("*", F.expr(_bloom_hash_sql("o_custkey", "STRING")).alias(_H))
+        .select(
+            "*",
+            *[_bloom_pos_from_h(i).alias(f"_p{i}") for i in range(BLOOM_K)],
+        )
+        .drop(_H)
+    )
+    survived = hashed
     for i in range(BLOOM_K):
-        survived = survived.withColumn("_p", F.expr(_bloom_pos_sql(i, "o_custkey", "STRING"))).join(
-            F.broadcast(bloom), F.col("_p") == F.col("pos"), "left_semi"
-        ).drop("_p")
+        survived = survived.join(
+            F.broadcast(bloom), F.col(f"_p{i}") == F.col("pos"), "left_semi"
+        )
+    survived = survived.drop(*[f"_p{i}" for i in range(BLOOM_K)])
     return (
         survived.join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderpriority")
@@ -220,11 +267,10 @@ def q_sketch_bloom_rollup(spark, sf_dir):
     c = load(spark, sf_dir, "customer").select(
         F.col("c_mktsegment").alias("g"), F.col("c_custkey").alias("k")
     )
-    kpos = [
-        F.expr(_bloom_pos_sql(i, "k", "STRING")) for i in range(BLOOM_K)
-    ]
+    kpos = [_bloom_pos_from_h(i) for i in range(BLOOM_K)]
     leaf = (
-        c.select("g", F.posexplode(F.array(*kpos)).alias("i", "pos"))
+        c.select("g", F.expr(_bloom_hash_sql("k", "STRING")).alias(_H))
+        .select("g", F.posexplode(F.array(*kpos)).alias("i", "pos"))
         .select("g", "pos")
         .distinct()
     )
@@ -244,8 +290,8 @@ def q_sketch_bloom_rollup(spark, sf_dir):
         "o_orderkey", F.col("o_custkey").alias("k")
     )
     opos = o.select(
-        "o_orderkey", F.posexplode(F.array(*kpos)).alias("i", "pos")
-    )
+        "o_orderkey", F.expr(_bloom_hash_sql("k", "STRING")).alias(_H)
+    ).select("o_orderkey", F.posexplode(F.array(*kpos)).alias("i", "pos"))
     surv = (
         opos.join(F.broadcast(filters), "pos")
         .groupBy("g", "o_orderkey")
@@ -262,10 +308,15 @@ def q_sketch_bloom_rollup(spark, sf_dir):
             .select(F.lit("total").alias("g"), "n_exact")
         )
     )
+    # surv/exact are ≤ (|segments|+1)-row aggregates; the md5-hoist
+    # projection inflates their width-scaled size ESTIMATE enough to
+    # flip the planner to sort-merge at small scale — pin the strategy
+    # the real sizes warrant (guide §3.1: explicit broadcast when
+    # estimates are wrong).
     return (
         n_keys.join(n_pos, "g")
-        .join(surv, "g", "left")
-        .join(exact, "g", "left")
+        .join(F.broadcast(surv), "g", "left")
+        .join(F.broadcast(exact), "g", "left")
         .select(
             "g",
             F.col("n_keys").cast("long").alias("n_keys"),
@@ -318,8 +369,29 @@ CMS_SKETCH_SQL = f"""
 
 
 def cms_cell_exprs():
-    """The d per-key (row, cell) coordinate expressions."""
+    """The d per-key (row, cell) coordinate expressions (inline-md5
+    form — kept for the law tests; production paths use
+    cms_cells_hoisted)."""
     return [F.expr(_cms_cell_sql(r, "k", "STRING")) for r in range(CMS_DEPTH)]
+
+
+def _cms_hash_sql(key: str, vc: str = "VARCHAR") -> str:
+    return "md5('cms|' || CAST(" + key + " AS " + vc + "))"
+
+
+def cms_cells_hoisted(df, *keep: str):
+    """(keep..., r, c): the d (row, cell) coordinates of column ``k``
+    with the md5 materialized ONCE per row (was: re-evaluated 2
+    nibbles x d times — plan md5-count 8 -> 1, measured 2.5x on the
+    one-shot build). Same hash text, same decode, bit-identical
+    cells."""
+    cells = [
+        F.expr(_hex_slice_sql(_H, 2 * r + 1, 2)) for r in range(CMS_DEPTH)
+    ]
+    return (
+        df.select(*keep, F.expr(_cms_hash_sql("k", "STRING")).alias(_H))
+        .select(*keep, F.posexplode(F.array(*cells)).alias("r", "c"))
+    )
 
 
 def cms_empty_grid(df):
@@ -340,7 +412,7 @@ def cms_sketch(li):
     one map-combinable pass; cell-wise SUM-mergeable (counts are a
     monoid), which is what the streaming twin exploits."""
     return (
-        li.select(F.posexplode(F.array(*cms_cell_exprs())).alias("r", "c"))
+        cms_cells_hoisted(li)
         .groupBy("r", "c")
         .agg(F.count("*").alias("cnt"))
     )
@@ -351,9 +423,7 @@ def cms_topk(sketch, keys):
     ONE broadcast (r, c) equi-join against the ≤ d·w-row sketch, min
     per key, fully-ordered top-N. Shared by the one-shot build and the
     streaming-maintenance twin."""
-    probe = keys.select(
-        "k", "exact_cnt", F.posexplode(F.array(*cms_cell_exprs())).alias("r", "c")
-    )
+    probe = cms_cells_hoisted(keys, "k", "exact_cnt")
     est = (
         probe.join(F.broadcast(sketch), ["r", "c"], "inner")
         .groupBy("k", "exact_cnt")
@@ -475,7 +545,7 @@ def q_sketch_cms_rollup(spark, sf_dir):
         F.col("l_suppkey").alias("k"),
     )
     leaf = (
-        li.select("g", F.posexplode(F.array(*cms_cell_exprs())).alias("r", "c"))
+        cms_cells_hoisted(li, "g")
         .groupBy("g", "r", "c")
         .agg(F.count("*").alias("cnt"))
     )
@@ -493,10 +563,7 @@ def q_sketch_cms_rollup(spark, sf_dir):
             .select(F.lit("total").alias("g"), "k", "exact_cnt")
         )
     )
-    probe = keys.select(
-        "g", "k", "exact_cnt",
-        F.posexplode(F.array(*cms_cell_exprs())).alias("r", "c"),
-    )
+    probe = cms_cells_hoisted(keys, "g", "k", "exact_cnt")
     est = (
         probe.join(F.broadcast(grid), ["g", "r", "c"], "inner")
         .groupBy("g", "k", "exact_cnt")
@@ -574,13 +641,34 @@ def _hll_oracle(stream_sql: str, key: str) -> str:
 HLL_SKETCH_SQL = _hll_oracle("SELECT o_orderkey AS k FROM orders", "k")
 
 
+def _hll_hash_sql(key: str, vc: str = "VARCHAR") -> str:
+    return "md5('hll|' || CAST(" + key + " AS " + vc + "))"
+
+
+def hll_fields_hoisted(df_k, *keep: str):
+    """(keep..., j, r): register index and rank for column ``k`` with
+    the md5 AND the 24-bit rank value each materialized once per row.
+    The inline form re-evaluated the md5 per nibble per CASE arm —
+    up to ~150 calls per row through the rho ladder; here it is ONE
+    md5, one 6-nibble decode, one ladder over the decoded column.
+    Same hash text, same decode, bit-identical fields."""
+    hashed = df_k.select(
+        *keep, F.expr(_hll_hash_sql("k", "STRING")).alias(_H)
+    )
+    v = hashed.select(
+        *keep,
+        F.expr(_hex_slice_sql(_H, 1, 2)).alias("j"),
+        F.expr(_hex_slice_sql(_H, 3, 6)).alias("__v"),
+    )
+    return v.select(*keep, "j", F.expr(_hll_rho_sql("__v")).alias("r"))
+
+
 def hll_regs(df_k):
     """Sparse register relation (j, m) over a (k) stream — ≤ 2^B rows,
     one map-combined MAX aggregate; register-wise MAX-mergeable (max
     is a monoid), which is what the streaming twin exploits."""
-    bucket, rho = _hll_fields_sql("k", "STRING")
     return (
-        df_k.select(F.expr(bucket).alias("j"), F.expr(rho).alias("r"))
+        hll_fields_hoisted(df_k)
         .groupBy("j")
         .agg(F.max("r").alias("m"))
     )
@@ -729,9 +817,8 @@ def q_sketch_hll_rollup(spark, sf_dir):
         F.year("o_orderdate").cast("string").alias("g"),
         F.col("o_custkey").alias("k"),
     )
-    bucket, rho = _hll_fields_sql("k", "STRING")
     leaf = (
-        o.select("g", F.expr(bucket).alias("j"), F.expr(rho).alias("r"))
+        hll_fields_hoisted(o, "g")
         .groupBy("g", "j")
         .agg(F.max("r").alias("m"))
     )
@@ -990,6 +1077,16 @@ def _theta_hash_sql(key: str, vc: str = "VARCHAR") -> str:
     return _hex_u32_sql(f"md5('th|' || CAST({key} AS {vc}))")
 
 
+def theta_hash_hoisted(keys, *keep: str):
+    """(keep..., h): the u32 theta hash of column ``k`` with the md5
+    materialized once per row (the inline u32 decode re-evaluated it
+    8x — one per nibble). Same hash text, same decode, bit-identical
+    values."""
+    return keys.select(
+        *keep, F.expr("md5('th|' || CAST(k AS STRING))").alias(_H)
+    ).select(*keep, F.expr(_hex_u32_sql(_H)).alias("h"))
+
+
 def _theta_stream_sql(year: int) -> str:
     return (
         "SELECT DISTINCT o_custkey AS k FROM orders "
@@ -1097,6 +1194,14 @@ def theta_order_stream(o, year: int):
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     )
+    # Deliberately NOT theta_hash_hoisted (r20, measured): the hoisted
+    # projection pair blocks the project-into-aggregate collapse here,
+    # and because the readout references each sketch subtree ~5x the
+    # un-collapsed distinct re-plans as 18 extra aggregate/exchange
+    # pairs (plan ledger 32 -> 50 exchanges; warm noop 2.7 -> 4.4 s).
+    # The hash only covers the distinct key relation, so the inline
+    # md5's per-nibble cost is the cheaper side of the trade at this
+    # site.
     return keys, keys.select(F.expr(_theta_hash_sql("k", "STRING")).alias("h"))
 
 
@@ -1323,7 +1428,7 @@ def q_sketch_theta_grouped(spark, sf_dir):
         return base.filter(F.col("yr") == year).select("g", "k").distinct()
 
     def sketch(keys):
-        h = keys.select("g", F.expr(_theta_hash_sql("k", "STRING")).alias("h"))
+        h = theta_hash_hoisted(keys, "g")
         w = W.partitionBy("g").orderBy("h")
         return (
             h.withColumn("rn", F.row_number().over(w))
@@ -1626,9 +1731,7 @@ def q_sketch_theta_rollup(spark, sf_dir):
         F.year("o_orderdate").cast("string").alias("g"),
         F.col("o_custkey").alias("k"),
     )
-    hashes = o.select(
-        "g", F.expr(_theta_hash_sql("k", "STRING")).alias("h")
-    ).distinct()
+    hashes = theta_hash_hoisted(o, "g").distinct()
     w = W.partitionBy("g").orderBy("h")
     leaf = (
         hashes.withColumn("rn", F.row_number().over(w))

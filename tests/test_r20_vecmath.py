@@ -240,3 +240,37 @@ def test_block_boundary_exact():
         zip(df["src"], df["dst"], (_bits(c) for c in df["cosine"]))
     )
     assert key(big) == key(small) and len(big) == 37 * 36
+
+
+def test_pq_assign_udf_bit_equal_join_min_struct(spark, sf_dir):
+    """The NumPy pq_assign kernel must reproduce the r17 shape —
+    broadcast-join explosion + interpreted sqdist fold + MIN(struct
+    (d2, cid, subvec)) — row for row on the real fixture codebook
+    (including any (d2, cid) ties the Lloyd seed produces)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    subs = ann.pq_subvectors(e)
+    cb = ann._pq_group_means(
+        subs.withColumn("g", F.col("vec_id") % ann.PQ_KS), "g"
+    ).localCheckpoint(eager=True)
+
+    # The pre-r20 expression shape, inlined verbatim.
+    scored = subs.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub",
+        F.struct(
+            ann._pq_sqdist().alias("d2"), F.col("cid"), F.col("subvec")
+        ).alias("sc"),
+    )
+    old = (
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min("sc").alias("m"))
+        .select("vec_id", "sub", F.col("m.cid").alias("cid"))
+    )
+    want = {(r["vec_id"], r["sub"]): r["cid"] for r in old.collect()}
+    got = {
+        (r["vec_id"], r["sub"]): r["cid"]
+        for r in ann._pq_assign(subs, cb).collect()
+    }
+    assert got == want and len(got) > 0
