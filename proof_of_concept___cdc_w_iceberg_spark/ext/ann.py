@@ -1008,9 +1008,12 @@ def _pq_dim(e) -> int:
     return len(e.select("embedding").first()[0])
 
 
-def pq_subvectors(e, m: int = PQ_M):
-    """(vec_id, sub, subvec): contiguous d/m-dim slices of each
-    embedding, doubles. One narrow projection, no shuffle."""
+def pq_subvectors(e, m: int = PQ_M, keep: tuple = ()):
+    """(vec_id, keep..., sub, subvec): contiguous d/m-dim slices of
+    each embedding, doubles. One narrow projection, no shuffle.
+    ``keep`` columns ride through the explode (r20: lets build-time
+    metadata like the IVF cell label attach without a corpus-sized
+    join afterwards)."""
     d = _pq_dim(e)
     subdim = d // m
     assert subdim * m == d, f"dim {d} not divisible into {m} subspaces"
@@ -1022,7 +1025,7 @@ def pq_subvectors(e, m: int = PQ_M):
         for i in range(m)
     ])
     return e.select(
-        "vec_id", F.posexplode(slices).alias("sub", "subvec")
+        "vec_id", *keep, F.posexplode(slices).alias("sub", "subvec")
     )
 
 
@@ -1096,7 +1099,11 @@ def pq_train(e, m: int = PQ_M, ks: int = PQ_KS, iters: int = 2):
     < ks entries per subspace). Each iteration localCheckpoints (the
     k-means IVM discipline: plan size stays flat however many
     rounds). Returns the refined codebook."""
-    subs = pq_subvectors(e, m)
+    # subs checkpointed (r20, guide §5): the subvector relation is
+    # re-read by every Lloyd iteration's assign+means job (and it is
+    # tiny — |vectors|·m rows); without the cut each checkpointed
+    # iteration re-ran the scan/join/slice/posexplode subtree.
+    subs = pq_subvectors(e, m).localCheckpoint(eager=True)
     cb = _pq_group_means(
         subs.withColumn("g", F.col("vec_id") % ks), "g"
     ).localCheckpoint(eager=True)
@@ -1107,13 +1114,64 @@ def pq_train(e, m: int = PQ_M, ks: int = PQ_KS, iters: int = 2):
     return cb
 
 
-def pq_encode(e, codebook, m: int = PQ_M):
-    """Codes (vec_id, sub, code): each subvector replaced by its
-    nearest refined centroid's id — PQ_M small ints per vector, the
-    ~32x-compressed serving representation."""
-    return _pq_assign(pq_subvectors(e, m), codebook).select(
-        "vec_id", "sub", F.col("cid").alias("code")
+def pq_encode(e, codebook, m: int = PQ_M, keep: tuple = ()):
+    """Codes (vec_id, keep..., sub, code): each subvector replaced by
+    its nearest refined centroid's id — PQ_M small ints per vector,
+    the ~32x-compressed serving representation. ``keep`` columns ride
+    through (r20: the IVF build attaches the cell label here instead
+    of re-joining the corpus afterwards — one join fewer, and no
+    reliance on size estimates the checkpointed centroid relation no
+    longer carries)."""
+    from . import vecexec
+
+    subs = pq_subvectors(e, m, keep=keep)
+    assign = vecexec.pq_assign_udf(codebook.collect())
+    return subs.select(
+        "vec_id", *keep, "sub", assign("sub", "subvec").alias("code")
     )
+
+
+def _pq_code_arrays(codes, *extra_cols: str):
+    """(vec_id, extra_cols..., mks): each vector's m codes pivoted to
+    ONE sorted array of map keys ``sub·ks + code`` — the per-sub key
+    ranges are disjoint and increasing, so sorting the flat keys IS
+    sub order. The m rows of a vector are produced co-located (one
+    posexplode row group), so the groupBy combines map-side and the
+    exchange carries one row per vector."""
+    return codes.groupBy("vec_id", *extra_cols).agg(
+        F.array_sort(
+            F.collect_list(F.col("sub") * PQ_KS + F.col("code"))
+        ).alias("mks")
+    )
+
+
+def _pq_adc_fold(mks_col: str, tm_col: str):
+    """Σ over subspaces of the query's table entry for this vector's
+    code — m broadcast-map lookups folded with an exact DECIMAL
+    accumulator in fixed sub order. Bit-identical to the former
+    (query, cand) groupBy's ``SUM(CAST(t AS DECIMAL(28,12)))`` →
+    DOUBLE, including NULL semantics: NULL entries (a |t| ≥ 1e16
+    decimal-cast overflow — only hostile-fuzz magnitudes) are SKIPPED
+    like SUM skips them, and an all-NULL entry set yields NULL like an
+    all-NULL SUM group. Exactness: every t is ROUND(·, 9), so all
+    addends carry ≤9 decimal digits and the fold's (38,12)+(28,12) →
+    (38,11) intermediate (Spark trims one scale digit at the precision
+    cap) is still exact — the re-cast to the (38,12) accumulator type
+    loses nothing; the final decimal→double cast is the same cast SUM's
+    decimal(38,12) took."""
+    decs = F.filter(
+        F.transform(
+            F.col(mks_col),
+            lambda mk: F.element_at(F.col(tm_col), mk).cast("decimal(28,12)"),
+        ),
+        lambda v: v.isNotNull(),
+    )
+    folded = F.aggregate(
+        decs,
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, v: (acc + v).cast("decimal(38,12)"),
+    ).cast("double")
+    return F.when(F.size(decs) == 0, F.lit(None).cast("double")).otherwise(folded)
 
 
 def pq_adc_topk(e, codebook, codes, k: int = 5, query_mod: int = 100,
@@ -1145,15 +1203,32 @@ def pq_adc_topk(e, codebook, codes, k: int = 5, query_mod: int = 100,
             9,
         ).alias("t"),
     )
+    # r20 (guide §1.2/§2.3): the old shape JOINED every code row
+    # against the table on (sub, code) — an m-fold row explosion
+    # (|codes|·|queries| joined rows) hash-aggregated back down by a
+    # (query, cand) groupBy. Now codes pivot to one array per vector
+    # (map-side combined — the m rows of a vector are co-located by
+    # construction) and each query's table becomes a broadcast lookup
+    # map; the score is m map lookups summed by a DECIMAL fold in
+    # fixed sub order. Decimal addition is exact, so the fold equals
+    # the old order-nondeterministic decimal SUM bit for bit (the
+    # registry determinism rule — same addends, exact arithmetic).
+    tmap = table.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(
+                (F.col("sub") * PQ_KS + F.col("code")).alias("mk"),
+                F.col("t"),
+            ))
+        ).alias("tm")
+    )
     scored = (
-        codes.join(F.broadcast(table), ["sub", "code"])
+        _pq_code_arrays(codes)
+        .crossJoin(F.broadcast(tmap))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
-        # The cross-subspace sum is a groupBy (order nondeterministic),
-        # so it goes through the DECIMAL cast for exact, order-
-        # independent addition — the registry determinism rule.
-        .agg(F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
-             .alias("adc_dot"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"),
+            _pq_adc_fold("mks", "tm").alias("adc_dot"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dot").desc(), F.col("cand_id")
@@ -1378,7 +1453,16 @@ def ivf_pq_build(e, m: int = PQ_M, ks: int = PQ_KS):
     join (|cells| rows) — no shuffle of the corpus."""
     from .similarity import ivf_cell_centroids
 
-    cent = ivf_cell_centroids(e)
+    # cent checkpointed (r20, guide §5): the centroid aggregation
+    # subtree is referenced by every training iteration, the encode
+    # and the serving probe — each a separate job that re-ran it
+    # before the cut. It is ≤|cells| rows; values are unchanged by
+    # materialization. resid deliberately NOT checkpointed: a
+    # LogicalRDD carries no size statistics, which flipped the
+    # build-time label join to sort-merge (plan-ledger catch) — the
+    # residual projection itself is one broadcast join + a per-row
+    # subtract, cheap to recompute per job once cent is cut.
+    cent = ivf_cell_centroids(e).localCheckpoint(eager=True)
     resid = e.join(F.broadcast(cent), "label").select(
         "vec_id",
         "label",
@@ -1389,12 +1473,11 @@ def ivf_pq_build(e, m: int = PQ_M, ks: int = PQ_KS):
         ).alias("embedding"),
     )
     cb = pq_train(resid, m=m, ks=ks)
-    # Codes carry their cell label (one build-time co-partitioned join
-    # on vec_id), so serving never touches a corpus-scale id→label
-    # map — the index IS (label, vec_id, sub, code).
-    codes = pq_encode(resid, cb, m=m).join(
-        resid.select("vec_id", "label"), "vec_id"
-    )
+    # Codes carry their cell label RIDE-ALONG through the encode (r20:
+    # the former build-time join on vec_id is gone), so serving never
+    # touches a corpus-scale id→label map — the index IS
+    # (label, vec_id, sub, code).
+    codes = pq_encode(resid, cb, m=m, keep=("label",))
     return cent, cb, codes
 
 
@@ -1465,18 +1548,27 @@ def ivf_pq_topk(e, cent, cb, codes, k: int = 5,
         ).alias("t"),
     )
     # Candidates: codes of vectors in probed cells only (codes carry
-    # their label from build; the probe routing broadcasts).
-    cand = codes.join(
+    # their label from build; the probe routing broadcasts). r20: the
+    # per-(query, sub, code) table join + re-aggregation is replaced
+    # by the pivoted-code broadcast-map fold — see pq_adc_topk; the
+    # cross-subspace decimal fold is bit-identical to the former
+    # decimal SUM.
+    tmap = table.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(
+                (F.col("sub") * PQ_KS + F.col("code")).alias("mk"),
+                F.col("t"),
+            ))
+        ).alias("tm")
+    )
+    cand = _pq_code_arrays(codes, "label").join(
         F.broadcast(probed.select("query_id", "label", "qc_dot")), "label"
     ).filter(F.col("vec_id") != F.col("query_id"))
     scored = (
-        cand.join(F.broadcast(table), ["query_id", "sub", "code"])
-        .groupBy("query_id", F.col("vec_id").alias("cand_id"), "qc_dot")
-        .agg(F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
-             .alias("r_dot"))
+        cand.join(F.broadcast(tmap), "query_id")
         .select(
-            "query_id", "cand_id",
-            (F.col("qc_dot") + F.col("r_dot")).alias("adc_dot"),
+            "query_id", F.col("vec_id").alias("cand_id"),
+            (F.col("qc_dot") + _pq_adc_fold("mks", "tm")).alias("adc_dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1557,9 +1649,7 @@ def ivf_pq_upsert(cent, cb, codes, e_new, delete_ids=None, m: int = PQ_M):
             lambda x, c: x - c,
         ).alias("embedding"),
     )
-    new_codes = pq_encode(resid, cb, m=m).join(
-        resid.select("vec_id", "label"), "vec_id"
-    )
+    new_codes = pq_encode(resid, cb, m=m, keep=("label",))
     gone = e_new.select("vec_id")
     if delete_ids is not None:
         gone = gone.unionByName(delete_ids.select("vec_id"))

@@ -65,9 +65,15 @@ NESTED_LOOP_OK = {
     "label — the composed serving layout the q_sim_topk_quantized "
     "allowlist entry names as its scale path",
     "q_sim_ivf_pq": "query x |centroids| probe routing — bounded by "
-    "design, same shape as q_sim_ivf; ADC scoring is equi-joins on "
-    "(label) and (query_id, sub, code), the rerank reads only "
+    "design, same shape as q_sim_ivf; ADC scoring equi-joins the "
+    "probed candidates to the bounded per-query broadcast lookup map "
+    "(r20: pivoted-code map fold), the rerank reads only "
     "|queries|·shortlist vectors",
+    "q_sim_pq": "flat-PQ ADC: candidate x bounded per-query broadcast "
+    "lookup-map attach (r20 map fold — ≤|queries| rows broadcast, the "
+    "same bounded query-set relation q_sim_topk's entry names; the "
+    "probe-free layout scans all codes by design, IVFADC is the "
+    "routed scale path)",
     # Pre-staged for the r19/r20 registrations (plan pre-flighted r17:
     # both inherit q_bm25's 1-row corpus-stats broadcast; the hybrid
     # rung adds a 1-row query-vector broadcast on the dense arm) —
