@@ -1042,6 +1042,15 @@ def connected_components(nodes, pairs, max_rounds: int = 20):
         .persist()
     )
     labels = nodes.select(F.col("node"), F.col("node").alias("comp")).persist()
+    # r20 (guide §1.2): convergence via the MONOTONE LABEL SUM instead
+    # of a join-against-previous probe. Each round's label is
+    # min(previous, propagated) — per-node non-increasing — so
+    # Σcomp is strictly smaller iff ANY label moved, and the 1-row
+    # aggregate both MATERIALIZES the round's persist and answers the
+    # convergence question in ONE job (the old shape paid a second
+    # join+filter+count job per round). Exact: node ids are integers,
+    # the long sum never approximates.
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
     changed = 0
     for rnd in range(max_rounds):
         if rnd and rnd % 5 == 0:
@@ -1057,13 +1066,9 @@ def connected_components(nodes, pairs, max_rounds: int = 20):
             .agg(F.min("comp").alias("comp"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("comp")).first()[0]
+        changed = 0 if new_sum == prev_sum else 1
+        prev_sum = new_sum
         labels.unpersist()
         labels = new_labels
         if changed == 0:

@@ -609,22 +609,23 @@ def multiprobe_assign(e, n_probe: int = 2):
     )
     cent = cent.select("c_label", "centroid", _sqnorm(F.col("centroid")).alias("c_sq"))
     own = e.select("vec_id", F.col("label").alias("cell"))
-    other = (
-        e.join(F.broadcast(cent), F.col("label") != F.col("c_label"))
-        .select(
-            "vec_id",
-            F.col("c_label").alias("cell"),
-            (
-                _dot(F.col("embedding"), F.col("centroid"))
-                / F.sqrt(F.col("sq") * F.col("c_sq"))
-            ).alias("c_cos"),
-        )
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cell"))
+    # r20 (guide §4.2, §2.4): the probe pick used to be a
+    # |corpus| x |cells| non-equi broadcast join, one interpreted
+    # cosine fold per cell per vector, and a per-vector rank window
+    # (an Exchange + Sort). The centroid relation is bounded
+    # (≤ |cells| rows — the same relation the old plan broadcast), so
+    # it collects into a NumPy kernel that replays the IDENTICAL
+    # IEEE754 chain and takes the identical (c_cos DESC, cell ASC)
+    # argmax — one ArrowEvalPython projection, no join, no window
+    # exchange. n_probe > 2 would need the top-(n_probe-1) variant;
+    # every registered consumer uses the default n_probe=2.
+    assert n_probe == 2, "NumPy probe kernel implements n_probe=2"
+    from .vecexec import probe_cell_udf
+
+    probe = probe_cell_udf(cent.collect())
     probes = (
-        other.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") <= n_probe - 1)
-        .select("vec_id", "cell")
+        e.select("vec_id", probe("label", "embedding", "sq").alias("cell"))
+        .filter(F.col("cell").isNotNull())
     )
     return own.unionByName(probes)
 

@@ -213,6 +213,73 @@ def lsh_code_udf(planes):
     return lsh_code
 
 
+def probe_cell_udf(cent_rows):
+    """Factory: a pandas_udf computing each vector's best OTHER-cell
+    probe for similarity.py::multiprobe_assign — the exact-chain NumPy
+    replacement for the |corpus| x |cells| non-equi broadcast join +
+    interpreted cosine folds + per-vector rank window (guide §4.2).
+
+    ``cent_rows`` is the COLLECTED (c_label, centroid, c_sq) relation
+    (≤ |cells| rows — the same bounded relation the old plan
+    broadcast). Per batch: the cosine matrix vs every centroid is the
+    identical IEEE754 chain (seq_dot_matrix / seq_sqnorm products,
+    np.sqrt == Math.sqrt correctly rounded), the own cell is masked
+    to -inf, and argmax returns the FIRST (= lowest-label, labels
+    sorted ascending) occurrence of the maximum — exactly the old
+    ``row_number() OVER (ORDER BY c_cos DESC, cell)`` rn=1 pick."""
+    rows = sorted(
+        ((int(r["c_label"]), r["centroid"], float(r["c_sq"]))
+         for r in cent_rows if r["c_label"] is not None),
+        key=lambda t: t[0],
+    )
+    labels = np.array([t[0] for t in rows], dtype=np.int64)
+    C = np.array([t[1] for t in rows], dtype=np.float64)
+    c_sq = np.array([t[2] for t in rows], dtype=np.float64)
+
+    @F.pandas_udf(LongType())
+    def probe(own_label: pd.Series, emb: pd.Series, sq: pd.Series) -> pd.Series:
+        n = len(emb)
+        if n == 0:
+            return pd.Series(np.array([], dtype=np.int64))
+        M = _mat(emb)
+        dots = vecmath.seq_dot_matrix(M, C)
+        # key = the DESC sort key: Spark sorts NaN LARGEST, so NaN
+        # cosines map to +inf; the own cell never joins (label !=
+        # c_label) so it maps to -inf.
+        key = dots / np.sqrt(
+            sq.to_numpy(dtype=np.float64)[:, None] * c_sq[None, :]
+        )
+        key = np.where(np.isnan(key), np.inf, key)
+        own = own_label.to_numpy()
+        own_null = pd.isna(own_label).to_numpy()
+        own_cmp = np.where(own_null, np.int64(-(2**62)), own).astype(np.int64)
+        own_mask = own_cmp[:, None] == labels[None, :]
+        key[own_mask] = -np.inf
+        # argmax = first (lowest-label) occurrence of the max — the
+        # old (c_cos DESC, cell ASC) rn=1 pick.
+        idx = np.argmax(key, axis=1) if len(labels) else np.zeros(n, dtype=int)
+        out = labels[idx] if len(labels) else np.zeros(n, dtype=np.int64)
+        # No-probe cases, matching the old join exactly: a NULL own
+        # label joins nothing; a corpus with no OTHER cell yields no
+        # probe row; a row whose best key is -inf means every other
+        # cell tied at -inf — pick the lowest other label like the
+        # ASC tiebreak would (only reachable off the density
+        # contract).
+        res = pd.Series(out, dtype="object")
+        if len(labels) == 0:
+            return pd.Series([None] * n, dtype="object")
+        best = key[np.arange(n), idx]
+        ninf = best == -np.inf
+        if ninf.any():
+            for i in np.nonzero(ninf)[0]:
+                others = labels[labels != own_cmp[i]]
+                res.iloc[i] = int(others[0]) if len(others) else None
+        res[own_null] = None
+        return res
+
+    return probe
+
+
 def pq_assign_udf(cb_rows):
     """Factory: a pandas_udf computing the nearest-codebook-centroid id
     for ann.py::_pq_assign — the exact-chain NumPy replacement for the

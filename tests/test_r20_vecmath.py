@@ -274,3 +274,47 @@ def test_pq_assign_udf_bit_equal_join_min_struct(spark, sf_dir):
         for r in ann._pq_assign(subs, cb).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_probe_cell_udf_bit_equal_join_window(spark, sf_dir):
+    """The NumPy probe kernel must reproduce the old shape — non-equi
+    broadcast join + interpreted cosine fold + (c_cos DESC, cell ASC)
+    rank window — probe for probe on the real fixture."""
+    from pyspark.sql import Window
+    from proof_of_concept___cdc_w_iceberg_spark.ext import similarity as sim
+    from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding",
+        _sqnorm(F.col("embedding")).alias("sq"),
+    )
+    dims = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        dims.groupBy("label", "pos")
+        .agg((F.sum(F.col("v").cast("double").cast("decimal(28,12)"))
+              .cast("double") / F.count("*")).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_agg(F.struct("pos", "cv")).alias("pcs"))
+        .select(F.col("label").alias("c_label"),
+                F.array_sort("pcs").cv.alias("centroid"))
+    )
+    cent = cent.select(
+        "c_label", "centroid", _sqnorm(F.col("centroid")).alias("c_sq"))
+
+    # Pre-r20 expression shape, inlined verbatim (n_probe=2).
+    other = e.join(F.broadcast(cent), F.col("label") != F.col("c_label")).select(
+        "vec_id", F.col("c_label").alias("cell"),
+        (_dot(F.col("embedding"), F.col("centroid"))
+         / F.sqrt(F.col("sq") * F.col("c_sq"))).alias("c_cos"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cell"))
+    old = (other.withColumn("rn", F.row_number().over(wv))
+           .filter(F.col("rn") <= 1).select("vec_id", "cell"))
+    want = {(r["vec_id"], r["cell"]) for r in old.collect()}
+
+    probe = vecexec.probe_cell_udf(cent.collect())
+    new = (e.select("vec_id", probe("label", "embedding", "sq").alias("cell"))
+           .filter(F.col("cell").isNotNull()))
+    got = {(r["vec_id"], r["cell"]) for r in new.collect()}
+    assert got == want and len(got) > 0
