@@ -74,7 +74,26 @@ def apply_changes(target: DataFrame, changes: DataFrame, keys: list[str],
     Implemented as: drop every touched key from the target (anti join),
     then append the surviving latest images.
     """
-    latest = compact_latest(changes, keys, order_cols)
+    return upsert_compacted(target, compact_latest(changes, keys, order_cols),
+                            keys, op_col=op_col)
+
+
+def upsert_compacted(target: DataFrame, latest: DataFrame, keys: list[str],
+                     op_col: str = "op",
+                     routed: DataFrame | None = None) -> DataFrame:
+    """The merge half of ``apply_changes`` over an ALREADY-compacted
+    (one row per key) batch. Mirror apply paths that persist the
+    compacted batch up front (versioned/bucketed/specs) call this
+    directly so the batch's window shuffle runs once, not re-planned
+    inside every merge (the old shape passed the compacted batch back
+    through ``apply_changes``, which re-ran ``compact_latest`` on it —
+    an identity, but a second batch-sized Exchange+Sort per commit).
+
+    ``routed``: an optional re-layout of the SAME batch rows (e.g.
+    repartitioned by bucket for the staged write). Only the appended
+    upsert images are drawn from it; the anti-join's broadcast side
+    stays on ``latest`` so building the broadcast never executes the
+    routing exchange."""
     touched = latest.select(*[F.col(k).alias(f"__t_{k}") for k in keys])
     # Null-safe anti join (still a hash equi-join): a plain-equality
     # anti join can never drop a NULL-keyed row, which would break the
@@ -84,7 +103,8 @@ def apply_changes(target: DataFrame, changes: DataFrame, keys: list[str],
         [F.col(k).eqNullSafe(F.col(f"__t_{k}")) for k in keys],
     )
     survivors = target.join(touched, cond, "left_anti")
-    upserts = latest.filter(F.col(op_col) != "d").select(*target.columns)
+    src = latest if routed is None else routed
+    upserts = src.filter(F.col(op_col) != "d").select(*target.columns)
     return survivors.unionByName(upserts)
 
 

@@ -43,7 +43,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .apply import apply_changes, compact_latest
+from .apply import compact_latest, upsert_compacted
 
 BUCKET_COL = "__bucket"
 
@@ -142,18 +142,34 @@ class BucketedMirror:
                 return []
             if self._has_buckets():
                 mirror = self.spark.read.parquet(self.path)
-                subset = (mirror.filter(F.col(BUCKET_COL).isin(touched))
-                          .drop(BUCKET_COL))
+                # BUCKET_COL kept: the scan's rows are already
+                # bucket-aligned (partition dirs), so the staged write
+                # below needs no full-table re-clustering.
+                subset = mirror.filter(F.col(BUCKET_COL).isin(touched))
             else:
-                subset = self._empty()
-            merged = apply_changes(subset, latest, self.keys, op_col=op_col,
-                                   order_cols=self.order_cols)
+                subset = self._with_bucket(self._empty())
+            # r20 (guide §2.4/§8): survivors never shuffle — the
+            # anti-join's batch side broadcasts, and each survivor row
+            # is written from the scan task that read it. Only the
+            # BATCH leg is routed by bucket (a batch-sized exchange).
+            # The old shape re-shuffled the ENTIRE merged relation by
+            # the 16-value bucket column — at 100 TB that moves every
+            # surviving byte once more and funnels each ~25 GB bucket
+            # through a single writer task; skipping it leaves
+            # scan-sized (~128 MB) files per bucket instead. The batch
+            # also arrives already compacted, so the second compaction
+            # window apply_changes used to re-plan is gone
+            # (upsert_compacted).
+            routed = self._with_bucket(latest).repartition(BUCKET_COL)
+            merged = upsert_compacted(subset, self._with_bucket(latest),
+                                      self.keys, op_col=op_col,
+                                      routed=routed)
             # Stage before overwriting partitions we are also reading
             # from — the parquet-table analogue of Iceberg's snapshot
             # commit.
             staged = f"{self.path}_{tag}_staged"
-            (self._with_bucket(merged).repartition(BUCKET_COL)
-             .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staged))
+            (merged.write.mode("overwrite")
+             .partitionBy(BUCKET_COL).parquet(staged))
         finally:
             latest.unpersist()
         # Publish = per-partition directory swap of the staged commit
@@ -352,16 +368,21 @@ class TwoLevelMirror(BucketedMirror):
             buckets = sorted({b for _, b in touched})
             if self._has_buckets():
                 mirror = self.spark.read.parquet(self.path)
-                subset = (mirror.filter(F.col(self.date_col).isin(dates)
-                                        & F.col(BUCKET_COL).isin(buckets))
-                          .drop(BUCKET_COL))
+                # BUCKET_COL kept — same survivors-never-shuffle shape
+                # as BucketedMirror.apply (r20, guide §2.4/§8): the
+                # scan is already (date, bucket)-aligned; only the
+                # batch leg routes.
+                subset = mirror.filter(F.col(self.date_col).isin(dates)
+                                       & F.col(BUCKET_COL).isin(buckets))
             else:
-                subset = self._empty()
-            merged = apply_changes(subset, latest, self.keys, op_col=op_col,
-                                   order_cols=self.order_cols)
+                subset = self._with_bucket(self._empty())
+            routed = (self._with_bucket(latest)
+                      .repartition(self.date_col, BUCKET_COL))
+            merged = upsert_compacted(subset, self._with_bucket(latest),
+                                      self.keys, op_col=op_col,
+                                      routed=routed)
             staged = f"{self.path}_{tag}_staged"
-            (self._with_bucket(merged).repartition(self.date_col, BUCKET_COL)
-             .write.mode("overwrite")
+            (merged.write.mode("overwrite")
              .partitionBy(self.date_col, BUCKET_COL).parquet(staged))
         finally:
             latest.unpersist()

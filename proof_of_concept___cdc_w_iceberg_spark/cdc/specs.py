@@ -50,7 +50,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from .apply import apply_changes
+from .apply import upsert_compacted
 from .bucketed import BUCKET_COL, bucket_expr
 from .versioned import CommitConflictError, SnapshotMirror
 
@@ -188,11 +188,19 @@ class SpecEvolvingMirror(SnapshotMirror):
                                              linear=linear)
                 subset = self._read_dirs(
                     sorted(affected.values()), m["schema"]).drop(BUCKET_COL)
-                merged = apply_changes(subset, latest, self.keys,
-                                       op_col=op_col,
-                                       order_cols=self.order_cols)
+                # r20 (guide §2.4/§8): survivors rewrite under the
+                # current spec WITHOUT a full-relation shuffle — the
+                # bucket value is a projection of the keys, so
+                # partitionBy routes each scan task's rows directly;
+                # only the batch leg exchanges (batch-sized). The
+                # batch is already compacted (apply() persisted it),
+                # so apply_changes' second compaction window is gone.
+                routed = latest.repartition(bucket_expr(self.keys, spec))
+                merged = upsert_compacted(subset, latest, self.keys,
+                                          op_col=op_col, routed=routed)
                 written = self._write_commit_data(
-                    merged, self.current_version() + 1, n_buckets=spec)
+                    merged, self.current_version() + 1, n_buckets=spec,
+                    cluster=False)
                 buckets = {label: d for label, d in entries.items()
                            if label not in affected}
                 for b, d in written.items():

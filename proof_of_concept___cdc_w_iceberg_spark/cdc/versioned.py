@@ -33,7 +33,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .apply import apply_changes, compact_latest
+from .apply import compact_latest, upsert_compacted
 from .bucketed import BUCKET_COL, bucket_expr
 from .diff import table_changes
 
@@ -215,7 +215,8 @@ class SnapshotMirror:
     # --- data IO ---
 
     def _write_commit_data(self, df: DataFrame, version: int,
-                           n_buckets: int | None = None) -> dict[str, str]:
+                           n_buckets: int | None = None,
+                           cluster: bool = True) -> dict[str, str]:
         """Write df's buckets under data/commit_{version}_{uniq};
         return bucket → dir entries for the buckets that produced
         files. The uniquifier makes concurrent writers' data dirs
@@ -223,16 +224,32 @@ class SnapshotMirror:
         orphan vacuum never depend on the dir NAME matching the
         version the writer eventually wins in ``_commit``).
         ``n_buckets`` overrides the layout spec (cdc/specs.py writes
-        under the manifest's CURRENT spec, not the constructor's)."""
+        under the manifest's CURRENT spec, not the constructor's).
+
+        ``cluster=False`` skips the full-relation Exchange before the
+        write (r20, guide §2.4/§8): a COW merge's survivor leg was READ
+        from per-bucket data dirs, so its rows already sit in
+        bucket-aligned scan tasks — re-shuffling the whole merged
+        relation by a 16-value key moved every surviving byte over the
+        network (and, at 100 TB, serialized each 25 GB bucket through
+        ONE writer task) only to recreate the clustering the scan
+        already had. With the shuffle skipped, partitionBy still routes
+        each row to its bucket dir; a task holding several buckets'
+        rows just writes several files (manifests map bucket → dir, not
+        bucket → one file). Callers keep the batch leg tidy by routing
+        it alone (a batch-sized exchange) before the union. init-style
+        full loads keep ``cluster=True`` — one clean file per bucket,
+        Iceberg's hash distribution-mode."""
         import uuid
 
         commit_dir = os.path.join(
             self.path, "data",
             f"commit_{version:05d}_{uuid.uuid4().hex[:8]}")
         n = self.n_buckets if n_buckets is None else n_buckets
-        (df.withColumn(BUCKET_COL, bucket_expr(self.keys, n))
-         .repartition(BUCKET_COL)
-         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir))
+        out = df.withColumn(BUCKET_COL, bucket_expr(self.keys, n))
+        if cluster:
+            out = out.repartition(BUCKET_COL)
+        (out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir))
         out: dict[str, str] = {}
         for name in os.listdir(commit_dir):
             if name.startswith(f"{BUCKET_COL}="):
@@ -355,10 +372,20 @@ class SnapshotMirror:
                                         parent=base, linear=not pinned)
                 subset_dirs = [d for b, d in m["buckets"].items() if b in touched]
                 subset = self._read_dirs(subset_dirs, m["schema"]).drop(BUCKET_COL)
-                merged = apply_changes(subset, latest, self.keys, op_col=op_col,
-                                       order_cols=self.order_cols)
+                # r20 (guide §2.4/§8): survivors stay in their scan
+                # tasks (broadcast anti-join is narrow); only the
+                # BATCH leg is routed by bucket — a batch-sized
+                # exchange — so the staged write needs no full-table
+                # shuffle (cluster=False). The batch arrives already
+                # compacted and persisted (_prepare_batch), so the old
+                # second compaction window inside apply_changes is
+                # gone too (upsert_compacted).
+                routed = latest.repartition(
+                    bucket_expr(self.keys, self.n_buckets))
+                merged = upsert_compacted(subset, latest, self.keys,
+                                          op_col=op_col, routed=routed)
                 written = self._write_commit_data(
-                    merged, self.current_version() + 1)
+                    merged, self.current_version() + 1, cluster=False)
                 buckets = {b: d for b, d in m["buckets"].items()
                            if b not in touched}
                 buckets.update(written)  # touched-but-now-empty buckets drop

@@ -204,18 +204,31 @@ def q_graph_triangles(spark, sf_dir):
     Reports the {TRI_TOPN} most triangle-dense nodes (full ordering
     with id tiebreaker)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    # r20 (guide §2.4): edge generation used to be a line-level
+    # self-join on l_orderkey (two sorted exchanges of the fact + an
+    # SMJ) re-aggregated by pair. The join's COUNT(*) is
+    # Σ_orders cnt_u·cnt_v, so one groupBy(order) into a sorted
+    # (suppkey, cnt) array + an in-task two-Generate pair explode
+    # computes the identical integer weights with ONE fact exchange
+    # and no join. Per-order arrays are a handful of entries (lines
+    # per order is a small constant at any scale), so the explode is
+    # O(basket²) in-task — the same bound the join had.
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(F.count("*").alias("c"))
+    baskets = per.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.struct("l_suppkey", "c"))).alias("ss")
+    )
+    lhs = baskets.select("ss", F.posexplode("ss").alias("i", "sa"))
+    pair_w = lhs.select(
+        F.col("sa.l_suppkey").alias("u"),
+        F.col("sa.c").alias("ca"),
+        F.explode(
+            F.slice(F.col("ss"), F.col("i") + F.lit(2),
+                    F.size("ss") - F.col("i") - F.lit(1))
+        ).alias("sb"),
+    )
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .agg(F.count("*").alias("w"))
+        pair_w.groupBy(F.col("u"), F.col("sb.l_suppkey").alias("v"))
+        .agg(F.sum(F.col("ca") * F.col("sb.c")).alias("w"))
         .filter(F.col("w") >= TRI_MINW)
         .select("u", "v")
         .persist()  # three join references below; released by harness clearCache
@@ -233,10 +246,11 @@ def q_graph_triangles(spark, sf_dir):
             F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
         )
     )
+    # r20 (guide §1.2): the 3-way union re-executed the triangle join
+    # once per branch; exploding the (a, b, c) triple emits the same
+    # node multiset from ONE execution.
     per_node = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
@@ -289,28 +303,42 @@ def q_basket_pairs(spark, sf_dir):
     pair relation. A 100 TB fact changes only partition counts; the
     giant-basket skew guard (cap or sample baskets above ~1e3 items,
     the standard Apriori hygiene) is noted for real catalogs."""
-    items = (
+    # r20 (guide §2.4): ONE exchange of the fact builds the per-order
+    # sorted basket (collect_set dedups in the aggregate — the old
+    # shape paid a distinct exchange AND a second self-join exchange
+    # plus an SMJ); pairs explode in-task (Σ basket² stays the bound),
+    # and the frequency/total aggregates derive from the SAME basket
+    # relation without another fact scan.
+    baskets = (
         load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .persist()  # three consumers below; released by harness clearCache
     )
-    a = items.alias("a")
-    b = items.alias("b")
+    # NULL-order rows: the old equi-join never matched them (NULL = NULL
+    # is false) and countDistinct skipped them, while groupBy makes a
+    # NULL group — exclude that group from pairs and the order total
+    # (freq keeps it: a distinct (NULL, part) row counted there).
+    keyed = baskets.filter(F.col("l_orderkey").isNotNull())
+    lhs = keyed.select("ps", F.posexplode("ps").alias("i", "part_a"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        lhs.select(
+            "part_a",
+            F.explode(
+                F.slice(F.col("ps"), F.col("i") + F.lit(2),
+                        F.size("ps") - F.col("i") - F.lit(1))
+            ).alias("part_b"),
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= BASKET_MINSUP)
     )
-    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
-    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = keyed.agg(F.count("*").alias("n_orders"))
     fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
     fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
     return (

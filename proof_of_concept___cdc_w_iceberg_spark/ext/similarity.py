@@ -576,10 +576,13 @@ def q_knn_graph(spark, sf_dir):
     )
 
 
-def multiprobe_assign(e, n_probe: int = 2):
+def multiprobe_assign(e, n_probe: int = 2, carry: tuple = ()):
     """Multi-probe cell assignment (round-4 verdict task 8): each
     vector lands in its OWN label cell plus its nearest OTHER label
     centroid — (vec_id, cell) with ≤ ``n_probe`` rows per vector.
+    ``carry`` names extra ``e`` columns to ride along on every
+    assignment row (r20: the pair kernels want the embedding ON the
+    member row, so the corpus never joins back for it).
 
     Keeping the own cell makes the induced pair set a strict SUPERSET
     of the single-cell blocking (recall can only go up); the extra
@@ -623,10 +626,14 @@ def multiprobe_assign(e, n_probe: int = 2):
     from .vecexec import probe_cell_udf
 
     probe = probe_cell_udf(cent.collect())
+    carry_cols = list(carry)
     probes = (
-        e.select("vec_id", probe("label", "embedding", "sq").alias("cell"))
+        e.select("vec_id", probe("label", "embedding", "sq").alias("cell"),
+                 *carry_cols)
         .filter(F.col("cell").isNotNull())
     )
+    if carry_cols:
+        own = e.select("vec_id", F.col("label").alias("cell"), *carry_cols)
     return own.unionByName(probes)
 
 
@@ -743,21 +750,19 @@ def q_knn_graph_multiprobe(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
     )
-    from .vecexec import pair_cosine
+    from .vecexec import cell_pair_scores
 
-    assign = multiprobe_assign(e).persist()
-    pairs = _cell_blocked_pairs(e, assign)
-    # r20 (guide §4.2): Arrow-batched exact-chain cosine — same bits.
-    cos = pair_cosine(
-        F.col("a_emb"), F.col("b_emb"), F.col("a_sq"), F.col("b_sq")
-    )
-    scored = pairs.select("id_a", "id_b", cos.alias("cosine"))
-    # Both edge directions, then per-source top-k.
-    sym = scored.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
-    ).unionByName(
-        scored.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cosine")
-    )
+    # r20 (guide §8/§4.2): the embedding RIDES the assignment row, so
+    # each member crosses the cell exchange once (≤ n_probe payloads
+    # per vector) and the per-cell NumPy kernel explodes pairs
+    # in-task — the old shape shuffled the distinct CANDIDATE pair set
+    # and then joined the corpus twice to re-attach both embeddings
+    # (two payloads per PAIR). The kernel emits both directions with
+    # the identical IEEE754 chain, so a pair sharing BOTH cells yields
+    # bit-identical duplicate rows and distinct() collapses them —
+    # the same relation the old symmetrized join produced.
+    members = multiprobe_assign(e, carry=("embedding",))
+    sym = cell_pair_scores(members, cell_col="cell").distinct()
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
         sym.withColumn("rn", F.row_number().over(w))
@@ -775,15 +780,24 @@ def semantic_edges_multiprobe(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
     )
-    from .vecexec import pair_cosine
+    from .vecexec import cell_pair_scores
 
-    assign = multiprobe_assign(e).persist()
-    pairs = _cell_blocked_pairs(e, assign)
-    # r20 (guide §4.2): Arrow-batched exact-chain cosine — same bits.
-    cos = pair_cosine(
-        F.col("a_emb"), F.col("b_emb"), F.col("a_sq"), F.col("b_sq")
+    # r20 (guide §8/§4.2): embedding rides the assignment, pairs
+    # explode in the per-cell NumPy kernel, and only the ordered half
+    # over the threshold survives — the corpus never joins back to
+    # re-attach embeddings per pair (see q_knn_graph_multiprobe).
+    # distinct() collapses the bit-identical duplicate a pair sharing
+    # BOTH cells emits, matching the old candidate-level distinct.
+    members = multiprobe_assign(e, carry=("embedding",))
+    return (
+        cell_pair_scores(members, cell_col="cell")
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (F.round(F.col("cosine"), 6) >= SEM_T)
+        )
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+        .distinct()
     )
-    return pairs.filter(F.round(cos, 6) >= SEM_T).select("id_a", "id_b")
 
 
 SEMANTIC_MULTIPROBE_SQL = f"""
@@ -830,7 +844,13 @@ def q_dedup_semantic_multiprobe(spark, sf_dir):
     in tests/test_ext.py."""
     from .dedup import connected_components
 
-    pairs = semantic_edges_multiprobe(spark, sf_dir)
+    # Lineage cut before propagation (r20, guide §5/§3.3): the CC
+    # loop's per-round plan re-embeds the pair relation's lineage, so
+    # the kernel/distinct pipeline was analyzed once per round (the
+    # pre-cut ledger row carried 70 plan-level exchanges). The edge
+    # list is bounded (duplicate pairs over threshold), so an eager
+    # checkpoint flattens every round's plan to a LogicalRDD read.
+    pairs = semantic_edges_multiprobe(spark, sf_dir).localCheckpoint(eager=True)
     nodes = load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("node"))
     labels = connected_components(nodes, pairs)
     return labels.select(
