@@ -368,21 +368,28 @@ class TwoLevelMirror(BucketedMirror):
             buckets = sorted({b for _, b in touched})
             if self._has_buckets():
                 mirror = self.spark.read.parquet(self.path)
-                # BUCKET_COL kept — same survivors-never-shuffle shape
-                # as BucketedMirror.apply (r20, guide §2.4/§8): the
-                # scan is already (date, bucket)-aligned; only the
-                # batch leg routes.
-                subset = mirror.filter(F.col(self.date_col).isin(dates)
-                                       & F.col(BUCKET_COL).isin(buckets))
+                subset = (mirror.filter(F.col(self.date_col).isin(dates)
+                                        & F.col(BUCKET_COL).isin(buckets))
+                          .drop(BUCKET_COL))
             else:
-                subset = self._with_bucket(self._empty())
-            routed = (self._with_bucket(latest)
-                      .repartition(self.date_col, BUCKET_COL))
-            merged = upsert_compacted(subset, self._with_bucket(latest),
-                                      self.keys, op_col=op_col,
-                                      routed=routed)
+                subset = self._empty()
+            # upsert_compacted (not apply_changes): the batch arrives
+            # compacted+persisted, so the merge plans ONE batch window
+            # (r20 wave 7). The staged write KEEPS the clustering
+            # exchange here, unlike BucketedMirror — measured (r20,
+            # interleaved A/B at sf0.1): the survivors-never-shuffle
+            # shape on the date x bucket GRID writes through ~3x more
+            # tasks with a per-task dynamic-partition sort and 2x the
+            # files, landing ~2x SLOWER warm (6.8-8.6 s vs 3.1-4.9 s);
+            # the 112-leaf grid gives the clustered write plenty of
+            # writer parallelism, so the single-writer-per-leaf concern
+            # that motivated the flat mirrors' shape does not bite.
+            merged = upsert_compacted(subset, latest, self.keys,
+                                      op_col=op_col)
             staged = f"{self.path}_{tag}_staged"
-            (merged.write.mode("overwrite")
+            (self._with_bucket(merged)
+             .repartition(self.date_col, BUCKET_COL)
+             .write.mode("overwrite")
              .partitionBy(self.date_col, BUCKET_COL).parquet(staged))
         finally:
             latest.unpersist()

@@ -1798,12 +1798,27 @@ def q_cdc_wap_race(spark, sf_dir):
 
     m.branch_create("race_a")
     m.branch_create("race_b")
-    m.apply_to_branch("race_a", batch_a)
-    m.apply_to_branch("race_b", batch_b)  # same base: the race
-    for br, batch in (("race_a", batch_a), ("race_b", batch_b)):
-        audit = wap_audit(m.read_ref(br).drop("__bucket"), keys,
-                          batch_keys=batch)
-        assert audit == {"null_keys": 0, "dup_keys": 0}, (br, audit)
+    # r20 (guide §2.6): the two branch writers ARE concurrent — that is
+    # the scenario this rung registers — so run them as concurrent
+    # driver threads instead of serializing their Spark jobs. The
+    # commit protocol is collision-safe by design (exclusive-create
+    # manifests, uniquified data dirs, per-ref CAS), each writer's
+    # batch/tail tasks back-fill the other's idle executors, and the
+    # published CONTENT is version-number-independent (the oracle
+    # hashes the final read). Audits overlap the same way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(m.apply_to_branch, "race_a", batch_a)
+        fb = pool.submit(m.apply_to_branch, "race_b", batch_b)  # the race
+        fa.result(), fb.result()
+        audits = {
+            br: pool.submit(
+                wap_audit, m.read_ref(br).drop("__bucket"), keys, batch)
+            for br, batch in (("race_a", batch_a), ("race_b", batch_b))
+        }
+        for br, fut in audits.items():
+            assert fut.result() == {"null_keys": 0, "dup_keys": 0}, br
 
     m.fast_forward("main", "race_a")
     published = m.get_ref("main")
