@@ -1234,20 +1234,12 @@ def connected_components_apply(labels, new_edges):
         .filter(F.col("comp_a") != F.col("comp_b"))
         .select(F.col("comp_a").alias("id_a"), F.col("comp_b").alias("id_b"))
         .distinct()
-        # Lineage cut BEFORE propagation: the component graph is
-        # bounded (≤|batch| edges) but its PLAN embeds the batch's
-        # pair-generation pipeline ~3× (new_edges once, la/lb via the
-        # newcomers branch twice), and the CC loop re-references it
-        # per round — serialized tasks grow ~6·rounds × that plan and
-        # OOM the driver on deep pair pipelines (observed with the
-        # ngram verify tail as the edge source). Checkpointing the
-        # tiny relation makes every loop-round plan flat.
+        # Lineage cut kept even though the loop below is gone (r20
+        # measured: removing it regressed the warm apply 4.7 -> 7.0 s
+        # — the collect's un-cut plan re-derives the la/lb join tree
+        # through AQE with a worse stage shape than the checkpointed
+        # materialization).
         .localCheckpoint(eager=True)
-    )
-    comp_nodes = (
-        comp_edges.select(F.col("id_a").alias("node"))
-        .unionByName(comp_edges.select(F.col("id_b").alias("node")))
-        .distinct()
     )
     # Materialize the merge map to ROWS (bounded: ≤ 2·|batch| entries)
     # and relabel via a literal broadcast relation. This is also the
@@ -1255,11 +1247,36 @@ def connected_components_apply(labels, new_edges):
     # the map as a plan chains each apply's iterative loop into the
     # next one's, and the compounding logical plan OOMs the driver
     # after a handful of batches.
-    cc = connected_components(comp_nodes, comp_edges)
-    mm_rows = cc.collect()
-    cc.unpersist()  # one leaked cache per apply otherwise
-    if not mm_rows:
+    #
+    # r20 (guide §1.2): the component graph is BOUNDED and its labels
+    # were collected to the driver anyway, so min-label propagation
+    # runs here as a driver union-find over the collected edges (exact
+    # integer work on metadata-sized state — the same boundedness
+    # contract the old distributed-loop-then-collect relied on). The
+    # distributed CC loop cost ~5 fixed-latency Spark jobs per apply
+    # on a relation of a few hundred rows; one collect replaces them.
+    edge_rows = comp_edges.collect()
+    if not edge_rows:
         return full
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        a, b = find(int(row["id_a"])), find(int(row["id_b"]))
+        if a != b:
+            # min-id representative == connected_components' comp label
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    mm_rows = [
+        {"node": n, "comp": find(n)} for n in list(parent)
+    ] + [{"node": n, "comp": n} for n in set(map(find, parent)) - set(parent)]
     merge_map = new_edges.sparkSession.createDataFrame(
         [(int(r["node"]), int(r["comp"])) for r in mm_rows],
         "comp long, merged long",
