@@ -898,10 +898,39 @@ def main() -> None:
     # TIMESTAMP(NANOS) handling for events.parquet, and a raw read of
     # a nanos-stamped fixture crashes the whole bench at warm-up
     # before any timing (r11 advice).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from proof_of_concept___cdc_w_iceberg_spark.sources.tables import TABLES, load
 
     for t in TABLES:
         load(spark, sf_dir, t).count()
+
+    # Codegen/JIT warm-up (r20, guide §1 — measurement hygiene, same
+    # class as the page-cache pre-read above): a FRESH JVM charges the
+    # first ~15 timed queries with one-time whole-stage-codegen and C2
+    # compilation of the window/aggregate/join/generate operator
+    # classes — measured r20: the suite-order-first queries ran 2-4x
+    # over their own warm floors while the identical mid-suite noop
+    # probe had settled (0.21-0.32 s start band vs 0.08 s mid), and an
+    # untimed synthetic plan exercising those operators recovered a
+    # ~3.7 s median on the first eight timed queries (A/B across
+    # alternating fresh sessions; OPTIMIZATION_r20.md). The relation is
+    # synthetic (spark.range) — no fixture bytes, no query results, so
+    # nothing a timed query computes is precomputed.
+    _wdf = spark.range(200_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"),
+        F.rand(7).alias("v"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"))
+    _w = Window.partitionBy("k").orderBy("v")
+    _wa = (_wdf.withColumn("rn", F.row_number().over(_w))
+           .withColumn("s", F.sum("v").over(_w)))
+    _wb = _wdf.groupBy("k").agg(F.sum("v").alias("sv"),
+                                F.count("*").alias("n"))
+    (_wa.join(_wb, "k")
+     .join(F.broadcast(_wb.limit(50)), "k", "left_semi")
+     .select("k", "rn", "s", F.explode("arr").alias("x"))
+     .write.format("noop").mode("overwrite").save())
 
     # Fixed-overhead probe (r15, decomposed r16): calib_s measures
     # pure-CPU speed, but the class-B drift signature (SCALING.md
