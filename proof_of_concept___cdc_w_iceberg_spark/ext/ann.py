@@ -380,8 +380,20 @@ def _knn_topk(scored):
 
 
 def knn_graph_state(e):
-    """Full-precision blocked kNN graph state (src, dst, cosine, rn)."""
-    return _knn_topk(_knn_scored(e, e))
+    """Full-precision blocked kNN graph state (src, dst, cosine, rn).
+
+    r21 (guide §4.2): the FULL-CORPUS self-score goes through the
+    per-cell NumPy kernel (vecexec.cell_pair_scores — identical
+    IEEE754 chain, bit-equality pinned in tests/test_r20_vecmath.py),
+    exactly like the one-shot q_knn_graph. This is the scoped half of
+    the r20 negative result on _knn_scored: the kernel LOST on the
+    batch-sized apply calls (which keep the join + fold below), but
+    the state build is Σ|cell|² pairs over the whole corpus — the
+    shape where the fold's interpreted per-pair cost dominates and
+    the kernel won in r20."""
+    from .vecexec import cell_pair_scores
+
+    return _knn_topk(cell_pair_scores(e))
 
 
 def knn_graph_apply(state, e_old, e_new):
@@ -424,7 +436,17 @@ def knn_graph_delete_apply(state, e_surv, deletes):
     e_broken = e_surv.join(
         broken.withColumnRenamed("src", "vec_id"), "vec_id"
     )
-    reranked = _knn_topk(_knn_scored(e_broken, e_surv))
+    # r21 (guide §4.2): the broken-node rerank scores |broken|·|cell|
+    # pairs — a scattered delete batch breaks a quarter of the corpus
+    # (k edges each), so this side is corpus-scale, not batch-scale:
+    # the regime where the NumPy kernel wins (interleaved A/B r21:
+    # 0.88 -> 0.57 s at q_knn_graph_delete shape, neutral at the
+    # streaming upsert's 600-vector shape). The truly batch-sized
+    # scoring calls (knn_graph_apply) keep the join + fold per the
+    # r20 negative result on _knn_scored.
+    from .vecexec import cogroup_pair_scores
+
+    reranked = _knn_topk(cogroup_pair_scores(e_broken, e_surv))
     return keep.unionByName(reranked)
 
 

@@ -1,0 +1,156 @@
+"""r21 optimization probes: interleaved same-session A/B for the
+round's candidate changes (guide §1; r20 protocol — box noise is
+bursty, only interleaved comparisons are trusted). Run with probe
+names as argv. Not part of the driver contract."""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from proof_of_concept___cdc_w_iceberg_spark.session import get_spark
+from proof_of_concept___cdc_w_iceberg_spark.sources.tables import load
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark("opt_probe_r21")
+spark.sparkContext.setLogLevel("ERROR")
+
+_t0 = None
+
+
+def tic():
+    global _t0
+    _t0 = time.perf_counter()
+
+
+def toc(label):
+    dt = time.perf_counter() - _t0
+    print(f"  {label:46s} {dt:7.3f}s", flush=True)
+    return dt
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def probe_knn_state_ab(rounds: int = 3):
+    """Old join+fold state build vs new cell_pair_scores kernel, and
+    the same comparison for the delete-apply rerank leg."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import _sqnorm
+    from proof_of_concept___cdc_w_iceberg_spark.ext.vecexec import (
+        cell_pair_scores, cogroup_pair_scores)
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    ).localCheckpoint(eager=True)
+    print("== knn_graph_state build: old join+fold vs kernel ==")
+
+    def old_build():
+        noop(ann._knn_topk(ann._knn_scored(e, e)))
+
+    def new_build():
+        noop(ann._knn_topk(cell_pair_scores(e)))
+
+    for i in range(rounds):
+        for label, fn in (("old", old_build), ("new", new_build)):
+            tic(); fn(); toc(f"state build round {i} {label}")
+
+    print("== delete-apply rerank: old join+fold vs cogroup kernel ==")
+    state = ann.knn_graph_state(e).localCheckpoint(eager=True)
+    dels = e.filter(F.col("vec_id") % 11 == 3).select("vec_id")
+    surv = e.filter(F.col("vec_id") % 11 != 3).localCheckpoint(eager=True)
+    dels_b = F.broadcast(dels.select(F.col("vec_id").alias("del_id")))
+    alive = state.join(dels_b, F.col("src") == F.col("del_id"), "left_anti")
+    broken = (
+        alive.join(dels_b, F.col("dst") == F.col("del_id"), "left_semi")
+        .select("src").distinct().localCheckpoint(eager=True)
+    )
+    e_broken = surv.join(
+        broken.withColumnRenamed("src", "vec_id"), "vec_id"
+    ).localCheckpoint(eager=True)
+    print(f"  broken nodes: {e_broken.count()} of {surv.count()}")
+
+    def old_rerank():
+        noop(ann._knn_topk(ann._knn_scored(e_broken, surv)))
+
+    def new_rerank():
+        noop(ann._knn_topk(cogroup_pair_scores(e_broken, surv)))
+
+    def filt_rerank():
+        scored = cell_pair_scores(surv).join(broken, "src", "left_semi")
+        noop(ann._knn_topk(scored))
+
+    for i in range(rounds):
+        for label, fn in (("old", old_rerank), ("cogroup", new_rerank),
+                          ("filter", filt_rerank)):
+            tic(); fn(); toc(f"rerank round {i} {label}")
+
+
+def probe_knn_queries(rounds: int = 2):
+    """End-to-end timing of the four IVM rungs as registered (current
+    code state — run before/after an edit for same-session A/B)."""
+    from proof_of_concept___cdc_w_iceberg_spark import registry
+    qs = registry.queries()
+    names = ["q_knn_graph_delete", "q_knn_graph_incremental",
+             "q_stream_knn_graph_upsert", "q_stream_knn_graph"]
+    for i in range(rounds):
+        for n in names:
+            spark.catalog.clearCache()
+            tic(); noop(qs[n](spark, SF)); toc(f"round {i} {n}")
+
+
+PROBES = {
+    "knn_state_ab": probe_knn_state_ab,
+    "knn_queries": probe_knn_queries,
+}
+
+
+def probe_rerank_small(rounds: int = 3):
+    """Delete-apply rerank A/B at q_stream_knn_graph_upsert scale
+    (600-vector corpus, ~86 deletes) — the regime where r20 measured
+    cogroup 2x worse."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import _sqnorm
+    from proof_of_concept___cdc_w_iceberg_spark.ext.vecexec import (
+        cogroup_pair_scores)
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    ).filter(F.col("vec_id") <= 600).localCheckpoint(eager=True)
+    state = ann.knn_graph_state(e).localCheckpoint(eager=True)
+    del_cond = F.col("vec_id") % 7 == 2
+    dels = e.filter(del_cond).select("vec_id")
+    surv = e.filter(~del_cond).localCheckpoint(eager=True)
+    dels_b = F.broadcast(dels.select(F.col("vec_id").alias("del_id")))
+    alive = state.join(dels_b, F.col("src") == F.col("del_id"), "left_anti")
+    broken = (
+        alive.join(dels_b, F.col("dst") == F.col("del_id"), "left_semi")
+        .select("src").distinct().localCheckpoint(eager=True)
+    )
+    e_broken = surv.join(
+        broken.withColumnRenamed("src", "vec_id"), "vec_id"
+    ).localCheckpoint(eager=True)
+    print(f"== small rerank: broken {e_broken.count()} of {surv.count()} ==")
+
+    def old_rerank():
+        noop(ann._knn_topk(ann._knn_scored(e_broken, surv)))
+
+    def new_rerank():
+        noop(ann._knn_topk(cogroup_pair_scores(e_broken, surv)))
+
+    for i in range(rounds):
+        for label, fn in (("old", old_rerank), ("cogroup", new_rerank)):
+            tic(); fn(); toc(f"small rerank round {i} {label}")
+
+
+PROBES["rerank_small"] = probe_rerank_small
+
+
+if __name__ == "__main__":
+    for name in (sys.argv[1:] or list(PROBES)):
+        t0 = time.perf_counter()
+        PROBES[name]()
+        print(f"== total {name}: {time.perf_counter()-t0:.3f}s", flush=True)
