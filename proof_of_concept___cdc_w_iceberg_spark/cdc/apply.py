@@ -93,8 +93,19 @@ def upsert_compacted(target: DataFrame, latest: DataFrame, keys: list[str],
     repartitioned by bucket for the staged write). Only the appended
     upsert images are drawn from it; the anti-join's broadcast side
     stays on ``latest`` so building the broadcast never executes the
-    routing exchange."""
+    routing exchange. With ``routed`` the anti-join's batch side is
+    broadcast EXPLICITLY (r21, ADVICE item): the staged-write callers'
+    "survivors never shuffle" invariant relied on AQE size estimation,
+    and a batch above the broadcast threshold would silently degrade
+    to a sort-merge join — shuffling the full survivor leg and making
+    the ``routed`` re-layout redundant. Those callers persist the
+    compacted batch up front (cdc/versioned.py ``_prepare_batch``), so
+    the broadcast is of a bounded, already-materialized relation.
+    Without ``routed`` (the generic ``apply_changes`` path, where no
+    caller has bounded the batch) the planner keeps the choice."""
     touched = latest.select(*[F.col(k).alias(f"__t_{k}") for k in keys])
+    if routed is not None:
+        touched = F.broadcast(touched)
     # Null-safe anti join (still a hash equi-join): a plain-equality
     # anti join can never drop a NULL-keyed row, which would break the
     # diff/apply round-trip law for NULL keys.

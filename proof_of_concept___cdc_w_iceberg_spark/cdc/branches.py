@@ -351,6 +351,13 @@ def wap_audit(state: DataFrame, keys: list[str],
     # frees (at sf0.1 each pass is a short wide stage; serial they pay
     # two full job latencies). Two passes stay two passes — the
     # one-pass rewrite was measured slower (note above).
+    # Thread-local caveat (r21, ADVICE item): under PySpark's default
+    # pinned-thread mode, fresh executor threads do NOT inherit the
+    # caller's JVM local properties — a caller-set job group /
+    # scheduler pool is silently absent for these jobs (cancellation
+    # and fair-scheduling scope only; results are unaffected). A
+    # harness that sets job groups should submit via
+    # pyspark.inheritable_thread_target instead.
     from concurrent.futures import ThreadPoolExecutor
 
     def _nulls() -> int:

@@ -176,7 +176,16 @@ class BucketedMirror:
         # (r20, guide §1.2/§6): the old path re-READ the staged table,
         # re-SHUFFLED it by bucket, and re-WROTE every staged byte
         # through dynamic partition overwrite — a full second write job
-        # whose only effect a directory rename already has. This is the
+        # whose only effect a directory rename already has.
+        # FILESYSTEM ASSUMPTION (r21, VERDICT item 8): os.rename is an
+        # atomic, O(1) metadata move on the POSIX filesystems this
+        # local lake emulates. On an object store (the 100 TB
+        # deployment surface) directory "rename" is copy+delete and
+        # NON-atomic — a production port must publish through the
+        # catalog's pointer swap (Iceberg metadata commit) or an
+        # atomic-rename-capable layer (HDFS, Azure ADLS Gen2),
+        # exactly like the manifest swap in cdc/versioned.py.
+        # This is the
         # same swap discipline Iceberg's commit applies at the metadata
         # pointer; content is byte-identical (the staged files ARE the
         # files). The out-bucket set comes from the staged dir listing,

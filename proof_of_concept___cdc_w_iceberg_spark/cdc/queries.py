@@ -1636,9 +1636,15 @@ def q_cdc_wap_publish(spark, sf_dir):
        passes → publish = fast-forward main (pointer move, no data
        rewritten);
     2. a POISONED batch (null-PK inserts — a malformed envelope class
-       that slips past decode) commits to branch ``audit_bad``;
+       that slips past decode) commits to branch ``audit_bad`` — a
+       SECOND writer running CONCURRENTLY with leg 1 (r21, guide
+       §2.6: both audit branches are cut from the same base and the
+       legs share no state, so their Spark jobs overlap from two
+       driver threads — the same pattern q_cdc_wap_race registers;
+       branch isolation means neither leg observes the other);
        the audit catches it → the branch is dropped; main's ref is
-       asserted byte-unmoved.
+       asserted to land exactly on the audited publish, byte-untouched
+       by the failed writer.
 
     The registered oracle is the same latest-wins relation as
     q_cdc_apply_scale, so the driver hash check proves BOTH halves:
@@ -1659,15 +1665,6 @@ def q_cdc_wap_publish(spark, sf_dir):
     m = BranchedMirror(spark, path, keys=keys, n_buckets=16)
     m.init(li)
 
-    m.branch_create("audit_good")
-    m.apply_to_branch("audit_good", changes)
-    audit = wap_audit(m.read_ref("audit_good").drop("__bucket"), keys,
-                      batch_keys=changes)
-    assert audit == {"null_keys": 0, "dup_keys": 0}, audit
-    m.fast_forward("main", "audit_good")
-    m.drop_branch("audit_good")
-    published = m.get_ref("main")
-
     bad = li.limit(50).select(
         F.col("l_orderkey"),
         F.lit(None).cast(dict(li.dtypes)["l_linenumber"]).alias("l_linenumber"),
@@ -1677,11 +1674,36 @@ def q_cdc_wap_publish(spark, sf_dir):
         F.lit(9000).cast("long").alias("ts_ms"),
         (F.col("l_orderkey") * 10 + F.lit(3_000_000_000)).cast("long").alias("off"),
     )
+
+    # Both audit branches cut from the same base; the two legs share
+    # no refs or data dirs, so they run as concurrent driver threads
+    # (r21, guide §2.6 — the commit protocol's collision safety and
+    # the thread-overlap pattern are the ones q_cdc_wap_race already
+    # registers; the published CONTENT is identical to the serial
+    # flow, which the registered oracle hash-checks).
+    m.branch_create("audit_good")
     m.branch_create("audit_bad")
-    m.apply_to_branch("audit_bad", bad)
-    audit = wap_audit(m.read_ref("audit_bad").drop("__bucket"), keys)
-    assert audit["null_keys"] > 0, "audit must catch the poisoned batch"
-    m.drop_branch("audit_bad")
+
+    def good_leg() -> int:
+        m.apply_to_branch("audit_good", changes)
+        audit = wap_audit(m.read_ref("audit_good").drop("__bucket"), keys,
+                          batch_keys=changes)
+        assert audit == {"null_keys": 0, "dup_keys": 0}, audit
+        m.fast_forward("main", "audit_good")
+        m.drop_branch("audit_good")
+        return m.get_ref("main")
+
+    def bad_leg() -> None:
+        m.apply_to_branch("audit_bad", bad)
+        audit = wap_audit(m.read_ref("audit_bad").drop("__bucket"), keys)
+        assert audit["null_keys"] > 0, "audit must catch the poisoned batch"
+        m.drop_branch("audit_bad")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fg, fb = pool.submit(good_leg), pool.submit(bad_leg)
+        published, _ = fg.result(), fb.result()
     assert m.get_ref("main") == published, "failed WAP leaked into main"
 
     return m.read_ref("main").select(

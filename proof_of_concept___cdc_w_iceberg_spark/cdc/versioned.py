@@ -246,10 +246,11 @@ class SnapshotMirror:
             self.path, "data",
             f"commit_{version:05d}_{uuid.uuid4().hex[:8]}")
         n = self.n_buckets if n_buckets is None else n_buckets
-        out = df.withColumn(BUCKET_COL, bucket_expr(self.keys, n))
+        to_write = df.withColumn(BUCKET_COL, bucket_expr(self.keys, n))
         if cluster:
-            out = out.repartition(BUCKET_COL)
-        (out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(commit_dir))
+            to_write = to_write.repartition(BUCKET_COL)
+        (to_write.write.mode("overwrite").partitionBy(BUCKET_COL)
+         .parquet(commit_dir))
         out: dict[str, str] = {}
         for name in os.listdir(commit_dir):
             if name.startswith(f"{BUCKET_COL}="):

@@ -149,6 +149,81 @@ def probe_rerank_small(rounds: int = 3):
 PROBES["rerank_small"] = probe_rerank_small
 
 
+def probe_wap_publish_ab(rounds: int = 3):
+    """Serial (r20 shape) vs overlapped (r21) q_cdc_wap_publish flow,
+    interleaved in one session."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+    from proof_of_concept___cdc_w_iceberg_spark.cdc import queries as cq
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror, wap_audit)
+
+    keys = ["l_orderkey", "l_linenumber"]
+
+    def setup():
+        li, changes = cq._scale_mirror_and_changes(spark, SF)
+        path = os.path.join(tempfile.mkdtemp(prefix="ab_wap_"), "mirror")
+        m = BranchedMirror(spark, path, keys=keys, n_buckets=16)
+        m.init(li)
+        bad = li.limit(50).select(
+            F.col("l_orderkey"),
+            F.lit(None).cast(dict(li.dtypes)["l_linenumber"]).alias(
+                "l_linenumber"),
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+            F.lit("c").alias("op"), F.lit(9000).cast("long").alias("ts_ms"),
+            (F.col("l_orderkey") * 10 + F.lit(3_000_000_000)).cast("long")
+            .alias("off"),
+        )
+        return m, changes, bad
+
+    def serial(m, changes, bad):
+        m.branch_create("audit_good")
+        m.apply_to_branch("audit_good", changes)
+        a = wap_audit(m.read_ref("audit_good").drop("__bucket"), keys,
+                      batch_keys=changes)
+        assert a == {"null_keys": 0, "dup_keys": 0}
+        m.fast_forward("main", "audit_good"); m.drop_branch("audit_good")
+        m.branch_create("audit_bad")
+        m.apply_to_branch("audit_bad", bad)
+        a = wap_audit(m.read_ref("audit_bad").drop("__bucket"), keys)
+        assert a["null_keys"] > 0
+        m.drop_branch("audit_bad")
+        m.read_ref("main").select(*keys, "l_quantity",
+                                  "l_extendedprice").count()
+
+    def overlapped(m, changes, bad):
+        m.branch_create("audit_good"); m.branch_create("audit_bad")
+
+        def good():
+            m.apply_to_branch("audit_good", changes)
+            a = wap_audit(m.read_ref("audit_good").drop("__bucket"), keys,
+                          batch_keys=changes)
+            assert a == {"null_keys": 0, "dup_keys": 0}
+            m.fast_forward("main", "audit_good")
+            m.drop_branch("audit_good")
+
+        def badleg():
+            m.apply_to_branch("audit_bad", bad)
+            a = wap_audit(m.read_ref("audit_bad").drop("__bucket"), keys)
+            assert a["null_keys"] > 0
+            m.drop_branch("audit_bad")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fg, fb = pool.submit(good), pool.submit(badleg)
+            fg.result(), fb.result()
+        m.read_ref("main").select(*keys, "l_quantity",
+                                  "l_extendedprice").count()
+
+    for i in range(rounds):
+        for label, fn in (("serial", serial), ("overlap", overlapped)):
+            m, changes, bad = setup()
+            tic(); fn(m, changes, bad); toc(f"round {i} wap legs {label}")
+
+
+PROBES["wap_publish_ab"] = probe_wap_publish_ab
+
+
 if __name__ == "__main__":
     for name in (sys.argv[1:] or list(PROBES)):
         t0 = time.perf_counter()
