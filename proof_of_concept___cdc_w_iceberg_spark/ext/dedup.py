@@ -2057,6 +2057,7 @@ def substr_state_build(
     w: int = SUBSTR_W,
     hashed: bool = False,
     max_gram_df: int = SUBSTR_MAX_GRAM_DF,
+    materialize=None,
 ):
     """Initial maintained state for INCREMENTAL ExactSubstr:
     ``(grams, hist, report)`` —
@@ -2067,9 +2068,21 @@ def substr_state_build(
       ``report`` the per-doc span report (``substr_span_report``
                  output, the queryable result).
     Pure relational (callers own persistence/layout; ``cycle_state``
-    persists all three between applies)."""
+    persists all three between applies).
+
+    ``materialize`` (r21, guide §1.2/§5): optional hook applied to the
+    gram relation BEFORE hist/report derive from it (e.g.
+    ``lambda df: df.localCheckpoint(eager=True)``). Without it every
+    downstream consumer of hist/report re-runs the corpus
+    tokenize+gram explosion — the q_dedup_substr_incremental profile
+    showed the corpus gram pass re-executing once per state consumer
+    because only the returned ``grams`` was checkpointed by the
+    caller, while hist/report still referenced the LAZY pipeline.
+    Same rows either way (the hook must be row-preserving)."""
     tok, nt = _tokenized(docs)
     grams = _positioned_grams(tok, w, hashed)
+    if materialize is not None:
+        grams = materialize(grams)
     hist = grams.groupBy("gram").agg(F.count("*").alias("df"))
     dup_keys = hist.filter(
         (F.col("df") > 1) & (F.col("df") <= max_gram_df)
@@ -2268,16 +2281,25 @@ def q_dedup_substr_incremental(spark, sf_dir):
     stage (capped apply), cluster (components apply), and now the
     span rung. Scale shape in ``substr_state_apply``'s docstring."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    grams, hist, report = substr_state_build(docs)
-    # The corpus gram index is materialized exactly once (it feeds the
-    # affected probe and the recompute) — at rest these are the index
-    # tables cycle_state writes per batch. localCheckpoint, not
-    # persist(): checkpoint blocks are released when the plan is
-    # garbage-collected, while a persist() entry outlives the query in
-    # a long session unless every consumer remembers clearCache (r10
-    # advice: the 136-query bench loop leaked one cached dataset per
-    # invocation) — same discipline as the other IVM applies.
-    grams = grams.localCheckpoint(eager=True)
+    # The corpus gram index is materialized exactly once INSIDE the
+    # build (r21: the old shape checkpointed only the returned grams,
+    # so hist and report still referenced the lazy pipeline and the
+    # corpus tokenize+gram pass re-ran once per state consumer — the
+    # hist merge, the report pass-through and the affected-doc token
+    # spine each paid it again). At rest these are the index tables
+    # cycle_state writes per batch. localCheckpoint, not persist():
+    # checkpoint blocks are released when the plan is garbage-
+    # collected, while a persist() entry outlives the query in a long
+    # session unless every consumer remembers clearCache (r10 advice:
+    # the 136-query bench loop leaked one cached dataset per
+    # invocation) — same discipline as the other IVM applies. The
+    # report (one row per corpus doc — the second maintained state
+    # table) is checkpointed too: substr_state_apply consumes it
+    # twice (pass-through anti-join + the affected token spine).
+    grams, hist, report = substr_state_build(
+        docs, materialize=lambda df: df.localCheckpoint(eager=True)
+    )
+    report = report.localCheckpoint(eager=True)
     batch = docs.filter(F.col("doc_id") % 13 == 5).select(
         (F.col("doc_id") + _BATCH_OFF).alias("doc_id"), "text"
     )

@@ -66,3 +66,21 @@ def test_knn_delete_apply_cogroup_rerank_matches_fold(spark):
         ann._knn_topk(ann._knn_scored(e_broken, surv))
     )
     assert _rows(new) == _rows(old)
+
+
+def test_substr_state_build_materialize_hook_row_preserving(spark):
+    """substr_state_build(materialize=localCheckpoint) must return the
+    same three relations as the unhooked build (the hook only cuts
+    lineage — q_dedup_substr_incremental's r21 restructure)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext.dedup import (
+        substr_state_build,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    g0, h0, r0 = substr_state_build(docs, w=3)
+    g1, h1, r1 = substr_state_build(
+        docs, w=3, materialize=lambda df: df.localCheckpoint(eager=True)
+    )
+    assert sorted(map(tuple, g0.collect())) == sorted(map(tuple, g1.collect()))
+    assert sorted(map(tuple, h0.collect())) == sorted(map(tuple, h1.collect()))
+    assert sorted(map(tuple, r0.collect())) == sorted(map(tuple, r1.collect()))

@@ -224,6 +224,38 @@ def probe_wap_publish_ab(rounds: int = 3):
 PROBES["wap_publish_ab"] = probe_wap_publish_ab
 
 
+def probe_substr_ab(rounds: int = 3):
+    """Old (grams-only checkpoint) vs new (materialize-in-build +
+    report checkpoint) q_dedup_substr_incremental state+apply flow."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import dedup as dd
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + dd._BATCH_OFF).alias("doc_id"), "text"
+    )
+
+    def old():
+        grams, hist, report = dd.substr_state_build(docs)
+        grams = grams.localCheckpoint(eager=True)
+        _, _, rep = dd.substr_state_apply(grams, hist, report, batch)
+        noop(rep)
+
+    def new():
+        grams, hist, report = dd.substr_state_build(
+            docs, materialize=lambda df: df.localCheckpoint(eager=True)
+        )
+        report = report.localCheckpoint(eager=True)
+        _, _, rep = dd.substr_state_apply(grams, hist, report, batch)
+        noop(rep)
+
+    for i in range(rounds):
+        for label, fn in (("old", old), ("new", new)):
+            tic(); fn(); toc(f"round {i} substr incr {label}")
+
+
+PROBES["substr_ab"] = probe_substr_ab
+
+
 if __name__ == "__main__":
     for name in (sys.argv[1:] or list(PROBES)):
         t0 = time.perf_counter()
