@@ -256,6 +256,94 @@ def probe_substr_ab(rounds: int = 3):
 PROBES["substr_ab"] = probe_substr_ab
 
 
+def probe_theta_ab(rounds: int = 3):
+    """Old (lazy readout inputs) vs new (checkpointed) theta readout,
+    for both the one-shot and the streaming-maintained query shapes."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators import sketches as sk
+    from proof_of_concept___cdc_w_iceberg_spark.streaming import queries as sq
+
+    o = load(spark, SF, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey")
+
+    def readout_old(sk_a, sk_b, a_keys, b_keys):
+        th_a, th_b = sk._theta_of(sk_a), sk._theta_of(sk_b)
+        th_u = (
+            th_a.crossJoin(th_b.withColumnRenamed("theta", "theta_b"))
+            .select(F.least("theta", "theta_b").alias("theta"))
+        )
+
+        def below(s, th):
+            cnt = (
+                s.crossJoin(F.broadcast(th))
+                .filter(F.col("h") < F.col("theta"))
+                .groupBy("theta").agg(F.count("*").alias("cnt"))
+            )
+            return th.join(cnt, "theta", "left").select(
+                "theta", F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt")
+            )
+
+        est_a = below(sk_a, th_a).select(sk._theta_est("theta").alias("est"))
+        est_b = below(sk_b, th_b).select(sk._theta_est("theta").alias("est"))
+        est_u = below(sk_a.unionByName(sk_b).distinct(), th_u).select(
+            sk._theta_est("theta").alias("est"))
+        est_i = below(sk_a.join(sk_b, "h"), th_u).select(
+            sk._theta_est("theta").alias("est"))
+        ex_a = a_keys.agg(F.count("*").cast("long").alias("v"))
+        ex_b = b_keys.agg(F.count("*").cast("long").alias("v"))
+        ex_i = a_keys.join(b_keys, "k").agg(
+            F.count("*").cast("long").alias("v"))
+        ex_u = (
+            ex_a.withColumnRenamed("v", "va")
+            .crossJoin(ex_b.withColumnRenamed("v", "vb"))
+            .crossJoin(ex_i.withColumnRenamed("v", "vi"))
+            .select((F.col("va") + F.col("vb") - F.col("vi")).alias("v"))
+        )
+
+        def row(name, est, ex):
+            return est.crossJoin(F.broadcast(ex)).select(
+                F.lit(name).alias("measure"),
+                F.round("est", 4).alias("est"),
+                F.col("v").alias("exact_v"),
+                F.round(F.try_divide(
+                    F.abs(F.col("est") - F.col("v")), F.col("v")), 4
+                ).alias("rel_err"),
+            )
+
+        return (
+            row("distinct_a", est_a, ex_a)
+            .unionByName(row("distinct_b", est_b, ex_b))
+            .unionByName(row("union", est_u, ex_u))
+            .unionByName(row("intersection", est_i, ex_i))
+        )
+
+    def oneshot(readout):
+        a_keys, a_h = sk.theta_order_stream(o, 1995)
+        b_keys, b_h = sk.theta_order_stream(o, 1996)
+        noop(readout(sk._theta_sketch(a_h), sk._theta_sketch(b_h),
+                     a_keys, b_keys))
+
+    def stream(readout):
+        empty = o.select(F.lit(0).cast("bigint").alias("h")).limit(0)
+        state_a, state_b = empty, empty
+        for cond in (F.col("o_orderkey") <= 20_000,
+                     F.col("o_orderkey").between(20_001, 40_000),
+                     F.col("o_orderkey") >= 40_001):
+            state_a, state_b = sq.theta_stream_apply(
+                state_a, state_b,
+                o.filter(cond).select("o_custkey", "o_orderdate"))
+        a_keys, _ = sk.theta_order_stream(o, 1995)
+        b_keys, _ = sk.theta_order_stream(o, 1996)
+        noop(readout(state_a, state_b, a_keys, b_keys))
+
+    for i in range(rounds):
+        for label, ro in (("old", readout_old), ("new", sk.theta_readout)):
+            tic(); oneshot(ro); toc(f"round {i} oneshot {label}")
+            tic(); stream(ro); toc(f"round {i} stream  {label}")
+
+
+PROBES["theta_ab"] = probe_theta_ab
+
+
 if __name__ == "__main__":
     for name in (sys.argv[1:] or list(PROBES)):
         t0 = time.perf_counter()
