@@ -173,7 +173,21 @@ class SnapshotMirror:
                         "schema": schema_json, "buckets": buckets}
             if parent is not None:
                 manifest["base"] = parent
-            tmp = self._manifest_path(version) + f".tmp{os.getpid()}"
+            # Writer-unique tmp name (r21 fix): a pid-only suffix
+            # COLLIDES for two concurrent branch writers in one driver
+            # process (q_cdc_wap_race / q_cdc_wap_publish commit from
+            # ThreadPoolExecutor threads) — both stage the same
+            # version's tmp file, the winner links-and-unlinks it, and
+            # the loser's os.link dies with FileNotFoundError instead
+            # of the FileExistsError the allocation loop handles. Same
+            # uniquifier discipline as _write_ref's tmp (r16) and the
+            # data-dir names.
+            import threading
+            import uuid as _uuid
+
+            tmp = (self._manifest_path(version)
+                   + f".tmp{os.getpid()}.{threading.get_ident()}."
+                   + _uuid.uuid4().hex[:8])
             with open(tmp, "w") as f:
                 json.dump(manifest, f)
             try:

@@ -1118,22 +1118,42 @@ def pq_train(e, m: int = PQ_M, ks: int = PQ_KS, iters: int = 2):
     centroid, re-mean per assignment — total in-cluster sqdist is
     monotone non-increasing per iteration, law-tested). Centroids
     that attract no subvector simply drop out (the codebook may hold
-    < ks entries per subspace). Each iteration localCheckpoints (the
-    k-means IVM discipline: plan size stays flat however many
-    rounds). Returns the refined codebook."""
+    < ks entries per subspace). Returns the refined codebook.
+
+    r21 (guide §1.2/§5 — VERDICT item 7's job-count lever): the old
+    loop localCheckpointed each INTERMEDIATE codebook AND then
+    collected it inside the next ``_pq_assign`` — two driver jobs per
+    Lloyd iteration for a ≤ m·ks-row relation whose only consumer is
+    the next assignment's kernel (built from collected rows anyway).
+    Now each non-final iteration COLLECTS the means once and feeds
+    the rows to the kernel directly. The FINAL codebook stays an
+    eager localCheckpoint: returning a LOCAL relation
+    (createDataFrame over the rows) was measured ~1.5-2 s WORSE end
+    to end on the serving side (probe pq_iso: local cb 7.1-7.2 s vs
+    checkpointed 4.7-4.8 s warm at the IVFADC shape — the
+    LocalTableScan re-plans the broadcast legs), so the collect-loop
+    applies to intermediates only."""
+    from . import vecexec
+
     # subs checkpointed (r20, guide §5): the subvector relation is
     # re-read by every Lloyd iteration's assign+means job (and it is
     # tiny — |vectors|·m rows); without the cut each checkpointed
     # iteration re-ran the scan/join/slice/posexplode subtree.
     subs = pq_subvectors(e, m).localCheckpoint(eager=True)
-    cb = _pq_group_means(
-        subs.withColumn("g", F.col("vec_id") % ks), "g"
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
-        cb = _pq_group_means(
-            _pq_assign(subs, cb), "cid"
-        ).localCheckpoint(eager=True)
-    return cb
+    means = _pq_group_means(subs.withColumn("g", F.col("vec_id") % ks), "g")
+    if iters < 1:
+        return means.localCheckpoint(eager=True)
+    rows = means.collect()
+    for i in range(iters):
+        assign = vecexec.pq_assign_udf(rows)
+        assigned = subs.select(
+            "vec_id", "sub", "subvec",
+            assign("sub", "subvec").alias("cid"),
+        )
+        refined = _pq_group_means(assigned, "cid")
+        if i < iters - 1:
+            rows = refined.collect()
+    return refined.localCheckpoint(eager=True)
 
 
 def pq_encode(e, codebook, m: int = PQ_M, keep: tuple = ()):
@@ -1483,7 +1503,10 @@ def ivf_pq_build(e, m: int = PQ_M, ks: int = PQ_KS):
     # LogicalRDD carries no size statistics, which flipped the
     # build-time label join to sort-merge (plan-ledger catch) — the
     # residual projection itself is one broadcast join + a per-row
-    # subtract, cheap to recompute per job once cent is cut.
+    # subtract, cheap to recompute per job once cent is cut. (r21
+    # probe pq_iso: replacing checkpoint with a collected LOCAL
+    # relation — exact stats — was measured WORSE on the serving
+    # side; the checkpoint stays.)
     cent = ivf_cell_centroids(e).localCheckpoint(eager=True)
     resid = e.join(F.broadcast(cent), "label").select(
         "vec_id",

@@ -947,16 +947,25 @@ def kq_sample(df, k: int = KQ_K):
     return df.orderBy("h").limit(k)
 
 
-def _kq_exact_ranks(spark, li, targets, n):
+def _kq_exact_ranks(spark, li, targets, n=None):
     """Exact ceil(q*n)-th order statistics of column ``v`` via the
     two-phase bucket-count method (q_percentile_exact_dist,
     operators/aggregates.py — same driver-bounded state: 1 stats row
     + 64 bucket counts; phase 2 re-scans ONLY the target's bucket
-    behind a pushed-down range predicate). Returns {q: value}."""
+    behind a pushed-down range predicate). Returns ``({q: value}, n)``.
+
+    r21 (guide §1.2/§2.6): the stream count rides the min/max stats
+    pass when the caller doesn't already have it (``n=None`` — one
+    corpus aggregate instead of two), and the per-target phase-2
+    probes are INDEPENDENT bounded jobs, so they overlap from a small
+    thread pool instead of paying |targets| serial job latencies."""
     import math as _math
 
     buckets = 64
-    lo, hi = li.agg(F.min("v"), F.max("v")).first()
+    if n is None:
+        lo, hi, n = li.agg(F.min("v"), F.max("v"), F.count("*")).first()
+    else:
+        lo, hi = li.agg(F.min("v"), F.max("v")).first()
     width = (hi - lo) / buckets or 1.0
     bucket = F.least(
         F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
@@ -966,8 +975,8 @@ def _kq_exact_ranks(spark, li, targets, n):
         (r["b"], r["cnt"])
         for r in li.groupBy(bucket.alias("b")).agg(F.count("*").alias("cnt")).collect()
     )
-    out = {}
-    for q in targets:
+
+    def probe(q):
         k = int(_math.ceil(q * n))
         cum = 0
         for b in range(buckets):
@@ -981,8 +990,13 @@ def _kq_exact_ranks(spark, li, targets, n):
         in_bucket = li.filter(
             (F.col("v") >= F.lit(b_lo)) & (F.col("v") <= F.lit(b_hi)) & (bucket == b)
         )
-        out[q] = in_bucket.orderBy("v").limit(offset).agg(F.max("v")).first()[0]
-    return out
+        return in_bucket.orderBy("v").limit(offset).agg(F.max("v")).first()[0]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(targets))) as pool:
+        out = dict(zip(targets, pool.map(probe, targets)))
+    return out, n
 
 
 @query("q_sketch_quantile", oracle=KQ_SKETCH_SQL)
@@ -1027,8 +1041,9 @@ def q_sketch_quantile(spark, sf_dir):
             )
         ).alias("kk"),
     )
-    n = li.count()
-    exact = _kq_exact_ranks(spark, li, KQ_TARGETS, n)
+    # r21: the stream count rides _kq_exact_ranks' stats pass (one
+    # corpus aggregate fewer) and the per-quantile probes overlap.
+    exact, n = _kq_exact_ranks(spark, li, KQ_TARGETS)
     spine = spark.createDataFrame(
         [(float(q), float(exact[q])) for q in KQ_TARGETS], "q double, exact_v double"
     )
@@ -1932,8 +1947,9 @@ def q_sketch_quantile_rollup(spark, sf_dir):
     ex_years = eord.join(
         F.broadcast(spine), F.col("rn") == F.ceil(F.col("q") * F.col("n"))
     ).select("g", "q", F.col("v").alias("exact_v"), "n")
-    n_total = o.count()
-    exact_total = _kq_exact_ranks(spark, o.select("v"), KQR_TARGETS, n_total)
+    # r21: n_total rides _kq_exact_ranks' stats pass (one corpus
+    # aggregate fewer) and the per-quantile probes overlap.
+    exact_total, n_total = _kq_exact_ranks(spark, o.select("v"), KQR_TARGETS)
     ex_total = spark.createDataFrame(
         [("total", float(q), float(exact_total[q]), n_total) for q in KQR_TARGETS],
         "g string, q double, exact_v double, n long",

@@ -84,3 +84,33 @@ def test_substr_state_build_materialize_hook_row_preserving(spark):
     assert sorted(map(tuple, g0.collect())) == sorted(map(tuple, g1.collect()))
     assert sorted(map(tuple, h0.collect())) == sorted(map(tuple, h1.collect()))
     assert sorted(map(tuple, r0.collect())) == sorted(map(tuple, r1.collect()))
+
+
+def test_concurrent_commits_same_process_allocate_distinct_versions(spark, tmp_path):
+    """r21 fix: _commit's staging tmp name was pid-only, so two driver
+    THREADS committing concurrently (the wap_race / overlapped
+    wap_publish shape) staged the same file — the winner's
+    link-and-unlink made the loser's os.link die with
+    FileNotFoundError instead of the FileExistsError the allocation
+    loop retries on. With the writer-unique tmp name, N concurrent
+    commits must serialize to N distinct versions with no error."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.versioned import (
+        SnapshotMirror,
+    )
+
+    m = SnapshotMirror(spark, str(tmp_path / "mirror"), keys=["k"])
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    m.init(df)
+
+    barrier = threading.Barrier(8)
+
+    def commit(i):
+        barrier.wait()
+        return m._commit({}, df.schema.json(), parent=0, linear=False)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        versions = list(pool.map(commit, range(8)))
+    assert sorted(versions) == list(range(1, 9))

@@ -344,6 +344,263 @@ def probe_theta_ab(rounds: int = 3):
 PROBES["theta_ab"] = probe_theta_ab
 
 
+def probe_kq_ab(rounds: int = 3):
+    """Old (separate count + serial probes) vs new (count-in-stats +
+    overlapped probes) exact-rank flow for q_sketch_quantile and the
+    rollup total."""
+    import math as _math
+    from proof_of_concept___cdc_w_iceberg_spark.operators import sketches as sk
+    from pyspark.sql import Window
+
+    li = load(spark, SF, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.md5(F.concat(F.lit("kq|"), F.col("l_orderkey").cast("string"),
+                       F.lit("|"), F.col("l_linenumber").cast("string"))
+              ).alias("h"),
+    )
+
+    def exact_old(df, targets):
+        buckets = 64
+        n = df.count()
+        lo, hi = df.agg(F.min("v"), F.max("v")).first()
+        width = (hi - lo) / buckets or 1.0
+        bucket = F.least(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(buckets - 1).cast("long"),
+        )
+        counts = dict(
+            (r["b"], r["cnt"]) for r in
+            df.groupBy(bucket.alias("b")).agg(F.count("*").alias("cnt"))
+            .collect())
+        out = {}
+        for q in targets:
+            k = int(_math.ceil(q * n))
+            cum = 0
+            for b in range(buckets):
+                c = counts.get(b, 0)
+                if cum + c >= k:
+                    break
+                cum += c
+            offset = k - cum
+            b_lo = lo + (b - 1) * width
+            b_hi = hi if b >= buckets - 2 else lo + (b + 2) * width
+            out[q] = (df.filter((F.col("v") >= F.lit(b_lo))
+                                & (F.col("v") <= F.lit(b_hi))
+                                & (bucket == b))
+                      .orderBy("v").limit(offset).agg(F.max("v")).first()[0])
+        return out, n
+
+    def run(exact_fn):
+        samp = sk.kq_sample(li)
+        sord = samp.select(
+            "v",
+            F.row_number().over(Window.orderBy("v", "h")).alias("rn"),
+            F.count("*").over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing)
+            ).alias("kk"),
+        )
+        exact, n = exact_fn(li, sk.KQ_TARGETS)
+        spine = spark.createDataFrame(
+            [(float(q), float(exact[q])) for q in sk.KQ_TARGETS],
+            "q double, exact_v double")
+        est = sord.join(F.broadcast(spine),
+                        F.col("rn") == F.ceil(F.col("q") * F.col("kk")))
+        noop(est.select(
+            "q", F.col("v").alias("est"), "exact_v",
+            F.round(F.abs(F.col("v") - F.col("exact_v"))
+                    / F.col("exact_v"), 4).alias("rel_err"),
+            F.col("kk").cast("long").alias("k_sample"),
+            F.lit(n).cast("long").alias("n_stream"),
+        ))
+
+    def new_exact(df, targets):
+        return sk._kq_exact_ranks(spark, df, targets)
+
+    for i in range(rounds):
+        for label, fn in (("old", exact_old), ("new", new_exact)):
+            tic(); run(fn); toc(f"round {i} kq_quantile {label}")
+
+
+PROBES["kq_ab"] = probe_kq_ab
+
+
+def probe_pq_ab(rounds: int = 3):
+    """Old (checkpoint + collect per Lloyd iteration) vs new (collect-
+    once, local codebook) PQ training + serving, end to end for
+    q_sim_pq and q_sim_ivf_pq shapes."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann, vecexec
+
+    e = load(spark, SF, "embeddings").select("vec_id", "label", "embedding")
+
+    def train_old(src, m=ann.PQ_M, ks=ann.PQ_KS, iters=2):
+        subs = ann.pq_subvectors(src, m).localCheckpoint(eager=True)
+        cb = ann._pq_group_means(
+            subs.withColumn("g", F.col("vec_id") % ks), "g"
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            cb = ann._pq_group_means(
+                ann._pq_assign(subs, cb), "cid"
+            ).localCheckpoint(eager=True)
+        return cb
+
+    def sim_pq(train):
+        cb = train(e)
+        codes = ann.pq_encode(e, cb)
+        noop(ann.pq_rerank_topk(e, cb, codes, k=5,
+                                shortlist=ann.PQ_RERANK_SHORTLIST))
+
+    def ivf_pq(train):
+        cent_rel = ann.ivf_cell_centroids_ref(e) if False else None
+        from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import (
+            ivf_cell_centroids)
+        if train is train_old:
+            cent = ivf_cell_centroids(e).localCheckpoint(eager=True)
+        else:
+            rel = ivf_cell_centroids(e)
+            cent = spark.createDataFrame(rel.collect(), rel.schema)
+        resid = e.join(F.broadcast(cent), "label").select(
+            "vec_id", "label",
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "centroid", lambda x, c: x - c,
+            ).alias("embedding"),
+        )
+        cb = train(resid)
+        codes = ann.pq_encode(resid, cb, keep=("label",))
+        noop(ann.ivf_pq_rerank_topk(e, cent, cb, codes, k=5,
+                                    shortlist=ann.IVF_PQ_RERANK_SHORTLIST))
+
+    for i in range(rounds):
+        for label, train in (("old", train_old), ("new", ann.pq_train)):
+            tic(); sim_pq(train); toc(f"round {i} sim_pq  {label}")
+            tic(); ivf_pq(train); toc(f"round {i} ivf_pq  {label}")
+
+
+PROBES["pq_ab"] = probe_pq_ab
+
+
+def probe_pq_iso(rounds: int = 3):
+    """Isolate the PQ regression: old (cp everywhere) vs hybrid
+    (collect-loop training, CHECKPOINTED final cb + cp cent) vs new
+    (local relations everywhere)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann, vecexec
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import (
+        ivf_cell_centroids)
+
+    e = load(spark, SF, "embeddings").select("vec_id", "label", "embedding")
+
+    def train_old(src, m=ann.PQ_M, ks=ann.PQ_KS, iters=2):
+        subs = ann.pq_subvectors(src, m).localCheckpoint(eager=True)
+        cb = ann._pq_group_means(
+            subs.withColumn("g", F.col("vec_id") % ks), "g"
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            cb = ann._pq_group_means(
+                ann._pq_assign(subs, cb), "cid"
+            ).localCheckpoint(eager=True)
+        return cb
+
+    def train_hybrid(src, m=ann.PQ_M, ks=ann.PQ_KS, iters=2):
+        subs = ann.pq_subvectors(src, m).localCheckpoint(eager=True)
+        means = ann._pq_group_means(
+            subs.withColumn("g", F.col("vec_id") % ks), "g")
+        schema = means.schema
+        rows = means.collect()
+        for i in range(iters):
+            assign = vecexec.pq_assign_udf(rows)
+            assigned = subs.select(
+                "vec_id", "sub", "subvec",
+                assign("sub", "subvec").alias("cid"))
+            mm = ann._pq_group_means(assigned, "cid")
+            if i < iters - 1:
+                rows = mm.collect()
+            else:
+                return mm.localCheckpoint(eager=True)
+
+    def ivf(train, cent_mode):
+        if cent_mode == "cp":
+            cent = ivf_cell_centroids(e).localCheckpoint(eager=True)
+        else:
+            rel = ivf_cell_centroids(e)
+            cent = spark.createDataFrame(rel.collect(), rel.schema)
+        resid = e.join(F.broadcast(cent), "label").select(
+            "vec_id", "label",
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "centroid", lambda x, c: x - c,
+            ).alias("embedding"),
+        )
+        cb = train(resid)
+        codes = ann.pq_encode(resid, cb, keep=("label",))
+        noop(ann.ivf_pq_rerank_topk(e, cent, cb, codes, k=5,
+                                    shortlist=ann.IVF_PQ_RERANK_SHORTLIST))
+
+    for i in range(rounds):
+        tic(); ivf(train_old, "cp"); toc(f"round {i} ivf old(cp,cp)")
+        tic(); ivf(train_hybrid, "cp"); toc(f"round {i} ivf hybrid(collect-loop,cp)")
+        tic(); ivf(ann.pq_train, "local"); toc(f"round {i} ivf new(local,local)")
+        tic(); ivf(ann.pq_train, "cp"); toc(f"round {i} ivf mix(localcb,cpcent)")
+
+
+PROBES["pq_iso"] = probe_pq_iso
+
+
+def probe_pq_final(rounds: int = 3):
+    """Registered (hybrid) PQ shape vs the r20 cp-everywhere shape."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann
+
+    e = load(spark, SF, "embeddings").select("vec_id", "label", "embedding")
+
+    def train_old(src, m=ann.PQ_M, ks=ann.PQ_KS, iters=2):
+        subs = ann.pq_subvectors(src, m).localCheckpoint(eager=True)
+        cb = ann._pq_group_means(
+            subs.withColumn("g", F.col("vec_id") % ks), "g"
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            cb = ann._pq_group_means(
+                ann._pq_assign(subs, cb), "cid"
+            ).localCheckpoint(eager=True)
+        return cb
+
+    def sim_pq(train):
+        cb = train(e)
+        codes = ann.pq_encode(e, cb)
+        noop(ann.pq_rerank_topk(e, cb, codes, k=5,
+                                shortlist=ann.PQ_RERANK_SHORTLIST))
+
+    def ivf_pq_registered():
+        cent, cb, codes = ann.ivf_pq_build(e)
+        noop(ann.ivf_pq_rerank_topk(e, cent, cb, codes, k=5,
+                                    shortlist=ann.IVF_PQ_RERANK_SHORTLIST))
+
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import (
+        ivf_cell_centroids)
+
+    def ivf_pq_old():
+        cent = ivf_cell_centroids(e).localCheckpoint(eager=True)
+        resid = e.join(F.broadcast(cent), "label").select(
+            "vec_id", "label",
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "centroid", lambda x, c: x - c,
+            ).alias("embedding"),
+        )
+        cb = train_old(resid)
+        codes = ann.pq_encode(resid, cb, keep=("label",))
+        noop(ann.ivf_pq_rerank_topk(e, cent, cb, codes, k=5,
+                                    shortlist=ann.IVF_PQ_RERANK_SHORTLIST))
+
+    for i in range(rounds):
+        tic(); sim_pq(train_old); toc(f"round {i} sim_pq old")
+        tic(); sim_pq(ann.pq_train); toc(f"round {i} sim_pq new")
+        tic(); ivf_pq_old(); toc(f"round {i} ivf_pq old")
+        tic(); ivf_pq_registered(); toc(f"round {i} ivf_pq new")
+
+
+PROBES["pq_final"] = probe_pq_final
+
+
 if __name__ == "__main__":
     for name in (sys.argv[1:] or list(PROBES)):
         t0 = time.perf_counter()
