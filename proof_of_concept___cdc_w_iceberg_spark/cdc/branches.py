@@ -208,23 +208,31 @@ class BranchedMirror(SnapshotMirror):
     def read_ref(self, name: str = MAIN) -> DataFrame:
         return self.read(version=self.get_ref(name))
 
-    def apply(self, changes: DataFrame, op_col: str = "op",
-              base_version: int | None = None) -> int:
+    def apply(self, changes: DataFrame | None = None, op_col: str = "op",
+              base_version: int | None = None, max_retries: int = 5,
+              prepared=None) -> int:
         """Unqualified apply = commit on main's head and advance main
         (the un-branched SnapshotMirror behavior, ref-tracked)."""
         if base_version is not None:
             return super().apply(changes, op_col=op_col,
-                                 base_version=base_version)
-        return self._apply_to_ref(MAIN, changes, op_col=op_col)
+                                 base_version=base_version,
+                                 max_retries=max_retries,
+                                 prepared=prepared)
+        return self._apply_to_ref(MAIN, changes, op_col=op_col,
+                                  prepared=prepared)
 
-    def apply_to_branch(self, name: str, changes: DataFrame,
-                        op_col: str = "op") -> int:
+    def apply_to_branch(self, name: str, changes: DataFrame | None = None,
+                        op_col: str = "op", prepared=None) -> int:
         """Commit a batch on the BRANCH head and advance only that
-        ref — main and sibling branches are isolated."""
-        return self._apply_to_ref(name, changes, op_col=op_col)
+        ref — main and sibling branches are isolated. ``prepared``:
+        a ``prepare`` handle whose compaction job already ran
+        (overlappable with init/other branches — r21, guide §2.6)."""
+        return self._apply_to_ref(name, changes, op_col=op_col,
+                                  prepared=prepared)
 
-    def _apply_to_ref(self, name: str, changes: DataFrame,
-                      op_col: str = "op", max_retries: int = 5) -> int:
+    def _apply_to_ref(self, name: str, changes: DataFrame | None,
+                      op_col: str = "op", max_retries: int = 5,
+                      prepared=None) -> int:
         """The ref-level optimistic-concurrency loop: merge from the
         ref's CURRENT head, commit the snapshot (version allocation is
         collision-safe one level down), then CAS the ref forward. If
@@ -244,7 +252,11 @@ class BranchedMirror(SnapshotMirror):
         # Released in the finally — this loop is _prepare_batch's only
         # caller besides apply(), and both own their batch's lifetime
         # (r17 advice: checkpoint blocks leaked until ContextCleaner).
-        latest, touched = self._prepare_batch(changes)
+        if prepared is None:
+            if changes is None:
+                raise ValueError("apply needs changes or prepared")
+            prepared = self._prepare_batch(changes)
+        latest, touched = prepared
         try:
             for _ in range(max_retries):
                 base = self.get_ref(name)

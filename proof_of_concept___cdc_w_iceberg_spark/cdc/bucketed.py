@@ -95,10 +95,20 @@ class BucketedMirror:
         writes with N tasks each holding rows of many buckets — the
         cheap-ingest layout a large snapshot load actually produces
         (hundreds of upstream tasks, ~N files PER bucket dir), the
-        fragmentation that ``compact()`` exists to repair."""
+        fragmentation that ``compact()`` exists to repair.
+
+        r21 (guide §2.5): the writer split hashes a DETERMINISTIC key
+        expression instead of round-robin ``repartition(N)`` — the
+        keyless form pays a local sort of the whole input
+        (sortBeforeRepartition, needed so retried map tasks reproduce
+        their row→partition assignment), while xxhash64 of the merge
+        keys is retry-stable for free. Same file counts (each writer
+        holds rows of many buckets), same content; measured 1.2-1.4 s
+        → 0.8-0.9 s on the sf0.1 ingest write."""
         if writers is not None and writers < 1:
             raise ValueError(f"writers must be >= 1, got {writers!r}")
-        part = (self._with_bucket(snapshot).repartition(writers)
+        part = (self._with_bucket(snapshot).repartition(
+                    writers, F.xxhash64(*[F.col(k) for k in self.keys]))
                 if writers is not None else
                 self._with_bucket(snapshot).repartition(BUCKET_COL))
         (part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.path))
@@ -337,10 +347,13 @@ class TwoLevelMirror(BucketedMirror):
     def init(self, snapshot: DataFrame, writers: int | None = None) -> None:
         """Two-level layout; ``writers`` has the same cheap-ingest
         fragmentation semantics as BucketedMirror.init (LSP — review
-        finding: the override must accept the base signature)."""
+        finding: the override must accept the base signature; r21:
+        same deterministic hash split instead of round-robin — see
+        the base docstring)."""
         if writers is not None and writers < 1:
             raise ValueError(f"writers must be >= 1, got {writers!r}")
-        part = (self._with_bucket(snapshot).repartition(writers)
+        part = (self._with_bucket(snapshot).repartition(
+                    writers, F.xxhash64(*[F.col(k) for k in self.keys]))
                 if writers is not None else
                 self._with_bucket(snapshot)
                 .repartition(self.date_col, BUCKET_COL))

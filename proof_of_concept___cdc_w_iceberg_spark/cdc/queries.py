@@ -1663,7 +1663,6 @@ def q_cdc_wap_publish(spark, sf_dir):
     keys = ["l_orderkey", "l_linenumber"]
     path = os.path.join(tempfile.mkdtemp(prefix="cdc_wap_"), "mirror")
     m = BranchedMirror(spark, path, keys=keys, n_buckets=16)
-    m.init(li)
 
     bad = li.limit(50).select(
         F.col("l_orderkey"),
@@ -1680,28 +1679,35 @@ def q_cdc_wap_publish(spark, sf_dir):
     # (r21, guide §2.6 — the commit protocol's collision safety and
     # the thread-overlap pattern are the ones q_cdc_wap_race already
     # registers; the published CONTENT is identical to the serial
-    # flow, which the registered oracle hash-checks).
-    m.branch_create("audit_good")
-    m.branch_create("audit_bad")
-
-    def good_leg() -> int:
-        m.apply_to_branch("audit_good", changes)
-        audit = wap_audit(m.read_ref("audit_good").drop("__bucket"), keys,
-                          batch_keys=changes)
-        assert audit == {"null_keys": 0, "dup_keys": 0}, audit
-        m.fast_forward("main", "audit_good")
-        m.drop_branch("audit_good")
-        return m.get_ref("main")
-
-    def bad_leg() -> None:
-        m.apply_to_branch("audit_bad", bad)
-        audit = wap_audit(m.read_ref("audit_bad").drop("__bucket"), keys)
-        assert audit["null_keys"] > 0, "audit must catch the poisoned batch"
-        m.drop_branch("audit_bad")
-
+    # flow, which the registered oracle hash-checks). Both batches'
+    # compaction jobs read only their change relations, never the
+    # mirror, so they also overlap the init write (mirror.prepare).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_init = pool.submit(m.init, li)
+        f_prep_good = pool.submit(m.prepare, changes)
+        f_prep_bad = pool.submit(m.prepare, bad)
+        f_init.result()
+        m.branch_create("audit_good")
+        m.branch_create("audit_bad")
+
+        def good_leg() -> int:
+            m.apply_to_branch("audit_good", prepared=f_prep_good.result())
+            audit = wap_audit(m.read_ref("audit_good").drop("__bucket"),
+                              keys, batch_keys=changes)
+            assert audit == {"null_keys": 0, "dup_keys": 0}, audit
+            m.fast_forward("main", "audit_good")
+            m.drop_branch("audit_good")
+            return m.get_ref("main")
+
+        def bad_leg() -> None:
+            m.apply_to_branch("audit_bad", prepared=f_prep_bad.result())
+            audit = wap_audit(m.read_ref("audit_bad").drop("__bucket"), keys)
+            assert audit["null_keys"] > 0, (
+                "audit must catch the poisoned batch")
+            m.drop_branch("audit_bad")
+
         fg, fb = pool.submit(good_leg), pool.submit(bad_leg)
         published, _ = fg.result(), fb.result()
     assert m.get_ref("main") == published, "failed WAP leaked into main"
@@ -1816,10 +1822,7 @@ def q_cdc_wap_race(spark, sf_dir):
     keys = ["l_orderkey", "l_linenumber"]
     path = os.path.join(tempfile.mkdtemp(prefix="cdc_wap_race_"), "mirror")
     m = BranchedMirror(spark, path, keys=keys, n_buckets=16)
-    m.init(li)
 
-    m.branch_create("race_a")
-    m.branch_create("race_b")
     # r20 (guide §2.6): the two branch writers ARE concurrent — that is
     # the scenario this rung registers — so run them as concurrent
     # driver threads instead of serializing their Spark jobs. The
@@ -1827,12 +1830,22 @@ def q_cdc_wap_race(spark, sf_dir):
     # manifests, uniquified data dirs, per-ref CAS), each writer's
     # batch/tail tasks back-fill the other's idle executors, and the
     # published CONTENT is version-number-independent (the oracle
-    # hashes the final read). Audits overlap the same way.
+    # hashes the final read). Audits overlap the same way. r21: both
+    # batches' compaction jobs additionally overlap the init write
+    # (mirror.prepare reads only the change relations).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fa = pool.submit(m.apply_to_branch, "race_a", batch_a)
-        fb = pool.submit(m.apply_to_branch, "race_b", batch_b)  # the race
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_init = pool.submit(m.init, li)
+        f_prep_a = pool.submit(m.prepare, batch_a)
+        f_prep_b = pool.submit(m.prepare, batch_b)
+        f_init.result()
+        m.branch_create("race_a")
+        m.branch_create("race_b")
+        fa = pool.submit(m.apply_to_branch, "race_a",
+                         prepared=f_prep_a.result())
+        fb = pool.submit(m.apply_to_branch, "race_b",
+                         prepared=f_prep_b.result())  # the race
         fa.result(), fb.result()
         audits = {
             br: pool.submit(
@@ -1905,10 +1918,20 @@ def q_cdc_expire_branch(spark, sf_dir):
     keys = ["l_orderkey", "l_linenumber"]
     path = os.path.join(tempfile.mkdtemp(prefix="cdc_expire_br_"), "mirror")
     m = BranchedMirror(spark, path, keys=keys, n_buckets=16)
-    v0 = m.init(li)
-    m.branch_create("audit")
-    v1 = m.apply_to_branch("audit", batch_a)
-    v2 = m.apply_to_branch("audit", batch_b)
+    # r21 (guide §2.6): the two branch commits are sequential by
+    # semantics (one branch, chained heads), but their batch
+    # COMPACTION jobs read only the change relations — both overlap
+    # the init write via mirror.prepare.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_init = pool.submit(m.init, li)
+        f_prep_a = pool.submit(m.prepare, batch_a)
+        f_prep_b = pool.submit(m.prepare, batch_b)
+        v0 = f_init.result()
+        m.branch_create("audit")
+        v1 = m.apply_to_branch("audit", prepared=f_prep_a.result())
+        v2 = m.apply_to_branch("audit", prepared=f_prep_b.result())
 
     dead = m.expire(keep_last=1)
     assert v1 in dead, f"intermediate branch commit must expire: {dead}"

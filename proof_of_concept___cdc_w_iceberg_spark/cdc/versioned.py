@@ -310,8 +310,21 @@ class SnapshotMirror:
                 f"reclaimed; only its lineage tombstone remains")
         return self._read_dirs(sorted(m["buckets"].values()), m["schema"])
 
-    def apply(self, changes: DataFrame, op_col: str = "op",
-              base_version: int | None = None, max_retries: int = 5) -> int:
+    def prepare(self, changes: DataFrame):
+        """Materialize a batch's merge-ready form AHEAD of ``apply``
+        (r21, guide §2.6): the compaction window + persist + touched-
+        bucket collect read only ``changes``, never the mirror, so a
+        caller can run this concurrently with ``init`` (or any other
+        independent job) and pass the handle to
+        ``apply(prepared=...)``. The handle is OPAQUE and single-use;
+        ``apply`` releases its cache whether the commit lands or
+        raises. A handle that is never passed to ``apply`` must be
+        released by the caller (``handle[0].unpersist()``)."""
+        return self._prepare_batch(changes)
+
+    def apply(self, changes: DataFrame | None = None, op_col: str = "op",
+              base_version: int | None = None, max_retries: int = 5,
+              prepared=None) -> int:
         """Merge a change batch as a new snapshot. Reads ONLY the
         touched buckets of the base version (default: latest), writes
         ONLY their replacements; every other bucket entry is carried
@@ -325,8 +338,17 @@ class SnapshotMirror:
         ``base_version`` lets a BRANCH commit on top of its own head
         instead of the ledger's newest snapshot (cdc/branches.py);
         lineage is still recorded, but conflict detection for branches
-        happens at the ref swap, so no retry is attempted here."""
-        latest, touched = self._prepare_batch(changes)
+        happens at the ref swap, so no retry is attempted here.
+
+        ``prepared``: a handle from ``prepare`` — the batch's
+        compaction job already ran (possibly overlapped with other
+        work); ``changes`` is then ignored and the handle is consumed
+        (r21, guide §2.6)."""
+        if prepared is None:
+            if changes is None:
+                raise ValueError("apply needs changes or prepared")
+            prepared = self._prepare_batch(changes)
+        latest, touched = prepared
         try:
             return self._apply_prepared(latest, touched, op_col=op_col,
                                         base_version=base_version,

@@ -114,3 +114,49 @@ def test_concurrent_commits_same_process_allocate_distinct_versions(spark, tmp_p
     with ThreadPoolExecutor(max_workers=8) as pool:
         versions = list(pool.map(commit, range(8)))
     assert sorted(versions) == list(range(1, 9))
+
+
+def test_prepare_then_apply_matches_plain_apply(spark, tmp_path):
+    """r21 prepare/apply(prepared=) split: applying a pre-materialized
+    batch handle must commit exactly what the one-call apply commits,
+    and the branch path must accept handles the same way."""
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(30)],
+        "k long, name string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [(3, "x", 9.9, "u", 100, 1), (200, "new", 1.0, "c", 100, 2),
+         (7, None, None, "d", 100, 3)],
+        "k long, name string, bal double, op string, ts_ms long, off long",
+    )
+
+    m1 = BranchedMirror(spark, str(tmp_path / "plain"), keys=["k"])
+    m1.init(base)
+    m1.apply(changes)
+    plain = sorted(map(tuple, m1.read_ref("main").drop("__bucket").collect()))
+
+    m2 = BranchedMirror(spark, str(tmp_path / "prepped"), keys=["k"])
+    m2.init(base)
+    m2.apply(prepared=m2.prepare(changes))
+    prepped = sorted(
+        map(tuple, m2.read_ref("main").drop("__bucket").collect()))
+    assert plain == prepped
+
+    m3 = BranchedMirror(spark, str(tmp_path / "branch"), keys=["k"])
+    m3.init(base)
+    m3.branch_create("audit")
+    m3.apply_to_branch("audit", prepared=m3.prepare(changes))
+    branched = sorted(
+        map(tuple, m3.read_ref("audit").drop("__bucket").collect()))
+    assert plain == branched
+
+    # apply without either argument must refuse loudly
+    try:
+        m3.apply()
+        raise AssertionError("apply() with no batch must raise")
+    except ValueError:
+        pass

@@ -601,6 +601,251 @@ def probe_pq_final(rounds: int = 3):
 PROBES["pq_final"] = probe_pq_final
 
 
+def probe_pair_cosine_ab(rounds: int = 3):
+    """Interpreted fold vs vecexec.pair_cosine on the bounded pair
+    relations: NN-Descent rerank (descent2 shape) and _knn_scored's
+    batch legs (knn_graph_apply shape)."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import ann, vecexec
+    from proof_of_concept___cdc_w_iceberg_spark.ext.similarity import (
+        _dot, _sqnorm)
+    from pyspark.sql import Window
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", "label", "embedding", _sqnorm(F.col("embedding")).alias("sq")
+    ).localCheckpoint(eager=True)
+    n = e.count()
+    pairs = ann.nnd_candidate_pairs(e, n).localCheckpoint(eager=True)
+    print(f"  candidate pairs: {pairs.count()}")
+
+    def rerank(scorer):
+        ea = e.select(F.col("vec_id").alias("src"),
+                      F.col("embedding").alias("a_emb"),
+                      F.col("sq").alias("a_sq"))
+        eb = e.select(F.col("vec_id").alias("dst"),
+                      F.col("embedding").alias("b_emb"),
+                      F.col("sq").alias("b_sq"))
+        scored = pairs.join(ea, "src").join(eb, "dst").select(
+            "src", "dst", scorer().alias("cosine"))
+        w = Window.partitionBy("src").orderBy(
+            F.col("cosine").desc(), F.col("dst"))
+        noop(scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= ann.KNN_K))
+
+    def fold():
+        return _dot(F.col("a_emb"), F.col("b_emb")) / F.sqrt(
+            F.col("a_sq") * F.col("b_sq"))
+
+    def arrow():
+        return vecexec.pair_cosine(
+            F.col("a_emb"), F.col("b_emb"), F.col("a_sq"), F.col("b_sq"))
+
+    for i in range(rounds):
+        for label, sc in (("fold", fold), ("arrow", arrow)):
+            tic(); rerank(sc); toc(f"round {i} nnd rerank {label}")
+
+    # batch leg: e_new (every 13th) scored against e_all within cells
+    batch = e.filter(F.col("vec_id") % 13 == 5).select(
+        (F.col("vec_id") + ann.ANN_BATCH_OFF).alias("vec_id"),
+        "label", "embedding", "sq").localCheckpoint(eager=True)
+    e_all = e.unionByName(batch).localCheckpoint(eager=True)
+
+    def knn_scored(scorer_col):
+        b = e_all.select(F.col("label").alias("b_label"),
+                         F.col("vec_id").alias("dst"),
+                         F.col("embedding").alias("b_emb"),
+                         F.col("sq").alias("b_sq"))
+        sc = batch.join(
+            b, (F.col("label") == F.col("b_label"))
+            & (F.col("vec_id") != F.col("dst"))
+        ).select(F.col("vec_id").alias("src"), "dst",
+                 scorer_col().alias("cosine"))
+        noop(ann._knn_topk(sc))
+
+    def fold2():
+        return _dot(F.col("embedding"), F.col("b_emb")) / F.sqrt(
+            F.col("sq") * F.col("b_sq"))
+
+    def arrow2():
+        return vecexec.pair_cosine(
+            F.col("embedding"), F.col("b_emb"), F.col("sq"), F.col("b_sq"))
+
+    for i in range(rounds):
+        for label, sc in (("fold", fold2), ("arrow", arrow2)):
+            tic(); knn_scored(sc); toc(f"round {i} batch leg  {label}")
+
+
+PROBES["pair_cosine_ab"] = probe_pair_cosine_ab
+
+
+def probe_cdc_phases():
+    """Phase attribution for q_cdc_compact_files, q_cdc_evolve_spec,
+    q_cdc_expire_branch (guide §1)."""
+    import tempfile
+    from proof_of_concept___cdc_w_iceberg_spark.cdc import queries as cq
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.bucketed import (
+        BucketedMirror)
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror)
+
+    li, changes = cq._scale_mirror_and_changes(spark, SF)
+    keys = ["l_orderkey", "l_linenumber"]
+
+    print("== q_cdc_compact_files phases ==")
+    path = os.path.join(tempfile.mkdtemp(prefix="pr_compact_"), "mirror")
+    m = BucketedMirror(spark, path, keys=keys, n_buckets=16)
+    tic(); m.init(li, writers=8); toc("init writers=8")
+    tic(); ingest_files = sum(
+        len(fs) for fs in m.partition_files().values()); toc("partition_files")
+    tic(); m.apply(changes); toc("apply")
+    tic(); m.compact(max_files=1); toc("compact")
+    tic(); after = m.partition_files(); toc("partition_files 2")
+    tic(); assert m.compact(max_files=1) == {}; toc("compact idempotent")
+    tic(); m.read().count(); toc("read+count")
+
+    print("== q_cdc_evolve_spec / expire_branch totals ==")
+    from proof_of_concept___cdc_w_iceberg_spark import registry
+    qs = registry.queries()
+    for n in ("q_cdc_evolve_spec", "q_cdc_expire_branch"):
+        for i in range(2):
+            tic(); qs[n](spark, SF).count(); toc(f"{n} run {i}")
+
+
+def probe_init_ab(rounds: int = 3):
+    """Round-robin repartition(8) (local sort) vs hash repartition on
+    xxhash64(keys) for the cheap-ingest init write."""
+    import tempfile
+    from proof_of_concept___cdc_w_iceberg_spark.cdc import queries as cq
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.bucketed import (
+        BucketedMirror, BUCKET_COL)
+
+    li, _ = cq._scale_mirror_and_changes(spark, SF)
+    keys = ["l_orderkey", "l_linenumber"]
+
+    def rr():
+        path = os.path.join(tempfile.mkdtemp(prefix="ab_rr_"), "m")
+        m = BucketedMirror(spark, path, keys=keys, n_buckets=16)
+        m.init(li, writers=8)
+        return m
+
+    def hashed():
+        path = os.path.join(tempfile.mkdtemp(prefix="ab_h_"), "m")
+        m = BucketedMirror(spark, path, keys=keys, n_buckets=16)
+        part = m._with_bucket(li).repartition(
+            8, F.xxhash64(*[F.col(k) for k in keys]))
+        (part.write.mode("overwrite").partitionBy(BUCKET_COL)
+         .parquet(m.path))
+        with open(m._schema_path(), "w") as f:
+            f.write(li.schema.json())
+        return m
+
+    for i in range(rounds):
+        for label, fn in (("roundrobin", rr), ("hashed", hashed)):
+            tic(); m = fn(); dt = toc(f"round {i} init {label}")
+            files = sum(len(fs) for fs in m.partition_files().values())
+            print(f"      files={files}")
+
+
+PROBES["init_ab"] = probe_init_ab
+
+
+PROBES["cdc_phases"] = probe_cdc_phases
+
+
+def probe_prepare_cost(rounds: int = 3):
+    """Warm cost of _prepare_batch (compact window + persist + touched
+    collect) and of init, to size a prepare/init overlap."""
+    import tempfile
+    from proof_of_concept___cdc_w_iceberg_spark.cdc import queries as cq
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror)
+
+    li, changes = cq._scale_mirror_and_changes(spark, SF)
+    keys = ["l_orderkey", "l_linenumber"]
+    for i in range(rounds):
+        path = os.path.join(tempfile.mkdtemp(prefix="prep_"), "m")
+        m = BranchedMirror(spark, path, keys=keys, n_buckets=16)
+        tic(); latest, touched = m._prepare_batch(changes); toc(
+            f"round {i} prepare_batch")
+        latest.unpersist()
+        tic(); m.init(li); toc(f"round {i} init")
+
+
+PROBES["prepare_cost"] = probe_prepare_cost
+
+
+def probe_wap_prep_ab(rounds: int = 3):
+    """Change-2 shape (init inline, legs overlapped) vs change-9 shape
+    (init + both batch prepares overlapped too), full query flow."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+    from proof_of_concept___cdc_w_iceberg_spark.cdc import queries as cq
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror, wap_audit)
+
+    keys = ["l_orderkey", "l_linenumber"]
+
+    def setup():
+        li, changes = cq._scale_mirror_and_changes(spark, SF)
+        path = os.path.join(tempfile.mkdtemp(prefix="ab_wp_"), "mirror")
+        m = BranchedMirror(spark, path, keys=keys, n_buckets=16)
+        bad = li.limit(50).select(
+            F.col("l_orderkey"),
+            F.lit(None).cast(dict(li.dtypes)["l_linenumber"]).alias(
+                "l_linenumber"),
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+            F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+            F.lit("c").alias("op"), F.lit(9000).cast("long").alias("ts_ms"),
+            (F.col("l_orderkey") * 10 + F.lit(3_000_000_000)).cast("long")
+            .alias("off"),
+        )
+        return m, li, changes, bad
+
+    def legs(m, pool, prep_good, prep_bad, changes):
+        m.branch_create("audit_good"); m.branch_create("audit_bad")
+
+        def good():
+            m.apply_to_branch("audit_good", prepared=prep_good())
+            a = wap_audit(m.read_ref("audit_good").drop("__bucket"), keys,
+                          batch_keys=changes)
+            assert a == {"null_keys": 0, "dup_keys": 0}
+            m.fast_forward("main", "audit_good")
+            m.drop_branch("audit_good")
+
+        def badleg():
+            m.apply_to_branch("audit_bad", prepared=prep_bad())
+            a = wap_audit(m.read_ref("audit_bad").drop("__bucket"), keys)
+            assert a["null_keys"] > 0
+            m.drop_branch("audit_bad")
+
+        fg, fb = pool.submit(good), pool.submit(badleg)
+        fg.result(), fb.result()
+        m.read_ref("main").select(*keys, "l_quantity",
+                                  "l_extendedprice").count()
+
+    def v_change2(m, li, changes, bad):
+        m.init(li)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            legs(m, pool, lambda: m.prepare(changes), lambda: m.prepare(bad),
+                 changes)
+
+    def v_change9(m, li, changes, bad):
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_init = pool.submit(m.init, li)
+            f_pg = pool.submit(m.prepare, changes)
+            f_pb = pool.submit(m.prepare, bad)
+            f_init.result()
+            legs(m, pool, f_pg.result, f_pb.result, changes)
+
+    for i in range(rounds):
+        for label, fn in (("serial-prep", v_change2),
+                          ("overlap-prep", v_change9)):
+            m, li, changes, bad = setup()
+            tic(); fn(m, li, changes, bad); toc(f"round {i} wap {label}")
+
+
+PROBES["wap_prep_ab"] = probe_wap_prep_ab
+
+
 if __name__ == "__main__":
     for name in (sys.argv[1:] or list(PROBES)):
         t0 = time.perf_counter()
