@@ -132,8 +132,23 @@ class BucketedMirror:
                 .distinct().collect())
         return sorted(r[0] for r in rows)
 
-    def apply(self, changes: DataFrame, op_col: str = "op",
-              tag: str = "batch") -> list[int]:
+    def prepare(self, changes: DataFrame) -> DataFrame:
+        """Materialize a batch's compacted latest-wins form AHEAD of
+        ``apply`` (r21, guide §2.6): the compaction reads only
+        ``changes``, never the mirror, so callers can overlap it with
+        the init write (or any independent job) and pass the handle to
+        ``apply(prepared=...)``. Single-use; apply unpersists it. A
+        handle never passed to apply must be ``unpersist()``-ed by the
+        caller. The count() is the materializing action — persist
+        alone is lazy, and an un-materialized handle would defeat the
+        overlap."""
+        latest = compact_latest(changes, self.keys, self.order_cols).persist()
+        latest.count()
+        return latest
+
+    def apply(self, changes: DataFrame | None = None, op_col: str = "op",
+              tag: str = "batch", prepared: DataFrame | None = None
+              ) -> list[int]:
         """Merge a change batch, rewriting only touched bucket
         partitions. Returns the list of buckets rewritten.
 
@@ -141,11 +156,19 @@ class BucketedMirror:
         of touched buckets only (filter on the partition column — no
         data files outside them are read) → anti-join + union →
         dynamic partition overwrite of those buckets.
+
+        ``prepared``: a handle from ``prepare`` whose compaction job
+        already ran (r21, guide §2.6); ``changes`` is then ignored.
         """
         # Computed ONCE and persisted (r20, guide §5): the compaction
         # window/shuffle used to run twice — once under the
         # touched-bucket collect, once inside apply_changes' plan.
-        latest = compact_latest(changes, self.keys, self.order_cols).persist()
+        if prepared is None:
+            if changes is None:
+                raise ValueError("apply needs changes or prepared")
+            prepared = compact_latest(
+                changes, self.keys, self.order_cols).persist()
+        latest = prepared
         try:
             touched = self.touched_buckets(latest)
             if not touched:
@@ -371,17 +394,24 @@ class TwoLevelMirror(BucketedMirror):
             .distinct().collect())
         return sorted((r[0], r[1]) for r in rows)
 
-    def apply(self, changes: DataFrame, op_col: str = "op",
-              tag: str = "batch") -> list[tuple]:
+    def apply(self, changes: DataFrame | None = None, op_col: str = "op",
+              tag: str = "batch", prepared: DataFrame | None = None
+              ) -> list[tuple]:
         """Two-level partition-scoped merge: compact → scan only the
         (batch dates) × (touched buckets) partitions → anti-join +
         union → dynamic overwrite of exactly those partitions, with
-        explicit clearing of emptied ones. Returns the touched pairs."""
+        explicit clearing of emptied ones. Returns the touched pairs.
+        ``prepared`` as in BucketedMirror.apply (r21, guide §2.6)."""
         # Same r20 shape as BucketedMirror.apply: compaction persisted
         # (one execution instead of two) and the staged commit
         # published by per-partition directory swap instead of a
         # second read+shuffle+write job.
-        latest = compact_latest(changes, self.keys, self.order_cols).persist()
+        if prepared is None:
+            if changes is None:
+                raise ValueError("apply needs changes or prepared")
+            prepared = compact_latest(
+                changes, self.keys, self.order_cols).persist()
+        latest = prepared
         try:
             touched = self.touched_partitions(latest)
             if not touched:

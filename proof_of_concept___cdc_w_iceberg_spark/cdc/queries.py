@@ -212,8 +212,15 @@ def q_cdc_apply_bucketed(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="cdc_bucketed_"), "mirror")
     m = BucketedMirror(spark, path, keys=["l_orderkey", "l_linenumber"],
                        n_buckets=16)
-    m.init(li)
-    m.apply(changes)
+    # r21 (guide §2.6): the batch compaction reads only the change
+    # relation, so it overlaps the init write.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_init = pool.submit(m.init, li)
+        f_prep = pool.submit(m.prepare, changes)
+        f_init.result()
+        m.apply(prepared=f_prep.result())
     return m.read()
 
 
@@ -302,8 +309,14 @@ def q_cdc_apply_partitioned(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="cdc_twolevel_"), "mirror")
     m = TwoLevelMirror(spark, path, keys=["l_orderkey", "l_linenumber"],
                        date_col="part_year", n_buckets=16)
-    m.init(li)
-    m.apply(changes)
+    # r21 (guide §2.6): batch compaction overlaps the init write.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_init = pool.submit(m.init, li)
+        f_prep = pool.submit(m.prepare, changes)
+        f_init.result()
+        m.apply(prepared=f_prep.result())
     return m.read().select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         F.col("part_year").cast("int").alias("part_year"),
@@ -1607,9 +1620,16 @@ def q_cdc_compact_files(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="cdc_compact_"), "mirror")
     m = BucketedMirror(spark, path, keys=["l_orderkey", "l_linenumber"],
                        n_buckets=16)
-    m.init(li, writers=8)
-    ingest_files = sum(len(fs) for fs in m.partition_files().values())
-    m.apply(changes)
+    # r21 (guide §2.6): batch compaction overlaps the fragmented
+    # ingest write.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_init = pool.submit(m.init, li, 8)
+        f_prep = pool.submit(m.prepare, changes)
+        f_init.result()
+        ingest_files = sum(len(fs) for fs in m.partition_files().values())
+        m.apply(prepared=f_prep.result())
     m.compact(max_files=1)
     after = m.partition_files()
     n_after = sum(len(fs) for fs in after.values())
@@ -1995,8 +2015,17 @@ def cdc_evolve_spec_query(spark, sf_dir):
     path = os.path.join(tempfile.mkdtemp(prefix="cdc_evolve_spec_"),
                         "mirror")
     m = SpecEvolvingMirror(spark, path, keys=keys, n_buckets=8)
-    m.init(li)
-    m.apply(batch_a)
+    # r21 (guide §2.6): both batches' compaction jobs are
+    # spec-independent (the touched sets derive per spec inside the
+    # merge), so they overlap the init write.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_init = pool.submit(m.init, li)
+        f_prep_a = pool.submit(m.prepare, batch_a)
+        f_prep_b = pool.submit(m.prepare, batch_b)
+        f_init.result()
+        m.apply(prepared=f_prep_a.result())
     head = m.current_version()
     try:
         m.evolve_spec(12)
@@ -2011,7 +2040,7 @@ def cdc_evolve_spec_query(spark, sf_dir):
     assert after == before, "evolve must move zero data"
     assert set(m.spec_census()) == {8}, "evolve migrates nothing"
 
-    m.apply(batch_b)  # lazy migration under the new spec
+    m.apply(prepared=f_prep_b.result())  # lazy migration, new spec
     assert set(m.spec_census()) <= {8, 16}, m.spec_census()
     m.migrate()
     assert set(m.spec_census()) == {16}, "migrate must finish the drain"

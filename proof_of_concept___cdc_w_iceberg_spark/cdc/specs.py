@@ -120,12 +120,26 @@ class SpecEvolvingMirror(SnapshotMirror):
         return self._commit_spec(self._entries(m), m["schema"],
                                  spec=new_n, parent=base)
 
-    def apply(self, changes: DataFrame, op_col: str = "op",
-              base_version: int | None = None, max_retries: int = 5) -> int:
+    def prepare(self, changes: DataFrame) -> DataFrame:
+        """Spec-independent batch materialization ahead of ``apply``
+        (r21, guide §2.6 — overlappable with init; overrides the base
+        prepare because this class's apply derives touched sets PER
+        SPEC inside the merge loop, so the handle is just the
+        persisted compacted batch). count() materializes it."""
+        from .apply import compact_latest
+
+        latest = compact_latest(changes, self.keys, self.order_cols).persist()
+        latest.count()
+        return latest
+
+    def apply(self, changes: DataFrame | None = None, op_col: str = "op",
+              base_version: int | None = None, max_retries: int = 5,
+              prepared: DataFrame | None = None) -> int:
         """Touched-only COW merge under the manifest's CURRENT spec,
         across however many specs the live entries span. Affected
         entries rewrite UNDER THE CURRENT SPEC (lazy migration);
-        unaffected entries carry verbatim."""
+        unaffected entries carry verbatim. ``prepared`` as in
+        BucketedMirror.apply (r21, guide §2.6)."""
         if max_retries < 1:
             raise ValueError("max_retries must be >= 1")
         from .apply import compact_latest
@@ -135,9 +149,13 @@ class SpecEvolvingMirror(SnapshotMirror):
         # re-running the compaction job; released in the finally (r17
         # advice — checkpoint blocks leaked until ContextCleaner GC,
         # a persist the owner unpersists does not).
-        latest = compact_latest(
-            changes, self.keys, self.order_cols
-        ).persist()
+        if prepared is None:
+            if changes is None:
+                raise ValueError("apply needs changes or prepared")
+            prepared = compact_latest(
+                changes, self.keys, self.order_cols
+            ).persist()
+        latest = prepared
         try:
             return self._apply_cached(latest, op_col=op_col,
                                       base_version=base_version,

@@ -846,6 +846,106 @@ def probe_wap_prep_ab(rounds: int = 3):
 PROBES["wap_prep_ab"] = probe_wap_prep_ab
 
 
+def probe_bloom_phases(rounds: int = 3):
+    """Where q_join_bloom's time goes: bloom build, fact hash+semis,
+    exact join — plus a driver-collected bitmap variant."""
+    from proof_of_concept___cdc_w_iceberg_spark.operators import sketches as sk
+
+    c = load(spark, SF, "customer")
+    o = load(spark, SF, "orders")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    def full():
+        noop(sk.bloom_reduce_join(o, dim, sk.bloom_positions(dim, "c_custkey")))
+
+    def bloom_only():
+        noop(sk.bloom_positions(dim, "c_custkey"))
+
+    def exact_only():
+        noop(o.join(F.broadcast(dim),
+                    F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("o_orderpriority")
+             .agg(F.count("*").alias("n_orders"),
+                  sk.dec_sum("o_totalprice").alias("sum_price")))
+
+    def bitmap():
+        pos = [r["pos"] for r in
+               sk.bloom_positions(dim, "c_custkey").collect()]
+        words = [0] * ((sk.BLOOM_M + 63) // 64)
+        for p in pos:
+            words[p // 64] |= 1 << (p % 64)
+        # signed-long wrap for Spark long literals
+        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        warr = F.array(*[F.lit(w).cast("long") for w in words])
+        hashed = (
+            o.select("*", F.expr(sk._bloom_hash_sql("o_custkey", "STRING"))
+                     .alias(sk._H))
+            .select("*", *[sk._bloom_pos_from_h(i).alias(f"_p{i}")
+                           for i in range(sk.BLOOM_K)])
+            .drop(sk._H)
+            .withColumn("_bm", warr)
+        )
+        cond = None
+        for i in range(sk.BLOOM_K):
+            c_i = F.expr(
+                f"(shiftright(element_at(_bm, cast(_p{i} / 64 as int) + 1), "
+                f"cast(_p{i} % 64 as int)) & 1) = 1"
+            )
+            cond = c_i if cond is None else (cond & c_i)
+        survived = hashed.filter(cond).drop(
+            "_bm", *[f"_p{i}" for i in range(sk.BLOOM_K)])
+        noop(survived.join(F.broadcast(dim),
+                           F.col("o_custkey") == F.col("c_custkey"))
+             .groupBy("o_orderpriority")
+             .agg(F.count("*").alias("n_orders"),
+                  sk.dec_sum("o_totalprice").alias("sum_price")))
+
+    for i in range(rounds):
+        for label, fn in (("full-semis", full), ("bloom-only", bloom_only),
+                          ("exact-only", exact_only), ("bitmap", bitmap)):
+            tic(); fn(); toc(f"round {i} {label}")
+
+
+PROBES["bloom_phases"] = probe_bloom_phases
+
+
+def probe_bucketed_prep_ab(rounds: int = 3):
+    """Serial init->apply vs overlapped init+prepare for the bucketed
+    mirror (q_cdc_apply_bucketed shape)."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+    from proof_of_concept___cdc_w_iceberg_spark.cdc import queries as cq
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.bucketed import (
+        BucketedMirror)
+
+    li, changes = cq._scale_mirror_and_changes(spark, SF)
+    keys = ["l_orderkey", "l_linenumber"]
+
+    def serial():
+        path = os.path.join(tempfile.mkdtemp(prefix="abp_s_"), "m")
+        m = BucketedMirror(spark, path, keys=keys, n_buckets=16)
+        m.init(li)
+        m.apply(changes)
+        m.read().count()
+
+    def overlap():
+        path = os.path.join(tempfile.mkdtemp(prefix="abp_o_"), "m")
+        m = BucketedMirror(spark, path, keys=keys, n_buckets=16)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_init = pool.submit(m.init, li)
+            f_prep = pool.submit(m.prepare, changes)
+            f_init.result()
+            m.apply(prepared=f_prep.result())
+        m.read().count()
+
+    for i in range(rounds):
+        for label, fn in (("serial", serial), ("overlap", overlap)):
+            tic(); fn(); toc(f"round {i} bucketed {label}")
+
+
+PROBES["bucketed_prep_ab"] = probe_bucketed_prep_ab
+
+
 if __name__ == "__main__":
     for name in (sys.argv[1:] or list(PROBES)):
         t0 = time.perf_counter()
