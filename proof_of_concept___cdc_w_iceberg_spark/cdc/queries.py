@@ -1855,10 +1855,15 @@ def q_cdc_wap_race(spark, sf_dir):
     # (mirror.prepare reads only the change relations).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=4) as pool:
         f_init = pool.submit(m.init, li)
         f_prep_a = pool.submit(m.prepare, batch_a)
         f_prep_b = pool.submit(m.prepare, batch_b)
+        # The loser's cherry-pick re-applies the SAME batch B on the
+        # new head; its compacted form is a pure function of the
+        # batch, so the retry's handle is prepared upfront too instead
+        # of serially inside the cherry-pick (r21, guide §2.6).
+        f_prep_b2 = pool.submit(m.prepare, batch_b)
         f_init.result()
         m.branch_create("race_a")
         m.branch_create("race_b")
@@ -1886,7 +1891,7 @@ def q_cdc_wap_race(spark, sf_dir):
     m.drop_branch("race_b")
 
     m.branch_create("race_pick")  # cherry-pick: re-apply B on new head
-    m.apply_to_branch("race_pick", batch_b)
+    m.apply_to_branch("race_pick", prepared=f_prep_b2.result())
     audit = wap_audit(m.read_ref("race_pick").drop("__bucket"), keys,
                       batch_keys=batch_b)
     assert audit == {"null_keys": 0, "dup_keys": 0}, audit

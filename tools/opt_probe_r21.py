@@ -946,6 +946,23 @@ def probe_bucketed_prep_ab(rounds: int = 3):
 PROBES["bucketed_prep_ab"] = probe_bucketed_prep_ab
 
 
+def probe_wap_race_e2e(rounds: int = 3):
+    """End-to-end registered q_cdc_wap_race wall time (current code)."""
+    from proof_of_concept___cdc_w_iceberg_spark import registry
+    qs = registry.queries()
+    for i in range(rounds):
+        spark.catalog.clearCache()
+        tic(); qs["q_cdc_wap_race"](spark, SF).count(); toc(
+            f"round {i} q_cdc_wap_race")
+        tic(); qs["q_cdc_evolve_spec"](spark, SF).count(); toc(
+            f"round {i} q_cdc_evolve_spec")
+        tic(); qs["q_cdc_compact_files"](spark, SF).count(); toc(
+            f"round {i} q_cdc_compact_files")
+
+
+PROBES["wap_race_e2e"] = probe_wap_race_e2e
+
+
 if __name__ == "__main__":
     for name in (sys.argv[1:] or list(PROBES)):
         t0 = time.perf_counter()
