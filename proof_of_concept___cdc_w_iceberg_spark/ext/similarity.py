@@ -969,7 +969,15 @@ def q_mmr_diversify(spark, sf_dir):
             ).alias("rel"),
         )
     )
-    cand = rel.orderBy(F.col("rel").desc(), F.col("cand_id")).limit(MMR_POOL)
+    # r21 (guide §1.2/§5): the pool cut is consumed by TWO driver
+    # actions (the pool collect and the sims collect, whose plan
+    # embeds cand) — un-cut, the corpus relevance scan + ArrowEval
+    # pass ran twice. ≤ MMR_POOL rows; values unchanged.
+    cand = (
+        rel.orderBy(F.col("rel").desc(), F.col("cand_id"))
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
     ce = cand.join(e, cand.cand_id == e.vec_id).select("cand_id", "rel", "embedding", "sq")
     b = ce.select(
         F.col("cand_id").alias("j"),

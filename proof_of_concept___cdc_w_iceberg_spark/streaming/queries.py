@@ -748,7 +748,7 @@ def q_stream_cms(spark, sf_dir):
     return cms_topk(state, keys)
 
 
-def cms_retract_apply(state, ins_k, del_k):
+def cms_retract_apply(state, ins_k, del_k, checkpoint: bool = True):
     """Turnstile-model state transition: grid' = cell-wise sum of the
     grid so far, the insert batch's grid, and the delete batch's grid
     NEGATED. CMS cells form a GROUP (integers under addition), not
@@ -777,6 +777,14 @@ def cms_retract_apply(state, ins_k, del_k):
         .agg(F.sum("cnt").alias("cnt"))
         .filter(F.col("cnt") != 0)
     )
+    if not checkpoint:
+        # r21 (guide §1.2): under the DURABLE guard the very next step
+        # parquet-writes the new state (the guard's commit IS the
+        # materialization and the reloaded state is a parquet scan, so
+        # lineage stays flat without the cut) — the eager checkpoint
+        # would execute the merge once only to have the write read its
+        # blocks back: one extra job per micro-batch for nothing.
+        return merged
     return merged.localCheckpoint(eager=True)
 
 
@@ -1160,12 +1168,19 @@ def q_stream_cms_durable(spark, sf_dir):
         return ins, dels
 
     path = tempfile.mkdtemp(prefix="cms_durable_")
-    g = DurableReplayGuard(spark, path, empty, cms_retract_apply)
+
+    def durable_apply(state, ins, dels):
+        # checkpoint=False: the guard's parquet commit materializes
+        # the state; the eager cut would be a redundant extra job
+        # per batch (see cms_retract_apply).
+        return cms_retract_apply(state, ins, dels, checkpoint=False)
+
+    g = DurableReplayGuard(spark, path, empty, durable_apply)
     assert g.apply(0, *args(0)) is True
     assert g.apply(1, *args(1)) is True
     assert g.apply(1, *args(1)) is False, "replayed batch must be skipped"
 
-    g2 = DurableReplayGuard(spark, path, empty, cms_retract_apply)  # restart
+    g2 = DurableReplayGuard(spark, path, empty, durable_apply)  # restart
     assert g2.last_batch_id() == 1, "watermark must survive restart"
     assert g2.apply(1, *args(1)) is False, "replay after restart must skip"
     assert g2.apply(2, *args(2)) is True

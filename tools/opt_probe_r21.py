@@ -963,6 +963,61 @@ def probe_wap_race_e2e(rounds: int = 3):
 PROBES["wap_race_e2e"] = probe_wap_race_e2e
 
 
+def probe_cms_durable_ab(rounds: int = 3):
+    """Durable CMS guard: checkpoint-then-write (old) vs write-only
+    (new) state transitions, full registered flow."""
+    import tempfile
+    from proof_of_concept___cdc_w_iceberg_spark.streaming import queries as sq
+    from proof_of_concept___cdc_w_iceberg_spark.operators.sketches import (
+        cms_empty_grid, cms_topk)
+
+    li = load(spark, SF, "lineitem").select(
+        F.col("l_suppkey").alias("k"), "l_orderkey")
+    empty = cms_empty_grid(li)
+    batches = [
+        (F.col("l_orderkey") <= 20_000, None),
+        (F.col("l_orderkey").between(20_001, 40_000),
+         (F.col("l_orderkey") <= 20_000) & (F.col("l_orderkey") % 7 == 3)),
+        (F.col("l_orderkey") >= 40_001,
+         F.col("l_orderkey").between(20_001, 40_000)
+         & (F.col("l_orderkey") % 7 == 3)),
+    ]
+
+    def args(i):
+        ins_cond, del_cond = batches[i]
+        ins = li.filter(ins_cond).select("k")
+        dels = (li.filter(del_cond).select("k") if del_cond is not None
+                else li.select("k").limit(0))
+        return ins, dels
+
+    def run(apply_fn):
+        path = tempfile.mkdtemp(prefix="ab_cmsd_")
+        g = sq.DurableReplayGuard(spark, path, empty, apply_fn)
+        assert g.apply(0, *args(0)) is True
+        assert g.apply(1, *args(1)) is True
+        assert g.apply(1, *args(1)) is False
+        g2 = sq.DurableReplayGuard(spark, path, empty, apply_fn)
+        assert g2.apply(1, *args(1)) is False
+        assert g2.apply(2, *args(2)) is True
+        net = li.filter(~((F.col("l_orderkey") <= 40_000)
+                          & (F.col("l_orderkey") % 7 == 3)))
+        keys = net.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+        noop(cms_topk(g2.state(), keys))
+
+    def old_fn(state, ins, dels):
+        return sq.cms_retract_apply(state, ins, dels, checkpoint=True)
+
+    def new_fn(state, ins, dels):
+        return sq.cms_retract_apply(state, ins, dels, checkpoint=False)
+
+    for i in range(rounds):
+        for label, fn in (("cp+write", old_fn), ("write-only", new_fn)):
+            tic(); run(fn); toc(f"round {i} cms durable {label}")
+
+
+PROBES["cms_durable_ab"] = probe_cms_durable_ab
+
+
 if __name__ == "__main__":
     for name in (sys.argv[1:] or list(PROBES)):
         t0 = time.perf_counter()
