@@ -1018,6 +1018,165 @@ def probe_cms_durable_ab(rounds: int = 3):
 PROBES["cms_durable_ab"] = probe_cms_durable_ab
 
 
+def probe_count_regime_ab(rounds: int = 3):
+    """Bench-regime (count() consumption) A/B for the substr and theta
+    restructures: the bench's timed action is count(), under which a
+    LAZY plan may prune subtrees an eager checkpoint always pays."""
+    from proof_of_concept___cdc_w_iceberg_spark.ext import dedup as dd
+    from proof_of_concept___cdc_w_iceberg_spark.operators import sketches as sk
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + dd._BATCH_OFF).alias("doc_id"), "text")
+
+    def substr_old():
+        grams, hist, report = dd.substr_state_build(docs)
+        grams = grams.localCheckpoint(eager=True)
+        _, _, rep = dd.substr_state_apply(grams, hist, report, batch)
+        rep.count()
+
+    def substr_new():
+        grams, hist, report = dd.substr_state_build(
+            docs, materialize=lambda df: df.localCheckpoint(eager=True))
+        report = report.localCheckpoint(eager=True)
+        _, _, rep = dd.substr_state_apply(grams, hist, report, batch)
+        rep.count()
+
+    o = load(spark, SF, "orders").select("o_custkey", "o_orderdate")
+
+    def theta_old():
+        # pre-r21 readout inlined (same as theta_fresh.py's)
+        def readout(sk_a, sk_b, a_keys, b_keys):
+            th_a, th_b = sk._theta_of(sk_a), sk._theta_of(sk_b)
+            th_u = (th_a.crossJoin(th_b.withColumnRenamed("theta", "theta_b"))
+                    .select(F.least("theta", "theta_b").alias("theta")))
+
+            def below(s, th):
+                cnt = (s.crossJoin(F.broadcast(th))
+                       .filter(F.col("h") < F.col("theta"))
+                       .groupBy("theta").agg(F.count("*").alias("cnt")))
+                return th.join(cnt, "theta", "left").select(
+                    "theta",
+                    F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt"))
+
+            est_a = below(sk_a, th_a).select(
+                sk._theta_est("theta").alias("est"))
+            est_b = below(sk_b, th_b).select(
+                sk._theta_est("theta").alias("est"))
+            est_u = below(sk_a.unionByName(sk_b).distinct(), th_u).select(
+                sk._theta_est("theta").alias("est"))
+            est_i = below(sk_a.join(sk_b, "h"), th_u).select(
+                sk._theta_est("theta").alias("est"))
+            ex_a = a_keys.agg(F.count("*").cast("long").alias("v"))
+            ex_b = b_keys.agg(F.count("*").cast("long").alias("v"))
+            ex_i = a_keys.join(b_keys, "k").agg(
+                F.count("*").cast("long").alias("v"))
+            ex_u = (ex_a.withColumnRenamed("v", "va")
+                    .crossJoin(ex_b.withColumnRenamed("v", "vb"))
+                    .crossJoin(ex_i.withColumnRenamed("v", "vi"))
+                    .select((F.col("va") + F.col("vb") - F.col("vi"))
+                            .alias("v")))
+
+            def row(name, est, ex):
+                return est.crossJoin(F.broadcast(ex)).select(
+                    F.lit(name).alias("measure"),
+                    F.round("est", 4).alias("est"),
+                    F.col("v").alias("exact_v"),
+                    F.round(F.try_divide(
+                        F.abs(F.col("est") - F.col("v")), F.col("v")), 4
+                    ).alias("rel_err"))
+
+            return (row("distinct_a", est_a, ex_a)
+                    .unionByName(row("distinct_b", est_b, ex_b))
+                    .unionByName(row("union", est_u, ex_u))
+                    .unionByName(row("intersection", est_i, ex_i)))
+
+        a_keys, a_h = sk.theta_order_stream(o, 1995)
+        b_keys, b_h = sk.theta_order_stream(o, 1996)
+        readout(sk._theta_sketch(a_h), sk._theta_sketch(b_h),
+                a_keys, b_keys).count()
+
+    def theta_new():
+        a_keys, a_h = sk.theta_order_stream(o, 1995)
+        b_keys, b_h = sk.theta_order_stream(o, 1996)
+        sk.theta_readout(sk._theta_sketch(a_h), sk._theta_sketch(b_h),
+                         a_keys, b_keys).count()
+
+    for i in range(rounds):
+        for label, fn in (("substr old", substr_old),
+                          ("substr new", substr_new),
+                          ("theta  old", theta_old),
+                          ("theta  new", theta_new)):
+            spark.catalog.clearCache()
+            tic(); fn(); toc(f"round {i} {label} (count)")
+
+
+PROBES["count_regime_ab"] = probe_count_regime_ab
+
+
+def probe_race_prefetch_ab(rounds: int = 4):
+    """wap_race: 3 overlapped front jobs + serial cherry-pick prepare
+    (A) vs 4 overlapped front jobs incl. prefetched cherry-pick (B)."""
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+    from proof_of_concept___cdc_w_iceberg_spark.cdc import queries as cq
+    from proof_of_concept___cdc_w_iceberg_spark.cdc.branches import (
+        BranchedMirror, wap_audit)
+
+    keys = ["l_orderkey", "l_linenumber"]
+
+    def run(prefetch):
+        li, batch_a = cq._scale_mirror_and_changes(spark, SF)
+        batch_b = cq._wap_race_batch_b(li)
+        path = os.path.join(tempfile.mkdtemp(prefix="abr_"), "mirror")
+        m = BranchedMirror(spark, path, keys=keys, n_buckets=16)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_init = pool.submit(m.init, li)
+            f_a = pool.submit(m.prepare, batch_a)
+            f_b = pool.submit(m.prepare, batch_b)
+            f_b2 = pool.submit(m.prepare, batch_b) if prefetch else None
+            f_init.result()
+            m.branch_create("race_a"); m.branch_create("race_b")
+            fa = pool.submit(m.apply_to_branch, "race_a",
+                             prepared=f_a.result())
+            fb = pool.submit(m.apply_to_branch, "race_b",
+                             prepared=f_b.result())
+            fa.result(), fb.result()
+            audits = {
+                br: pool.submit(wap_audit,
+                                m.read_ref(br).drop("__bucket"), keys, b)
+                for br, b in (("race_a", batch_a), ("race_b", batch_b))
+            }
+            for br, fut in audits.items():
+                assert fut.result() == {"null_keys": 0, "dup_keys": 0}, br
+        m.fast_forward("main", "race_a")
+        published = m.get_ref("main")
+        try:
+            m.fast_forward("main", "race_b")
+            raise AssertionError
+        except ValueError:
+            pass
+        m.drop_branch("race_b")
+        m.branch_create("race_pick")
+        m.apply_to_branch(
+            "race_pick",
+            prepared=(f_b2.result() if prefetch else m.prepare(batch_b)))
+        a = wap_audit(m.read_ref("race_pick").drop("__bucket"), keys,
+                      batch_keys=batch_b)
+        assert a == {"null_keys": 0, "dup_keys": 0}
+        m.fast_forward("main", "race_pick")
+        m.drop_branch("race_a"); m.drop_branch("race_pick")
+        m.read_ref("main").select(*keys, "l_quantity",
+                                  "l_extendedprice").count()
+
+    for i in range(rounds):
+        for label, pf in (("serial-pick", False), ("prefetch", True)):
+            tic(); run(pf); toc(f"round {i} race {label}")
+
+
+PROBES["race_prefetch_ab"] = probe_race_prefetch_ab
+
+
 if __name__ == "__main__":
     for name in (sys.argv[1:] or list(PROBES)):
         t0 = time.perf_counter()
