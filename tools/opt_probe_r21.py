@@ -1177,6 +1177,22 @@ def probe_race_prefetch_ab(rounds: int = 4):
 PROBES["race_prefetch_ab"] = probe_race_prefetch_ab
 
 
+def probe_untouched_sanity(rounds: int = 4):
+    """q_centroid_classify and the quantized sim rungs were NOT touched
+    this round but moved +0.4-1.1s in the close-window bench runs —
+    time them warm to pin the moves on regime, not code."""
+    from proof_of_concept___cdc_w_iceberg_spark import registry
+    qs = registry.queries()
+    for i in range(rounds):
+        for n in ("q_centroid_classify", "q_sim_topk_quantized",
+                  "q_sim_ivf_quantized"):
+            spark.catalog.clearCache()
+            tic(); qs[n](spark, SF).count(); toc(f"round {i} {n}")
+
+
+PROBES["untouched_sanity"] = probe_untouched_sanity
+
+
 if __name__ == "__main__":
     for name in (sys.argv[1:] or list(PROBES)):
         t0 = time.perf_counter()
